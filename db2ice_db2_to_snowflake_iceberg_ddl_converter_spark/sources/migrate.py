@@ -1,0 +1,105 @@
+"""The migration job: read source rows → cast per type mapping → write target.
+
+This is the data-plane counterpart of the reference's DDL-text conversion
+(converter.py:62-183): where the reference only *emits* an Iceberg CREATE
+TABLE, this module actually moves the rows, honoring the parsed intent:
+
+- ``PARTITION BY RANGE(cols)`` (parser.py:665-678, converter.py:155-158)
+  → partitioned write (Iceberg ``partitionedBy`` / hive ``partitionBy``);
+- ``DISTRIBUTE BY HASH(col)`` → ``CLUSTER BY`` (parser.py:102,
+  converter.py:160-163) → ``repartition(col)`` + within-partition sort so
+  file-level min/max stats cluster on that key;
+- type mapping per column → native ``cast`` expressions (catalog.cast_plan),
+  no Python in the row path.
+
+Scale notes: each table migration is one embarrassingly-parallel Spark job;
+a catalog of tables can be submitted concurrently from the driver (FAIR
+scheduler) since jobs share no state. JDBC sources read partitioned on a
+numeric column so a 1000-executor cluster doesn't serialize on one connection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import cast_plan
+from ..model import TableDef
+from .registry import read_table, write_table
+
+
+def jdbc_reader(spark: SparkSession, url: str, dbtable: str,
+                partition_column: str | None = None,
+                lower_bound: int | None = None, upper_bound: int | None = None,
+                num_partitions: int = 32, fetch_size: int = 10_000,
+                **options):
+    """Configure a partitioned JDBC read (e.g. ``jdbc:db2://host/db``).
+
+    Without ``partition_column`` the read is a single connection — fine for
+    dimension tables, wrong for facts. Bounds can come from a cheap
+    ``SELECT min(c), max(c)`` issued by the caller.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", dbtable)
+              .option("fetchsize", str(fetch_size)))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def migrate_table(spark: SparkSession, table: TableDef, source_path: str,
+                  dest_path: str, source_format: str = "parquet",
+                  dest_format: str = "parquet",
+                  cluster_partitions: int | None = None) -> DataFrame:
+    """Run one table's migration; returns the casted DataFrame (lazy).
+
+    The write honors the DDL intent: RANGE/HASH partition columns become the
+    write partitioning; DISTRIBUTE BY HASH becomes repartition + clustered
+    files. Everything between read and write is Catalyst-native so predicate
+    pushdown / column pruning / codegen survive.
+    """
+    src = read_table(spark, source_path, fmt=source_format)
+
+    # case-insensitive resolution: source columns may be lower-case
+    lower_map = {c.lower(): c for c in src.columns}
+    missing = [c.name for c in table.columns if c.name.lower() not in lower_map]
+    if missing:
+        raise ValueError(f"source {source_path} lacks columns {missing}")
+    renamed = src.select([src[lower_map[c.name.lower()]].alias(c.name)
+                          for c in table.columns])
+
+    casted = renamed.select(cast_plan(table))
+
+    partition_cols = (table.partition.columns
+                      if table.partition and table.partition.columns else None)
+    sort_cols = None
+    if table.distribute_by_hash:
+        n = cluster_partitions or spark.sparkContext.defaultParallelism
+        casted = casted.repartition(n, table.distribute_by_hash)
+        sort_cols = [table.distribute_by_hash]
+
+    write_table(casted, dest_path, fmt=dest_format,
+                partition_by=partition_cols, sort_by=sort_cols)
+    return casted
+
+
+def migrate_catalog(spark: SparkSession, tables: list[TableDef],
+                    source_root: str, dest_root: str,
+                    source_format: str = "parquet",
+                    dest_format: str = "parquet") -> dict[str, DataFrame]:
+    """Migrate every table of a parsed catalog; paths derived as
+    ``{root}/{schema.lower()}/{table.lower()}`` (converter.py:345-353)."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        loc = f"{(t.schema or 'default').lower()}/{t.name.lower()}"
+        out[t.full_name] = migrate_table(
+            spark, t, f"{source_root}/{loc}", f"{dest_root}/{loc}",
+            source_format=source_format, dest_format=dest_format)
+    return out
