@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every subsystem with real data volume at scale:
+TPC-H-style joins/aggs, window top-k, event sessionization, the dedup
+pipelines (exact, MinHash-LSH, SimHash, embedding-cosine), ANN top-k, and
+the text-analysis battery. Each query is forced with ``collect()`` (result
+sets are small aggregates — the work is in the scan/shuffle, not the fetch).
+
+A warmup query runs first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "window_topk_per_group",
+    "agg_rollup",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "text_token_stats",
+    "text_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from __spark_entry__ import queries
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # Warmup: JVM + codegen + parquet footer reads, not billed per-query.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

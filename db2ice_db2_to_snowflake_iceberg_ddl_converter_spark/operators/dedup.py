@@ -1,0 +1,294 @@
+"""Deduplication operators over the ``documents`` table: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+These are the training-data-pipeline operators (task north star; the
+reference has no row plane). Scale design notes, per operator:
+
+- **exact**: one hash-groupBy on a normalized key — the canonical 100 TB
+  dedup; Spark's partial aggregation means each executor emits one row per
+  distinct key before the shuffle.
+- **n-gram Jaccard (exact)**: inverted-index self-join on shingles (NOT an
+  O(n²) cross join): |pairs sharing a shingle| ≪ n². Hot shingles skew the
+  join — at scale, drop top-frequency shingles (stop-shingles) before the
+  join; AQE skew-join splits the rest.
+- **MinHash+LSH**: the scale path. Signatures are k=64 JVM-side xxhash64
+  min-aggregations (no shuffle), banding b=16×r=4 turns near-dup search into
+  an equi-join on (band_idx, band_hash) — only same-bucket pairs are ever
+  compared, and candidates are verified with exact Jaccard.
+- **SimHash**: 64-bit fingerprints from per-bit word-hash votes; near-dups
+  found by joining on 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
+  equal) then filtering on exact hamming distance via xor+bit_count.
+- **embedding cosine**: see operators/similarity.py for the ANN path.
+
+Everything is built-in Catalyst expressions — no Python UDFs — so the whole
+pipeline stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+NUM_MINHASHES = 64
+LSH_BANDS = 16
+ROWS_PER_BAND = NUM_MINHASHES // LSH_BANDS
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest id per exact key; generic single-shuffle dedup."""
+    return (df.groupBy(*key_cols)
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("group_size")))
+
+
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup of documents on normalized text (lower + trim)."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.select(F.trim(F.lower("text")).alias("norm_text"), "doc_id")
+            .groupBy("norm_text")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("group_size"))
+            .select("keep_id", "group_size"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM documents GROUP BY TRIM(LOWER(text))
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram jaccard
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams as an array column (pure Catalyst HOFs)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1)
+                                     for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", _shingle_expr("text", n).alias("shingles"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via an
+    inverted-index join. Jaccard = |∩| / (|A|+|B|−|∩|) over distinct
+    shingles — integer counts, so the double division is bitwise-exact."""
+    sh = doc_shingles(spark, sf_dir).withColumn("n_shingles", F.size("shingles"))
+    inv = sh.select("doc_id", "n_shingles",
+                    F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id1"),
+                   F.col("n_shingles").alias("n1"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id2"),
+                   F.col("n_shingles").alias("n2"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .filter(F.col("id1") < F.col("id2"))
+             .groupBy("id1", "id2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (pairs
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("n1") + F.col("n2") - F.col("n_common")))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id1", "id2", "jaccard"))
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM w
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) AS jaccard
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingled: DataFrame,
+                       num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """k seeded-xxhash64 min-aggregations over each shingle set.
+
+    All k mins are computed in one pass over the shingle array with array
+    HOFs — zero shuffles, zero Python. Seeding = prefixing the shingle with
+    the hash index (xxhash64 has no seed parameter in the function API).
+    """
+    sig_cols = [
+        F.array_min(F.transform(
+            "shingles",
+            lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s))))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.select("doc_id", "shingles", *sig_cols)
+
+
+def minhash_lsh_candidates(signatures: DataFrame,
+                           bands: int = LSH_BANDS,
+                           rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_hash).
+
+    Each band hash covers ``rows_per_band`` minhashes; docs agreeing on any
+    band become candidates. The join key is (band_idx, band_hash) so bucket
+    sizes stay tiny and the shuffle is uniform — this is what makes near-dup
+    search linear-ish at 100 TB instead of quadratic.
+    """
+    band_rows = signatures.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                                  for r in range(rows_per_band)])
+                     .alias("band_hash"))
+            for b in range(bands)
+        ])).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = band_rows.select(F.col("doc_id").alias("id1"), "band_idx", "band_hash")
+    b = band_rows.select(F.col("doc_id").alias("id2"), "band_idx", "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+
+
+def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Non-SQL-expressible op (checked rows-only by the driver; pytest verifies
+    it recovers exactly the brute-force pair set on the fixture data).
+    """
+    sh = doc_shingles(spark, sf_dir)
+    cands = minhash_lsh_candidates(minhash_signatures(sh))
+    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
+    j = (cands
+         .join(sized.select(F.col("doc_id").alias("id1"),
+                            F.col("shingles").alias("sh1"),
+                            F.col("ns").alias("n1")), "id1")
+         .join(sized.select(F.col("doc_id").alias("id2"),
+                            F.col("shingles").alias("sh2"),
+                            F.col("ns").alias("n2")), "id2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
+    return (j.select("id1", "id2", jaccard.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("id1", "id2"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash per document as 4×16-bit bands.
+
+    Per word: xxhash64 → 64 bit-votes (+1/−1); per document: vote sums per
+    bit; fingerprint bit b = (vote_b > 0). Assembled as four 16-bit integer
+    bands so LSH banding and hamming math stay in plain integer columns.
+    One explode + one groupBy — the 64 per-bit sums are map-side partial aggs.
+    """
+    d = ld(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64("w")
+    vote_aggs = [
+        F.sum(F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    votes = words.groupBy("doc_id").agg(*vote_aggs)
+    band_cols = []
+    for band in range(4):
+        expr = F.lit(0)
+        for off in range(16):
+            bit = band * 16 + off
+            expr = expr + F.when(F.col(f"v{bit}") > 0,
+                                 F.lit(1 << off)).otherwise(0)
+        band_cols.append(expr.alias(f"band{band}"))
+    return votes.select("doc_id", *band_cols)
+
+
+def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band equi-join (pigeonhole over 4 bands ⇒
+    any pair with hamming ≤ 3 shares a band) + exact hamming filter.
+    Non-SQL-expressible op (rows-only driver check; pytest asserts the
+    pigeonhole recall property on fixtures)."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id", "band0", "band1", "band2", "band3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.col(f"band{i}").alias("band_val"))
+            for i in range(4)
+        ])).alias("b")
+    ).select("doc_id", "band0", "band1", "band2", "band3",
+             "b.band_idx", "b.band_val")
+    a = bands.select(*[F.col(c).alias(f"{c}_1") for c in
+                       ("doc_id", "band0", "band1", "band2", "band3")],
+                     "band_idx", "band_val")
+    b = bands.select(*[F.col(c).alias(f"{c}_2") for c in
+                       ("doc_id", "band0", "band1", "band2", "band3")],
+                     "band_idx", "band_val")
+    hamming = sum(
+        F.bit_count(F.col(f"band{i}_1").bitwiseXOR(F.col(f"band{i}_2")))
+        for i in range(4))
+    return (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .select(F.col("doc_id_1").alias("id1"),
+                    F.col("doc_id_2").alias("id2"),
+                    hamming.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("id1", "id2"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
+    """Embedding near-dup pairs with cosine ≥ threshold (0.4 sits in
+    the top tail of the fixture embedding distribution).
+
+    Exact all-pairs at fixture scale (oracle-checkable bitwise: both engines
+    fold the dot product sequentially). The ANN path for 100 TB lives in
+    operators/similarity.py (sign-LSH buckets).
+    """
+    from .similarity import cosine_expr
+
+    e = ld(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("eb"))
+    return (a.join(b, F.col("id1") < F.col("id2"))
+            .select("id1", "id2", cosine_expr("ea", "eb").alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("id1", "id2"))
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY id1, id2
+"""

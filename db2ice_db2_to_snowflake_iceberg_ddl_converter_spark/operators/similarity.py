@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Three tiers, mirroring how ANN is deployed at 100 TB:
+
+1. **cosine_expr** — pure Catalyst dot-product/cosine (zip_with + aggregate
+   fold). Deterministic (sequential fold) and bitwise-identical to DuckDB's
+   list_cosine_similarity, so brute-force results are oracle-checkable.
+2. **brute-force top-k** — exact baseline: broadcast the (small) query set
+   against all candidates, window top-k. At scale this is the re-rank stage,
+   not the search stage.
+3. **sign-LSH ANN** — random-hyperplane signatures (deterministic ±1
+   hyperplanes derived from a hash, no RNG state) bucket vectors; search
+   joins on bucket prefix, computes exact cosine only within buckets.
+   This is the candidate-generation stage for 100 TB: the cross product
+   never materializes.
+
+A vectorized numpy block path (mapInPandas) is provided for throughput
+benchmarking — Arrow-batched, one BLAS matmul per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+
+def cosine_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Cosine similarity of two array<float> columns, JVM-side.
+
+    Left-fold accumulation keeps the float order deterministic — the same
+    sequential order DuckDB uses, so cross-engine comparisons match bitwise.
+    """
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def ann_brute_force_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
+    """Exact top-k neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny → broadcast; candidates stream through one scan.
+    Ties broken by candidate id so LIMIT/rank is stable across engines.
+    """
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_expr("qe", "ce").alias("cosine"))
+            .withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "nn_rank"))
+
+
+ORACLE_ANN_BRUTE = """
+SELECT query_id, neighbor_id, cosine, nn_rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                            b.embedding::DOUBLE[]) DESC,
+                                     b.vec_id) AS nn_rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) WHERE nn_rank <= 5
+"""
+
+
+def _hyperplane(dim: int, j: int) -> list[int]:
+    """Deterministic ±1 hyperplane #j (hash-derived, no RNG state)."""
+    out = []
+    for i in range(dim):
+        digest = hashlib.sha256(f"hyperplane:{j}:{i}".encode()).digest()
+        out.append(1 if digest[0] % 2 == 0 else -1)
+    return out
+
+
+def sign_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
+                        n_planes: int = 16, dim: int = 64) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bit j = sign(v · h_j).
+
+    Hyperplanes are ±1-valued so the projection is an exact integer-weighted
+    sum — deterministic and cheap (zip_with over a literal array).
+    """
+    sig = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, j)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, plane, lambda v, h: v.cast("double") * h),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(0)
+    return df.withColumn("lsh_sig", sig)
+
+
+def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
+                 n_planes: int = 16, n_bands: int = 4):
+    """ANN via sign-LSH banding: candidates share at least one signature
+    band with the query; exact cosine re-ranks within candidates.
+
+    Approximate by construction (rows-only driver check; pytest measures
+    recall against the brute-force baseline). At 100 TB the band join is
+    the only shuffle and buckets bound the pair count.
+    """
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+    e = sign_lsh_signatures(ld(spark, sf_dir, "embeddings"),
+                            n_planes=n_planes)
+    bands = e.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright(F.col("lsh_sig"), b * bits_per_band)
+                     .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for b in range(n_bands)
+        ])).alias("b")
+    ).select("vec_id", "embedding", "b.band_idx", "b.band_val")
+    q = (bands.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), "band_idx", "band_val"))
+    c = bands.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("ce"), "band_idx", "band_val")
+    cands = (q.join(c, ["band_idx", "band_val"])
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "qe", "neighbor_id", "ce").distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (cands.select("query_id", "neighbor_id",
+                         cosine_expr("qe", "ce").alias("cosine"))
+            .withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "nn_rank"))
+
+
+def ann_block_numpy_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
+    """Throughput path: Arrow-batched numpy matmul per partition
+    (mapInPandas). Same results as brute force up to float reassociation —
+    used for benchmarking, not oracle comparison."""
+    import numpy as np
+    import pandas as pd
+
+    e = ld(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") < n_queries).collect()
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qnorm))
+
+    def block(batches):
+        ids, qn = bc.value
+        for pdf in batches:
+            cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = qn @ cmat.T  # one BLAS call per Arrow batch
+            out = pd.DataFrame({
+                "query_id": np.repeat(ids, len(pdf)),
+                "neighbor_id": np.tile(pdf["vec_id"].values, len(ids)),
+                "cosine": sims.ravel(),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        block, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k))

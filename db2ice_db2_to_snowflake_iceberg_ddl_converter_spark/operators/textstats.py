@@ -1,0 +1,169 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, and document fingerprinting.
+
+All pure Catalyst expressions (no Python in the row path): string splits,
+array HOFs, integer arithmetic. Ratios are exact integer divisions promoted
+to double, so oracle comparisons are bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "un"],
+}
+
+_PUNCT_CHARS = ".,;:!?"
+
+
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counts + BPE-ish subword estimate + char stats."""
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    # BPE-ish proxy: ~1 token per 4 chars, at least one per word
+    bpe_estimate = F.greatest(
+        n_tokens, F.ceil(n_chars.cast("double") / 4).cast("int"))
+    return d.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+        bpe_estimate.alias("bpe_token_estimate"),
+        ((n_chars - n_tokens + 1).cast("double") / n_tokens)
+        .alias("avg_word_len"),
+    )
+
+
+ORACLE_TEXT_TOKENS = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       LENGTH(text) AS n_chars,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       GREATEST(len(string_split(text, ' ')),
+                CAST(CEIL(LENGTH(text)::DOUBLE / 4) AS INTEGER)) AS bpe_token_estimate,
+       (LENGTH(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+         / len(string_split(text, ' ')) AS avg_word_len
+FROM documents
+"""
+
+
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: length band, type-token ratio, stopword ratio,
+    punctuation density → composite 0-100 score (all exact arithmetic)."""
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("double")
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    punct = (F.length("text")
+             - F.length(F.translate("text", _PUNCT_CHARS, ""))).cast("double")
+    punct_ratio = punct / F.length("text")
+    length_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000)
+    score = (F.when(length_ok, 40).otherwise(10)
+             + ttr * 30
+             + F.when(stop_hits > 0, 20).otherwise(0)
+             + F.when(punct_ratio <= 0.1, 10).otherwise(0))
+    return d.select("doc_id", ttr.alias("type_token_ratio"),
+                    punct_ratio.alias("punct_ratio"),
+                    score.alias("quality_score"))
+
+
+ORACLE_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(w))::DOUBLE / len(w) AS type_token_ratio,
+       (LENGTH(text) - LENGTH(replace(replace(replace(replace(replace(replace(text,
+           '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+         / LENGTH(text) AS punct_ratio,
+       (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 40 ELSE 10 END)
+       + (len(list_distinct(w))::DOUBLE / len(w)) * 30
+       + (CASE WHEN len(list_intersect(list_distinct(w),
+                  ['the','a','of','and','is'])) > 0 THEN 20 ELSE 0 END)
+       + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(replace(replace(replace(text,
+           '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+           / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END) AS quality_score
+FROM t
+"""
+
+
+def text_langid(spark, sf_dir):
+    """Stopword-hit language heuristic with a fixed tie-break order, compared
+    against the labeled ``lang`` column → per-language accuracy counts."""
+    d = ld(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    hits = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
+               & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), "en")
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"])
+              & (hits["es"] > 0), "es")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), "de")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("und"))
+    return (d.select("lang", predicted.alias("predicted_lang"))
+            .groupBy("lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_TEXT_LANGID = """
+WITH h AS (
+  SELECT lang,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['the','a','of','and','is'])) AS en_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['el','la','de','y','es'])) AS es_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['der','die','das','und','ist'])) AS de_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['le','la','et','est','un'])) AS fr_h
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+            WHEN es_h >= de_h AND es_h >= fr_h AND es_h > 0 THEN 'es'
+            WHEN de_h >= fr_h AND de_h > 0 THEN 'de'
+            WHEN fr_h > 0 THEN 'fr'
+            ELSE 'und' END AS predicted_lang,
+       COUNT(*) AS n
+FROM h GROUP BY 1, 2
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Deterministic rolling polynomial hash (mod large prime) per document —
+    a content fingerprint computable incrementally at ingest. Sequential
+    left-fold over characters keeps it engine-portable bit-for-bit."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(text)),"
+        " i -> ascii(substr(text, i, 1))),"
+        " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+                      [ascii(text[i])::BIGINT FOR i IN range(1, length(text)+1)]),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents WHERE doc_id < 200
+"""

@@ -1,0 +1,173 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) →
+DataFrame callable, with its DuckDB oracle SQL twin where SQL can express it.
+
+This is the single source of truth behind ``__spark_entry__.py`` — the
+driver's correctness gate runs each entry against its oracle at sf0.01
+(row count + schema + order-insensitive value hash). Entries without an
+oracle are genuinely non-SQL-expressible (LSH candidate generation, UDF
+plumbing) and get the driver's weaker rows-only check; each one has a pytest
+asserting its semantic property instead (recall vs brute force, determinism).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, multimodal, relational as rel, similarity, textstats
+
+
+def _catalog_queries():
+    """Schema-plane surface exposed through the data plane: the DB2 fixture
+    corpus parsed → schema-catalog DataFrame → assessment aggregation.
+    DDL parsing is not SQL-expressible over the test tables → rows-only."""
+    from .assess import Assessor
+    from .catalog import assess_catalog, schema_catalog_df
+
+    ddl = """
+    CREATE TABLE TPCH.CUSTOMER (C_CUSTKEY BIGINT NOT NULL, C_NAME VARCHAR(100),
+        C_NATIONKEY INTEGER, C_ACCTBAL DECIMAL(12,2), C_MKTSEGMENT CHAR(10),
+        PRIMARY KEY (C_CUSTKEY));
+    CREATE TABLE TPCH.EVENTS_RAW (EVENT_ID BIGINT NOT NULL, TS TIMESTAMP(9),
+        PAYLOAD_XML XML, BODY BLOB(1024), COORD DECFLOAT(16))
+        PARTITION BY RANGE (TS);
+    DISTRIBUTE BY HASH (EVENT_ID);
+    """
+
+    def ddl_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = Assessor().parser.parse(ddl)
+        return schema_catalog_df(spark, tables).orderBy("table_name", "ordinal")
+
+    def ddl_assess_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = Assessor().parser.parse(ddl)
+        return assess_catalog(schema_catalog_df(spark, tables)) \
+            .orderBy("table_name")
+
+    return {"ddl_schema_catalog": ddl_schema_catalog,
+            "ddl_assess_catalog": ddl_assess_catalog}
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = {
+        # TPC-H-style analytics
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_nation_revenue": rel.q5_nation_revenue,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q10_returned_items": rel.q10_returned_items,
+        "q18_large_orders": rel.q18_large_orders,
+        # scans / filters
+        "scan_filter_projection": rel.scan_filter_projection,
+        "filter_null_safe": rel.filter_null_safe,
+        # joins
+        "join_inner_broadcast": rel.join_inner_broadcast,
+        "join_left_outer": rel.join_left_outer,
+        "join_semi": rel.join_semi,
+        "join_anti": rel.join_anti,
+        "join_full_outer": rel.join_full_outer,
+        "join_cross": rel.join_cross,
+        "join_range_nonequi": rel.join_range_nonequi,
+        # aggregations
+        "agg_distinct_counts": rel.agg_distinct_counts,
+        "agg_rollup": rel.agg_rollup,
+        "agg_cube": rel.agg_cube,
+        "agg_grouping_sets": rel.agg_grouping_sets,
+        "agg_stats": rel.agg_stats,
+        "agg_pivot": rel.agg_pivot,
+        "case_when_bucketing": rel.case_when_bucketing,
+        # windows
+        "window_topk_per_group": rel.window_topk_per_group,
+        "window_rank_dense": rel.window_rank_dense,
+        "window_lag_lead": rel.window_lag_lead,
+        "window_running_sum": rel.window_running_sum,
+        "window_ntile_percent": rel.window_ntile_percent,
+        # sorts / set ops / dedup
+        "sort_limit_topk": rel.sort_limit_topk,
+        "set_union_all": rel.set_union_all,
+        "set_intersect": rel.set_intersect,
+        "set_except": rel.set_except,
+        "distinct_pairs": rel.distinct_pairs,
+        # scalar function batteries
+        "scalar_string_fns": rel.scalar_string_fns,
+        "scalar_date_fns": rel.scalar_date_fns,
+        "scalar_math_fns": rel.scalar_math_fns,
+        "scalar_json_fns": rel.scalar_json_fns,
+        # event-time (batch twins of the streaming pipeline)
+        "events_tumbling_hourly": rel.events_tumbling_hourly,
+        "events_sessionize": rel.events_sessionize,
+        # dedup suite
+        "dedup_exact_docs": dedup.dedup_exact_docs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # similarity search
+        "ann_brute_force_topk": similarity.ann_brute_force_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        # text analysis
+        "text_token_stats": textstats.text_token_stats,
+        "text_quality_score": textstats.text_quality_score,
+        "text_langid": textstats.text_langid,
+        "text_fingerprint": textstats.text_fingerprint,
+        # multimodal plumbing
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "multimodal_features": multimodal.multimodal_features,
+    }
+    q.update(_catalog_queries())
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": rel.ORACLE_Q1,
+        "q3_shipping_priority": rel.ORACLE_Q3,
+        "q5_nation_revenue": rel.ORACLE_Q5,
+        "q6_forecast_revenue": rel.ORACLE_Q6,
+        "q10_returned_items": rel.ORACLE_Q10,
+        "q18_large_orders": rel.ORACLE_Q18,
+        "scan_filter_projection": rel.ORACLE_SCAN,
+        "filter_null_safe": rel.ORACLE_FILTER_NULLSAFE,
+        "join_inner_broadcast": rel.ORACLE_JOIN_INNER,
+        "join_left_outer": rel.ORACLE_JOIN_LEFT,
+        "join_semi": rel.ORACLE_JOIN_SEMI,
+        "join_anti": rel.ORACLE_JOIN_ANTI,
+        "join_full_outer": rel.ORACLE_JOIN_FULL,
+        "join_cross": rel.ORACLE_JOIN_CROSS,
+        "join_range_nonequi": rel.ORACLE_JOIN_RANGE,
+        "agg_distinct_counts": rel.ORACLE_AGG_DISTINCT,
+        "agg_rollup": rel.ORACLE_AGG_ROLLUP,
+        "agg_cube": rel.ORACLE_AGG_CUBE,
+        "agg_grouping_sets": rel.ORACLE_AGG_GROUPING_SETS,
+        "agg_stats": rel.ORACLE_AGG_STATS,
+        "agg_pivot": rel.ORACLE_AGG_PIVOT,
+        "case_when_bucketing": rel.ORACLE_CASE_WHEN,
+        "window_topk_per_group": rel.ORACLE_WINDOW_TOPK,
+        "window_rank_dense": rel.ORACLE_WINDOW_RANK,
+        "window_lag_lead": rel.ORACLE_WINDOW_LAG,
+        "window_running_sum": rel.ORACLE_WINDOW_RUNNING,
+        "window_ntile_percent": rel.ORACLE_WINDOW_NTILE,
+        "sort_limit_topk": rel.ORACLE_SORT_TOPK,
+        "set_union_all": rel.ORACLE_SET_UNION,
+        "set_intersect": rel.ORACLE_SET_INTERSECT,
+        "set_except": rel.ORACLE_SET_EXCEPT,
+        "distinct_pairs": rel.ORACLE_DISTINCT,
+        "scalar_string_fns": rel.ORACLE_SCALAR_STRING,
+        "scalar_date_fns": rel.ORACLE_SCALAR_DATE,
+        "scalar_math_fns": rel.ORACLE_SCALAR_MATH,
+        "scalar_json_fns": rel.ORACLE_SCALAR_JSON,
+        "events_tumbling_hourly": rel.ORACLE_EVENTS_HOURLY,
+        "events_sessionize": rel.ORACLE_EVENTS_SESSIONIZE,
+        "dedup_exact_docs": dedup.ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM,
+        "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING,
+        "ann_brute_force_topk": similarity.ORACLE_ANN_BRUTE,
+        "text_token_stats": textstats.ORACLE_TEXT_TOKENS,
+        "text_quality_score": textstats.ORACLE_TEXT_QUALITY,
+        "text_langid": textstats.ORACLE_TEXT_LANGID,
+        "text_fingerprint": textstats.ORACLE_TEXT_FINGERPRINT,
+        "multimodal_metadata": multimodal.ORACLE_MULTIMODAL_META,
+        # no oracle (non-SQL-expressible; rows-only driver check + pytest):
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
+        # multimodal_features, ddl_schema_catalog, ddl_assess_catalog
+    }

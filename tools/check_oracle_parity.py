@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet files, then compares row count, sorted column
+names, and an order-insensitive value hash (floats compared bitwise — the
+query protocol guarantees determinism, see operators/relational.py).
+
+Usage:
+    python tools/check_oracle_parity.py              # all queries, sf0.01
+    python tools/check_oracle_parity.py q1 dedup     # substring filter
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_oracle_parity.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _norm_cell(v):
+    if v is None:
+        return b"\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return b"\x00NaN"
+        return struct.pack("<d", v)
+    if isinstance(v, bool):
+        return b"T" if v else b"F"
+    if isinstance(v, (int,)):
+        return str(v).encode()
+    if isinstance(v, bytes):
+        return v
+    return str(v).encode()
+
+
+def value_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    digests = []
+    for row in rows:
+        h = hashlib.sha256()
+        for i in order:
+            h.update(_norm_cell(row[i]))
+            h.update(b"\x1f")
+        digests.append(h.digest())
+    total = hashlib.sha256()
+    for d in sorted(digests):
+        total.update(d)
+    return total.hexdigest()
+
+
+def spark_result(df):
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def duckdb_result(con, sql):
+    res = con.sql(sql)
+    cols = [c.lower() for c in res.columns]
+    return cols, res.fetchall()
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import get_spark
+
+    spark = get_spark("oracle-parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            scols, srows = spark_result(qs[name](spark, sf_dir))
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            ok = len(srows) >= 0
+            print(f"{'ok   ' if ok else 'FAIL '} {name}: {len(srows)} rows "
+                  f"[{status}] ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            dcols, drows = duckdb_result(con, oracles[name])
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems and value_hash(scols, srows) != value_hash(dcols, drows):
+            problems.append("value hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            # show a tiny sample diff to debug
+            s_set = {tuple(str(x) for x in r) for r in srows[:100000]}
+            d_set = {tuple(str(x) for x in r) for r in drows[:100000]}
+            only_s = list(s_set - d_set)[:3]
+            only_d = list(d_set - s_set)[:3]
+            if only_s:
+                print(f"      spark-only sample: {only_s}")
+            if only_d:
+                print(f"      duckdb-only sample: {only_d}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
