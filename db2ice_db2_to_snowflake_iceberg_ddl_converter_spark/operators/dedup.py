@@ -26,8 +26,13 @@ pipeline stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from .relational import ld
 
@@ -68,7 +73,12 @@ FROM documents GROUP BY TRIM(LOWER(text))
 # ---------------------------------------------------------------------------
 
 def _shingle_expr(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-grams as an array column (pure Catalyst HOFs)."""
+    """Distinct word n-grams as an array column (pure Catalyst HOFs).
+
+    Kept as the no-Python fallback; array-HOF lambdas run in the
+    interpreted evaluator, so the Arrow-batched UDF below beats this ~10×
+    on real documents — see ``doc_shingles``.
+    """
     words = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
@@ -77,9 +87,28 @@ def _shingle_expr(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
+def _shingle_udf(n: int):
+    """Arrow-batched shingler: distinct word n-grams, first-occurrence order
+    (same output as ``_shingle_expr``; whitespace semantics match DuckDB's
+    ``string_split(text, ' ')`` — literal single-space split)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingle(text: pd.Series) -> pd.Series:
+        def sh(t: str) -> list[str]:
+            w = t.split(" ")
+            return list(dict.fromkeys(
+                " ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
+        return text.map(sh)
+
+    return shingle
+
+
 def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
+    """doc_id → distinct word n-grams. Arrow/pandas path: shingling is a
+    per-row string op — embarrassingly parallel, no shuffle — and the
+    vectorized UDF keeps it off the interpreted HOF evaluator."""
     d = ld(spark, sf_dir, "documents")
-    return d.select("doc_id", _shingle_expr("text", n).alias("shingles"))
+    return d.select("doc_id", _shingle_udf(n)("text").alias("shingles"))
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -93,8 +122,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
                    F.col("n_shingles").alias("n1"), "shingle")
     b = inv.select(F.col("doc_id").alias("id2"),
                    F.col("n_shingles").alias("n2"), "shingle")
-    pairs = (a.join(b, "shingle")
-             .filter(F.col("id1") < F.col("id2"))
+    # Size-bound pushdown: J ≥ 0.5 ⇒ |∩| ≥ (n1+n2)/3 and |∩| ≤ min(n1,n2)
+    # ⇒ max(n1,n2) ≤ 2·min(n1,n2). Evaluated at the join probe, it prunes
+    # hopeless pairs before the aggregation — exactness preserved.
+    pairs = (a.join(b, (a.shingle == b.shingle)
+                    & (F.col("id1") < F.col("id2"))
+                    & (F.col("n1") <= 2 * F.col("n2"))
+                    & (F.col("n2") <= 2 * F.col("n1")))
              .groupBy("id1", "id2", "n1", "n2")
              .agg(F.count(F.lit(1)).alias("n_common")))
     return (pairs
@@ -130,20 +164,25 @@ HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
 
 def minhash_signatures(shingled: DataFrame,
                        num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """k seeded-xxhash64 min-aggregations over each shingle set.
+    """k min-aggregations over each shingle set: one base xxhash64 per
+    shingle string, then k derived hashes ``xxhash64(h, i)`` — the string
+    is hashed once and the k family members are integer-only re-mixes
+    (overflow-free under ANSI mode, unlike an affine a·h+b family).
 
-    All k mins are computed in one pass over the shingle array with array
-    HOFs — zero shuffles, zero Python. Seeding = prefixing the shingle with
-    the hash index (xxhash64 has no seed parameter in the function API).
+    Shape: one ``explode`` → one base hash per row → ``groupBy(doc_id)
+    .agg(k × min)``. Everything is codegen'd integer arithmetic and the k
+    mins are map-side partial aggregations, so each executor emits one
+    signature row per doc before the (tiny) shuffle. Docs with an empty
+    shingle set (< n words) drop out here; they can never reach a
+    Jaccard ≥ threshold pair anyway (0/0 → null).
     """
-    sig_cols = [
-        F.array_min(F.transform(
-            "shingles",
-            lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s))))
-        .alias(f"mh_{i}")
+    ex = (shingled.select("doc_id", F.explode("shingles").alias("s"))
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    sig_aggs = [
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingled.select("doc_id", "shingles", *sig_cols)
+    return ex.groupBy("doc_id").agg(*sig_aggs)
 
 
 def minhash_lsh_candidates(signatures: DataFrame,
@@ -270,17 +309,59 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
     """Embedding near-dup pairs with cosine ≥ threshold (0.4 sits in
     the top tail of the fixture embedding distribution).
 
-    Exact all-pairs at fixture scale (oracle-checkable bitwise: both engines
-    fold the dot product sequentially). The ANN path for 100 TB lives in
-    operators/similarity.py (sign-LSH buckets).
+    Two-phase exact search (the shape that survives scale-up):
+
+    1. **Vectorized candidate scan** — one BLAS matmul per Arrow batch
+       against the broadcast normalized matrix, keeping pairs with cosine
+       ≥ threshold − 1e-9. The epsilon absorbs float reassociation between
+       BLAS and sequential folds, so phase 1 can never drop a qualifying
+       pair; it prunes ~99.95% of the n² pairs for pennies.
+    2. **Exact verify** — the surviving pairs get the sequential-left-fold
+       cosine (bitwise-identical to DuckDB's ``list_cosine_similarity``)
+       and the exact ≥ threshold cut, so emitted values and the boundary
+       decision are oracle-exact.
+
+    All-pairs is quadratic by definition — this operator is the exact
+    baseline; the sub-quadratic scale path is sign-LSH in
+    operators/similarity.py. Phase 1 broadcasts the vector matrix (fine to
+    ~10⁶ vectors; beyond that, block the matrix and union block scans).
     """
-    from .similarity import cosine_expr
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import cosine_expr, norm_expr
 
     e = ld(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("eb"))
-    return (a.join(b, F.col("id1") < F.col("id2"))
-            .select("id1", "id2", cosine_expr("ea", "eb").alias("cosine"))
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def scan(batches):
+        all_ids, m = bc.value
+        for pdf in batches:
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ m.T                      # one BLAS call per batch
+            keep = (sims >= threshold - 1e-9) & (bids[:, None] < all_ids[None, :])
+            bi, aj = np.nonzero(keep)
+            yield pd.DataFrame({"id1": bids[bi], "id2": all_ids[aj]})
+
+    cands = e.select("vec_id", "embedding").mapInPandas(
+        scan, schema="id1 long, id2 long")
+    sized = e.select("vec_id", "embedding",
+                     norm_expr("embedding").alias("nrm"))
+    j = (cands
+         .join(sized.select(F.col("vec_id").alias("id1"),
+                            F.col("embedding").alias("ea"),
+                            F.col("nrm").alias("na")), "id1")
+         .join(sized.select(F.col("vec_id").alias("id2"),
+                            F.col("embedding").alias("eb"),
+                            F.col("nrm").alias("nb")), "id2"))
+    cos = cosine_expr("ea", "eb", na=F.col("na"), nb=F.col("nb"))
+    return (j.select("id1", "id2", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .orderBy("id1", "id2"))
 

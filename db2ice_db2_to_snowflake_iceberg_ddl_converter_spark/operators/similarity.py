@@ -28,21 +28,57 @@ from pyspark.sql import functions as F
 from .relational import ld
 
 
-def cosine_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
+def dot_expr(a: str | F.Column, b: str | F.Column,
+             dim: int | None = None) -> F.Column:
+    """Sequential-left-fold dot product of two array<float> columns.
+
+    Default (dim=None) is the HOF fold — compact plan, deterministic
+    left-to-right accumulation (the same sequential order DuckDB uses).
+    Passing ``dim`` unrolls the fold into a left-associated ``element_at``
+    chain with identical accumulation order; measured on this workload the
+    giant expression exceeds codegen method limits and is NOT faster, so it
+    exists for plan-shape experiments only. High-volume scoring belongs in
+    the numpy/Arrow block path (see ``_candidate_pairs_numpy``), with exact
+    fold verification reserved for the few survivors.
+    """
+    if dim is None:
+        prod = F.zip_with(a, b,
+                          lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (F.element_at(a, i).cast("double")
+                     * F.element_at(b, i).cast("double"))
+    return acc
+
+
+def norm_expr(a: str | F.Column, dim: int | None = None) -> F.Column:
+    """L2 norm with the same sequential accumulation order as ``dot_expr``."""
+    return F.sqrt(dot_expr(a, a, dim))
+
+
+def cosine_expr(a: str | F.Column, b: str | F.Column,
+                dim: int | None = None,
+                na: F.Column | None = None,
+                nb: F.Column | None = None) -> F.Column:
     """Cosine similarity of two array<float> columns, JVM-side.
 
     Left-fold accumulation keeps the float order deterministic — the same
     sequential order DuckDB uses, so cross-engine comparisons match bitwise.
+    Pass precomputed ``na``/``nb`` norm columns on all-pairs workloads so
+    each vector's norm is computed once (n rows) instead of per pair (n²).
     """
-    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    if na is None:
+        na = norm_expr(a, dim)
+    if nb is None:
+        nb = norm_expr(b, dim)
+    return dot_expr(a, b, dim) / (na * nb)
+
+
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Fixed embedding width from one row (tiny driver-side peek)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"]) if row else None
 
 
 def ann_brute_force_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
