@@ -48,6 +48,35 @@ def _catalog_queries():
             "ddl_assess_catalog": ddl_assess_catalog}
 
 
+def _streaming_queries():
+    """Structured Streaming pipelines drained with Trigger.AvailableNow.
+    Genuinely non-SQL-expressible as a DuckDB oracle (stateful event-time
+    processing) → rows-only driver check; tests/test_streaming.py asserts
+    batch/stream equivalence, which the batch twins' oracles then cover."""
+    import tempfile
+    import uuid
+
+    from .streaming import events as ev
+
+    def _drain(spark, stream, prefix):
+        name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        q = ev.run_available_now(
+            stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        q.stop()
+        return spark.table(name)
+
+    def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _drain(spark, ev.hourly_rollup(
+            ev.read_events_stream(spark, sf_dir)), "s_hourly")
+
+    def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _drain(spark, ev.session_windows(
+            ev.read_events_stream(spark, sf_dir)), "s_sessions")
+
+    return {"streaming_hourly_rollup": streaming_hourly_rollup,
+            "streaming_session_windows": streaming_session_windows}
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # TPC-H-style analytics
@@ -115,6 +144,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
     }
     q.update(_catalog_queries())
+    q.update(_streaming_queries())
     return q
 
 
@@ -169,5 +199,6 @@ def build_oracles() -> dict[str, str]:
         "multimodal_metadata": multimodal.ORACLE_MULTIMODAL_META,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-        # multimodal_features, ddl_schema_catalog, ddl_assess_catalog
+        # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
+        # streaming_hourly_rollup, streaming_session_windows
     }

@@ -1,0 +1,127 @@
+"""Structured Streaming ingestion over the ``events`` fixture table.
+
+The reference is batch-only (no watermarks/windows/state anywhere — see
+SURVEY.md §2.2 "Streaming"), so this module is the mandated extension
+surface, built the way a 100 TB event pipeline would be:
+
+- **readStream from files** with an explicit schema (streaming file sources
+  never infer schemas; on a cluster this is the landing bucket the CDC/
+  Kafka tailer writes to).
+- **Event-time, not arrival-time**: every aggregation keys on the ``ts``
+  column with a watermark, so late data is handled deterministically and
+  state is bounded — the watermark is what keeps a forever-running job's
+  state store from growing without bound.
+- **Windowed aggs only** (tumbling + sliding). The queries are the exact
+  streaming twins of the batch queries in operators/relational.py
+  (events_tumbling_hourly), and the tests assert batch/stream equivalence
+  under Trigger.AvailableNow — the Spark guarantee that makes the batch
+  oracle meaningful for the streaming path.
+
+Sinks: tests use the memory sink; production writes would be
+``writeStream.toTable(...)`` (Iceberg) with checkpointing — the
+``checkpoint_dir`` parameter is threaded through for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+# The fixture parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
+# rejects; the raw-read schema takes nanos as long and the reader rebuilds
+# a µs timestamp (same treatment as the batch loader, relational.load_events).
+_RAW_SCHEMA = StructType([
+    f if f.name != "ts" else StructField("ts", LongType())
+    for f in EVENT_SCHEMA.fields
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (explicit schema —
+    streaming sources never infer). ``maxFilesPerTrigger`` simulates
+    incremental arrival in tests; omit it for AvailableNow backfills."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources take a directory; pathGlobFilter narrows it to the
+    # events table (in production this is the stream's landing directory).
+    reader = (spark.readStream.schema(_RAW_SCHEMA)
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (reader.parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour windows per event type (streaming twin of
+    events_tumbling_hourly). Watermark bounds state: windows older than
+    max(event time) − watermark are finalized and evicted."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sliding_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes — each event lands in 4
+    windows; state is 4× the tumbling case, still watermark-bounded."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.avg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_events", "avg_value"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Session windows per user via the built-in session_window — the
+    watermark is what lets Spark close a session (no event for ``gap``
+    past the watermark) and emit it. Twin of the batch lag/cumsum
+    sessionization in operators/relational.py."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+def run_available_now(result: DataFrame, query_name: str,
+                      checkpoint_dir: str, mode: str = "complete"):
+    """Drain everything currently in the source and stop — the backfill/
+    test harness trigger. Returns the finished StreamingQuery; read results
+    from the in-memory table ``query_name``."""
+    q = (result.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode(mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

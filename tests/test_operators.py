@@ -1,0 +1,182 @@
+"""Property tests for the non-SQL-expressible operators (the ones the
+driver can only rows-check): LSH recall/precision, SimHash pigeonhole,
+ANN recall, multimodal plumbing determinism.
+
+These are the pytest twins promised in registry.py — each operator without
+an ``oracle_sql()`` entry gets its semantic property asserted here against
+a brute-force computation on the sf0.001 fixtures (500 docs / 500 vectors).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def _pairs(df, cols=("id1", "id2")):
+    return {(r[cols[0]], r[cols[1]]) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class TestMinhashLsh:
+    def test_verified_pairs_meet_threshold(self, spark, sf_dir):
+        rows = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+        assert rows, "fixture contains known near-dup pairs"
+        for r in rows:
+            assert r.jaccard >= 0.5
+            assert r.id1 < r.id2
+
+    def test_recall_vs_exact_jaccard(self, spark, sf_dir):
+        """On the fixture corpus the near-dup pairs are high-similarity
+        (planted dups), so 16-band/4-row LSH must recover every exact
+        Jaccard ≥ 0.5 pair the inverted-index join finds."""
+        exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+        lsh = _pairs(dedup.dedup_minhash_lsh(spark, sf_dir))
+        assert lsh == exact
+
+    def test_signatures_shape(self, spark, sf_dir):
+        sh = dedup.doc_shingles(spark, sf_dir)
+        sig = dedup.minhash_signatures(sh)
+        assert [c for c in sig.columns if c.startswith("mh_")] == \
+            [f"mh_{i}" for i in range(dedup.NUM_MINHASHES)]
+        # signatures are per-doc and deterministic
+        a = sig.orderBy("doc_id").limit(5).collect()
+        b = dedup.minhash_signatures(sh).orderBy("doc_id").limit(5).collect()
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class TestSimhash:
+    def test_matches_bruteforce_hamming(self, spark, sf_dir):
+        """Banding (4×16 bits, pigeonhole over hamming ≤ 3) + exact filter
+        must equal the brute-force all-pairs hamming computation."""
+        fps = dedup.simhash_fingerprints(spark, sf_dir).collect()
+        fp = {r.doc_id: (r.band0, r.band1, r.band2, r.band3) for r in fps}
+        ids = sorted(fp)
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = sum(bin(x ^ y).count("1")
+                          for x, y in zip(fp[a], fp[b]))
+                if ham <= 3:
+                    expected.add((a, b))
+        got = _pairs(dedup.dedup_simhash(spark, sf_dir))
+        assert got == expected
+
+    def test_fingerprint_bands_are_16bit(self, spark, sf_dir):
+        row = dedup.simhash_fingerprints(spark, sf_dir).agg(
+            *[F.max(f"band{i}").alias(f"mx{i}") for i in range(4)],
+            *[F.min(f"band{i}").alias(f"mn{i}") for i in range(4)]).first()
+        for i in range(4):
+            assert 0 <= row[f"mn{i}"] and row[f"mx{i}"] < (1 << 16)
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup (two-phase exact) & ANN
+# ---------------------------------------------------------------------------
+
+class TestEmbeddingCosine:
+    def test_two_phase_equals_all_pairs_fold(self, spark, sf_dir):
+        """The numpy candidate scan + exact verify must reproduce the plain
+        all-pairs sequential-fold computation exactly (values included) —
+        this guards the phase-1 epsilon against dropping boundary pairs."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+        e = ld(spark, sf_dir, "embeddings")
+        a = e.select(F.col("vec_id").alias("id1"),
+                     F.col("embedding").alias("ea"))
+        b = e.select(F.col("vec_id").alias("id2"),
+                     F.col("embedding").alias("eb"))
+        naive = (a.join(b, F.col("id1") < F.col("id2"))
+                 .select("id1", "id2",
+                         similarity.cosine_expr("ea", "eb").alias("cosine"))
+                 .filter(F.col("cosine") >= 0.4))
+        expected = {(r.id1, r.id2): r.cosine for r in naive.collect()}
+        got = {(r.id1, r.id2): r.cosine
+               for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()}
+        assert got == expected  # exact float equality intended
+
+    def test_ann_lsh_recall_and_exact_scores(self, spark, sf_dir):
+        brute = similarity.ann_brute_force_topk(spark, sf_dir).collect()
+        lsh = similarity.ann_lsh_topk(spark, sf_dir).collect()
+        brute_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+        lsh_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in lsh}
+        # recall: sign-LSH banding should recover a solid share of true
+        # neighbors on the fixture distribution (deterministic, no flake)
+        hits = sum(1 for p in lsh_pairs if p in brute_pairs)
+        assert hits / len(brute_pairs) >= 0.4
+        # precision of scores: any overlapping pair scores bitwise-equal
+        for p, cos in lsh_pairs.items():
+            if p in brute_pairs:
+                assert cos == brute_pairs[p]
+
+    def test_ann_block_numpy_agrees_with_brute(self, spark, sf_dir):
+        brute = {(r.query_id, r.neighbor_id)
+                 for r in similarity.ann_brute_force_topk(spark, sf_dir).collect()}
+        blocked = {(r.query_id, r.neighbor_id)
+                   for r in similarity.ann_block_numpy_topk(spark, sf_dir).collect()}
+        # identical neighbor sets (scores may differ in last ulp from BLAS)
+        assert blocked == brute
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+class TestMultimodal:
+    def test_decode_stub_is_explicit(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_payload("image/png")
+
+    def test_feature_extraction_deterministic(self, spark, sf_dir):
+        a = multimodal.multimodal_features(spark, sf_dir).collect()
+        b = multimodal.multimodal_features(spark, sf_dir).collect()
+        assert a == b
+        assert all(r.feature_norm > 0 for r in a)
+
+    def test_feature_vector_shape_and_values(self, spark, sf_dir):
+        assets = multimodal.attach_binary_payload(spark, sf_dir)
+        feats = multimodal.extract_features(
+            assets.select("doc_id", "payload"))
+        row = feats.orderBy("doc_id").first()
+        assert len(row.features) == multimodal.FEATURE_DIM
+        # cross-check one asset against the reference extractor in-process
+        payload = bytes(assets.filter(F.col("doc_id") == row.doc_id)
+                        .first().payload)
+        assert row.features == pytest.approx(
+            multimodal._default_fake_decoder(payload), abs=0.0)
+
+    def test_custom_decoder_plugs_in(self, spark, sf_dir):
+        assets = multimodal.attach_binary_payload(spark, sf_dir).limit(10)
+        feats = multimodal.extract_features(
+            assets.select("doc_id", "payload"),
+            decoder=lambda b: [float(len(b))] * multimodal.FEATURE_DIM)
+        for r in feats.collect():
+            assert len(set(r.features)) == 1 and r.features[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup invariants
+# ---------------------------------------------------------------------------
+
+class TestExactDedup:
+    def test_group_sizes_partition_the_table(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+        total = ld(spark, sf_dir, "documents").count()
+        groups = dedup.dedup_exact_docs(spark, sf_dir)
+        assert groups.agg(F.sum("group_size")).first()[0] == total
+        # keep_id is a real doc id and unique per group
+        assert groups.select("keep_id").distinct().count() == groups.count()

@@ -1,0 +1,88 @@
+"""Streaming/batch equivalence: every streaming query drained with
+Trigger.AvailableNow must produce exactly what the equivalent batch
+aggregation produces over the same files — Spark's replayability guarantee,
+and the reason the DuckDB batch oracle covers the streaming path too."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import events as ev
+
+
+@pytest.fixture()
+def batch_events(spark, sf_dir):
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+        load_events,
+    )
+
+    return load_events(spark, sf_dir)
+
+
+def _drain(spark, stream_df, name, tmp_path, mode="complete"):
+    q = ev.run_available_now(stream_df, name, str(tmp_path / name), mode=mode)
+    try:
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+def test_hourly_rollup_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    stream = ev.hourly_rollup(ev.read_events_stream(spark, sf_dir))
+    got = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+           for r in _drain(spark, stream, "t_hourly", tmp_path)}
+    exp = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+           for r in (batch_events
+                     .groupBy(F.date_trunc("hour", "ts").alias("hour_start"),
+                              "event_type")
+                     .agg(F.count(F.lit(1)).alias("n_events"),
+                          F.sum("value").alias("total_value"))).collect()}
+    assert got.keys() == exp.keys()
+    for k, (n, total) in exp.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(total, rel=1e-12)
+
+
+def test_sliding_rollup_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    stream = ev.sliding_rollup(ev.read_events_stream(spark, sf_dir))
+    got = {(r.window_start, r.window_end): r.n_events
+           for r in _drain(spark, stream, "t_sliding", tmp_path)}
+    exp = {(r.w.start, r.w.end): r.n_events
+           for r in (batch_events
+                     .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+                     .agg(F.count(F.lit(1)).alias("n_events"))).collect()}
+    assert got == exp
+    # each event lands in exactly 4 sliding windows
+    assert sum(got.values()) == 4 * batch_events.count()
+
+
+def test_session_windows_match_batch_sessionization(spark, sf_dir,
+                                                    batch_events, tmp_path):
+    """session_window(30 min) must find the same (user, session) partition
+    as the batch lag/cumsum approach: same session count and sizes."""
+    stream = ev.session_windows(ev.read_events_stream(spark, sf_dir))
+    rows = _drain(spark, stream, "t_sessions", tmp_path)
+    got = {}
+    for r in rows:
+        got.setdefault(r.user_id, []).append(r.n_events)
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+        events_sessionize,
+    )
+    exp = {r.user_id: (r.n_sessions, r.n_events)
+           for r in events_sessionize(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for uid, sizes in got.items():
+        assert len(sizes) == exp[uid][0], f"session count for user {uid}"
+        assert sum(sizes) == exp[uid][1], f"event count for user {uid}"
+
+
+def test_incremental_trigger_same_totals(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger path: incremental batches, same final answer."""
+    stream = ev.hourly_rollup(
+        ev.read_events_stream(spark, sf_dir, max_files_per_trigger=1))
+    rows = _drain(spark, stream, "t_incr", tmp_path)
+    total = sum(r.n_events for r in rows)
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+        load_events,
+    )
+
+    assert total == load_events(spark, sf_dir).count()
