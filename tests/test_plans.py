@@ -1,0 +1,114 @@
+"""Physical-plan shape pins: every headline query must keep the plan that
+survives a 100× scale-up — filters pushed to the scan, columns pruned,
+small dimensions broadcast, partial aggregation, fused top-k, and no Python
+on JVM-only paths. A silent regression here is a 100 TB incident later."""
+
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+    dedup,
+    relational as rel,
+    textstats,
+)
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+    assert_no_python_in_plan,
+    plan_profile,
+    pushed_filters,
+    read_schemas,
+)
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_reaches_parquet_scan(self, spark, sf_dir):
+        q = rel.q1_pricing_summary(spark, sf_dir)
+        pushed = " ".join(pushed_filters(q))
+        assert "l_shipdate" in pushed
+
+    def test_q1_column_pruning(self, spark, sf_dir):
+        q = rel.q1_pricing_summary(spark, sf_dir)
+        [cols] = read_schemas(q)
+        # 7 needed columns of lineitem's 16 — scan must not read the rest
+        assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount",
+                             "l_tax", "l_returnflag", "l_linestatus",
+                             "l_shipdate"}
+
+    def test_q6_tight_scan(self, spark, sf_dir):
+        q = rel.q6_forecast_revenue(spark, sf_dir)
+        pushed = " ".join(pushed_filters(q))
+        assert "l_shipdate" in pushed and "l_discount" in pushed
+        [cols] = read_schemas(q)
+        assert len(cols) <= 4
+
+    def test_scan_projection_prunes(self, spark, sf_dir):
+        q = rel.scan_filter_projection(spark, sf_dir)
+        for cols in read_schemas(q):
+            assert len(cols) <= 5
+
+
+class TestJoinStrategies:
+    def test_small_dims_broadcast(self, spark, sf_dir):
+        prof = plan_profile(rel.q5_nation_revenue(spark, sf_dir))
+        assert prof["broadcast_hash_joins"] >= 2, \
+            "region/nation joins must broadcast, not shuffle"
+        assert prof["cartesian_products"] == 0
+
+    def test_inner_broadcast_join_has_single_shuffle_side(self, spark, sf_dir):
+        prof = plan_profile(rel.join_inner_broadcast(spark, sf_dir))
+        assert prof["broadcast_hash_joins"] >= 1
+        assert prof["sort_merge_joins"] == 0
+
+    def test_no_accidental_cartesian_anywhere(self, spark, sf_dir):
+        for q in (rel.q3_shipping_priority, rel.q10_returned_items,
+                  rel.q18_large_orders, rel.join_semi, rel.join_anti):
+            prof = plan_profile(q(spark, sf_dir))
+            assert prof["cartesian_products"] == 0, q.__name__
+
+
+class TestAggregationShape:
+    def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
+        prof = plan_profile(rel.q1_pricing_summary(spark, sf_dir))
+        # partial + final HashAggregate pair around one exchange
+        assert prof["hash_aggregates"] >= 2
+        assert prof["shuffles"] <= 2  # agg exchange + output sort only
+
+    def test_minhash_signatures_partial_agg(self, spark, sf_dir):
+        sig = dedup.minhash_signatures(dedup.doc_shingles(spark, sf_dir))
+        prof = plan_profile(sig)
+        assert prof["hash_aggregates"] >= 2
+        assert prof["shuffles"] == 1  # one doc_id exchange, nothing else
+
+
+class TestTopKAndOrdering:
+    def test_sort_limit_fuses_to_topk(self, spark, sf_dir):
+        prof = plan_profile(rel.sort_limit_topk(spark, sf_dir))
+        assert prof["top_k_sorts"] >= 1
+        assert prof["global_sorts"] == 0, \
+            "ORDER BY + LIMIT must not trigger a full global sort"
+
+
+class TestJvmOnlyPaths:
+    def test_relational_queries_stay_jvm_side(self, spark, sf_dir):
+        for q in (rel.q1_pricing_summary, rel.q3_shipping_priority,
+                  rel.q6_forecast_revenue, rel.window_topk_per_group,
+                  rel.agg_rollup, rel.scalar_string_fns,
+                  rel.events_sessionize):
+            assert_no_python_in_plan(q(spark, sf_dir))
+
+    def test_textstats_stay_jvm_side(self, spark, sf_dir):
+        for q in (textstats.text_token_stats, textstats.text_quality_score,
+                  textstats.text_langid, textstats.text_fingerprint):
+            assert_no_python_in_plan(q(spark, sf_dir))
+
+    def test_simhash_stays_jvm_side(self, spark, sf_dir):
+        assert_no_python_in_plan(dedup.simhash_fingerprints(spark, sf_dir))
+
+    def test_python_paths_are_arrow_batched(self, spark, sf_dir):
+        # where Python IS allowed (shingling, feature extraction), it must
+        # be the Arrow-vectorized form, never row-at-a-time BatchEvalPython
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(dedup.doc_shingles(spark, sf_dir))
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
