@@ -1,0 +1,413 @@
+"""Second wave of TPC-H-shaped validation queries, adapted to the slimmed
+fixture schema (no partsupp/comment/commitdate columns — see TESTDATA.md).
+
+Same determinism protocol as operators/relational.py: exact-decimal money
+sums (`_dsum`), decimal-sum ÷ count averages, double comparisons only
+between bitwise-identical operands, unique sort tiebreakers. Each query has
+a DuckDB oracle twin.
+
+Plan shapes these queries pin down (tests/test_plans.py extends here):
+exists/not-exists as semi/anti joins (never a count-based subquery), scalar
+aggregates as broadcast cross joins, correlated averages as a groupBy +
+re-join (the decorrelation Catalyst can't always do for us at the API
+level), disjunctive predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import DEC, _davg, _dsum, ld
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    late-shipped line (EXISTS → left-semi join; the semi join keeps the
+    orders side's cardinality so the count never double-counts lines)."""
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01"))
+    l = ld(spark, sf_dir, "lineitem")
+    late = o.join(l, (o.o_orderkey == l.l_orderkey)
+                  & (l.l_shipdate > o.o_orderdate), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Both nation dims broadcast; the fact-side shuffle is
+    lineitem⋈orders only."""
+    n1 = ld(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = ld(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation"))
+    s = ld(spark, sf_dir, "supplier")
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       SUM(CAST(volume AS DECIMAL(28,6))) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year, with
+    p_retailprice·quantity·0.6 standing in for the missing supplycost.
+    The per-row money expression is pure double IEEE math (bitwise equal in
+    both engines) cast to decimal once for the exact sum."""
+    p = ld(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.6)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount.cast(DEC)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year")))
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       SUM(CAST(l_extendedprice * (1 - l_discount)
+                - p_retailprice * l_quantity * 0.6 AS DECIMAL(28,6))) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → linestatus): per line status, how many
+    lines belong to high- vs low-priority orders — conditional counts after
+    one fact-fact join."""
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of order counts per customer — left outer
+    join so zero-order customers land in the c_count=0 bucket."""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share. Both operands of the final division
+    are exact decimals cast to double, so the ratio is bitwise portable."""
+    p = ld(spark, sf_dir, "part")
+    l = ld(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .agg((F.lit(100.0) * F.sum(promo.cast(DEC)).cast("double")
+                  / F.sum(rev.cast(DEC)).cast("double"))
+                 .alias("promo_revenue_pct")))
+
+
+ORACLE_Q14 = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue. The scalar
+    max arrives via a broadcast cross join of a 1-row aggregate; equality
+    is exact decimal=decimal."""
+    s = ld(spark, sf_dir, "supplier")
+    l = ld(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = (l.groupBy("l_suppkey")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == mx.max_revenue)
+            .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small orders — lines with quantity
+    below half their part's average. The correlated AVG decorrelates into a
+    per-part aggregate re-joined to the fact (broadcast: one row per part);
+    both engines compare the same decimal-sum÷count double."""
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    per_part = (l.groupBy(F.col("l_partkey").alias("ap_partkey"))
+                .agg(_davg(F.col("l_quantity")).alias("avg_qty")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(per_part),
+                  l.l_partkey == F.col("ap_partkey"))
+            .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                  / 7.0).alias("avg_yearly")))
+
+
+ORACLE_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across the join — the classic test that
+    disjunctions still prune and the join stays a hash join."""
+    p = ld(spark, sf_dir, "part")
+    l = ld(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#21") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50))))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+ORACLE_Q19 = """
+SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no urgent orders —
+    scalar-average threshold (broadcast 1-row cross join) + NOT EXISTS
+    (left-anti join), aggregated per nation. (Every fixture customer has
+    ≥1 order, so the anti-join targets the urgent subset to stay
+    non-degenerate.)"""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(_davg(F.col("c_acctbal")).alias("avg_bal")))
+    return (c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 _dsum(F.col("c_acctbal")).alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
+ORACLE_Q22 = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def corr_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery pattern: customers above their own nation's
+    average balance. Decorrelated into groupBy + broadcast re-join."""
+    c = ld(spark, sf_dir, "customer")
+    nat_avg = (c.groupBy(F.col("c_nationkey").alias("nk"))
+               .agg(_davg(F.col("c_acctbal")).alias("nation_avg")))
+    return (c.join(F.broadcast(nat_avg), c.c_nationkey == F.col("nk"))
+            .filter(F.col("c_acctbal") > F.col("nation_avg"))
+            .select("c_custkey", "c_nationkey", "c_acctbal")
+            .orderBy("c_custkey"))
+
+
+ORACLE_CORR_AVG = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+JOIN (SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS nation_avg
+      FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
+WHERE c_acctbal > nation_avg
+ORDER BY c_custkey
+"""
+
+
+def having_global_share(spark, sf_dir):
+    """HAVING against a global scalar: nations holding ≥ 5% of total
+    customer balance. Scalar total broadcast; comparison double vs double
+    with identical operands on both engines."""
+    c = ld(spark, sf_dir, "customer")
+    total = c.agg(_dsum(F.col("c_acctbal")).alias("grand_total"))
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(_dsum(F.col("c_acctbal")).alias("nation_total")))
+    return (per_nation.join(F.broadcast(total))
+            .filter(F.col("nation_total").cast("double")
+                    >= 0.05 * F.col("grand_total").cast("double"))
+            .select("c_nationkey", "nation_total")
+            .orderBy("c_nationkey"))
+
+
+ORACLE_HAVING_SHARE = """
+SELECT c_nationkey,
+       SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS nation_total
+FROM customer
+GROUP BY c_nationkey
+HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+       >= 0.05 * (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                  FROM customer)
+ORDER BY c_nationkey
+"""
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q12_priority_by_status": q12_priority_by_status,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_dormant_customers": q22_dormant_customers,
+    "corr_above_nation_avg": corr_above_nation_avg,
+    "having_global_share": having_global_share,
+}
+
+ORACLES = {
+    "q4_order_priority": ORACLE_Q4,
+    "q7_volume_shipping": ORACLE_Q7,
+    "q9_product_profit": ORACLE_Q9,
+    "q12_priority_by_status": ORACLE_Q12,
+    "q13_customer_distribution": ORACLE_Q13,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q15_top_supplier": ORACLE_Q15,
+    "q17_small_quantity_revenue": ORACLE_Q17,
+    "q19_disjunctive_predicates": ORACLE_Q19,
+    "q22_dormant_customers": ORACLE_Q22,
+    "corr_above_nation_avg": ORACLE_CORR_AVG,
+    "having_global_share": ORACLE_HAVING_SHARE,
+}

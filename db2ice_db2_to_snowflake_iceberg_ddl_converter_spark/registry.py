@@ -15,7 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, multimodal, relational as rel, similarity, textstats
+from .operators import (
+    dedup,
+    multimodal,
+    relational as rel,
+    relational_ext as rext,
+    similarity,
+    textstats,
+)
 
 
 def _catalog_queries():
@@ -143,13 +150,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": multimodal.multimodal_features,
     }
+    q.update(rext.QUERIES)
     q.update(_catalog_queries())
     q.update(_streaming_queries())
     return q
 
 
 def build_oracles() -> dict[str, str]:
-    return {
+    oracles = dict(rext.ORACLES)
+    oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
         "q5_nation_revenue": rel.ORACLE_Q5,
@@ -201,4 +210,5 @@ def build_oracles() -> dict[str, str]:
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
         # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
         # streaming_hourly_rollup, streaming_session_windows
-    }
+    })
+    return oracles
