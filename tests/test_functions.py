@@ -1,0 +1,79 @@
+"""Function-library tests: expression builders agree with the operator
+implementations, and SQL registration makes the Python-backed functions
+callable from spark.sql."""
+
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark import functions as fx
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+
+def test_text_expressions_match_textstats_operator(spark, sf_dir):
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.textstats import (
+        text_token_stats,
+    )
+
+    d = ld(spark, sf_dir, "documents")
+    lib = d.select(
+        "doc_id",
+        fx.token_count("text").alias("n_tokens"),
+        fx.bpe_token_estimate("text").alias("bpe_token_estimate"),
+    ).orderBy("doc_id").collect()
+    op = text_token_stats(spark, sf_dir).orderBy("doc_id").collect()
+    assert [(r.n_tokens, r.bpe_token_estimate) for r in lib] == \
+        [(r.n_tokens, r.bpe_token_estimate) for r in op]
+
+
+def test_rolling_fingerprint_matches_python(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    rows = d.select("doc_id", "text",
+                    fx.rolling_fingerprint("text").alias("fp")).collect()
+    for r in rows:
+        acc = 0
+        for ch in r.text:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        assert r.fp == acc, r.doc_id
+
+
+def test_vector_reexports_are_the_operator_functions(spark):
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import similarity
+
+    assert fx.cosine_expr is similarity.cosine_expr
+    assert fx.dot_expr is similarity.dot_expr
+
+
+def test_sql_registration_and_calls(spark, sf_dir):
+    names = fx.register_sql_functions(spark)
+    assert names == ["engine_shingles", "engine_jaccard", "engine_feature_norm"]
+    ld(spark, sf_dir, "documents").limit(50).createOrReplaceTempView("t_docs")
+    row = spark.sql("""
+        SELECT engine_jaccard(engine_shingles(text), engine_shingles(text)) AS self_j,
+               size(engine_shingles(text)) AS n_sh
+        FROM t_docs WHERE doc_id = 0
+    """).first()
+    assert row.self_j == 1.0
+    assert row.n_sh > 0
+    # distinct docs: jaccard in [0, 1)
+    pair = spark.sql("""
+        SELECT engine_jaccard(a.sh, b.sh) AS j
+        FROM (SELECT engine_shingles(text) sh FROM t_docs WHERE doc_id = 0) a,
+             (SELECT engine_shingles(text) sh FROM t_docs WHERE doc_id = 1) b
+    """).first()
+    assert 0.0 <= pair.j <= 1.0
+
+
+def test_feature_norm_sql_matches_multimodal(spark, sf_dir):
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.multimodal import (
+        multimodal_features,
+    )
+
+    fx.register_sql_functions(spark)
+    ld(spark, sf_dir, "documents").limit(20).createOrReplaceTempView("t_docs2")
+    via_sql = {r.doc_id: r.n for r in spark.sql(
+        "SELECT doc_id, engine_feature_norm(encode(text, 'utf-8')) AS n "
+        "FROM t_docs2").collect()}
+    via_op = {r.doc_id: r.feature_norm
+              for r in multimodal_features(spark, sf_dir).collect()
+              if r.doc_id in via_sql}
+    for k, v in via_sql.items():
+        assert abs(v - via_op[k]) < 1e-9
