@@ -29,6 +29,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "window_topk_per_group",
     "agg_rollup",
     "events_tumbling_hourly",
@@ -58,14 +60,25 @@ def main() -> int:
     spark = get_spark("bench")
     qs = queries()
 
-    # Warmup: JVM + codegen + parquet footer reads, not billed per-query.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Warmup: JVM + codegen + parquet footers + the Python worker pool
+    # (one tiny Arrow round trip), so fixed session costs aren't billed
+    # to whichever query happens to run first.
+    import pandas as pd  # noqa: F401
 
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long").collect()
+
+    # min-of-2: single-JVM local mode has multi-second GC/JIT noise; the
+    # min is the steady-state number a warmed executor fleet would see.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

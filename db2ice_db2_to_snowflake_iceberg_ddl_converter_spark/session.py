@@ -47,7 +47,9 @@ def get_spark(app_name: str = "db2ice-spark", master: str | None = None,
         .config("spark.sql.parquet.filterPushdown", "true")
         # Don't let tiny local files under-parallelize wide stages.
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver heap IS the executor heap; size it
+        # so 32 concurrent tasks don't trigger multi-second GC stalls.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
