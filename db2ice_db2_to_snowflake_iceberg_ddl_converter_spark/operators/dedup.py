@@ -302,6 +302,94 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str = "id", src: str = "id1",
+                         dst: str = "id2", max_iter: int = 25) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends with the
+    smallest node id reachable from it (its cluster id).
+
+    Iterations are whole DataFrame jobs — label(v) ← min(label(v),
+    min label over neighbors) — so one iteration is one shuffle regardless
+    of graph size; the loop runs O(component diameter) times, and near-dup
+    graphs have tiny diameters (dup clusters are near-cliques). Each round
+    is ``localCheckpoint``-ed: persisting alone keeps the data but lets the
+    logical plan grow exponentially across iterations (analysis time blows
+    up after ~10 rounds); checkpointing truncates lineage. On a real
+    cluster, prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
+    for fault-tolerant truncation.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    # edges re-enter the plan every iteration — persist once so the (often
+    # expensive) pair-generation lineage never re-executes
+    sym = sym.persist()
+    labels = nodes.select(F.col(node_col).alias("node"),
+                          F.col(node_col).alias("label")).persist()
+    # labels only ever decrease, so the integer label-sum is a strictly
+    # decreasing fixpoint witness: one cheap agg per round, no extra join
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.b == labels.node)
+                        .groupBy(F.col("a").alias("node"))
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_label", "label"))
+                              .alias("label"))).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
+    """Near-dup cluster assignment: connected components over the exact
+    3-gram-Jaccard ≥ 0.5 pair graph; every document gets the min doc_id of
+    its component as ``cluster_id`` (singletons keep their own id). This is
+    the step that turns pairwise dedup into "keep one per cluster" at
+    pipeline scale."""
+    d = ld(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    labels = connected_components(d, pairs, node_col="doc_id")
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+  HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "ann_brute_force_topk": similarity.ann_brute_force_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -200,6 +201,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact_docs": dedup.ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM,
         "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING,
+        "dedup_clusters": dedup.ORACLE_DEDUP_CLUSTERS,
         "ann_brute_force_topk": similarity.ORACLE_ANN_BRUTE,
         "text_token_stats": textstats.ORACLE_TEXT_TOKENS,
         "text_quality_score": textstats.ORACLE_TEXT_QUALITY,

@@ -168,6 +168,43 @@ class TestMultimodal:
 
 
 # ---------------------------------------------------------------------------
+# Connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+        # components: {0,1,2,3} (chain), {4,5} (edge), {6}, {7} (singletons)
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (4, 5)], ["id1", "id2"])
+        got = {r.node: r.label
+               for r in dedup.connected_components(nodes, edges).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    def test_chain_needs_multiple_iterations(self, spark):
+        # a long path exercises propagation depth, not just one hop
+        n = 12
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id1", "id2"])
+        got = {r.node: r.label
+               for r in dedup.connected_components(nodes, edges).collect()}
+        assert got == {i: 0 for i in range(n)}
+
+    def test_clusters_cover_all_docs(self, spark, sf_dir):
+        res = dedup.dedup_clusters(spark, sf_dir).collect()
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+        assert len(res) == ld(spark, sf_dir, "documents").count()
+        # cluster representative is a member of the cluster and is minimal
+        by_cluster = {}
+        for r in res:
+            by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+        for rep, members in by_cluster.items():
+            assert rep == min(members)
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup invariants
 # ---------------------------------------------------------------------------
 
