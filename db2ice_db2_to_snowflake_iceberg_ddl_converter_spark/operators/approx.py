@@ -1,0 +1,49 @@
+"""Approximate aggregation operators — the sketches that replace exact
+shuffles at 100 TB.
+
+Exact count-distinct shuffles every distinct value; HyperLogLog++ ships a
+few-KB sketch per partition. Exact quantiles require a global sort;
+Greenwald-Khanna/KLL-style summaries merge map-side. Both are rows-only
+for the driver (approximate results differ across engines by design);
+tests/test_operators.py pins their error bounds against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+
+def approx_distinct_counts(spark, sf_dir, rsd: float = 0.02):
+    """HLL++ distinct counts per order-priority with a 2% target rsd,
+    alongside the exact count for in-plan comparability."""
+    o = ld(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("o_custkey", rsd)
+                 .alias("approx_customers"),
+                 F.count_distinct("o_custkey").alias("exact_customers"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+def approx_quantiles(spark, sf_dir, accuracy: int = 10_000):
+    """percentile_approx (GK summary) for the order-value distribution —
+    the shuffle-free quantile path; accuracy=10k keeps rank error ≤1e-4·n."""
+    o = ld(spark, sf_dir, "orders")
+    return (o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95, 0.99],
+                            accuracy).alias("price_quantiles"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price")))
+
+
+def exact_quantiles(spark, sf_dir):
+    """Exact reference for the bound test (global sort at scale — this is
+    the expensive path the sketch replaces)."""
+    o = ld(spark, sf_dir, "orders")
+    return o.agg(F.percentile("o_totalprice",
+                              F.array(*[F.lit(q) for q in
+                                        (0.25, 0.5, 0.75, 0.95, 0.99)]))
+                 .alias("price_quantiles"))

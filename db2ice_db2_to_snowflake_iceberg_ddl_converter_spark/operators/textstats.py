@@ -147,6 +147,35 @@ FROM h GROUP BY 1, 2
 """
 
 
+def text_normalize(spark, sf_dir):
+    """Training-data cleaning pass: lowercase, strip punctuation, collapse
+    whitespace runs, trim — all JVM string expressions, scan-speed at any
+    scale. Emits a stable prefix so the oracle row stays small."""
+    d = ld(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.translate(F.lower("text"), _PUNCT_CHARS, ""), " +", " "))
+    return d.select(
+        "doc_id",
+        F.substring(norm, 1, 80).alias("norm_prefix"),
+        F.length(norm).alias("norm_len"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"))
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id, text,
+         TRIM(regexp_replace(
+             translate(LOWER(text), '.,;:!?', ''), ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       norm[1:80] AS norm_prefix,
+       LENGTH(norm) AS norm_len,
+       LENGTH(text) - LENGTH(norm) AS chars_removed
+FROM n
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     """Deterministic rolling polynomial hash (mod large prime) per document —
     a content fingerprint computable incrementally at ingest. Sequential

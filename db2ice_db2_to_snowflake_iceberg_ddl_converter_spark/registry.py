@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    approx,
+    asof,
     dedup,
     multimodal,
     relational as rel,
@@ -132,6 +134,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time (batch twins of the streaming pipeline)
         "events_tumbling_hourly": rel.events_tumbling_hourly,
         "events_sessionize": rel.events_sessionize,
+        "events_asof_last_click": asof.events_asof_last_click,
+        # approximate aggregation (sketches; rows-only + bound tests)
+        "approx_distinct_counts": approx.approx_distinct_counts,
+        "approx_quantiles": approx.approx_quantiles,
         # dedup suite
         "dedup_exact_docs": dedup.dedup_exact_docs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -145,6 +151,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "text_quality_score": textstats.text_quality_score,
+        "text_normalize": textstats.text_normalize,
         "text_langid": textstats.text_langid,
         "text_fingerprint": textstats.text_fingerprint,
         # multimodal plumbing
@@ -203,6 +210,8 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING,
         "dedup_clusters": dedup.ORACLE_DEDUP_CLUSTERS,
         "ann_brute_force_topk": similarity.ORACLE_ANN_BRUTE,
+        "events_asof_last_click": asof.ORACLE_EVENTS_ASOF,
+        "text_normalize": textstats.ORACLE_TEXT_NORMALIZE,
         "text_token_stats": textstats.ORACLE_TEXT_TOKENS,
         "text_quality_score": textstats.ORACLE_TEXT_QUALITY,
         "text_langid": textstats.ORACLE_TEXT_LANGID,
@@ -211,6 +220,8 @@ def build_oracles() -> dict[str, str]:
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
         # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
-        # streaming_hourly_rollup, streaming_session_windows
+        # streaming_hourly_rollup, streaming_session_windows,
+        # approx_distinct_counts, approx_quantiles (sketches — approximate
+        # by design; error bounds pinned in tests/test_operators.py)
     })
     return oracles

@@ -132,6 +132,77 @@ class TestEmbeddingCosine:
 
 
 # ---------------------------------------------------------------------------
+# Approximate aggregates & as-of join
+# ---------------------------------------------------------------------------
+
+class TestApproxAggs:
+    def test_hll_within_rsd_bound(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import approx
+
+        rows = approx.approx_distinct_counts(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # 2% target rsd → allow 5 sigma
+            assert abs(r.approx_customers - r.exact_customers) \
+                <= max(2, 0.10 * r.exact_customers), r
+
+    def test_quantile_sketch_within_rank_error(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import approx
+
+        got = approx.approx_quantiles(spark, sf_dir).first()
+        exact = approx.exact_quantiles(spark, sf_dir).first()
+        lo, hi = got.min_price, got.max_price
+        assert lo <= min(got.price_quantiles)
+        assert max(got.price_quantiles) <= hi
+        for a, e in zip(got.price_quantiles, exact.price_quantiles):
+            assert abs(a - e) <= 0.05 * (hi - lo) + 1e-9
+
+    def test_quantiles_are_monotone(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import approx
+
+        qs = approx.approx_quantiles(spark, sf_dir).first().price_quantiles
+        assert qs == sorted(qs)
+
+
+class TestAsofJoin:
+    def test_asof_matches_bruteforce(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.asof import (
+            events_asof_last_click,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        got = {r.event_id: r.click_id_asof
+               for r in events_asof_last_click(spark, sf_dir).collect()}
+        ev = load_events(spark, sf_dir).collect()
+        clicks = sorted((r.ts, r.event_id, r.user_id) for r in ev
+                        if r.event_type == "click")
+        for r in ev:
+            if r.event_type != "purchase":
+                continue
+            prior = [cid for ts, cid, uid in clicks
+                     if uid == r.user_id and ts <= r.ts]
+            # clicks sorted (ts, id) asc — prior[-1] is the operator's
+            # contract: latest ts, largest id on ties
+            assert got[r.event_id] == (prior[-1] if prior else None), \
+                r.event_id
+
+    def test_asof_generic_left_outer_semantics(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 5, "x"), (1, 15, "y"), (2, 3, "z")], ["k", "t", "tag"])
+        right = spark.createDataFrame(
+            [(1, 4, 100), (1, 10, 200), (2, 9, 300)], ["k", "t", "v"])
+        got = {r.tag: r.v_asof
+               for r in asof_join(left, right, on="t", by="k").collect()}
+        assert got == {"x": 100, "y": 200, "z": None}
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
