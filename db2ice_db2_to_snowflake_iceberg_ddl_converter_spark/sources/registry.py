@@ -39,6 +39,9 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     """
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
+    if fmt == "csv":
+        # mirror the reader's default so round trips are lossless
+        options.setdefault("header", "true")
     writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
