@@ -382,6 +382,32 @@ HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
 ORDER BY c_nationkey
 """
 
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): for each order, how many
+    of the customer's orders fall within ±1000 of its total price, and
+    their summed price. RANGE frames dedupe-tie semantics differ from ROWS
+    — this pins them cross-engine."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-1000, 1000))
+    return (o.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("near_price_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("near_price_sum"))
+        .orderBy("o_orderkey"))
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER w AS near_price_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS near_price_sum
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
@@ -395,6 +421,7 @@ QUERIES = {
     "q22_dormant_customers": q22_dormant_customers,
     "corr_above_nation_avg": corr_above_nation_avg,
     "having_global_share": having_global_share,
+    "window_range_frame": window_range_frame,
 }
 
 ORACLES = {
@@ -410,4 +437,5 @@ ORACLES = {
     "q22_dormant_customers": ORACLE_Q22,
     "corr_above_nation_avg": ORACLE_CORR_AVG,
     "having_global_share": ORACLE_HAVING_SHARE,
+    "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
 }

@@ -111,6 +111,37 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "total_value"))
 
 
+def purchase_click_interval_join(events: DataFrame,
+                                 watermark: str = "10 minutes",
+                                 lookback: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``lookback`` window.
+
+    The hardest streaming op to get right at scale: BOTH sides buffer
+    state, and only the pair of watermarks plus the time-interval condition
+    lets Spark evict it — an unbounded-time equi-join would grow state
+    forever. The interval condition (click ≤ purchase < click+lookback)
+    gives the state store the eviction bound.
+    """
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                f"INTERVAL {lookback}")))
+    return (purchases.join(clicks, cond)
+            .select("purchase_id", "click_id",
+                    F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
+
+
 def run_available_now(result: DataFrame, query_name: str,
                       checkpoint_dir: str, mode: str = "complete"):
     """Drain everything currently in the source and stop — the backfill/

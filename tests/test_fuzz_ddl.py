@@ -83,6 +83,53 @@ def test_arbitrary_text_never_crashes_parser(garbage):
     assert report_ok
 
 
+SF_TYPES = st.sampled_from([
+    "NUMBER(38,0)", "VARCHAR(100)", "STRING", "VARIANT", "OBJECT", "ARRAY",
+    "GEOGRAPHY", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ", "TIMESTAMP_TZ",
+    "DATETIME", "BOOLEAN", "DATE", "FLOAT",
+])
+SF_TABLE_KIND = st.sampled_from([
+    "", "TRANSIENT ", "TEMPORARY ", "DYNAMIC ", "EXTERNAL ", "HYBRID ",
+])
+
+
+@st.composite
+def sf_create_table(draw):
+    kind = draw(SF_TABLE_KIND)
+    db, schema, name = draw(IDENT), draw(IDENT), draw(IDENT)
+    ncols = draw(st.integers(1, 6))
+    names = set()
+    cols = []
+    for _ in range(ncols):
+        cn = draw(IDENT.filter(lambda s: s not in names))
+        names.add(cn)
+        mod = draw(st.sampled_from(
+            ["", " NOT NULL", " DEFAULT 0", " COMMENT 'c'",
+             " IDENTITY(1,1)"]))
+        cols.append(f"{cn} {draw(SF_TYPES)}{mod}")
+    cluster = f" CLUSTER BY ({next(iter(names))})" \
+        if draw(st.booleans()) and not kind.strip() else ""
+    return (f"CREATE OR REPLACE {kind}TABLE {db}.{schema}.{name} (\n  "
+            + ",\n  ".join(cols) + f"\n){cluster};")
+
+
+@given(st.lists(sf_create_table(), min_size=1, max_size=3).map("\n".join))
+@settings(max_examples=50, deadline=None)
+def test_snowflake_convert_never_crashes(ddl):
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.convert import (
+        SnowflakeToIcebergGenerator,
+    )
+
+    result = SnowflakeToIcebergGenerator().convert(ddl)
+    assert result.success
+    # every table is either converted, kept-as-standard, or skipped with
+    # an issue — none silently vanish
+    n_tables = ddl.count("CREATE OR REPLACE")
+    emitted = (result.iceberg_ddl.count("CREATE OR REPLACE")
+               + result.iceberg_ddl.count("TABLE SKIPPED"))
+    assert emitted >= n_tables
+
+
 @given(st.sampled_from(["CHAR", "VARCHAR", "DECIMAL", "TIMESTAMP", "TIME",
                         "FLOAT", "UNKNOWN_TYPE", "DECFLOAT"]),
        st.integers(0, 100_000_000), st.integers(0, 100), st.integers(0, 50))

@@ -75,6 +75,30 @@ def test_session_windows_match_batch_sessionization(spark, sf_dir,
         assert sum(sizes) == exp[uid][1], f"event count for user {uid}"
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events,
+                                          tmp_path):
+    """Watermarked interval join drained with AvailableNow == the same
+    join run as a plain batch query (append mode: inner joins emit only
+    finalized matches, which AvailableNow finalizes fully)."""
+    stream = ev.purchase_click_interval_join(
+        ev.read_events_stream(spark, sf_dir))
+    got = {(r.purchase_id, r.click_id)
+           for r in _drain(spark, stream, "t_ssj", tmp_path, mode="append")}
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    exp = {(r.purchase_id, r.click_id) for r in p.join(
+        c, (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+    ).collect()}
+    assert got == exp
+    assert exp, "fixture must produce at least one purchase-click match"
+
+
 def test_incremental_trigger_same_totals(spark, sf_dir, tmp_path):
     """maxFilesPerTrigger path: incremental batches, same final answer."""
     stream = ev.hourly_rollup(
