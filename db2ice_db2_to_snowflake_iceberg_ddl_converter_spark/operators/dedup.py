@@ -248,10 +248,12 @@ def simhash_fingerprints(spark, sf_dir) -> DataFrame:
     One explode + one groupBy — the 64 per-bit sums are map-side partial aggs.
     """
     d = ld(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = F.xxhash64("w")
+    # hash each word ONCE in the projection — embedding xxhash64(w) inside
+    # all 64 aggregate expressions would re-hash the string 64× per row
+    words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+             .select("doc_id", F.xxhash64("w").alias("h")))
     vote_aggs = [
-        F.sum(F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+        F.sum(F.when(F.shiftright("h", bit).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"v{bit}")
         for bit in range(64)
     ]

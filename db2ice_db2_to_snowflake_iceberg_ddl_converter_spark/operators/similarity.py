@@ -164,16 +164,25 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
         ])).alias("b")
     ).select("vec_id", "embedding", "b.band_idx", "b.band_val")
     q = (bands.filter(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qe"), "band_idx", "band_val"))
+         .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val"))
     c = bands.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("ce"), "band_idx", "band_val")
+                     "band_idx", "band_val")
+    # dedupe candidates on the id pair ONLY — a distinct over rows that
+    # carry the 64-float embedding arrays hashes/compares the vectors for
+    # every bucket hit; re-attach embeddings once per surviving pair
     cands = (q.join(c, ["band_idx", "band_val"])
              .filter(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "qe", "neighbor_id", "ce").distinct())
+             .select("query_id", "neighbor_id").distinct())
+    e = ld(spark, sf_dir, "embeddings")
+    qe = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("ce"))
+    scored = (cands.join(F.broadcast(qe), "query_id")
+              .join(ce, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (cands.select("query_id", "neighbor_id",
-                         cosine_expr("qe", "ce").alias("cosine"))
+    return (scored.select("query_id", "neighbor_id",
+                          cosine_expr("qe", "ce").alias("cosine"))
             .withColumn("nn_rank", F.row_number().over(w))
             .filter(F.col("nn_rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
