@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import (
     approx,
@@ -53,8 +54,25 @@ def _catalog_queries():
         return assess_catalog(schema_catalog_df(spark, tables)) \
             .orderBy("table_name")
 
+    def migrate_customer_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The migration job's read→cast slice on real rows: parse the DB2
+        DDL, build the Catalyst cast plan, apply it to the customer parquet.
+        Oracle-checkable: the mapped types are plain ANSI casts."""
+        from .catalog import cast_plan
+
+        tables = Assessor().parser.parse(ddl)
+        cust = next(t for t in tables if t.name == "CUSTOMER")
+        src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        lower = {c.lower(): c for c in src.columns}
+        renamed = src.select([src[lower[c.name.lower()]].alias(c.name)
+                              for c in cust.columns])
+        out = renamed.select(cast_plan(cust))
+        return out.select([F.col(c).alias(c.lower()) for c in out.columns]) \
+            .orderBy("c_custkey")
+
     return {"ddl_schema_catalog": ddl_schema_catalog,
-            "ddl_assess_catalog": ddl_assess_catalog}
+            "ddl_assess_catalog": ddl_assess_catalog,
+            "migrate_customer_cast": migrate_customer_cast}
 
 
 def _streaming_queries():
@@ -211,6 +229,15 @@ def build_oracles() -> dict[str, str]:
         "dedup_clusters": dedup.ORACLE_DEDUP_CLUSTERS,
         "ann_brute_force_topk": similarity.ORACLE_ANN_BRUTE,
         "events_asof_last_click": asof.ORACLE_EVENTS_ASOF,
+        # migration read→cast slice: DDL types CUSTOMER as (BIGINT,
+        # VARCHAR, INTEGER, DECIMAL(12,2), CHAR); correctly-rounded
+        # double→decimal conversion matches across engines
+        "migrate_customer_cast": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+                   c_mktsegment
+            FROM customer ORDER BY c_custkey
+        """,
         "text_normalize": textstats.ORACLE_TEXT_NORMALIZE,
         "text_token_stats": textstats.ORACLE_TEXT_TOKENS,
         "text_quality_score": textstats.ORACLE_TEXT_QUALITY,
