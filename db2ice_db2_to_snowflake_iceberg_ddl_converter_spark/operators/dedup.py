@@ -115,7 +115,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via an
     inverted-index join. Jaccard = |∩| / (|A|+|B|−|∩|) over distinct
     shingles — integer counts, so the double division is bitwise-exact."""
-    sh = doc_shingles(spark, sf_dir).withColumn("n_shingles", F.size("shingles"))
+    # checkpoint: the inverted index feeds both join sides — without it the
+    # shingling UDF executes twice
+    sh = (doc_shingles(spark, sf_dir)
+          .withColumn("n_shingles", F.size("shingles")).localCheckpoint())
     inv = sh.select("doc_id", "n_shingles",
                     F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id1"),
@@ -218,7 +221,9 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     Non-SQL-expressible op (checked rows-only by the driver; pytest verifies
     it recovers exactly the brute-force pair set on the fixture data).
     """
-    sh = doc_shingles(spark, sf_dir)
+    # one shingling pass total: signatures + both verify sides reuse it
+    # (localCheckpoint — three separate lineage executions otherwise)
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()
     cands = minhash_lsh_candidates(minhash_signatures(sh))
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
     j = (cands

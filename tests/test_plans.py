@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
     dedup,
     relational as rel,
+    relational_ext as rext,
     textstats,
 )
 from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
@@ -59,9 +60,28 @@ class TestJoinStrategies:
 
     def test_no_accidental_cartesian_anywhere(self, spark, sf_dir):
         for q in (rel.q3_shipping_priority, rel.q10_returned_items,
-                  rel.q18_large_orders, rel.join_semi, rel.join_anti):
+                  rel.q18_large_orders, rel.join_semi, rel.join_anti,
+                  rext.q7_volume_shipping, rext.q9_product_profit,
+                  rext.q17_small_quantity_revenue,
+                  rext.q22_dormant_customers):
             prof = plan_profile(q(spark, sf_dir))
             assert prof["cartesian_products"] == 0, q.__name__
+
+    def test_second_wave_dims_broadcast(self, spark, sf_dir):
+        for q, n_bcast in ((rext.q7_volume_shipping, 4),
+                           (rext.q9_product_profit, 3),
+                           (rext.q19_disjunctive_predicates, 1)):
+            prof = plan_profile(q(spark, sf_dir))
+            assert prof["broadcast_hash_joins"] >= n_bcast, q.__name__
+
+    def test_exists_shapes_are_semi_anti_joins(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        assert "LeftSemi" in executed_plan(rext.q4_order_priority(spark, sf_dir))
+        assert "LeftAnti" in executed_plan(
+            rext.q22_dormant_customers(spark, sf_dir))
 
 
 class TestAggregationShape:
