@@ -100,6 +100,76 @@ def extract_features(df: DataFrame, decoder=None) -> DataFrame:
     return df.mapInPandas(run, schema=f"doc_id long, features array<double>")
 
 
+def resize_assets(df: DataFrame, target: tuple[int, int] = (64, 64),
+                  resizer=None) -> DataFrame:
+    """Resize plumbing over binary image payloads via mapInPandas.
+
+    The real resizer (PIL/cv2) is not available here, so the default is a
+    deterministic fake with the exact signature a codec adapter needs:
+    bytes → (bytes, width, height). The Spark side — Arrow batching,
+    schema with typed dimensions, partition-preserving map — is the part
+    this module ships for real; swap ``resizer`` for the codec in prod.
+    """
+    import pandas as pd
+
+    w, h = target
+
+    def fake_resize(payload: bytes) -> bytes:
+        # deterministic "resample": stride-sample the byte stream to w*h
+        n = max(1, len(payload))
+        stride = max(1, n // (w * h))
+        return bytes(payload[::stride][: w * h])
+
+    resize = resizer or fake_resize
+
+    def run(batches):
+        for pdf in batches:
+            out = [resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": out,
+                "width": [w] * len(pdf),
+                "height": [h] * len(pdf),
+            })
+
+    return df.mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int")
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10,
+                  frame_size: int = 256, sampler=None) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped payloads: one input row →
+    N frame rows (the explode-shaped mapInPandas; output cardinality is
+    data-dependent, which is why this is not a pandas_udf).
+
+    Default sampler treats the payload as fixed-size frames and keeps every
+    ``every_nth`` one — deterministic, shaped exactly like a container
+    demuxer (bytes → [(frame_idx, frame_bytes)]).
+    """
+    import pandas as pd
+
+    def fake_sampler(payload: bytes):
+        frames = [payload[i:i + frame_size]
+                  for i in range(0, len(payload), frame_size)]
+        return [(i, f) for i, f in enumerate(frames) if i % every_nth == 0]
+
+    sample = sampler or fake_sampler
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in sample(bytes(payload)):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    blobs.append(frame)
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "frame": blobs})
+
+    return df.mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame binary")
+
+
 def multimodal_features(spark, sf_dir) -> DataFrame:
     """Full plumbing demo: text → binary payload → mapInPandas extraction →
     per-asset feature vector norm (rows-only driver check; pytest asserts

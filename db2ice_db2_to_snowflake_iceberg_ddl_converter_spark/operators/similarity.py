@@ -188,6 +188,72 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
 
 
+def all_pairs_cosine_blocked(df: DataFrame, threshold: float,
+                             num_blocks: int = 4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine ≥ threshold WITHOUT collecting vectors to the
+    driver — the path for vector tables too big to broadcast (>10⁶ rows).
+
+    Block nested-loop over hash blocks: each side is replicated
+    ``num_blocks`` times tagged with a (block_a, block_b) pair key, then
+    ``cogroup().applyInPandas`` computes one BLAS matmul per block pair.
+    Replication factor B per side trades shuffle volume for O(n²/B²) work
+    per task — pick B so a block fits executor memory (n/B vectors).
+    Upper-triangle pairs only (id1 < id2); scores are BLAS-reassociated,
+    so use the exact sequential-fold verify on survivors when bitwise
+    parity matters (as dedup_embedding_cosine does with its epsilon).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("vec"),
+                     blk.alias("blk"))
+
+    rng = F.explode(F.array(*[F.lit(i) for i in range(B)]))
+    # left copy b_other sweeps the right side's blocks, and vice versa;
+    # key (ba, bb) with ba <= bb halves the replicated volume
+    left = (base.select("id", "vec", F.col("blk").alias("ba"),
+                        rng.alias("bb"))
+            .filter(F.col("ba") <= F.col("bb")))
+    right = (base.select("id", "vec", rng.alias("ba"),
+                         F.col("blk").alias("bb"))
+             .filter(F.col("ba") <= F.col("bb")))
+
+    def block_pair(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        ba, bb = key
+        lids = lpdf["id"].to_numpy()
+        rids = rpdf["id"].to_numpy()
+        lm = np.array(lpdf["vec"].tolist(), dtype=np.float64)
+        rm = np.array(rpdf["vec"].tolist(), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        if ba == bb:
+            # same block on both sides: upper triangle keeps each
+            # unordered pair once and drops self-pairs
+            keep = (sims >= threshold) & (lids[:, None] < rids[None, :])
+            li, ri = np.nonzero(keep)
+            id1, id2 = lids[li], rids[ri]
+        else:
+            # disjoint blocks: every (l, r) is a distinct unordered pair
+            # seen exactly once across all keys — emit canonically
+            li, ri = np.nonzero(sims >= threshold)
+            a, b = lids[li], rids[ri]
+            id1, id2 = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id1": id1, "id2": id2,
+                             "cosine": sims[li, ri]})
+
+    return (left.groupBy("ba", "bb").cogroup(right.groupBy("ba", "bb"))
+            .applyInPandas(block_pair,
+                           schema="id1 long, id2 long, cosine double"))
+
+
 def ann_block_numpy_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     """Throughput path: Arrow-batched numpy matmul per partition
     (mapInPandas). Same results as brute force up to float reassociation —

@@ -163,6 +163,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_embedding_blocked": lambda spark, sf_dir:
+            similarity.all_pairs_cosine_blocked(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                threshold=0.4).orderBy("id1", "id2"),
         # similarity search
         "ann_brute_force_topk": similarity.ann_brute_force_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -249,6 +253,8 @@ def build_oracles() -> dict[str, str]:
         # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
         # streaming_hourly_rollup, streaming_session_windows,
         # approx_distinct_counts, approx_quantiles (sketches — approximate
-        # by design; error bounds pinned in tests/test_operators.py)
+        # by design; error bounds pinned in tests/test_operators.py),
+        # dedup_embedding_blocked (BLAS-reassociated scores; pair-set
+        # equality vs the exact path pinned in tests/test_operators.py)
     })
     return oracles

@@ -122,6 +122,21 @@ class TestEmbeddingCosine:
             if p in brute_pairs:
                 assert cos == brute_pairs[p]
 
+    def test_blocked_all_pairs_matches_two_phase(self, spark, sf_dir):
+        """The no-driver-collect blocked path must find exactly the pair
+        set of the broadcast two-phase path (scores equal to BLAS noise)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+        e = ld(spark, sf_dir, "embeddings")
+        blocked = {(r.id1, r.id2): r.cosine
+                   for r in similarity.all_pairs_cosine_blocked(
+                       e, threshold=0.4, num_blocks=3).collect()}
+        exact = {(r.id1, r.id2): r.cosine
+                 for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()}
+        assert blocked.keys() == exact.keys()
+        for pair, cos in exact.items():
+            assert abs(blocked[pair] - cos) < 1e-9
+
     def test_ann_block_numpy_agrees_with_brute(self, spark, sf_dir):
         brute = {(r.query_id, r.neighbor_id)
                  for r in similarity.ann_brute_force_topk(spark, sf_dir).collect()}
@@ -228,6 +243,38 @@ class TestMultimodal:
                         .first().payload)
         assert row.features == pytest.approx(
             multimodal._default_fake_decoder(payload), abs=0.0)
+
+    def test_resize_plumbing(self, spark, sf_dir):
+        assets = multimodal.attach_binary_payload(spark, sf_dir).limit(20)
+        out = multimodal.resize_assets(
+            assets.select("doc_id", "payload"), target=(8, 8))
+        rows = out.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert (r.width, r.height) == (8, 8)
+            assert 0 < len(r.payload) <= 64
+        # deterministic across runs
+        again = multimodal.resize_assets(
+            assets.select("doc_id", "payload"), target=(8, 8)).collect()
+        assert sorted(r.doc_id for r in rows) == \
+            sorted(r.doc_id for r in again)
+        assert {r.doc_id: bytes(r.payload) for r in rows} == \
+            {r.doc_id: bytes(r.payload) for r in again}
+
+    def test_frame_sampling_explodes_rows(self, spark, sf_dir):
+        assets = multimodal.attach_binary_payload(spark, sf_dir).limit(10)
+        frames = multimodal.sample_frames(
+            assets.select("doc_id", "payload"), every_nth=2, frame_size=50)
+        rows = frames.collect()
+        assert len(rows) > 10  # exploded: more frames than docs
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        src = {r.doc_id: len(bytes(r.payload))
+               for r in assets.select("doc_id", "payload").collect()}
+        for doc_id, idxs in by_doc.items():
+            n_frames = -(-src[doc_id] // 50)  # ceil
+            assert sorted(idxs) == [i for i in range(n_frames) if i % 2 == 0]
 
     def test_custom_decoder_plugs_in(self, spark, sf_dir):
         assets = multimodal.attach_binary_payload(spark, sf_dir).limit(10)
