@@ -382,6 +382,87 @@ HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
 ORDER BY c_nationkey
 """
 
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    parts outside an excluded brand, suppliers outside a blocked set
+    (NOT IN → left-anti join on a filtered dim)."""
+    p = ld(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#11")
+    l = ld(spark, sf_dir, "lineitem")
+    blocked = ld(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(blocked),
+                  l.l_suppkey == blocked.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+            .limit(50))
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def q20_part_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than half their
+    nation's average line quantity of PROMO parts — nested IN chains
+    decorrelated into semi joins + a broadcast aggregate."""
+    p = ld(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    l = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    promo_qty = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+                 .groupBy("l_suppkey")
+                 .agg(_dsum(F.col("l_quantity")).alias("promo_qty")))
+    joined = (s.join(promo_qty, s.s_suppkey == promo_qty.l_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    # "above half the nation average" as a cross-multiplication — exact
+    # decimal/integer arithmetic only (a double-summed average is
+    # order-dependent and could flip boundary rows between engines)
+    nat = (joined.groupBy(F.col("n_nationkey").alias("ank"))
+           .agg(F.sum("promo_qty").alias("nation_total"),
+                F.count(F.lit(1)).alias("nation_cnt")))
+    return (joined.join(F.broadcast(nat), joined.n_nationkey == nat.ank)
+            .filter(F.col("promo_qty") * 2 * F.col("nation_cnt")
+                    > F.col("nation_total"))
+            .select("s_suppkey", "s_name", "n_name", "promo_qty")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_Q20 = """
+WITH promo AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS promo_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_suppkey
+), joined AS (
+  SELECT s_suppkey, s_name, n_nationkey, n_name, promo_qty
+  FROM supplier
+  JOIN promo ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), nat AS (
+  SELECT n_nationkey AS ank,
+         SUM(promo_qty) AS nation_total,
+         COUNT(*) AS nation_cnt
+  FROM joined GROUP BY n_nationkey
+)
+SELECT s_suppkey, s_name, n_name, promo_qty
+FROM joined JOIN nat ON n_nationkey = ank
+WHERE promo_qty * 2 * nation_cnt > nation_total
+ORDER BY s_suppkey
+"""
+
+
 def window_range_frame(spark, sf_dir):
     """RANGE frame (value-based, not row-based): for each order, how many
     of the customer's orders fall within ±1000 of its total price, and
@@ -422,6 +503,8 @@ QUERIES = {
     "corr_above_nation_avg": corr_above_nation_avg,
     "having_global_share": having_global_share,
     "window_range_frame": window_range_frame,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
 }
 
 ORACLES = {
@@ -438,4 +521,6 @@ ORACLES = {
     "corr_above_nation_avg": ORACLE_CORR_AVG,
     "having_global_share": ORACLE_HAVING_SHARE,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
+    "q16_supplier_variety": ORACLE_Q16,
+    "q20_part_share_suppliers": ORACLE_Q20,
 }

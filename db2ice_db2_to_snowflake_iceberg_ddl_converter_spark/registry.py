@@ -54,6 +54,13 @@ def _catalog_queries():
         return assess_catalog(schema_catalog_df(spark, tables)) \
             .orderBy("table_name")
 
+    def ddl_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import schema_catalog_df, type_distribution
+
+        tables = Assessor().parser.parse(ddl)
+        return type_distribution(schema_catalog_df(spark, tables)) \
+            .orderBy("base_type")
+
     def migrate_customer_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The migration job's read→cast slice on real rows: parse the DB2
         DDL, build the Catalyst cast plan, apply it to the customer parquet.
@@ -72,6 +79,7 @@ def _catalog_queries():
 
     return {"ddl_schema_catalog": ddl_schema_catalog,
             "ddl_assess_catalog": ddl_assess_catalog,
+            "ddl_type_distribution": ddl_type_distribution,
             "migrate_customer_cast": migrate_customer_cast}
 
 
