@@ -463,6 +463,231 @@ ORDER BY s_suppkey
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each part in a size/type slice, the
+    region-local supplier(s) offering the minimum cost (correlated scalar
+    MIN subquery → per-part aggregate re-joined on equality). The fixture
+    has no partsupp, so cost(part, supplier) = MIN(l_extendedprice) seen
+    in lineitem — exact decimal, so the equality join is safe."""
+    eu = (ld(spark, sf_dir, "supplier")
+          .join(F.broadcast(ld(spark, sf_dir, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(ld(spark, sf_dir, "region")
+                            .filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = ld(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")) \
+        .select("p_partkey", "p_name")
+    l = ld(spark, sf_dir, "lineitem")
+    cost = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(eu.select("s_suppkey")),
+                  l.l_suppkey == F.col("s_suppkey"), "left_semi")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice").cast(DEC)).alias("supplycost")))
+    mc = (cost.groupBy(F.col("l_partkey").alias("mpk"))
+          .agg(F.min("supplycost").alias("min_cost")))
+    return (cost.join(F.broadcast(mc),
+                      (cost.l_partkey == mc.mpk)
+                      & (cost.supplycost == mc.min_cost))
+            .join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+            .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    "supplycost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"))
+
+
+ORACLE_Q2 = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pslice AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size < 10 AND p_type = 'STANDARD'
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(28,6))) AS supplycost
+  FROM lineitem
+  JOIN pslice ON l_partkey = p_partkey
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+  GROUP BY l_partkey, l_suppkey
+), mc AS (
+  SELECT l_partkey AS mpk, MIN(supplycost) AS min_cost
+  FROM cost GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM cost
+JOIN mc ON l_partkey = mpk AND supplycost = min_cost
+JOIN eu ON l_suppkey = s_suppkey
+JOIN pslice ON l_partkey = p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue sold to
+    ASIA customers, by order year. Numerator and denominator are exact
+    decimal sums; the final share is one double division of
+    bitwise-identical operands, so it is engine-portable."""
+    asia_cust = (ld(spark, sf_dir, "customer")
+                 .join(F.broadcast(ld(spark, sf_dir, "nation")),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(ld(spark, sf_dir, "region")
+                                   .filter(F.col("r_name") == "ASIA")),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                 .select("c_custkey"))
+    supp_nat = (ld(spark, sf_dir, "supplier")
+                .join(F.broadcast(ld(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"))),
+                      F.col("s_nationkey") == F.col("snk"))
+                .select("s_suppkey", "supp_nation"))
+    p = ld(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY") \
+        .select("p_partkey")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"),
+                  "left_semi")
+            .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                       .otherwise(F.lit(0).cast(DEC))).alias("nation_volume"),
+                 F.sum(vol).alias("total_volume"))
+            .withColumn("mkt_share",
+                        F.col("nation_volume").cast("double")
+                        / F.col("total_volume").cast("double"))
+            .select("o_year", "nation_volume", "total_volume", "mkt_share")
+            .orderBy("o_year"))
+
+
+ORACLE_Q8 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS nation_volume,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS total_volume,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part shipped value from one nation's
+    suppliers, kept only when above a fraction of the nation's total — a
+    scalar global aggregate broadcast back over the per-part aggregate
+    (HAVING against a subquery total). Threshold compare is done in
+    doubles derived from identical exact decimals on both engines."""
+    supp = (ld(spark, sf_dir, "supplier")
+            .join(F.broadcast(ld(spark, sf_dir, "nation")
+                              .filter(F.col("n_name") == "NATION_1")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    l = ld(spark, sf_dir, "lineitem")
+    val = (l.join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"),
+                  "left_semi")
+           .groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(_dsum(F.col("l_extendedprice")).alias("value")))
+    total = val.agg(F.sum("value").alias("grand_total"))
+    return (val.join(F.broadcast(total))
+            .filter(F.col("value").cast("double") * 600
+                    > F.col("grand_total").cast("double"))
+            .select("partkey", "value")
+            .orderBy(F.desc("value"), "partkey"))
+
+
+ORACLE_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1')
+  GROUP BY l_partkey
+)
+SELECT partkey, value
+FROM val
+WHERE CAST(value AS DOUBLE) * 600 > (SELECT CAST(SUM(value) AS DOUBLE) FROM val)
+ORDER BY value DESC, partkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers whose line was the *only* late one in a
+    finalized multi-supplier order. EXISTS → left-semi on other-supplier
+    lines; NOT EXISTS → left-anti on other-supplier *late* lines. "Late"
+    is adapted to the slimmed schema (no commit/receipt dates):
+    l_shipdate > o_orderdate + 90 days."""
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    l = ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    others = l.select(F.col("l_orderkey").alias("ok2"),
+                      F.col("l_suppkey").alias("sk2"))
+    late_others = late.select(F.col("l_orderkey").alias("ok3"),
+                              F.col("l_suppkey").alias("sk3"))
+    lone_late = (late
+                 .join(others, (late.l_orderkey == others.ok2)
+                       & (late.l_suppkey != others.sk2), "left_semi")
+                 .join(late_others, (late.l_orderkey == late_others.ok3)
+                       & (late.l_suppkey != late_others.sk3), "left_anti"))
+    s = ld(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (lone_late.join(F.broadcast(s),
+                           lone_late.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name"))
+
+
+ORACLE_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 def window_range_frame(spark, sf_dir):
     """RANGE frame (value-based, not row-based): for each order, how many
     of the customer's orders fall within ±1000 of its total price, and
@@ -505,6 +730,10 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "q16_supplier_variety": q16_supplier_variety,
     "q20_part_share_suppliers": q20_part_share_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -523,4 +752,8 @@ ORACLES = {
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "q16_supplier_variety": ORACLE_Q16,
     "q20_part_share_suppliers": ORACLE_Q20,
+    "q2_min_cost_supplier": ORACLE_Q2,
+    "q8_market_share": ORACLE_Q8,
+    "q11_important_stock": ORACLE_Q11,
+    "q21_waiting_suppliers": ORACLE_Q21,
 }

@@ -83,6 +83,25 @@ class TestJoinStrategies:
         assert "LeftAnti" in executed_plan(
             rext.q22_dormant_customers(spark, sf_dir))
 
+    def test_third_wave_shapes(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        # Q21: lone-late = one semi + one anti, never a count subquery
+        plan = executed_plan(rext.q21_waiting_suppliers(spark, sf_dir))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        # Q16's NOT IN blocked set is an anti join
+        assert "LeftAnti" in executed_plan(
+            rext.q16_supplier_variety(spark, sf_dir))
+        for q, n_bcast in ((rext.q2_min_cost_supplier, 3),
+                           (rext.q8_market_share, 3),
+                           (rext.q11_important_stock, 2),
+                           (rext.q20_part_share_suppliers, 3)):
+            prof = plan_profile(q(spark, sf_dir))
+            assert prof["broadcast_hash_joins"] >= n_bcast, q.__name__
+            assert prof["cartesian_products"] == 0, q.__name__
+
 
 class TestAggregationShape:
     def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
