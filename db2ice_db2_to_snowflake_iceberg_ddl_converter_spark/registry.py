@@ -108,8 +108,22 @@ def _streaming_queries():
         return _drain(spark, ev.session_windows(
             ev.read_events_stream(spark, sf_dir)), "s_sessions")
 
+    def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        name = f"s_dedup_{uuid.uuid4().hex[:8]}"
+        src = ev.read_events_stream(spark, sf_dir)
+        doubled = src.union(ev.read_events_stream(spark, sf_dir))
+        q = (ev.dedup_stream(doubled).writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
+
     return {"streaming_hourly_rollup": streaming_hourly_rollup,
-            "streaming_session_windows": streaming_session_windows}
+            "streaming_session_windows": streaming_session_windows,
+            "streaming_dedup": streaming_dedup}
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -178,6 +192,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_force_topk": similarity.ann_brute_force_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "text_quality_score": textstats.text_quality_score,
@@ -257,9 +272,9 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": textstats.ORACLE_TEXT_FINGERPRINT,
         "multimodal_metadata": multimodal.ORACLE_MULTIMODAL_META,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
         # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
-        # streaming_hourly_rollup, streaming_session_windows,
+        # streaming_hourly_rollup, streaming_session_windows, streaming_dedup,
         # approx_distinct_counts, approx_quantiles (sketches — approximate
         # by design; error bounds pinned in tests/test_operators.py),
         # dedup_embedding_blocked (BLAS-reassociated scores; pair-set

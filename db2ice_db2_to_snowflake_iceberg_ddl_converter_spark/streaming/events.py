@@ -142,6 +142,58 @@ def purchase_click_interval_join(events: DataFrame,
                     F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
 
 
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): two records with the same key are
+    collapsed if they arrive within the watermark delay of each other, and
+    the key's state is evicted once the watermark passes it.
+
+    This is the streaming half of the dedup suite (operators/dedup.py is
+    the batch half): in a 100 TB ingest topology the at-least-once
+    upstream (Kafka replays, file-tailer restarts) makes duplicate
+    event_ids routine, and an unbounded ``dropDuplicates`` would hold
+    every key ever seen — the watermark is what makes it runnable forever.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def user_running_stats(events: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that survive across micro-batches in the state store.
+
+    This is the escape hatch for operators the built-in windowed aggs can't
+    express (per-key model state, custom eviction, cross-batch counters).
+    State is one tiny tuple per user — Arrow-batched in and out, no
+    row-at-a-time Python. Output mode "update": each micro-batch emits the
+    refreshed totals only for users it touched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_user,
+                outputStructType="user_id long, n_events long, "
+                                 "total_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(result: DataFrame, query_name: str,
                       checkpoint_dir: str, mode: str = "complete"):
     """Drain everything currently in the source and stop — the backfill/

@@ -122,6 +122,36 @@ class TestEmbeddingCosine:
             if p in brute_pairs:
                 assert cos == brute_pairs[p]
 
+    def test_ann_ivf_recall_and_exact_scores(self, spark, sf_dir):
+        """IVF probe-and-rerank: high recall on the fixture (measured
+        0.90 at nprobe=4; pinned with margin) and bitwise-equal scores on
+        every pair it shares with the exact baseline."""
+        brute = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in similarity.ann_brute_force_topk(spark, sf_dir)
+                 .collect()}
+        ivf = {(r.query_id, r.neighbor_id): r.cosine
+               for r in similarity.ann_ivf_topk(spark, sf_dir).collect()}
+        hits = sum(1 for p in ivf if p in brute)
+        assert hits / len(brute) >= 0.7
+        for p, cos in ivf.items():
+            if p in brute:
+                assert cos == brute[p]
+
+    def test_ivf_centroids_deterministic_and_unit_norm(self, spark, sf_dir):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+
+        e = ld(spark, sf_dir, "embeddings")
+        c1 = similarity.ivf_centroids(e, n_cells=8)
+        c2 = similarity.ivf_centroids(e, n_cells=8)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        # every cell non-degenerate: assignment uses all centroids' rows
+        tagged = similarity.ivf_assign(e, c1)
+        n_used = tagged.select("cell").distinct().count()
+        assert n_used >= 4  # codebook not collapsed on the fixture
+
     def test_blocked_all_pairs_matches_two_phase(self, spark, sf_dir):
         """The no-driver-collect blocked path must find exactly the pair
         set of the broadcast two-phase path (scores equal to BLAS noise)."""

@@ -99,6 +99,43 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events,
     assert exp, "fixture must produce at least one purchase-click match"
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, batch_events,
+                                                tmp_path):
+    """dropDuplicatesWithinWatermark over a stream that unions the source
+    with itself (simulated at-least-once replay: every event arrives twice
+    in the same micro-batch) must collapse back to the batch distinct-key
+    count."""
+    src = ev.read_events_stream(spark, sf_dir)
+    doubled = src.union(ev.read_events_stream(spark, sf_dir))
+    stream = ev.dedup_stream(doubled)
+    rows = _drain(spark, stream, "t_dedup", tmp_path, mode="append")
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "no duplicate event_id may survive"
+    assert len(ids) == batch_events.select("event_id").distinct().count()
+
+
+def test_stateful_user_stats_match_batch(spark, sf_dir, batch_events,
+                                         tmp_path):
+    """applyInPandasWithState totals after draining all micro-batches must
+    equal the batch per-user aggregate (counts exact, sums to float
+    tolerance since accumulation order differs)."""
+    stream = ev.user_running_stats(
+        ev.read_events_stream(spark, sf_dir, max_files_per_trigger=1))
+    rows = _drain(spark, stream, "t_userstats", tmp_path, mode="update")
+    # update mode: keep the latest emission per user
+    got = {}
+    for r in rows:
+        got[r.user_id] = (r.n_events, r.total_value)
+    exp = {r.user_id: (r.n, r.total)
+           for r in (batch_events.groupBy("user_id")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("value").alias("total"))).collect()}
+    assert set(got) == set(exp)
+    for uid, (n, total) in exp.items():
+        assert got[uid][0] == n, f"event count for user {uid}"
+        assert got[uid][1] == pytest.approx(total, rel=1e-9)
+
+
 def test_incremental_trigger_same_totals(spark, sf_dir, tmp_path):
     """maxFilesPerTrigger path: incremental batches, same final answer."""
     stream = ev.hourly_rollup(
