@@ -23,9 +23,18 @@ LANG_MARKERS = {
 
 _PUNCT_CHARS = ".,;:!?"
 
+# GPT-2-style pre-tokenizer (contractions, letter runs, digit runs, other
+# symbols, whitespace runs — each with an optional leading space). Restricted
+# to constructs Java regex and DuckDB's RE2 interpret identically, so the
+# count is oracle-checkable.
+BPE_PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+)
+
 
 def text_token_stats(spark, sf_dir):
-    """Whitespace token counts + BPE-ish subword estimate + char stats."""
+    """Whitespace token counts + BPE-ish token counts + char stats."""
     d = ld(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words)
@@ -39,18 +48,21 @@ def text_token_stats(spark, sf_dir):
         n_chars.alias("n_chars"),
         F.size(F.array_distinct(words)).alias("n_unique_tokens"),
         bpe_estimate.alias("bpe_token_estimate"),
+        F.regexp_count("text", F.lit(BPE_PRETOKEN_RE)).alias("n_bpe_tokens"),
         ((n_chars - n_tokens + 1).cast("double") / n_tokens)
         .alias("avg_word_len"),
     )
 
 
-ORACLE_TEXT_TOKENS = """
+ORACLE_TEXT_TOKENS = f"""
 SELECT doc_id, lang,
        len(string_split(text, ' ')) AS n_tokens,
        LENGTH(text) AS n_chars,
        len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
        GREATEST(len(string_split(text, ' ')),
                 CAST(CEIL(LENGTH(text)::DOUBLE / 4) AS INTEGER)) AS bpe_token_estimate,
+       len(regexp_extract_all(text,
+           '{BPE_PRETOKEN_RE}')) AS n_bpe_tokens,
        (LENGTH(text) - len(string_split(text, ' ')) + 1)::DOUBLE
          / len(string_split(text, ' ')) AS avg_word_len
 FROM documents
