@@ -28,15 +28,29 @@ def approx_distinct_counts(spark, sf_dir, rsd: float = 0.02):
             .orderBy("o_orderpriority"))
 
 
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
 def approx_quantiles(spark, sf_dir, accuracy: int = 10_000):
     """percentile_approx (GK summary) for the order-value distribution —
-    the shuffle-free quantile path; accuracy=10k keeps rank error ≤1e-4·n."""
+    the shuffle-free quantile path; accuracy=10k keeps rank error ≤1e-4·n.
+
+    Emitted one row per quantile (posexplode of the sketch's array): the
+    driver's pandas canonicalizer can't hash array cells (round-1 err row),
+    and scalar rows are the friendlier shape for downstream joins anyway.
+    """
     o = ld(spark, sf_dir, "orders")
-    return (o.agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95, 0.99],
+    agg = o.agg(
+        F.percentile_approx("o_totalprice", list(QUANTILE_PROBS),
                             accuracy).alias("price_quantiles"),
         F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price")))
+        F.max("o_totalprice").alias("max_price"))
+    probs = F.array(*[F.lit(q) for q in QUANTILE_PROBS])
+    return (agg.select("min_price", "max_price",
+                       F.posexplode("price_quantiles").alias("pos", "value"))
+            .select(F.element_at(probs, F.col("pos") + 1).alias("quantile"),
+                    F.col("value").alias("approx_value"),
+                    "min_price", "max_price"))
 
 
 def exact_quantiles(spark, sf_dir):

@@ -13,9 +13,16 @@ Determinism protocol for oracle parity (floats are the hazard):
 - any SUM over doubles goes through ``CAST(expr AS DECIMAL(28,6))`` per row
   *after* plain double arithmetic: per-row IEEE math is bitwise identical in
   both engines, nearest-rounding at scale 6 recovers the true ≤6-decimal
-  money value, decimal summation is exact and order-independent, and sums
-  are emitted AS DECIMAL(38,6) — never downscaled (DuckDB truncates where
-  Spark rounds) and never pushed through DuckDB's lossy int128→double;
+  money value, and decimal summation is exact and order-independent.
+  *Emitted* sum columns are then cast DECIMAL→DOUBLE once (`_dsumd`): the
+  exact decimal is identical in both engines, so its single rounding to
+  double is too — and a double survives the driver's pandas value-hash
+  canonicalization, where a raw Spark Decimal (object) vs DuckDB decimal
+  (float64) prints differently and hash-mismatches (round-1 lesson: q18
+  passed with this cast, q1/q3/q5/q6/q10 failed without it). Comparisons
+  and joins on sums stay in decimal internally; only the final select
+  changes type. DuckDB SUM(int) returns HUGEINT, which its pandas path
+  also mangles — integer sums are CAST(... AS BIGINT) in oracles;
 - averages are expressed as exact-decimal-sum ÷ count (double division of
   identical operands);
 - sorts always carry a unique tiebreaker so LIMIT is stable;
@@ -48,6 +55,14 @@ def _dsum(expr) -> F.Column:
     and no int128→double conversion (lossy in DuckDB past 2^53).
     """
     return F.sum(expr.cast(DEC))
+
+
+def _dsumd(expr) -> F.Column:
+    """`_dsum` emitted as a portable double: the exact decimal sum is
+    identical in both engines, so the single decimal→double rounding is
+    bitwise identical too. Use for every *emitted* money sum (the driver's
+    pandas canonicalization hash-mismatches raw Decimal columns)."""
+    return _dsum(expr).cast("double")
 
 
 def _davg(expr) -> F.Column:
@@ -86,10 +101,10 @@ def q1_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
+            _dsumd(F.col("l_quantity")).alias("sum_qty"),
+            _dsumd(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsumd(disc_price).alias("sum_disc_price"),
+            _dsumd(charge).alias("sum_charge"),
             _davg(F.col("l_quantity")).alias("avg_qty"),
             _davg(F.col("l_extendedprice")).alias("avg_price"),
             _davg(F.col("l_discount")).alias("avg_disc"),
@@ -101,10 +116,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -126,7 +141,7 @@ def q3_shipping_priority(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(_dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .select("l_orderkey", _fmt_ts("o_orderdate").alias("o_orderdate"),
                 "o_orderpriority", "revenue")
@@ -138,7 +153,8 @@ def q3_shipping_priority(spark, sf_dir):
 ORACLE_Q3 = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o_orderpriority,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -168,7 +184,7 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(_dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -176,7 +192,8 @@ def q5_nation_revenue(spark, sf_dir):
 
 ORACLE_Q5 = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -198,14 +215,15 @@ def q6_forecast_revenue(spark, sf_dir):
                  & (F.col("l_shipdate") < "1997-01-01")
                  & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
                  & (F.col("l_quantity") < 24))
-        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+        .agg(_dsumd(F.col("l_extendedprice") * F.col("l_discount"))
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 ORACLE_Q6 = """
-SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -225,7 +243,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(_dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -234,7 +252,8 @@ def q10_returned_items(spark, sf_dir):
 
 ORACLE_Q10 = """
 SELECT c_custkey, c_name, n_name, c_mktsegment,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -326,12 +345,12 @@ def join_inner_broadcast(spark, sf_dir):
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 _dsum(F.col("o_totalprice")).alias("total_price")))
+                 _dsumd(F.col("o_totalprice")).alias("total_price")))
 
 
 ORACLE_JOIN_INNER = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS total_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -464,12 +483,12 @@ def agg_rollup(spark, sf_dir):
     l = ld(spark, sf_dir, "lineitem")
     return (l.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 _dsum(F.col("l_extendedprice")).alias("total_price")))
+                 _dsumd(F.col("l_extendedprice")).alias("total_price")))
 
 
 ORACLE_AGG_ROLLUP = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS total_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -872,7 +891,7 @@ def events_tumbling_hourly(spark, sf_dir):
     e = load_events(spark, sf_dir)
     return (e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 _dsum(F.col("value")).alias("total_value"))
+                 _dsumd(F.col("value")).alias("total_value"))
             .select(_fmt_ts("hour_start").alias("hour_start"), "event_type",
                     "n_events", "total_value"))
 
@@ -880,7 +899,7 @@ def events_tumbling_hourly(spark, sf_dir):
 ORACLE_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(28,6))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -916,6 +935,7 @@ WITH flagged AS (
          AS session_seq
   FROM flagged
 )
-SELECT user_id, MAX(session_seq) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM numbered GROUP BY user_id
 """

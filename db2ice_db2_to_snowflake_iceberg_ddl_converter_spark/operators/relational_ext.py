@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import DEC, _davg, _dsum, ld
+from .relational import DEC, _davg, _dsum, _dsumd, ld
 
 
 def q4_order_priority(spark, sf_dir):
@@ -69,14 +69,14 @@ def q7_volume_shipping(spark, sf_dir):
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(_dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
 ORACLE_Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       SUM(CAST(volume AS DECIMAL(28,6))) AS revenue
+       CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS l_year,
@@ -114,14 +114,15 @@ def q9_product_profit(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount.cast(DEC)).alias("sum_profit"))
+        .agg(F.sum(amount.cast(DEC)).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year")))
 
 
 ORACLE_Q9 = """
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-       SUM(CAST(l_extendedprice * (1 - l_discount)
-                - p_retailprice * l_quantity * 0.6 AS DECIMAL(28,6))) AS sum_profit
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                - p_retailprice * l_quantity * 0.6 AS DECIMAL(28,6)))
+            AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
@@ -149,10 +150,10 @@ def q12_priority_by_status(spark, sf_dir):
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
 GROUP BY l_linestatus ORDER BY l_linestatus
@@ -220,7 +221,9 @@ def q15_top_supplier(spark, sf_dir):
     return (rev.join(F.broadcast(mx),
                      rev.total_revenue == mx.max_revenue)
             .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-            .select("s_suppkey", "s_name", "total_revenue")
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
 
@@ -232,7 +235,7 @@ WITH rev AS (
   FROM lineitem
   WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 ORDER BY s_suppkey
@@ -283,12 +286,13 @@ def q19_disjunctive_predicates(spark, sf_dir):
            & (F.col("l_quantity").between(20, 50))))
     return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
             .filter(cond)
-            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(_dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue")))
 
 
 ORACLE_Q19 = """
-SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -314,13 +318,13 @@ def q22_dormant_customers(spark, sf_dir):
             .join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
-                 _dsum(F.col("c_acctbal")).alias("totacctbal"))
+                 _dsumd(F.col("c_acctbal")).alias("totacctbal"))
             .orderBy("c_nationkey"))
 
 
 ORACLE_Q22 = """
 SELECT c_nationkey, COUNT(*) AS numcust,
-       SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS totacctbal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
                           / COUNT(*)
@@ -367,13 +371,14 @@ def having_global_share(spark, sf_dir):
     return (per_nation.join(F.broadcast(total))
             .filter(F.col("nation_total").cast("double")
                     >= 0.05 * F.col("grand_total").cast("double"))
-            .select("c_nationkey", "nation_total")
+            .select("c_nationkey",
+                    F.col("nation_total").cast("double").alias("nation_total"))
             .orderBy("c_nationkey"))
 
 
 ORACLE_HAVING_SHARE = """
 SELECT c_nationkey,
-       SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS nation_total
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS nation_total
 FROM customer
 GROUP BY c_nationkey
 HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
@@ -434,7 +439,8 @@ def q20_part_share_suppliers(spark, sf_dir):
     return (joined.join(F.broadcast(nat), joined.n_nationkey == nat.ank)
             .filter(F.col("promo_qty") * 2 * F.col("nation_cnt")
                     > F.col("nation_total"))
-            .select("s_suppkey", "s_name", "n_name", "promo_qty")
+            .select("s_suppkey", "s_name", "n_name",
+                    F.col("promo_qty").cast("double").alias("promo_qty"))
             .orderBy("s_suppkey"))
 
 
@@ -456,7 +462,7 @@ WITH promo AS (
          COUNT(*) AS nation_cnt
   FROM joined GROUP BY n_nationkey
 )
-SELECT s_suppkey, s_name, n_name, promo_qty
+SELECT s_suppkey, s_name, n_name, CAST(promo_qty AS DOUBLE) AS promo_qty
 FROM joined JOIN nat ON n_nationkey = ank
 WHERE promo_qty * 2 * nation_cnt > nation_total
 ORDER BY s_suppkey
@@ -493,7 +499,7 @@ def q2_min_cost_supplier(spark, sf_dir):
             .join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
             .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-                    "supplycost")
+                    F.col("supplycost").cast("double").alias("supplycost"))
             .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"))
 
 
@@ -518,7 +524,8 @@ WITH eu AS (
   SELECT l_partkey AS mpk, MIN(supplycost) AS min_cost
   FROM cost GROUP BY l_partkey
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(supplycost AS DOUBLE) AS supplycost
 FROM cost
 JOIN mc ON l_partkey = mpk AND supplycost = min_cost
 JOIN eu ON l_suppkey = s_suppkey
@@ -562,17 +569,21 @@ def q8_market_share(spark, sf_dir):
             .withColumn("mkt_share",
                         F.col("nation_volume").cast("double")
                         / F.col("total_volume").cast("double"))
-            .select("o_year", "nation_volume", "total_volume", "mkt_share")
+            .select("o_year",
+                    F.col("nation_volume").cast("double")
+                    .alias("nation_volume"),
+                    F.col("total_volume").cast("double").alias("total_volume"),
+                    "mkt_share")
             .orderBy("o_year"))
 
 
 ORACLE_Q8 = """
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-       SUM(CASE WHEN n2.n_name = 'NATION_3'
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
-                ELSE CAST(0 AS DECIMAL(28,6)) END) AS nation_volume,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
-           AS total_volume,
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS total_volume,
        CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
@@ -614,7 +625,7 @@ def q11_important_stock(spark, sf_dir):
     return (val.join(F.broadcast(total))
             .filter(F.col("value").cast("double") * 600
                     > F.col("grand_total").cast("double"))
-            .select("partkey", "value")
+            .select("partkey", F.col("value").cast("double").alias("value"))
             .orderBy(F.desc("value"), "partkey"))
 
 
@@ -629,10 +640,10 @@ WITH val AS (
     WHERE n_name = 'NATION_1')
   GROUP BY l_partkey
 )
-SELECT partkey, value
+SELECT partkey, CAST(value AS DOUBLE) AS value
 FROM val
 WHERE CAST(value AS DOUBLE) * 600 > (SELECT CAST(SUM(value) AS DOUBLE) FROM val)
-ORDER BY value DESC, partkey
+ORDER BY val.value DESC, partkey
 """
 
 
@@ -699,14 +710,16 @@ def window_range_frame(spark, sf_dir):
     return (o.select(
         "o_orderkey", "o_custkey",
         F.count(F.lit(1)).over(w).alias("near_price_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("near_price_sum"))
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        .alias("near_price_sum"))
         .orderBy("o_orderkey"))
 
 
 ORACLE_WINDOW_RANGE_FRAME = """
 SELECT o_orderkey, o_custkey,
        COUNT(*) OVER w AS near_price_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS near_price_sum
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         AS near_price_sum
 FROM orders WHERE o_custkey < 200
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)

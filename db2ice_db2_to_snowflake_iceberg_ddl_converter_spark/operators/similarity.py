@@ -193,7 +193,8 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
 def all_pairs_cosine_blocked(df: DataFrame, threshold: float,
                              num_blocks: int = 4,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             emit_scores: bool = True) -> DataFrame:
     """All-pairs cosine ≥ threshold WITHOUT collecting vectors to the
     driver — the path for vector tables too big to broadcast (>10⁶ rows).
 
@@ -205,6 +206,15 @@ def all_pairs_cosine_blocked(df: DataFrame, threshold: float,
     Upper-triangle pairs only (id1 < id2); scores are BLAS-reassociated,
     so use the exact sequential-fold verify on survivors when bitwise
     parity matters (as dedup_embedding_cosine does with its epsilon).
+
+    ``emit_scores=False`` returns only (id1, id2). This is NOT just a
+    slimmer schema: Spark 4.1's column pruning, when a downstream
+    projection drops some of this cogroup's output columns, also prunes
+    *input* data columns off the right-side child — the Python UDF's
+    column use is invisible to Catalyst — and the UDF then crashes with
+    KeyError (observed under ``.select("id1","id2")``). Callers that
+    consume only the pair ids MUST use emit_scores=False so every output
+    column stays referenced and the inputs survive optimization.
     """
     import numpy as np
     import pandas as pd
@@ -225,9 +235,16 @@ def all_pairs_cosine_blocked(df: DataFrame, threshold: float,
                          F.col("blk").alias("bb"))
              .filter(F.col("ba") <= F.col("bb")))
 
+    out_cols = ["id1", "id2", "cosine"] if emit_scores else ["id1", "id2"]
+
     def block_pair(key, lpdf, rpdf):
         if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+            return pd.DataFrame({c: [] for c in out_cols})
+        missing = [c for c in ("id", "vec") if c not in lpdf or c not in rpdf]
+        if missing:  # see docstring: Catalyst pruned the UDF's inputs
+            raise RuntimeError(
+                f"cogroup input columns pruned: {missing} — keep all output "
+                "columns referenced downstream or call with emit_scores=False")
         ba, bb = key
         lids = lpdf["id"].to_numpy()
         rids = rpdf["id"].to_numpy()
@@ -248,12 +265,15 @@ def all_pairs_cosine_blocked(df: DataFrame, threshold: float,
             li, ri = np.nonzero(sims >= threshold)
             a, b = lids[li], rids[ri]
             id1, id2 = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id1": id1, "id2": id2,
-                             "cosine": sims[li, ri]})
+        data = {"id1": id1, "id2": id2}
+        if emit_scores:
+            data["cosine"] = sims[li, ri]
+        return pd.DataFrame(data)
 
+    schema = ("id1 long, id2 long, cosine double" if emit_scores
+              else "id1 long, id2 long")
     return (left.groupBy("ba", "bb").cogroup(right.groupBy("ba", "bb"))
-            .applyInPandas(block_pair,
-                           schema="id1 long, id2 long, cosine double"))
+            .applyInPandas(block_pair, schema=schema))
 
 
 def ivf_centroids(df: DataFrame, n_cells: int = 16, sample_n: int = 2048,

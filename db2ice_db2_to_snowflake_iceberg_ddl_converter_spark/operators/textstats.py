@@ -54,6 +54,11 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# The regex contains single quotes ('s|'t|…) — escape them ''-style before
+# splicing into the single-quoted SQL literal, or DuckDB's parser dies at 's
+# (round-1 regression: the unescaped f-string broke the oracle).
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
 ORACLE_TEXT_TOKENS = f"""
 SELECT doc_id, lang,
        len(string_split(text, ' ')) AS n_tokens,
@@ -62,7 +67,7 @@ SELECT doc_id, lang,
        GREATEST(len(string_split(text, ' ')),
                 CAST(CEIL(LENGTH(text)::DOUBLE / 4) AS INTEGER)) AS bpe_token_estimate,
        len(regexp_extract_all(text,
-           '{BPE_PRETOKEN_RE}')) AS n_bpe_tokens,
+           '{_BPE_RE_SQL}')) AS n_bpe_tokens,
        (LENGTH(text) - len(string_split(text, ' ')) + 1)::DOUBLE
          / len(string_split(text, ' ')) AS avg_word_len
 FROM documents

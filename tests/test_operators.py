@@ -194,18 +194,23 @@ class TestApproxAggs:
     def test_quantile_sketch_within_rank_error(self, spark, sf_dir):
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import approx
 
-        got = approx.approx_quantiles(spark, sf_dir).first()
-        exact = approx.exact_quantiles(spark, sf_dir).first()
-        lo, hi = got.min_price, got.max_price
-        assert lo <= min(got.price_quantiles)
-        assert max(got.price_quantiles) <= hi
-        for a, e in zip(got.price_quantiles, exact.price_quantiles):
+        rows = (approx.approx_quantiles(spark, sf_dir)
+                .orderBy("quantile").collect())
+        assert [r.quantile for r in rows] == list(approx.QUANTILE_PROBS)
+        exact = approx.exact_quantiles(spark, sf_dir).first().price_quantiles
+        lo, hi = rows[0].min_price, rows[0].max_price
+        approxs = [r.approx_value for r in rows]
+        assert lo <= min(approxs)
+        assert max(approxs) <= hi
+        for a, e in zip(approxs, exact):
             assert abs(a - e) <= 0.05 * (hi - lo) + 1e-9
 
     def test_quantiles_are_monotone(self, spark, sf_dir):
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import approx
 
-        qs = approx.approx_quantiles(spark, sf_dir).first().price_quantiles
+        rows = (approx.approx_quantiles(spark, sf_dir)
+                .orderBy("quantile").collect())
+        qs = [r.approx_value for r in rows]
         assert qs == sorted(qs)
 
 

@@ -64,10 +64,38 @@ def spark_result(df):
     return cols, rows
 
 
+def driver_hazards(df, has_oracle: bool) -> list[str]:
+    """Columns the driver's pandas canonicalization cannot digest.
+
+    Array/map/struct cells crash its sort-based canon (round 1:
+    approx_quantiles err row even though it was rows-only); Decimal columns
+    survive but hash differently than DuckDB's float64 representation
+    (round 1: 9 hash_match failures). Emit doubles/bigints/strings instead
+    — see the determinism protocol in operators/relational.py.
+    """
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    problems = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            problems.append(f"{f.name}: {f.dataType.simpleString()} "
+                            "(crashes driver canon)")
+        elif has_oracle and isinstance(f.dataType, DecimalType):
+            problems.append(f"{f.name}: {f.dataType.simpleString()} "
+                            "(hash-mismatches vs DuckDB float64)")
+    return problems
+
+
 def duckdb_result(con, sql):
     res = con.sql(sql)
     cols = [c.lower() for c in res.columns]
-    return cols, res.fetchall()
+    # HUGEINT (SUM over ints) and DECIMAL stringify like Spark's long/Decimal
+    # here, so this tool would pass — but the driver's pandas canon converts
+    # them to float64/object and hash-mismatches. Surface them as hazards.
+    hazards = [f"{c}: {t} (driver canon mismatch — CAST AS BIGINT/DOUBLE)"
+               for c, t in zip(res.columns, res.types)
+               if str(t).upper().startswith(("HUGEINT", "DECIMAL"))]
+    return cols, res.fetchall(), hazards
 
 
 def main() -> int:
@@ -90,10 +118,16 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            scols, srows = spark_result(qs[name](spark, sf_dir))
+            df = qs[name](spark, sf_dir)
+            hazards = driver_hazards(df, has_oracle=name in oracles)
+            scols, srows = spark_result(df)
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if hazards:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-hazard columns: {hazards}")
             continue
         if name not in oracles:
             status = "ROWS-ONLY"
@@ -102,10 +136,14 @@ def main() -> int:
                   f"[{status}] ({time.time()-t0:.1f}s)")
             continue
         try:
-            dcols, drows = duckdb_result(con, oracles[name])
+            dcols, drows, dhazards = duckdb_result(con, oracles[name])
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        if dhazards:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle driver-hazard columns: {dhazards}")
             continue
         problems = []
         if len(srows) != len(drows):
