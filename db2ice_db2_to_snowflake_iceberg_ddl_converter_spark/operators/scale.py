@@ -61,8 +61,19 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     stage. The salt is deterministic (hash of ``id_cols``), so retries and
     re-runs land rows in the same bucket.
 
-    Result is row-identical to ``left.join(right, key, how)``.
+    Result is row-identical to ``left.join(right, key, how)`` for
+    ``inner``/``left``/``left_semi`` joins only — the salted-left,
+    replicated-right construction emits each unmatched RIGHT row once per
+    salt, so right/full-outer (and right_semi/anti) semantics are NOT
+    preserved; those raise rather than silently duplicate.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join preserves semantics only for {sorted(allowed)}; "
+            f"got how={how!r} (unmatched right rows would appear "
+            f"{num_salts} times)")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
                   F.lit(num_salts)).cast("int")
     salted_left = left.withColumn("__salt", salt)

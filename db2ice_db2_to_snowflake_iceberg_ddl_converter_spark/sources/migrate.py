@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import cast_plan
 from ..model import TableDef
-from .registry import read_table, write_table
+from .registry import read_table, write_table_v2
 
 
 def jdbc_reader(spark: SparkSession, url: str, dbtable: str,
@@ -57,13 +57,21 @@ def jdbc_reader(spark: SparkSession, url: str, dbtable: str,
 def migrate_table(spark: SparkSession, table: TableDef, source_path: str,
                   dest_path: str, source_format: str = "parquet",
                   dest_format: str = "parquet",
-                  cluster_partitions: int | None = None) -> DataFrame:
+                  cluster_partitions: int | None = None,
+                  catalog: str = "iceberg",
+                  table_ident: str | None = None) -> DataFrame:
     """Run one table's migration; returns the casted DataFrame (lazy).
 
     The write honors the DDL intent: RANGE/HASH partition columns become the
     write partitioning; DISTRIBUTE BY HASH becomes repartition + clustered
     files. Everything between read and write is Catalyst-native so predicate
     pushdown / column pruning / codegen survive.
+
+    When ``table_ident`` is given AND an Iceberg catalog is live on the
+    session (sources/registry.iceberg_catalog_available), the write goes
+    through ``writeTo(catalog.table).partitionedBy(...)`` — the real
+    Iceberg-table twin of the DDL text ``convert.py`` emits; otherwise the
+    partitioned-parquet fallback (this environment has no iceberg jar).
     """
     src = read_table(spark, source_path, fmt=source_format)
 
@@ -85,8 +93,9 @@ def migrate_table(spark: SparkSession, table: TableDef, source_path: str,
         casted = casted.repartition(n, table.distribute_by_hash)
         sort_cols = [table.distribute_by_hash]
 
-    write_table(casted, dest_path, fmt=dest_format,
-                partition_by=partition_cols, sort_by=sort_cols)
+    write_table_v2(spark, casted, dest_path, table_ident=table_ident,
+                   catalog=catalog, fmt=dest_format,
+                   partition_by=partition_cols, sort_by=sort_cols)
     return casted
 
 

@@ -46,3 +46,69 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def iceberg_catalog_available(spark: SparkSession,
+                              catalog: str = "iceberg") -> bool:
+    """Capability check for a live Iceberg catalog on this session.
+
+    True only when ``spark.sql.catalog.<catalog>`` is configured AND its
+    implementation class actually loads on the JVM classpath — a config
+    key alone proves nothing (this environment has no iceberg-spark
+    runtime jar, so here this is always False and the parquet fallback is
+    the tested default; on a real cluster the standard
+    ``--packages org.apache.iceberg:iceberg-spark-runtime...`` +
+    ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
+    setup flips the branch).
+    """
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)
+        return True
+    except Exception:
+        return False
+
+
+def choose_write_branch(spark: SparkSession, table_ident: str | None,
+                        catalog: str = "iceberg") -> str:
+    """Dispatch decision for ``write_table_v2``: 'iceberg' when the caller
+    named a catalog table and the Iceberg catalog is actually live,
+    'file' otherwise. Split out so the branch logic is testable without
+    an Iceberg runtime."""
+    if table_ident and iceberg_catalog_available(spark, catalog):
+        return "iceberg"
+    return "file"
+
+
+def write_table_v2(spark: SparkSession, df: DataFrame, path: str,
+                   table_ident: str | None = None, catalog: str = "iceberg",
+                   fmt: str = "parquet",
+                   partition_by: list[str] | None = None,
+                   sort_by: list[str] | None = None, **options) -> str:
+    """Write via the DataSourceV2 Iceberg path when available, else the
+    file path — returns the branch taken ('iceberg' or the file format).
+
+    The Iceberg branch is ``writeTo(catalog.table).partitionedBy(...)
+    .createOrReplace()``: hidden-partitioning DDL, snapshot isolation, and
+    compaction-friendly metadata — what ``convert.py``'s emitted DDL
+    promises, executed for real when the runtime jar is present. The
+    fallback keeps identical row-level semantics (hive-style partitioned
+    parquet + within-partition sort for file-stat clustering).
+    """
+    from pyspark.sql import functions as F
+
+    if choose_write_branch(spark, table_ident, catalog) == "iceberg":
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.writeTo(f"{catalog}.{table_ident}")
+        for k, v in options.items():
+            writer = writer.option(k, str(v))
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return "iceberg"
+    write_table(df, path, fmt=fmt, partition_by=partition_by,
+                sort_by=sort_by, **options)
+    return fmt

@@ -117,3 +117,14 @@ class TestClusteredWrite:
             .select("l_suppkey").distinct().count()
         assert len(per_file) >= 2
         assert all(r.nk < total_keys for r in per_file)
+
+
+class TestSaltedJoinSemantics:
+    def test_right_and_full_outer_rejected(self, spark, sf_dir):
+        c = ld(spark, sf_dir, "customer")
+        o = ld(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "c_custkey")
+        for how in ("right", "full", "full_outer", "right_outer"):
+            with pytest.raises(ValueError, match="salted_join"):
+                scale.salted_join(c, o, key="c_custkey",
+                                  id_cols=["c_custkey"], how=how)
