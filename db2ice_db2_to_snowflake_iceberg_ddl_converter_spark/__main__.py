@@ -30,6 +30,15 @@ def cmd_assess(args) -> int:
     from .assess import Assessor
 
     report = Assessor().assess(_read(args.ddl))
+    if getattr(args, "pdf", None):
+        from datetime import datetime, timezone
+
+        from .report_pdf import generate_assessment_pdf
+
+        stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        with open(args.pdf, "wb") as fh:
+            fh.write(generate_assessment_pdf(report, generated_at=stamp))
+        print(f"wrote {args.pdf}", file=sys.stderr)
     print(json.dumps(report.to_dict(), indent=2, default=str))
     return 0 if report.tables_total else 1
 
@@ -79,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pa = sub.add_parser("assess", help="readiness report (JSON) from DDL")
     pa.add_argument("ddl", help="DDL file path, or - for stdin")
+    pa.add_argument("--pdf", help="also write the PDF report here "
+                    "(reference app.py:49 generate_assessment_pdf)")
     pa.set_defaults(fn=cmd_assess)
 
     pc = sub.add_parser("convert", help="emit Iceberg DDL")
