@@ -370,3 +370,23 @@ class TestExactDedup:
         assert groups.agg(F.sum("group_size")).first()[0] == total
         # keep_id is a real doc id and unique per group
         assert groups.select("keep_id").distinct().count() == groups.count()
+
+
+class TestLshSignatureImpls:
+    def test_arrow_and_hof_signatures_identical(self, spark, sf_dir):
+        """The BLAS matmul path and the Catalyst HOF fold path must agree
+        bit-for-bit on the fixture corpus (sign flips would need a
+        projection within ~1e-12 of zero)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        e = ld(spark, sf_dir, "embeddings")
+        arrow = dict(similarity.sign_lsh_signatures(e, impl="arrow")
+                     .select("vec_id", "lsh_sig").collect())
+        hof = dict(similarity.sign_lsh_signatures(e, impl="hof")
+                   .select("vec_id", "lsh_sig").collect())
+        assert arrow == hof
