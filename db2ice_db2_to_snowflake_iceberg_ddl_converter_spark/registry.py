@@ -23,6 +23,7 @@ from .operators import (
     multimodal,
     relational as rel,
     relational_ext as rext,
+    scale,
     similarity,
     textstats,
 )
@@ -172,6 +173,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- re-verify: implementation changed this round --
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "approx_quantiles": approx.approx_quantiles,
+        # -- new this round: global rank without a single-partition sort --
+        "window_ntile_scalable": scale.window_ntile_scalable,
     })
     # -- never driver-verified rows-only: schema plane + streaming --
     q.update(_catalog_queries())
@@ -257,6 +260,7 @@ def build_oracles() -> dict[str, str]:
         "window_lag_lead": rel.ORACLE_WINDOW_LAG,
         "window_running_sum": rel.ORACLE_WINDOW_RUNNING,
         "window_ntile_percent": rel.ORACLE_WINDOW_NTILE,
+        "window_ntile_scalable": rel.ORACLE_WINDOW_NTILE,
         "sort_limit_topk": rel.ORACLE_SORT_TOPK,
         "set_union_all": rel.ORACLE_SET_UNION,
         "set_intersect": rel.ORACLE_SET_INTERSECT,

@@ -128,3 +128,63 @@ class TestSaltedJoinSemantics:
             with pytest.raises(ValueError, match="salted_join"):
                 scale.salted_join(c, o, key="c_custkey",
                                   id_cols=["c_custkey"], how=how)
+
+
+class TestGlobalRanks:
+    def test_gap_free_permutation(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            scale,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        c = ld(spark, sf_dir, "customer")
+        ranked, n = scale.global_ranks(
+            c, [F.desc("c_acctbal"), F.asc("c_custkey")], num_partitions=8)
+        assert n == c.count()
+        ranks = [r.global_rn for r in ranked.select("global_rn").collect()]
+        assert sorted(ranks) == list(range(1, n + 1))
+
+    def test_matches_global_window(self, spark, sf_dir):
+        """Rank order must equal the single-partition Window's order."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            scale,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        c = ld(spark, sf_dir, "customer")
+        ranked, _n = scale.global_ranks(
+            c, [F.desc("c_acctbal"), F.asc("c_custkey")], num_partitions=8)
+        got = {r.c_custkey: r.global_rn
+               for r in ranked.select("c_custkey", "global_rn").collect()}
+        w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        want = {r.c_custkey: r.rn
+                for r in c.select("c_custkey",
+                                  F.row_number().over(w).alias("rn"))
+                .collect()}
+        assert got == want
+
+    def test_ntile_expr_matches_sql_ntile(self, spark):
+        """ntile_expr must reproduce ANSI NTILE for awkward n/k splits."""
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            ntile_expr,
+        )
+
+        for n, k in ((10, 4), (7, 3), (5, 5), (3, 7), (1, 4), (12, 1)):
+            df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+            got = {r.rn: r.t for r in df.select(
+                "rn", ntile_expr(F.col("rn"), n, k).alias("t")).collect()}
+            want = {r.rn: r.t for r in spark.sql(
+                f"SELECT rn, NTILE({k}) OVER (ORDER BY rn) AS t "
+                f"FROM (SELECT explode(sequence(1, {n})) AS rn)").collect()}
+            assert got == want, (n, k)
