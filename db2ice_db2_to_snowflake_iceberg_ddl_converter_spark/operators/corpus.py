@@ -1,0 +1,110 @@
+"""Corpus-level statistics for training-data curation: token-count
+histograms and embedding-dimension covariance — the one-pass aggregate
+scans a 100 TB pipeline runs before/after dedup to characterize the
+corpus (EXT surface; the reference has no row plane).
+
+Scale design: both operators are single hash-aggregation passes with
+map-side partials — every executor emits a handful of partial-sum rows,
+so the shuffle is O(buckets) / O(dims²) regardless of corpus size. The
+covariance pass is the classic "d×d sufficient statistics in one scan"
+shape that feeds PCA/whitening; at d=768 the partial state is ~2.4 MB
+per task — still broadcast-class, never a driver bottleneck.
+
+Float parity follows the module protocol in relational.py: per-row double
+arithmetic (bitwise identical in both engines), per-row cast to
+DECIMAL(28,6), exact order-independent decimal sum, one final cast to
+double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import DEC, ld
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str,
+                           width: int = 16) -> DataFrame:
+    """Documents-per-token-count-bucket histogram with average char length.
+
+    Token count = whitespace split (matches DuckDB ``string_split``);
+    buckets are ``[k·width, (k+1)·width)`` via pure integer arithmetic.
+    One groupBy on a derived int — partial aggs make the shuffle
+    O(buckets) however large the corpus is.
+    """
+    d = ld(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    bucket = (ntok - F.pmod(ntok, F.lit(width))).alias("bucket_lo")
+    return (d.select(bucket, "n_chars")
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum(F.col("n_chars").cast(DEC)).cast("double")
+                  / F.count(F.lit(1))).alias("avg_chars"))
+            .orderBy("bucket_lo"))
+
+
+ORACLE_TOKEN_HISTOGRAM = """
+SELECT ntok - ntok % 16 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS avg_chars
+FROM (SELECT len(string_split(text, ' ')) AS ntok, n_chars FROM documents)
+GROUP BY bucket_lo ORDER BY bucket_lo
+"""
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str,
+                         dims: int = 6) -> DataFrame:
+    """Population covariance of the first ``dims`` embedding dimensions in
+    ONE aggregation pass (sufficient statistics: n, Σxᵢ, Σxᵢxⱼ), emitted
+    long-form as (dim_i, dim_j, cov) for i ≤ j.
+
+    cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), with each Σ an exact decimal sum
+    of per-row double products and the final expression evaluated in the
+    same IEEE op order as the oracle — bitwise-identical output.
+    """
+    e = ld(spark, sf_dir, "embeddings")
+
+    def x(i: int) -> F.Column:
+        return F.element_at("embedding", i).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(x(i).cast(DEC)).cast("double").alias(f"s{i}")
+             for i in range(1, dims + 1)]
+    aggs += [F.sum((x(i) * x(j)).cast(DEC)).cast("double").alias(f"p{i}_{j}")
+             for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    row = e.agg(*aggs)
+
+    n = F.col("n")
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("dim_i"), F.lit(j).alias("dim_j"),
+                 (F.col(f"p{i}_{j}") / n
+                  - (F.col(f"s{i}") / n) * (F.col(f"s{j}") / n))
+                 .alias("cov"))
+        for i in range(1, dims + 1) for j in range(i, dims + 1)
+    ])
+    return (row.select(F.explode(pairs).alias("p")).select("p.*")
+            .orderBy("dim_i", "dim_j"))
+
+
+def _oracle_embedding_covariance(dims: int = 6) -> str:
+    sums = ["COUNT(*) AS n"]
+    sums += [f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) "
+             f"AS DECIMAL(28,6))) AS DOUBLE) AS s{i}"
+             for i in range(1, dims + 1)]
+    sums += [f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * "
+             f"CAST(embedding[{j}] AS DOUBLE) "
+             f"AS DECIMAL(28,6))) AS DOUBLE) AS p{i}_{j}"
+             for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    branches = [
+        f"SELECT {i} AS dim_i, {j} AS dim_j, "
+        f"p{i}_{j}/n - (s{i}/n)*(s{j}/n) AS cov FROM s"
+        for i in range(1, dims + 1) for j in range(i, dims + 1)
+    ]
+    return (f"WITH s AS (SELECT {', '.join(sums)} FROM embeddings)\n"
+            + "\nUNION ALL ".join(branches)
+            + "\nORDER BY dim_i, dim_j")
+
+
+ORACLE_EMBEDDING_COVARIANCE = _oracle_embedding_covariance()

@@ -447,6 +447,50 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
             .orderBy("id1", "id2"))
 
 
+def dedup_keep_representatives(spark, sf_dir, threshold: float = 0.5):
+    """The end of the near-dup pipeline: one surviving document per
+    cluster (the min doc_id — same keep rule as ``dedup_exact``) with its
+    cluster size. pairs → connected components → group-per-label is the
+    full "dedupe the corpus" shape a 100 TB curation run executes; the
+    output is the keep-list a downstream filter joins against (semi-join,
+    no shuffle of the big side's payload columns).
+    """
+    d = ld(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    labels = connected_components(d, pairs, node_col="doc_id")
+    return (labels.groupBy(F.col("label").alias("keep_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .orderBy("keep_id"))
+
+
+ORACLE_DEDUP_KEEP_REPRESENTATIVES = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+  HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+), clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id AS keep_id, COUNT(*) AS cluster_size
+FROM clusters GROUP BY cluster_id ORDER BY keep_id
+"""
+
+
 ORACLE_DEDUP_EMBEDDING = """
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

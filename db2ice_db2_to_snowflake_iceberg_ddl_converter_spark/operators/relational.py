@@ -76,6 +76,18 @@ def _fmt_ts(col) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     read nanos as long (session flag) and rebuild a µs timestamp column.

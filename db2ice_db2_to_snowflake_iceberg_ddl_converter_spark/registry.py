@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .operators import (
     approx,
     asof,
+    corpus,
     dedup,
     multimodal,
     relational as rel,
@@ -102,10 +103,11 @@ def _streaming_queries():
 
     from .streaming import events as ev
 
-    def _drain(spark, stream, prefix):
+    def _drain(spark, stream, prefix, mode="complete"):
         name = f"{prefix}_{uuid.uuid4().hex[:8]}"
         q = ev.run_available_now(
-            stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+            mode=mode)
         q.stop()
         return spark.table(name)
 
@@ -130,7 +132,23 @@ def _streaming_queries():
         q.stop()
         return spark.table(name)
 
-    return {"streaming_hourly_rollup": streaming_hourly_rollup,
+    def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-stream watermarked interval join, drained AvailableNow.
+        Unlike the windowed rollups this one IS oracle-checkable: append
+        mode emits exactly the finalized inner-join matches, and draining
+        the whole fixture finalizes everything (pytest pins equality with
+        the batch join), so the DuckDB batch interval join is a fair twin.
+        Timestamps are emitted as formatted strings per the protocol."""
+        drained = _drain(spark, ev.purchase_click_interval_join(
+            ev.read_events_stream(spark, sf_dir)), "s_ivjoin",
+            mode="append")
+        return drained.select(
+            "purchase_id", "click_id", "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
+
+    return {"streaming_interval_join": streaming_interval_join,
+            "streaming_hourly_rollup": streaming_hourly_rollup,
             "streaming_session_windows": streaming_session_windows,
             "streaming_dedup": streaming_dedup}
 
@@ -175,11 +193,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": approx.approx_quantiles,
         # -- new this round: global rank without a single-partition sort --
         "window_ntile_scalable": scale.window_ntile_scalable,
+        # -- new this round: corpus curation statistics + pipeline end --
+        "corpus_token_histogram": corpus.corpus_token_histogram,
+        "embedding_covariance": corpus.embedding_covariance,
+        "dedup_keep_representatives": dedup.dedup_keep_representatives,
     })
     # -- never driver-verified rows-only: schema plane + streaming --
     q.update(_catalog_queries())
     q.update(_streaming_queries())
-    # -- r01-green regression canaries (positions ~47-50) --
+    # -- past the 50-entry window from here: r01-green canaries first --
     q.update({
         "q18_large_orders": rel.q18_large_orders,
         "events_asof_last_click": asof.events_asof_last_click,
@@ -261,6 +283,10 @@ def build_oracles() -> dict[str, str]:
         "window_running_sum": rel.ORACLE_WINDOW_RUNNING,
         "window_ntile_percent": rel.ORACLE_WINDOW_NTILE,
         "window_ntile_scalable": rel.ORACLE_WINDOW_NTILE,
+        "corpus_token_histogram": corpus.ORACLE_TOKEN_HISTOGRAM,
+        "embedding_covariance": corpus.ORACLE_EMBEDDING_COVARIANCE,
+        "dedup_keep_representatives": dedup.ORACLE_DEDUP_KEEP_REPRESENTATIVES,
+        "streaming_interval_join": rel.ORACLE_STREAMING_INTERVAL_JOIN,
         "sort_limit_topk": rel.ORACLE_SORT_TOPK,
         "set_union_all": rel.ORACLE_SET_UNION,
         "set_intersect": rel.ORACLE_SET_INTERSECT,

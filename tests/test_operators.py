@@ -390,3 +390,60 @@ class TestLshSignatureImpls:
         hof = dict(similarity.sign_lsh_signatures(e, impl="hof")
                    .select("vec_id", "lsh_sig").collect())
         assert arrow == hof
+
+
+class TestCorpusStats:
+    def test_token_histogram_partitions_corpus(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        h = corpus.corpus_token_histogram(spark, sf_dir).collect()
+        total = ld(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in h) == total  # every doc in one bucket
+        assert all(r.bucket_lo % 16 == 0 for r in h)
+        assert all(r.avg_chars > 0 for r in h)
+
+    def test_embedding_covariance_matches_numpy(self, spark, sf_dir):
+        """Spot-check the one-pass sufficient-statistics covariance against
+        numpy's two-pass population covariance (tolerance: the decimal
+        quantization at scale 6 per row)."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        got = {(r.dim_i, r.dim_j): r.cov
+               for r in corpus.embedding_covariance(spark, sf_dir).collect()}
+        M = np.array([r.embedding for r in
+                      ld(spark, sf_dir, "embeddings").collect()],
+                     dtype=np.float64)[:, :6]
+        C = np.cov(M, rowvar=False, bias=True)
+        for (i, j), cov in got.items():
+            assert abs(cov - C[i - 1, j - 1]) < 1e-5, (i, j)
+
+    def test_keep_representatives_covers_corpus_once(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        reps = dedup.dedup_keep_representatives(spark, sf_dir).collect()
+        total = ld(spark, sf_dir, "documents").count()
+        assert sum(r.cluster_size for r in reps) == total
+        keep_ids = [r.keep_id for r in reps]
+        assert len(keep_ids) == len(set(keep_ids))
+        # representative is the min id of its cluster -> consistent with
+        # dedup_clusters labels
+        labels = {r.doc_id: r.cluster_id
+                  for r in dedup.dedup_clusters(spark, sf_dir).collect()}
+        assert set(keep_ids) == set(labels.values())
