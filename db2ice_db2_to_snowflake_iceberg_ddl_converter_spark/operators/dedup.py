@@ -222,9 +222,11 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     it recovers exactly the brute-force pair set on the fixture data).
     """
     # one shingling pass total: signatures + both verify sides reuse it
-    # (localCheckpoint — three separate lineage executions otherwise)
+    # (localCheckpoint — three separate lineage executions otherwise);
+    # signatures likewise: both sides of the band self-join reuse them
     sh = doc_shingles(spark, sf_dir).localCheckpoint()
-    cands = minhash_lsh_candidates(minhash_signatures(sh))
+    cands = minhash_lsh_candidates(
+        minhash_signatures(sh).localCheckpoint())
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
     j = (cands
          .join(sized.select(F.col("doc_id").alias("id1"),
@@ -279,7 +281,9 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     any pair with hamming ≤ 3 shares a band) + exact hamming filter.
     Non-SQL-expressible op (rows-only driver check; pytest asserts the
     pigeonhole recall property on fixtures)."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    # both sides of the band self-join derive from the fingerprints —
+    # checkpoint so the 64-agg vote pass runs once, not once per side
+    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint()
     bands = fp.select(
         "doc_id", "band0", "band1", "band2", "band3",
         F.explode(F.array(*[
