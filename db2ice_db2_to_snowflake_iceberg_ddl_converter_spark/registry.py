@@ -147,10 +147,32 @@ def _streaming_queries():
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
 
+    def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _drain(spark, ev.sliding_rollup(
+            ev.read_events_stream(spark, sf_dir)), "s_sliding")
+
+    def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """applyInPandasWithState running totals, update-mode: the memory
+        sink keeps every update, so take the LAST emitted row per user —
+        that's the state each key ends the drain with (floats summed in
+        arrival order → rows-only check; the batch-equivalence pytest pins
+        the values)."""
+        from pyspark.sql import Window
+
+        drained = _drain(spark, ev.user_running_stats(
+            ev.read_events_stream(spark, sf_dir)), "s_ustats",
+            mode="update")
+        w = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+        return (drained.withColumn("rn", w).filter(F.col("rn") == 1)
+                .select("user_id", "n_events"))
+
     return {"streaming_interval_join": streaming_interval_join,
             "streaming_hourly_rollup": streaming_hourly_rollup,
             "streaming_session_windows": streaming_session_windows,
-            "streaming_dedup": streaming_dedup}
+            "streaming_dedup": streaming_dedup,
+            "streaming_sliding_rollup": streaming_sliding_rollup,
+            "streaming_user_stats": streaming_user_stats}
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
