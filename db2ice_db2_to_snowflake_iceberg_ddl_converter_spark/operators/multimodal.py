@@ -3,11 +3,16 @@
 Images/audio/video ride through the engine as binary columns with a metadata
 struct (modality, byte length, content hash). The Spark-side plumbing —
 schema, partitioning, Arrow batch shape, mapInPandas UDF signatures — is
-real and tested; the actual codec step is STUBBED (``decode_payload`` raises
-NotImplementedError) because media libraries are not available in this
-environment. ``extract_features`` demonstrates the deterministic
-feature-extraction path end-to-end with a byte-level fake extractor shaped
-exactly like a real one (fixed-size float vector per asset).
+real and tested. The codec layer is split honestly: UNCOMPRESSED formats
+(24-bit BMP, 16-bit PCM WAV) are decoded/encoded FOR REAL in pure
+stdlib+numpy (``decode_bmp``/``decode_wav_pcm16``), including a real
+nearest-neighbor BMP resizer; compressed formats (JPEG/MP3/H.264 …) need a
+media library this environment lacks, so ``decode_payload`` raises
+NotImplementedError for them and every operator takes a pluggable
+``decoder=``/``resizer=`` for prod codecs. ``extract_features``
+demonstrates the deterministic feature-extraction path end-to-end with a
+byte-level fake extractor shaped exactly like a real one (fixed-size float
+vector per asset).
 """
 
 from __future__ import annotations
@@ -51,16 +56,114 @@ FROM documents
 """
 
 
-def decode_payload(fmt: str):
-    """STUB: real deployments plug a codec here (PIL / torchaudio / pyav).
+def decode_bmp(payload: bytes):
+    """REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    — pure stdlib+numpy, no codec library. Returns an (h, w, 3) uint8 RGB
+    array. Raises ValueError on anything outside that profile (compressed
+    BMP variants belong to a plugged codec like the other formats)."""
+    import struct
 
-    Kept as an explicit NotImplementedError so the pipeline shape is honest:
-    the surrounding plumbing (binary column in, decoded tensor out via
-    mapInPandas) is what this module actually ships.
-    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP profile (bpp={bpp}, "
+                         f"compression={compression}); plug a codec")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)[:, :w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_bmp(img) -> bytes:
+    """Inverse of :func:`decode_bmp` (24-bit bottom-up BI_RGB)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0)
+            + data)
+
+
+def decode_wav_pcm16(payload: bytes):
+    """REAL decoder for 16-bit PCM RIFF/WAVE — pure stdlib+numpy.
+    Returns ``(samples int16 ndarray [n, channels], sample_rate)``."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload,
+                                                             pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV profile (format={audio_format}, "
+                         f"bits={bits}); plug a codec")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def decode_payload(fmt: str):
+    """Codec dispatch. Uncompressed formats are decoded FOR REAL here
+    (stdlib+numpy — no media library needed); compressed formats raise
+    NotImplementedError so the pipeline shape stays honest: plug PIL /
+    torchaudio / pyav via ``extract_features(decoder=...)`` in prod."""
+    if fmt in ("image/bmp", "bmp"):
+        return decode_bmp
+    if fmt in ("audio/wav", "audio/x-wav", "wav"):
+        return decode_wav_pcm16
     raise NotImplementedError(
         f"media codec for {fmt!r} not available in this environment; "
         "plug a decoder into extract_features(decoder=...)")
+
+
+def bmp_feature_decoder(payload: bytes) -> list[float]:
+    """bytes → float[FEATURE_DIM] for BMP images: dims + per-channel
+    mean/std (the classic cheap visual signature)."""
+    img = decode_bmp(payload).astype("float64")
+    means = img.mean(axis=(0, 1))
+    stds = img.std(axis=(0, 1))
+    return [float(img.shape[1]), float(img.shape[0]),
+            *[float(x) for x in means], *[float(x) for x in stds]]
+
+
+def wav_feature_decoder(payload: bytes) -> list[float]:
+    """bytes → float[FEATURE_DIM] for PCM WAV: rate/shape + amplitude
+    statistics + zero-crossing count."""
+    import numpy as np
+
+    samples, rate = decode_wav_pcm16(payload)
+    mono = samples.astype("float64").mean(axis=1)
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return [float(rate), float(samples.shape[0]), float(samples.shape[1]),
+            float(mono.mean()), float(np.sqrt((mono ** 2).mean())),
+            float(mono.min()), float(mono.max()), float(zc)]
 
 
 def _default_fake_decoder(payload: bytes) -> list[float]:
@@ -104,11 +207,12 @@ def resize_assets(df: DataFrame, target: tuple[int, int] = (64, 64),
                   resizer=None) -> DataFrame:
     """Resize plumbing over binary image payloads via mapInPandas.
 
-    The real resizer (PIL/cv2) is not available here, so the default is a
-    deterministic fake with the exact signature a codec adapter needs:
-    bytes → (bytes, width, height). The Spark side — Arrow batching,
-    schema with typed dimensions, partition-preserving map — is the part
-    this module ships for real; swap ``resizer`` for the codec in prod.
+    For 24-bit BMP payloads pass ``resizer=bmp_resizer(target)`` — a REAL
+    nearest-neighbor resample through decode_bmp/encode_bmp. For compressed
+    formats swap ``resizer`` for a codec adapter (PIL/cv2) in prod; the
+    default is a deterministic byte-stride fake with the same signature so
+    the Spark side (Arrow batching, typed dimensions, partition-preserving
+    map) is exercised on any payload.
     """
     import pandas as pd
 
@@ -134,6 +238,23 @@ def resize_assets(df: DataFrame, target: tuple[int, int] = (64, 64),
 
     return df.mapInPandas(
         run, schema="doc_id long, payload binary, width int, height int")
+
+
+def bmp_resizer(target: tuple[int, int] = (64, 64)):
+    """Real BMP resize: decode → nearest-neighbor index sample → re-encode.
+    Returns a ``bytes → bytes`` callable for :func:`resize_assets`."""
+    import numpy as np
+
+    w, h = target
+
+    def resize(payload: bytes) -> bytes:
+        img = decode_bmp(payload)
+        src_h, src_w, _ = img.shape
+        yi = np.minimum((np.arange(h) * src_h) // h, src_h - 1)
+        xi = np.minimum((np.arange(w) * src_w) // w, src_w - 1)
+        return encode_bmp(img[yi][:, xi])
+
+    return resize
 
 
 def sample_frames(df: DataFrame, every_nth: int = 10,
