@@ -61,3 +61,24 @@ def exact_quantiles(spark, sf_dir):
                               F.array(*[F.lit(q) for q in
                                         (0.25, 0.5, 0.75, 0.95, 0.99)]))
                  .alias("price_quantiles"))
+
+
+def approx_hll_union(spark, sf_dir):
+    """The mergeability story that matters at 100 TB: HLL sketches built
+    independently per table (= per partition / per day in production) and
+    UNIONED as sketches, no re-scan of either input. ``hll_sketch_agg``
+    partial states merge map-side; ``hll_union_agg`` merges the finished
+    sketches; the estimate is taken once at the end. Rows-only for the
+    driver (sketch estimates are engine-specific); the error bound vs the
+    exact distinct union is pinned in tests.
+    """
+    c = (ld(spark, sf_dir, "customer")
+         .agg(F.hll_sketch_agg("c_custkey").alias("sk"),
+              F.count_distinct("c_custkey").alias("exact")))
+    o = (ld(spark, sf_dir, "orders")
+         .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+              F.count_distinct("o_custkey").alias("exact")))
+    return (c.unionByName(o)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_union_customers"),
+                 F.sum("exact").alias("sum_of_parts")))

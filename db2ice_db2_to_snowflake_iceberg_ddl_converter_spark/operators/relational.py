@@ -771,6 +771,42 @@ SELECT DISTINCT nationkey FROM (
 """
 
 
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): multiplicity = min of the two sides'
+    counts — made visible by aggregating the surviving bag."""
+    c = ld(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = ld(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (c.intersectAll(s).groupBy("nationkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_SET_INTERSECT_ALL = """
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics): per-key surplus of customers over
+    suppliers, aggregated so the multiplicities are checkable."""
+    c = ld(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = ld(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (c.exceptAll(s).groupBy("nationkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_SET_EXCEPT_ALL = """
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
 def distinct_pairs(spark, sf_dir):
     """dropDuplicates as a relational operator."""
     l = ld(spark, sf_dir, "lineitem")

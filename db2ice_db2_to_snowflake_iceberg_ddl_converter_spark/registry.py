@@ -175,6 +175,15 @@ def _streaming_queries():
             "streaming_user_stats": streaming_user_stats}
 
 
+def _source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.registry import source_roundtrip_formats
+
+    return source_roundtrip_formats(spark, sf_dir)
+
+
+from .sources.registry import ORACLE_SOURCE_ROUNDTRIP as _ORACLE_SOURCE_ROUNDTRIP  # noqa: E402
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry order is load-bearing: the driver's CORRECTNESS pass checks the
     FIRST 50 entries per round (r01 stopped exactly at entry #50). Entries
@@ -219,6 +228,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_histogram": corpus.corpus_token_histogram,
         "embedding_covariance": corpus.embedding_covariance,
         "dedup_keep_representatives": dedup.dedup_keep_representatives,
+        # -- new this round: bag-semantics set ops + connector round-trip --
+        "set_intersect_all": rel.set_intersect_all,
+        "set_except_all": rel.set_except_all,
+        "source_roundtrip_formats": _source_roundtrip,
     })
     # -- never driver-verified rows-only: schema plane + streaming --
     q.update(_catalog_queries())
@@ -261,6 +274,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_math_fns": rel.scalar_math_fns,
         "scalar_json_fns": rel.scalar_json_fns,
         "approx_distinct_counts": approx.approx_distinct_counts,
+        "approx_hll_union": approx.approx_hll_union,
         "dedup_exact_docs": dedup.dedup_exact_docs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -306,6 +320,9 @@ def build_oracles() -> dict[str, str]:
         "window_ntile_percent": rel.ORACLE_WINDOW_NTILE,
         "window_ntile_scalable": rel.ORACLE_WINDOW_NTILE,
         "corpus_token_histogram": corpus.ORACLE_TOKEN_HISTOGRAM,
+        "set_intersect_all": rel.ORACLE_SET_INTERSECT_ALL,
+        "set_except_all": rel.ORACLE_SET_EXCEPT_ALL,
+        "source_roundtrip_formats": _ORACLE_SOURCE_ROUNDTRIP,
         "embedding_covariance": corpus.ORACLE_EMBEDDING_COVARIANCE,
         "dedup_keep_representatives": dedup.ORACLE_DEDUP_KEEP_REPRESENTATIVES,
         "streaming_interval_join": rel.ORACLE_STREAMING_INTERVAL_JOIN,

@@ -112,3 +112,53 @@ def write_table_v2(spark: SparkSession, df: DataFrame, path: str,
     write_table(df, path, fmt=fmt, partition_by=partition_by,
                 sort_by=sort_by, **options)
     return fmt
+
+
+def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable connector exercise: the same orders slice written
+    through each non-parquet format (csv with header+inference, json, orc)
+    and read back must aggregate to identical numbers — proving the
+    read/write codepaths, not just parquet. Doubles survive the text
+    formats because Spark serializes them round-trippably and the decimal
+    protocol quantizes identically afterwards.
+    """
+    import tempfile
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .filter(F.col("o_orderkey") <= 4000)
+           .select("o_orderkey", "o_custkey", "o_totalprice",
+                   "o_orderpriority"))
+    per_fmt = []
+    for fmt in ("csv", "json", "orc"):
+        path = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt,
+                          **({"inferSchema": "true"} if fmt == "csv" else {}))
+        per_fmt.append(back.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double").alias("total_price"),
+            F.max("o_orderpriority").alias("max_priority")))
+    return reduce(lambda a, b: a.unionByName(b), per_fmt).orderBy("fmt")
+
+
+ORACLE_SOURCE_ROUNDTRIP = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_custkey) AS n_custs,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_price,
+         MAX(o_orderpriority) AS max_priority
+  FROM orders WHERE o_orderkey <= 4000
+)
+SELECT fmt, n_rows, n_custs, total_price, max_priority
+FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'json' UNION ALL SELECT 'orc'),
+     base
+ORDER BY fmt
+"""

@@ -539,3 +539,24 @@ class TestRealCodecs:
         # nearest-neighbor: every output pixel exists in the source
         src = {tuple(p) for p in img.reshape(-1, 3)}
         assert {tuple(p) for p in resized.reshape(-1, 3)} <= src
+
+
+class TestHllUnion:
+    def test_union_estimate_within_bound(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        row = approx.approx_hll_union(spark, sf_dir).collect()[0]
+        exact = (ld(spark, sf_dir, "customer")
+                 .select(F.col("c_custkey").alias("k"))
+                 .union(ld(spark, sf_dir, "orders")
+                        .select(F.col("o_custkey").alias("k")))
+                 .distinct().count())
+        # HLL default lgConfigK=12 -> rsd ~1.6%; allow 5%
+        assert abs(row.approx_union_customers - exact) / exact < 0.05
