@@ -151,3 +151,42 @@ class TestJvmOnlyPaths:
         plan = executed_plan(dedup.doc_shingles(spark, sf_dir))
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound2PlanShapes:
+    def test_ntile_scalable_has_no_global_window(self, spark, sf_dir):
+        """The scalable global rank must contain NO Window operator at all
+        (the whole point: range exchange + narrow arithmetic instead of a
+        single-partition WindowExec)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            scale,
+        )
+
+        q = scale.window_ntile_scalable(spark, sf_dir)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert_no_python_in_plan(q)
+
+    def test_embedding_covariance_prunes_to_vector_column(self, spark, sf_dir):
+        """The one-pass covariance scan must read only the embedding
+        column, and the whole query is JVM-side (no Python workers)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        q = corpus.embedding_covariance(spark, sf_dir)
+        for cols in read_schemas(q):
+            assert set(cols) == {"embedding"}
+        assert_no_python_in_plan(q)
+
+    def test_token_histogram_single_aggregation(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        q = corpus.corpus_token_histogram(spark, sf_dir)
+        prof = plan_profile(q)
+        assert prof["cartesian_products"] == 0
+        for cols in read_schemas(q):
+            assert set(cols) == {"text", "n_chars"}
+        assert_no_python_in_plan(q)
