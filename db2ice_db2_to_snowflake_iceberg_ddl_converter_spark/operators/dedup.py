@@ -451,6 +451,75 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
             .orderBy("id1", "id2"))
 
 
+def dedup_ngram_jaccard_pruned(spark, sf_dir, threshold: float = 0.5,
+                               max_df: float = 0.05):
+    """The stop-shingle variant of :func:`dedup_ngram_jaccard` — the skew
+    mitigation the module header prescribes for 100 TB, implemented.
+
+    A shingle appearing in more than ``max_df`` of all documents joins
+    |hot|·avg_df² candidate pairs on its own (boilerplate headers, license
+    blocks); dropping those shingles BEFORE the inverted-index join bounds
+    every bucket at max_df·n and removes the quadratic hot-key blowup.
+    Denominators keep the FULL set sizes, so the emitted score is a lower
+    bound of true Jaccard: pruning trades bounded recall (pairs whose
+    overlap hides in boilerplate) for join uniformity — never precision.
+    Deterministic, so the DuckDB oracle replicates the pruning exactly.
+    """
+    sh = (doc_shingles(spark, sf_dir)
+          .withColumn("n_shingles", F.size("shingles")).localCheckpoint())
+    n_docs = sh.count()
+    inv = sh.select("doc_id", "n_shingles",
+                    F.explode("shingles").alias("shingle"))
+    hot = (inv.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df * n_docs)
+           .select("shingle"))
+    # broadcast anti-join: the hot list is tiny by construction
+    pruned = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = pruned.select(F.col("doc_id").alias("id1"),
+                      F.col("n_shingles").alias("n1"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("id2"),
+                      F.col("n_shingles").alias("n2"), "shingle")
+    pairs = (a.join(b, (a.shingle == b.shingle)
+                    & (F.col("id1") < F.col("id2"))
+                    & (F.col("n1") <= 2 * F.col("n2"))
+                    & (F.col("n2") <= 2 * F.col("n1")))
+             .groupBy("id1", "id2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (pairs
+            .withColumn("jaccard_lb",
+                        F.col("n_common").cast("double")
+                        / (F.col("n1") + F.col("n2") - F.col("n_common")))
+            .filter(F.col("jaccard_lb") >= threshold)
+            .select("id1", "id2", "jaccard_lb"))
+
+
+ORACLE_DEDUP_NGRAM_PRUNED = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM w
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), hot AS (
+  SELECT shingle FROM inv GROUP BY shingle
+  HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM sh)
+), pruned AS (
+  SELECT * FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) AS jaccard_lb
+FROM pruned a JOIN pruned b
+  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+ AND a.ns <= 2 * b.ns AND b.ns <= 2 * a.ns
+GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+"""
+
+
 def dedup_keep_representatives(spark, sf_dir, threshold: float = 0.5):
     """The end of the near-dup pipeline: one surviving document per
     cluster (the min doc_id — same keep rule as ``dedup_exact``) with its

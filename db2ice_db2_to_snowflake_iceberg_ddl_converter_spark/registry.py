@@ -232,6 +232,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_all": rel.set_intersect_all,
         "set_except_all": rel.set_except_all,
         "source_roundtrip_formats": _source_roundtrip,
+        # -- new this round: stop-shingle skew mitigation, oracle-exact --
+        "dedup_ngram_jaccard_pruned": dedup.dedup_ngram_jaccard_pruned,
     })
     # -- never driver-verified rows-only: schema plane + streaming --
     q.update(_catalog_queries())
@@ -321,6 +323,7 @@ def build_oracles() -> dict[str, str]:
         "window_ntile_scalable": rel.ORACLE_WINDOW_NTILE,
         "corpus_token_histogram": corpus.ORACLE_TOKEN_HISTOGRAM,
         "set_intersect_all": rel.ORACLE_SET_INTERSECT_ALL,
+        "dedup_ngram_jaccard_pruned": dedup.ORACLE_DEDUP_NGRAM_PRUNED,
         "set_except_all": rel.ORACLE_SET_EXCEPT_ALL,
         "source_roundtrip_formats": _ORACLE_SOURCE_ROUNDTRIP,
         "embedding_covariance": corpus.ORACLE_EMBEDDING_COVARIANCE,

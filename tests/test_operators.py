@@ -560,3 +560,22 @@ class TestHllUnion:
                  .distinct().count())
         # HLL default lgConfigK=12 -> rsd ~1.6%; allow 5%
         assert abs(row.approx_union_customers - exact) / exact < 0.05
+
+
+class TestStopShinglePruning:
+    def test_pruned_is_lower_bound_subset(self, spark, sf_dir):
+        """With aggressive pruning (max_df=0.2%), surviving pairs must be
+        a subset of the exact pair set and every emitted score must be a
+        lower bound of the true Jaccard."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        exact = {(r.id1, r.id2): r.jaccard
+                 for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()}
+        pruned = {(r.id1, r.id2): r.jaccard_lb
+                  for r in dedup.dedup_ngram_jaccard_pruned(
+                      spark, sf_dir, max_df=0.002).collect()}
+        assert set(pruned) <= set(exact)
+        for p, lb in pruned.items():
+            assert lb <= exact[p] + 1e-12
