@@ -235,9 +235,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round: stop-shingle skew mitigation, oracle-exact --
         "dedup_ngram_jaccard_pruned": dedup.dedup_ngram_jaccard_pruned,
     })
-    # -- never driver-verified rows-only: schema plane + streaming --
-    q.update(_catalog_queries())
-    q.update(_streaming_queries())
+    # -- never driver-verified: schema plane + streaming; oracle-backed
+    # entries (interval join, migrate) take window priority over rows-only
+    cq = _catalog_queries()
+    sq = _streaming_queries()
+    q["streaming_interval_join"] = sq.pop("streaming_interval_join")
+    q["migrate_customer_cast"] = cq.pop("migrate_customer_cast")
+    q.update(cq)
+    q.update(sq)
     # -- past the 50-entry window from here: r01-green canaries first --
     q.update({
         "q18_large_orders": rel.q18_large_orders,
