@@ -108,3 +108,92 @@ def _oracle_embedding_covariance(dims: int = 6) -> str:
 
 
 ORACLE_EMBEDDING_COVARIANCE = _oracle_embedding_covariance()
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str,
+                  min_quality: float = 60.0) -> DataFrame:
+    """The composite curation pass a training-data pipeline actually runs:
+    exact-dedup (keep min doc_id per normalized text) ∘ language gate
+    (predicted English) ∘ quality gate (score ≥ ``min_quality``) in ONE
+    job — one scan, one window over the dedup key, everything else narrow.
+
+    At 100 TB this single-job composition is the difference between three
+    materialized intermediate corpora and none: the gates are Catalyst
+    predicates fused into the scan stage, and the dedup window shuffles
+    once on the normalized-text hash. Reuses the exact expression
+    definitions of text_quality_score / text_langid / dedup_exact_docs, so
+    its oracle is their composition too.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import LANG_MARKERS, _PUNCT_CHARS
+
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    distinct_words = F.array_distinct(words)
+    n_tokens = F.size(words)
+    ttr = F.size(distinct_words).cast("double") / n_tokens.cast("double")
+    hits = {
+        lang: F.size(F.array_intersect(
+            distinct_words, F.array(*[F.lit(w) for w in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
+               & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), "en")
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"])
+              & (hits["es"] > 0), "es")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), "de")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("und"))
+    punct = (F.length("text")
+             - F.length(F.translate("text", _PUNCT_CHARS, ""))).cast("double")
+    punct_ratio = punct / F.length("text")
+    length_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000)
+    score = (F.when(length_ok, 40).otherwise(10)
+             + ttr * 30
+             + F.when(hits["en"] > 0, 20).otherwise(0)
+             + F.when(punct_ratio <= 0.1, 10).otherwise(0))
+    w = Window.partitionBy(F.trim(F.lower("text"))).orderBy("doc_id")
+    return (d.select("doc_id",
+                     predicted.alias("predicted_lang"),
+                     score.alias("quality_score"),
+                     n_tokens.alias("n_tokens"),
+                     F.row_number().over(w).alias("dup_rank"))
+            .filter((F.col("dup_rank") == 1)
+                    & (F.col("predicted_lang") == "en")
+                    & (F.col("quality_score") >= min_quality))
+            .select("doc_id", "quality_score", "n_tokens")
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_CURATE = """
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         string_split(text, ' ') AS w,
+         list_distinct(string_split(text, ' ')) AS dw,
+         ROW_NUMBER() OVER (PARTITION BY TRIM(LOWER(text))
+                            ORDER BY doc_id) AS dup_rank
+  FROM documents
+), scored AS (
+  SELECT doc_id, len(w) AS n_tokens, dup_rank,
+         len(list_intersect(dw, ['the','a','of','and','is'])) AS en_h,
+         len(list_intersect(dw, ['el','la','de','y','es'])) AS es_h,
+         len(list_intersect(dw, ['der','die','das','und','ist'])) AS de_h,
+         len(list_intersect(dw, ['le','la','et','est','un'])) AS fr_h,
+         (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 40 ELSE 10 END)
+         + (len(dw)::DOUBLE / len(w)) * 30
+         + (CASE WHEN len(list_intersect(dw, ['the','a','of','and','is'])) > 0
+                 THEN 20 ELSE 0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+             / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END) AS quality_score
+  FROM t
+)
+SELECT doc_id, quality_score, n_tokens
+FROM scored
+WHERE dup_rank = 1
+  AND en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h > 0
+  AND quality_score >= 60
+ORDER BY doc_id
+"""

@@ -234,6 +234,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip_formats": _source_roundtrip,
         # -- new this round: stop-shingle skew mitigation, oracle-exact --
         "dedup_ngram_jaccard_pruned": dedup.dedup_ngram_jaccard_pruned,
+        # -- new this round: the composite curation pass (dedup ∘ lang ∘
+        #    quality in one job) --
+        "corpus_curate": corpus.corpus_curate,
     })
     # -- never driver-verified: schema plane + streaming; oracle-backed
     # entries (interval join, migrate) take window priority over rows-only
@@ -327,6 +330,7 @@ def build_oracles() -> dict[str, str]:
         "window_ntile_percent": rel.ORACLE_WINDOW_NTILE,
         "window_ntile_scalable": rel.ORACLE_WINDOW_NTILE,
         "corpus_token_histogram": corpus.ORACLE_TOKEN_HISTOGRAM,
+        "corpus_curate": corpus.ORACLE_CORPUS_CURATE,
         "set_intersect_all": rel.ORACLE_SET_INTERSECT_ALL,
         "dedup_ngram_jaccard_pruned": dedup.ORACLE_DEDUP_NGRAM_PRUNED,
         "set_except_all": rel.ORACLE_SET_EXCEPT_ALL,
