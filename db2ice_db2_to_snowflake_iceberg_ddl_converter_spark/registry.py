@@ -175,6 +175,27 @@ def _streaming_queries():
             "streaming_user_stats": streaming_user_stats}
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the text-derived payloads (rows-only: byte
+    stride fake on non-image payloads; the REAL BMP path is pinned in
+    tests/test_operators.py::TestRealCodecs)."""
+    assets = multimodal.attach_binary_payload(spark, sf_dir)
+    out = multimodal.resize_assets(assets.select("doc_id", "payload"),
+                                   target=(16, 16))
+    return (out.select("doc_id", F.length("payload").alias("n_bytes"),
+                       "width", "height").orderBy("doc_id"))
+
+
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1 row → N frame rows); rows-only."""
+    assets = multimodal.attach_binary_payload(spark, sf_dir)
+    out = multimodal.sample_frames(assets.select("doc_id", "payload"),
+                                   every_nth=4, frame_size=128)
+    return (out.select("doc_id", "frame_idx",
+                       F.length("frame").alias("frame_bytes"))
+            .orderBy("doc_id", "frame_idx"))
+
+
 def _source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.registry import source_roundtrip_formats
 
@@ -285,6 +306,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json_fns": rel.scalar_json_fns,
         "approx_distinct_counts": approx.approx_distinct_counts,
         "approx_hll_union": approx.approx_hll_union,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frame_sample": _multimodal_frame_sample,
         "dedup_exact_docs": dedup.dedup_exact_docs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
