@@ -89,13 +89,18 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-    read nanos as long (session flag) and rebuild a µs timestamp column.
-    Integer `div` keeps the ns→µs conversion exact (double division would
-    lose precision on epoch-scale nanos)."""
+    """Normalize the fixture's event-time column to a session-zoned (UTC)
+    TIMESTAMP regardless of how the parquet stores it: TIMESTAMP(NANOS)
+    arrives as long under the legacy flag and is rebuilt via exact integer
+    ns→µs division; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is cast
+    (UTC session → identical wall clock). Downstream operators see one type."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

@@ -44,29 +44,35 @@ EVENT_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
-# The fixture parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
-# rejects; the raw-read schema takes nanos as long and the reader rebuilds
-# a µs timestamp (same treatment as the batch loader, relational.load_events).
-_RAW_SCHEMA = StructType([
-    f if f.name != "ts" else StructField("ts", LongType())
-    for f in EVENT_SCHEMA.fields
-])
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (explicit schema —
     streaming sources never infer). ``maxFilesPerTrigger`` simulates
-    incremental arrival in tests; omit it for AvailableNow backfills."""
+    incremental arrival in tests; omit it for AvailableNow backfills.
+
+    A one-off batch probe picks the physical ``ts`` layout — TIMESTAMP(NANOS)
+    fixtures arrive as long (legacy flag) and are rebuilt via exact integer
+    ns→µs division; TIMESTAMP(MICROS) fixtures arrive as TIMESTAMP_NTZ and
+    are cast (UTC session → identical wall clock). Either way downstream
+    sees the session-zoned TIMESTAMP of ``EVENT_SCHEMA``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_ts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .schema["ts"].dataType)
+    raw_schema = StructType([
+        f if f.name != "ts" else StructField("ts", stored_ts)
+        for f in EVENT_SCHEMA.fields
+    ])
     # File-stream sources take a directory; pathGlobFilter narrows it to the
     # events table (in production this is the stream's landing directory).
-    reader = (spark.readStream.schema(_RAW_SCHEMA)
+    reader = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (reader.parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = reader.parquet(sf_dir)
+    if isinstance(stored_ts, LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
