@@ -1,0 +1,275 @@
+"""Statistical / utility analytics beyond the core relational battery:
+bivariate statistics (corr / covariance / OLS regression), rank-rule
+percentiles, an array-function battery, deterministic hash sampling, and
+blocked edit-distance candidate pairs.
+
+The reference has no row plane (SURVEY.md §2.2) — these are EXT-surface
+operators a 100 TB training-data pipeline needs, built Spark-first:
+
+- Bivariate stats run as ONE aggregation pass over sufficient statistics
+  (n, Σx, Σy, Σxy, Σx², Σy²) with map-side partial aggregation — no second
+  scan, no window. The Σ's are exact decimal sums (order-independent under
+  shuffle), and every derived statistic is evaluated in the same IEEE op
+  order as the DuckDB oracle → bitwise-identical doubles (the
+  embedding_covariance protocol, operators/corpus.py).
+- Percentiles use an explicit rank rule (smallest value whose row_number
+  reaches ceil(q·n)) instead of engine-native percentile_cont/disc, whose
+  interpolation / index conventions differ between engines. The window is
+  partitioned by the group key, so no single-partition global sort.
+- Hash sampling thresholds the hex md5 of the key — deterministic,
+  seed-free, reproducible across engines and across reruns on a cluster
+  (the property a 100 TB sampling job actually needs; rand(seed) is
+  partition-layout dependent). Stratified rates come from a CASE over the
+  stratum column: still one scan, fully pushed down.
+- Edit-distance pairs use prefix blocking (first token of the name) so the
+  join is an equi-join on the block key, never an all-pairs cartesian;
+  levenshtein runs JVM-side on the candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import DEC, ld
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics: corr / covar / OLS in one pass
+# ---------------------------------------------------------------------------
+
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation, population covariance and OLS
+    slope/intercept of (x=l_quantity, y=l_discount), from a single
+    sufficient-statistics aggregation (the way you'd do it at 100 TB: one
+    scan, partial aggs combine map-side, six numbers per group shuffle).
+
+    Column choice is part of the determinism protocol: quantity (integer-
+    valued) and discount (2dp) keep every per-row product an exact ≤4dp
+    value, so the scale-6 decimal cast is tie-free in both engines and the
+    scaled sums stay far below 2^53 (l_extendedprice² sums land past 2^53,
+    where DuckDB's decimal↔double conversions stop being exact — measured)."""
+    l = ld(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    g = (l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    ))
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # Op order mirrors the oracle SQL text exactly — keep in sync. The
+    # denominator is ONE sqrt of a product, not a product of sqrts: each
+    # IEEE op is correctly rounded, but sqrt(a)·sqrt(b) ≠ sqrt(a·b) in the
+    # last ulp and the engines disagreed there (measured).
+    cov_n = n * sxy - sx * sy
+    corr = cov_n / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    slope = cov_n / (n * sxx - sx * sx)
+    return (g.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (sxy / n - (sx / n) * (sy / n)).alias("covar_pop"),
+        corr.alias("corr_xy"),
+        slope.alias("regr_slope"),
+        ((sy - slope * sx) / n).alias("regr_intercept"),
+    ).orderBy("l_returnflag"))
+
+
+ORACLE_AGG_CORR_REGR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_discount
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount * l_discount
+                       AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       sxy/n - (sx/n)*(sy/n) AS covar_pop,
+       (n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))
+         AS corr_xy,
+       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS regr_slope,
+       (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS regr_intercept
+FROM s ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percentiles by explicit rank rule (engine-portable, no interpolation)
+# ---------------------------------------------------------------------------
+
+_PCTS = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles of o_totalprice by the explicit rule
+    "smallest value whose 1-based rank ≥ ceil(q·n)" — identical in any
+    engine (native percentile_cont/disc interpolation and index conventions
+    are NOT portable). One partitioned window sort + one aggregate; the
+    window is partitioned on the group key, so each group sorts in its own
+    partition — no global single-partition sort."""
+    from pyspark.sql import Window
+
+    o = ld(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    aggs = [
+        F.min(F.when(F.col("rk") >= F.ceil(F.lit(q) * F.col("n")),
+                     F.col("o_totalprice"))).alias(name)
+        for name, q in _PCTS
+    ]
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.max("n").alias("n_rows"), *aggs)
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_AGG_PERCENTILES = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       MAX(n) AS n_rows,
+       MIN(CASE WHEN rk >= CEIL(0.25 * n) THEN o_totalprice END) AS p25,
+       MIN(CASE WHEN rk >= CEIL(0.50 * n) THEN o_totalprice END) AS p50,
+       MIN(CASE WHEN rk >= CEIL(0.75 * n) THEN o_totalprice END) AS p75,
+       MIN(CASE WHEN rk >= CEIL(0.95 * n) THEN o_totalprice END) AS p95
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array-function battery (scalar outputs — the driver canon hashes scalars)
+# ---------------------------------------------------------------------------
+
+def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + transformation battery over document word lists:
+    split → size / element_at / sort → join back to scalars. All JVM-side
+    Catalyst expressions (no UDF); outputs are scalars because the
+    correctness canon hashes scalar cells."""
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.slice(F.array_sort(words), 1, 3), "|")
+            .alias("first3_sorted"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SCALAR_ARRAY = """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+       STRING_SPLIT(text, ' ')[1] AS first_word,
+       STRING_SPLIT(text, ' ')[-1] AS last_word,
+       ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' '))[1:3], '|')
+         AS first3_sorted,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT)
+         AS n_distinct_words
+FROM documents WHERE doc_id <= 400 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (seed-free, engine- and layout-independent)
+# ---------------------------------------------------------------------------
+
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample of customers: threshold the first two
+    hex chars of md5(key) per market segment (BUILDING 50%, MACHINERY 25%,
+    others 12.5%). Unlike rand(seed), the predicate depends only on row
+    values — stable across partition layouts, cluster sizes and reruns,
+    which is what makes a 100 TB sample auditable. Evaluates as a pushed
+    filter in one scan."""
+    c = ld(spark, sf_dir, "customer")
+    bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+    limit = (F.when(F.col("c_mktsegment") == "BUILDING", F.lit("80"))
+             .when(F.col("c_mktsegment") == "MACHINERY", F.lit("40"))
+             .otherwise(F.lit("20")))
+    return (c.filter(bucket < limit)
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .orderBy("c_custkey"))
+
+
+ORACLE_SAMPLE_HASH = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 2) <
+      CASE WHEN c_mktsegment = 'BUILDING' THEN '80'
+           WHEN c_mktsegment = 'MACHINERY' THEN '40'
+           ELSE '20' END
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance candidate pairs
+# ---------------------------------------------------------------------------
+
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str,
+                              max_dist: int = 12) -> DataFrame:
+    """Near-duplicate part names by Levenshtein distance with first-token
+    blocking: only names sharing their first word are compared, turning the
+    O(n²) all-pairs problem into an equi-join on the block key (the same
+    shape as the LSH band join in dedup.py — candidates from a cheap key,
+    exact verify on candidates only). levenshtein() is a JVM Catalyst
+    expression; no Python on the data path."""
+    p = (ld(spark, sf_dir, "part")
+         .select("p_partkey", "p_name",
+                 F.substring_index("p_name", " ", 1).alias("blk")))
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .select(F.col("a.p_partkey").alias("key1"),
+                    F.col("b.p_partkey").alias("key2"),
+                    F.levenshtein("a.p_name", "b.p_name").alias("dist"))
+            .filter(F.col("dist") <= max_dist)
+            .orderBy("key1", "key2"))
+
+
+ORACLE_DEDUP_LEVENSHTEIN = """
+WITH p AS (
+  SELECT p_partkey, p_name, STRING_SPLIT(p_name, ' ')[1] AS blk FROM part)
+SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+       CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 12
+ORDER BY key1, key2
+"""
+
+
+QUERIES = {
+    "agg_corr_regr": agg_corr_regr,
+    "agg_percentiles": agg_percentiles,
+    "scalar_array_fns": scalar_array_fns,
+    "sample_hash_stratified": sample_hash_stratified,
+    "dedup_levenshtein_blocked": dedup_levenshtein_blocked,
+}
+
+ORACLES = {
+    "agg_corr_regr": ORACLE_AGG_CORR_REGR,
+    "agg_percentiles": ORACLE_AGG_PERCENTILES,
+    "scalar_array_fns": ORACLE_SCALAR_ARRAY,
+    "sample_hash_stratified": ORACLE_SAMPLE_HASH,
+    "dedup_levenshtein_blocked": ORACLE_DEDUP_LEVENSHTEIN,
+}

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
+    analytics,
     approx,
     asof,
     corpus,
@@ -238,8 +239,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": textstats.text_langid,
         "text_fingerprint": textstats.text_fingerprint,
         "multimodal_metadata": multimodal.multimodal_metadata,
-        "multimodal_features": multimodal.multimodal_features,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         # -- re-verify: implementation changed this round --
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "approx_quantiles": approx.approx_quantiles,
@@ -258,6 +257,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round: the composite curation pass (dedup ∘ lang ∘
         #    quality in one job) --
         "corpus_curate": corpus.corpus_curate,
+        # -- new this round: bivariate stats, rank-rule percentiles, array
+        #    battery (operators/analytics.py; the other two analytics
+        #    entries sit past the cap and rotate in next round) --
+        "agg_corr_regr": analytics.agg_corr_regr,
+        "agg_percentiles": analytics.agg_percentiles,
+        "scalar_array_fns": analytics.scalar_array_fns,
     })
     # -- never driver-verified: schema plane + streaming; oracle-backed
     # entries (interval join, migrate) take window priority over rows-only
@@ -267,7 +272,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["migrate_customer_cast"] = cq.pop("migrate_customer_cast")
     q.update(cq)
     q.update(sq)
-    # -- past the 50-entry window from here: r01-green canaries first --
+    # -- past the 50-entry window from here: new-but-evidenced entries
+    # (oracle/pytest locally green) that rotate into the window next round --
+    q.update({
+        "sample_hash_stratified": analytics.sample_hash_stratified,
+        "dedup_levenshtein_blocked": analytics.dedup_levenshtein_blocked,
+        "multimodal_features": multimodal.multimodal_features,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+    })
+    # -- r01-green canaries --
     q.update({
         "q18_large_orders": rel.q18_large_orders,
         "events_asof_last_click": asof.events_asof_last_click,
@@ -323,6 +336,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def build_oracles() -> dict[str, str]:
     oracles = dict(rext.ORACLES)
+    oracles.update(analytics.ORACLES)
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,

@@ -1,0 +1,129 @@
+"""Semantic + plan-shape tests for operators/analytics.py: bivariate stats,
+rank-rule percentiles, deterministic hash sampling, and blocked
+edit-distance pairs. The oracle parity sweep pins cross-engine equality;
+these tests pin the properties parity can't see (statistical correctness
+vs numpy, sampling-rate behavior, blocking completeness, plan shape)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import analytics
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+    assert_no_python_in_plan,
+    plan_profile,
+    read_schemas,
+)
+
+
+class TestCorrRegr:
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        rows = analytics.agg_corr_regr(spark, sf_dir).collect()
+        pdf = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+               .select("l_returnflag", "l_quantity", "l_discount")
+               .toPandas())
+        for r in rows:
+            g = pdf[pdf.l_returnflag == r.l_returnflag]
+            x, y = g.l_quantity.to_numpy(), g.l_discount.to_numpy()
+            assert r.n_rows == len(g)
+            assert r.corr_xy == pytest.approx(np.corrcoef(x, y)[0, 1],
+                                              abs=1e-9)
+            assert r.covar_pop == pytest.approx(np.cov(x, y, bias=True)[0, 1],
+                                                abs=1e-9)
+            slope, intercept = np.polyfit(x, y, 1)
+            assert r.regr_slope == pytest.approx(slope, abs=1e-9)
+            assert r.regr_intercept == pytest.approx(intercept, abs=1e-9)
+
+    def test_single_pass_no_window(self, spark, sf_dir):
+        df = analytics.agg_corr_regr(spark, sf_dir)
+        assert_no_python_in_plan(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, "stats must come from one agg pass"
+        [cols] = read_schemas(df)
+        assert set(cols) == {"l_returnflag", "l_quantity", "l_discount"}
+
+
+class TestPercentiles:
+    def test_rank_rule_matches_sorted_index(self, spark, sf_dir):
+        rows = analytics.agg_percentiles(spark, sf_dir).collect()
+        pdf = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+               .select("o_orderpriority", "o_totalprice", "o_orderkey")
+               .toPandas())
+        for r in rows:
+            g = pdf[pdf.o_orderpriority == r.o_orderpriority].sort_values(
+                ["o_totalprice", "o_orderkey"])
+            vals = g.o_totalprice.to_list()
+            n = len(vals)
+            assert r.n_rows == n
+            for name, q in analytics._PCTS:
+                assert getattr(r, name) == vals[math.ceil(q * n) - 1]
+
+    def test_percentile_window_is_partitioned(self, spark, sf_dir):
+        plan = (analytics.agg_percentiles(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Window" in plan
+        # a global (un-partitioned) window would log/plan a single-partition
+        # sort: partitioning spec must mention the group key
+        assert "o_orderpriority" in plan.split("Window")[1][:400]
+
+
+class TestHashSampling:
+    def test_rates_and_determinism(self, spark, sf_dir):
+        out = analytics.sample_hash_stratified(spark, sf_dir)
+        again = analytics.sample_hash_stratified(spark, sf_dir)
+        assert [r.c_custkey for r in out.collect()] == \
+            [r.c_custkey for r in again.collect()]
+        total = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                 .groupBy("c_mktsegment").count().collect())
+        totals = {r.c_mktsegment: r["count"] for r in total}
+        kept = {r.c_mktsegment: r["count"]
+                for r in out.groupBy("c_mktsegment").count().collect()}
+        for seg, want in (("BUILDING", 0.50), ("MACHINERY", 0.25)):
+            if totals.get(seg, 0) >= 100:
+                got = kept.get(seg, 0) / totals[seg]
+                assert abs(got - want) < 0.12, (seg, got, want)
+
+    def test_sample_is_pushed_filter_scan(self, spark, sf_dir):
+        df = analytics.sample_hash_stratified(spark, sf_dir)
+        assert_no_python_in_plan(df)
+        prof = plan_profile(df)
+        assert prof["shuffles"] <= 1  # only the final orderBy
+
+
+class TestLevenshteinBlocked:
+    def test_pairs_complete_within_blocks(self, spark, sf_dir):
+        out = analytics.dedup_levenshtein_blocked(spark, sf_dir, max_dist=5)
+        pairs = {(r.key1, r.key2) for r in out.collect()}
+        pdf = (spark.read.parquet(f"{sf_dir}/part.parquet")
+               .select("p_partkey", "p_name").toPandas())
+        pdf["blk"] = pdf.p_name.str.split(" ").str[0]
+        import itertools
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        # brute force one block: every qualifying pair must be found
+        blk = pdf[pdf.blk == pdf.blk.mode()[0]].sort_values("p_partkey")
+        expect = set()
+        for (k1, n1), (k2, n2) in itertools.combinations(
+                zip(blk.p_partkey, blk.p_name), 2):
+            if lev(n1, n2) <= 5:
+                expect.add((min(k1, k2), max(k1, k2)))
+        assert expect <= pairs
+
+    def test_equi_join_not_cartesian(self, spark, sf_dir):
+        prof = plan_profile(
+            analytics.dedup_levenshtein_blocked(spark, sf_dir))
+        assert prof["cartesian_products"] == 0
+        assert_no_python_in_plan(
+            analytics.dedup_levenshtein_blocked(spark, sf_dir))
