@@ -222,11 +222,13 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     it recovers exactly the brute-force pair set on the fixture data).
     """
     # one shingling pass total: signatures + both verify sides reuse it
-    # (localCheckpoint — three separate lineage executions otherwise);
-    # signatures likewise: both sides of the band self-join reuse them
+    # (localCheckpoint — three separate lineage executions otherwise).
+    # The signatures are NOT checkpointed: the band self-join's two sides
+    # share one shuffle via ReusedExchange, so the 64-min agg already runs
+    # once — a checkpoint there only adds materialization cost (measured
+    # +0.5 s at sf0.1).
     sh = doc_shingles(spark, sf_dir).localCheckpoint()
-    cands = minhash_lsh_candidates(
-        minhash_signatures(sh).localCheckpoint())
+    cands = minhash_lsh_candidates(minhash_signatures(sh))
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
     j = (cands
          .join(sized.select(F.col("doc_id").alias("id1"),
