@@ -69,12 +69,14 @@ def main() -> int:
     spark.range(32).mapInPandas(
         lambda it: it, schema="id long").collect()
 
-    # min-of-2: single-JVM local mode has multi-second GC/JIT noise; the
-    # min is the steady-state number a warmed executor fleet would see.
+    # min-of-3: single-JVM local mode has multi-second GC/JIT noise; the
+    # min is the steady-state number a warmed executor fleet would see
+    # (observed run-to-run spread at sf0.1 is ±0.3 s per query — two
+    # samples were not enough to pin the floor).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -54,6 +54,33 @@ GROUP BY bucket_lo ORDER BY bucket_lo
 """
 
 
+def corpus_top_tokens(spark: SparkSession, sf_dir: str,
+                      k: int = 50) -> DataFrame:
+    """Corpus-wide top-k most frequent tokens (vocabulary head — the scan
+    that sizes stopword lists and tokenizer merges).
+
+    Shape: explode → hash-aggregate with map-side partials (each executor
+    emits one partial row per distinct token it saw, so the shuffle is
+    O(vocabulary), not O(corpus)) → TakeOrderedAndProject for the top k
+    (per-partition heads merge on the driver; no global sort). Ties break
+    on the token string so the cut is deterministic."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "token")
+            .limit(k))
+
+
+ORACLE_TOP_TOKENS = """
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str,
                          dims: int = 6) -> DataFrame:
     """Population covariance of the first ``dims`` embedding dimensions in

