@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from .relational import ld, ld_dist
+from .relational import ld
 
 NUM_MINHASHES = 64
 LSH_BANDS = 16
@@ -107,7 +107,7 @@ def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
     """doc_id → distinct word n-grams. Arrow/pandas path: shingling is a
     per-row string op — embarrassingly parallel, no shuffle — and the
     vectorized UDF keeps it off the interpreted HOF evaluator."""
-    d = ld_dist(spark, sf_dir, "documents")
+    d = ld(spark, sf_dir, "documents")
     return d.select("doc_id", _shingle_udf(n)("text").alias("shingles"))
 
 
@@ -256,7 +256,7 @@ def simhash_fingerprints(spark, sf_dir) -> DataFrame:
     bands so LSH banding and hamming math stay in plain integer columns.
     One explode + one groupBy — the 64 per-bit sums are map-side partial aggs.
     """
-    d = ld_dist(spark, sf_dir, "documents")
+    d = ld(spark, sf_dir, "documents")
     # hash each word ONCE in the projection — embedding xxhash64(w) inside
     # all 64 aggregate expressions would re-hash the string 64× per row
     words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))

@@ -34,32 +34,40 @@ Determinism protocol for oracle parity (floats are the hazard):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(28,6)"
 
 
+# Parquet splits at row-group granularity, so a single-row-group file
+# serializes every downstream map stage no matter how many cores exist
+# (the fixture generator writes exactly one row group per table; measured
+# ~25% on q1 at sf0.1 and worse as data grows). Below this size the map
+# work is trivial and the extra exchange is pure overhead — and the gate
+# also keeps every sf0.01 (test / driver-correctness) plan untouched.
+_MIN_REPARTITION_BYTES = 1_500_000
+
+
 def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def ld_dist(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a table and guarantee the scan feeds at least
-    ``defaultParallelism`` partitions. Parquet splits at row-group
-    granularity, so a single-row-group file serializes every downstream
-    map stage no matter how many cores exist — measured 3-8× on the
-    shingling/fingerprint pipelines at sf0.1. The repartition only fires
-    when the source under-parallelizes; on production layouts (many
-    files / many row groups) it is a no-op, so this is NOT a blanket
-    shuffle at 100 TB. (At sf0.1 the effect is within local-mode noise —
-    the serialized portions are sub-second — but at sf1+ the serialized
-    map stage grows linearly while the repartition stays one small
-    shuffle.)"""
-    df = ld(spark, sf_dir, name)
-    cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        df = df.repartition(cores)
+    """Load a fixture table; if the file is big enough to matter and its
+    scan yields fewer partitions than ``defaultParallelism``, redistribute
+    once so map stages saturate the cluster. On production layouts (many
+    files / many row groups) the condition is false and this is a plain
+    scan — it is NOT a blanket shuffle at 100 TB. Filters and projections
+    still reach the scan: Catalyst pushes both through Repartition
+    (pinned by tests/test_plans.py at sf0.1)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        big = os.path.getsize(path) >= _MIN_REPARTITION_BYTES
+    except OSError:
+        big = False  # non-local storage: trust the source layout
+    if big and df.rdd.getNumPartitions() < \
+            spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
