@@ -81,6 +81,69 @@ LIMIT 50
 """
 
 
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str,
+                           k: int = 5) -> DataFrame:
+    """Top-k highest-weighted terms per document under a BM25-style score
+    ``tf · (N − df + 0.5) / (df + 0.5)``.
+
+    The rarity weight is the BM25 idf core WITHOUT the log: Spark
+    (Java ``Math.log``) and DuckDB (libm) disagree by 1 ulp on e.g.
+    ln(3) — measured — and the correctness protocol hashes doubles
+    bitwise, so the score sticks to rational arithmetic on exact
+    integer-derived values (one multiply, one divide, identical op order
+    in the oracle) which IEEE pins bitwise. The log is monotone in the
+    ratio, so per-term rarity ORDERING matches classic idf; only the
+    tf/idf mixing differs, and that choice is pinned, documented scoring
+    semantics rather than an engine accident.
+
+    Shape: explode → (doc, term) tf counts + term df counts (two hash
+    aggs over the same exploded scan, partial-agg'd map-side), broadcast
+    the O(vocabulary) df table back, one per-doc window for the top-k
+    cut. At 100 TB the df table is the only reused state and it is
+    vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    d = ld(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_tbl = terms.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
+    score = (F.col("tf").cast("double")
+             * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+             / (F.col("df") + F.lit(0.5)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (tf.join(F.broadcast(df_tbl), "term")
+            .select("doc_id", "term", "tf", "df", score.alias("score"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "term", "tf", "df", "score", "rk")
+            .orderBy("doc_id", "rk"))
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf::DOUBLE * (n.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+  FROM tf JOIN df USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df, score, rk
+FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk
+"""
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str,
                          dims: int = 6) -> DataFrame:
     """Population covariance of the first ``dims`` embedding dimensions in

@@ -281,6 +281,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_hourly": timeseries.events_gapfill_hourly,
         "events_sliding_hourly": timeseries.events_sliding_hourly,
         "corpus_top_tokens": corpus.corpus_top_tokens,
+        "corpus_tfidf_top_terms": corpus.corpus_tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
     })
@@ -343,6 +344,7 @@ def build_oracles() -> dict[str, str]:
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
+    oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
