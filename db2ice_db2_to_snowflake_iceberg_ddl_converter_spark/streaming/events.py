@@ -214,3 +214,29 @@ def run_available_now(result: DataFrame, query_name: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def write_foreach_batch_idempotent(result: DataFrame, out_dir: str,
+                                   checkpoint_dir: str):
+    """Exactly-once file sink via ``foreachBatch``: each micro-batch lands
+    in ``out_dir/batch_id=<n>`` with overwrite mode, so a batch replayed
+    after a crash (Structured Streaming re-runs the last uncommitted batch
+    with the SAME batch_id) overwrites its own partial output instead of
+    duplicating it. This is the standard production pattern for sinks
+    without native transactional support; with an Iceberg/Delta catalog the
+    same hook would do a MERGE keyed on batch_id. Readers get exactly-once
+    by scanning ``out_dir`` (the batch_id=… layout is also partition-pruned
+    on read).
+
+    Returns the running StreamingQuery (AvailableNow trigger — drains the
+    source and stops; callers ``awaitTermination()``).
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return (result.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

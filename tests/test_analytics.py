@@ -127,3 +127,37 @@ class TestLevenshteinBlocked:
         assert prof["cartesian_products"] == 0
         assert_no_python_in_plan(
             analytics.dedup_levenshtein_blocked(spark, sf_dir))
+
+
+class TestTimeseries:
+    def test_gapfill_covers_every_hour_with_zero_fill(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            timeseries,
+        )
+
+        rows = timeseries.events_gapfill_hourly(spark, sf_dir).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for et, series in by_type.items():
+            hours = [r.hour_start for r in series]
+            assert hours == sorted(hours)
+            # dense: count of rows == span in hours + 1
+            import datetime as dt
+            lo = dt.datetime.strptime(hours[0], "%Y-%m-%d %H:%M:%S")
+            hi = dt.datetime.strptime(hours[-1], "%Y-%m-%d %H:%M:%S")
+            assert len(series) == int((hi - lo).total_seconds()) // 3600 + 1
+        assert any(r.n_events == 0 for r in rows) or all(
+            len(s) > 0 for s in by_type.values())
+
+    def test_timeseries_plans_stay_sane(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            timeseries,
+        )
+
+        gap = plan_profile(timeseries.events_gapfill_hourly(spark, sf_dir))
+        assert gap["cartesian_products"] == 0
+        assert gap["python_evals"] == 0
+        slid = plan_profile(timeseries.events_sliding_hourly(spark, sf_dir))
+        assert slid["cartesian_products"] == 0
+        assert slid["python_evals"] == 0

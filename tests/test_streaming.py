@@ -147,3 +147,27 @@ def test_incremental_trigger_same_totals(spark, sf_dir, tmp_path):
     )
 
     assert total == load_events(spark, sf_dir).count()
+
+
+def test_foreach_batch_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch sink must (a) land every source row exactly once
+    across batch_id partitions, and (b) overwrite — not duplicate — when
+    the same batch id is written twice (the crash-replay case)."""
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    src = ev.read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = ev.write_foreach_batch_idempotent(src, out, ckpt)
+    q.awaitTermination()
+    q.stop()
+
+    written = spark.read.parquet(out)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
+
+    # replay batch 0 by hand: same batch_id → overwrite, still exactly once
+    # (localCheckpoint materializes the rows so the overwrite doesn't
+    # delete its own input files mid-read)
+    batch0 = spark.read.parquet(f"{out}/batch_id=0").localCheckpoint()
+    batch0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == n_src
