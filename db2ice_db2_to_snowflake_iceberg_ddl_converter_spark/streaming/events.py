@@ -240,3 +240,20 @@ def write_foreach_batch_idempotent(result: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def enrich_with_customer_segment(events_stream: DataFrame,
+                                 customers: DataFrame) -> DataFrame:
+    """Stream-static join: attach the (static) customer market segment to
+    the event stream on user_id = c_custkey.
+
+    Stream-static joins need NO watermark and keep no join state — Spark
+    re-plans the static side per micro-batch, so at 100 TB the dimension
+    is broadcast to each batch (hint it explicitly; dimension tables are
+    broadcast-class by definition). This is the standard enrichment step
+    between ingest and windowed aggregation.
+    """
+    dim = F.broadcast(customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment")))
+    return events_stream.join(dim, "user_id", "left")

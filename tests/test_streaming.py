@@ -171,3 +171,19 @@ def test_foreach_batch_sink_is_idempotent(spark, sf_dir, tmp_path):
     batch0 = spark.read.parquet(f"{out}/batch_id=0").localCheckpoint()
     batch0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, batch_events,
+                                                tmp_path):
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream = ev.enrich_with_customer_segment(
+        ev.read_events_stream(spark, sf_dir), customers)
+    agg = (stream.groupBy("segment")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    got = {r.segment: r.n_events
+           for r in _drain(spark, agg, "t_enrich", tmp_path)}
+    exp = {r.segment: r.n_events
+           for r in (ev.enrich_with_customer_segment(batch_events, customers)
+                     .groupBy("segment")
+                     .agg(F.count(F.lit(1)).alias("n_events"))).collect()}
+    assert got == exp and sum(got.values()) == batch_events.count()
