@@ -25,15 +25,19 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               value_cols: list[str] | None = None,
               suffix: str = "_asof",
-              tiebreak: list[str] | None = None) -> DataFrame:
+              tiebreak: list[str] | None = None,
+              tolerance: str | None = None) -> DataFrame:
     """For each left row: latest right row with ``right[on] <= left[on]``,
     matched within ``by`` groups. Right columns arrive suffixed.
 
     ``value_cols`` defaults to every right column except ``on``/``by``.
     Left rows with no prior right row keep nulls (left-outer semantics).
     ``tiebreak`` (right-side column names) makes the winner among
-    equal-timestamp right rows deterministic.
-    """
+    equal-timestamp right rows deterministic. ``tolerance`` (an SQL
+    interval string, e.g. ``"30 minutes"``) nulls the match when the
+    carried right row is older than ``left[on] − tolerance`` — pandas
+    ``merge_asof(tolerance=...)`` semantics, implemented as a post-window
+    projection so the plan stays one shuffle + one window."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
@@ -49,15 +53,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         [F.col(f"{c}{suffix}") for c in (tiebreak or [])]
     w = (Window.partitionBy(by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carry_cols = list(value_cols)
+    if tolerance is not None:
+        # carry the matched right timestamp too, to age-check the match
+        unioned = unioned.withColumn(
+            f"__rts{suffix}",
+            F.when(F.col("__side") == 0, F.col(on)))
+        carried_ts = F.last(f"__rts{suffix}", ignorenulls=True).over(w)
     carried = unioned.select(
         "*",
         *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-          .alias(f"__carry_{c}") for c in value_cols])
+          .alias(f"__carry_{c}") for c in carry_cols],
+        *([carried_ts.alias("__carry_rts")] if tolerance is not None else []))
+    out_vals = []
+    for c in carry_cols:
+        v = F.col(f"__carry_{c}")
+        if tolerance is not None:
+            v = F.when(F.col("__carry_rts")
+                       >= F.col(on) - F.expr(f"INTERVAL {tolerance}"), v)
+        out_vals.append(v.alias(f"{c}{suffix}"))
     return (carried.filter(F.col("__side") == 1)
-            .drop("__side", *[f"{c}{suffix}" for c in value_cols])
-            .select("*", *[F.col(f"__carry_{c}").alias(f"{c}{suffix}")
-                           for c in value_cols])
-            .drop(*[f"__carry_{c}" for c in value_cols]))
+            .drop("__side", *[f"{c}{suffix}" for c in value_cols],
+                  *([f"__rts{suffix}"] if tolerance is not None else []))
+            .select("*", *out_vals)
+            .drop("__carry_rts",
+                  *[f"__carry_{c}" for c in carry_cols]))
 
 
 def events_asof_last_click(spark, sf_dir):
@@ -101,5 +121,54 @@ WITH tagged AS (
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
        click_id_asof, click_value_asof
+FROM carried WHERE side = 1 ORDER BY event_id
+"""
+
+
+def events_asof_tolerance(spark, sf_dir):
+    """As-of with a 30-minute tolerance: a purchase whose latest prior
+    click is older than 30 minutes gets NULLs (stale quotes must not
+    match — the pandas merge_asof(tolerance=...) contract)."""
+    from .relational import _fmt_ts, load_events
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"))
+    joined = asof_join(purchases, clicks, on="ts", by="user_id",
+                       value_cols=["click_id", "click_value"],
+                       tiebreak=["click_id"], tolerance="30 minutes")
+    return (joined.select("event_id", "user_id",
+                          _fmt_ts("ts").alias("purchase_ts"),
+                          "click_id_asof", "click_value_asof")
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_ASOF_TOLERANCE = """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS side, event_id, value,
+         NULL::BIGINT AS click_id, NULL::DOUBLE AS click_value,
+         NULL::TIMESTAMP AS rts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS side, NULL, NULL, event_id, value, ts
+  FROM events WHERE event_type = 'click'
+), carried AS (
+  SELECT *,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS cid,
+         LAST_VALUE(click_value IGNORE NULLS) OVER w AS cval,
+         LAST_VALUE(rts IGNORE NULLS) OVER w AS crts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, click_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN crts >= ts - INTERVAL 30 MINUTE THEN cid END
+         AS click_id_asof,
+       CASE WHEN crts >= ts - INTERVAL 30 MINUTE THEN cval END
+         AS click_value_asof
 FROM carried WHERE side = 1 ORDER BY event_id
 """

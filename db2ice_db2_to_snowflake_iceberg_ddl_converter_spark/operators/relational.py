@@ -1019,3 +1019,40 @@ SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id
 """
+
+
+def unpivot_nation_metrics(spark, sf_dir):
+    """Wide→long reshape (melt): per-nation customer metrics computed wide
+    (one agg pass), then ``DataFrame.unpivot`` — the inverse of agg_pivot
+    and the other half of the reshape surface. Unpivot is a zero-shuffle
+    projection (each input row explodes to one row per metric in place),
+    so the only exchange is the upstream aggregation's."""
+    c = ld(spark, sf_dir, "customer")
+    wide = (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_customers"),
+                 _dsumd(F.col("c_acctbal")).alias("total_acctbal"),
+                 F.max("c_acctbal").alias("max_acctbal")))
+    return (wide.unpivot(
+                ids=["c_nationkey"],
+                values=["n_customers", "total_acctbal", "max_acctbal"],
+                variableColumnName="metric",
+                valueColumnName="value")
+            .orderBy("c_nationkey", "metric"))
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_acctbal,
+         MAX(c_acctbal) AS max_acctbal
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, metric, value FROM (
+  SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+  UNION ALL
+  SELECT c_nationkey, 'total_acctbal', total_acctbal FROM wide
+  UNION ALL
+  SELECT c_nationkey, 'max_acctbal', max_acctbal FROM wide)
+ORDER BY c_nationkey, metric
+"""

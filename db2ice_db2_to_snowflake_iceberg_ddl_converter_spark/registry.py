@@ -282,6 +282,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_hourly": timeseries.events_sliding_hourly,
         "corpus_top_tokens": corpus.corpus_top_tokens,
         "corpus_tfidf_top_terms": corpus.corpus_tfidf_top_terms,
+        "events_asof_tolerance": asof.events_asof_tolerance,
+        "unpivot_nation_metrics": rel.unpivot_nation_metrics,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
     })
@@ -345,6 +347,8 @@ def build_oracles() -> dict[str, str]:
     oracles.update(timeseries.ORACLES)
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
+    oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
+    oracles["unpivot_nation_metrics"] = rel.ORACLE_UNPIVOT
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
