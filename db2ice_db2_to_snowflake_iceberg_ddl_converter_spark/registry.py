@@ -114,8 +114,14 @@ def _streaming_queries():
         return spark.table(name)
 
     def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _drain(spark, ev.hourly_rollup(
+        """Oracle-checkable: decimal-protocol sums make the drained rows
+        arrival-order independent; timestamps formatted per the protocol."""
+        out = _drain(spark, ev.hourly_rollup(
             ev.read_events_stream(spark, sf_dir)), "s_hourly")
+        return out.select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type", "n_events", "total_value")
 
     def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain(spark, ev.session_windows(
@@ -150,8 +156,15 @@ def _streaming_queries():
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
 
     def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _drain(spark, ev.sliding_rollup(
+        """Oracle-checkable like the hourly rollup (decimal-protocol avg)."""
+        out = _drain(spark, ev.sliding_rollup(
             ev.read_events_stream(spark, sf_dir)), "s_sliding")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_end"),
+            "n_events", "avg_value")
 
     def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """applyInPandasWithState running totals, update-mode: the memory
@@ -349,6 +362,9 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
     oracles["unpivot_nation_metrics"] = rel.ORACLE_UNPIVOT
+    from .streaming import events as _ev
+    oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
+    oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
@@ -421,9 +437,11 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": textstats.ORACLE_TEXT_FINGERPRINT,
         "multimodal_metadata": multimodal.ORACLE_MULTIMODAL_META,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
-        # multimodal_features, ddl_schema_catalog, ddl_assess_catalog,
-        # streaming_hourly_rollup, streaming_session_windows, streaming_dedup,
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk
+        # (xxhash64 has no DuckDB twin), multimodal_features,
+        # ddl_schema_catalog, ddl_assess_catalog,
+        # streaming_session_windows (session boundary emission shape),
+        # streaming_dedup (arrival-order dependent which duplicate wins),
         # approx_distinct_counts, approx_quantiles (sketches — approximate
         # by design; error bounds pinned in tests/test_operators.py),
         # dedup_embedding_blocked (BLAS-reassociated scores; pair-set

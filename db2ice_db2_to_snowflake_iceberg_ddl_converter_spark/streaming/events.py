@@ -78,27 +78,68 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 def hourly_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Tumbling 1-hour windows per event type (streaming twin of
     events_tumbling_hourly). Watermark bounds state: windows older than
-    max(event time) − watermark are finalized and evicted."""
+    max(event time) − watermark are finalized and evicted.
+
+    The value sum follows the batch determinism protocol (per-row
+    DECIMAL(28,6) cast → exact order-independent sum → one double cast):
+    micro-batch arrival order then cannot perturb the emitted double, which
+    is what lets the DRAINED stream be checked against the same DuckDB
+    oracle as the batch twin (registry entry streaming_hourly_rollup)."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("hour_start"), "event_type",
                     "n_events", "total_value"))
 
 
 def sliding_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Sliding 1-hour windows every 15 minutes — each event lands in 4
-    windows; state is 4× the tumbling case, still watermark-bounded."""
+    windows; state is 4× the tumbling case, still watermark-bounded.
+    The average follows the determinism protocol (exact decimal sum ÷
+    count, both order-independent) so the drained stream is
+    oracle-checkable like the tumbling rollup."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.avg("value").alias("avg_value"))
+                 (F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "n_events", "avg_value"))
+
+
+# DuckDB twins for the DRAINED (AvailableNow) streams: draining finalizes
+# every window, so the batch SQL over the same file is a fair oracle.
+ORACLE_STREAMING_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_STREAMING_SLIDING = """
+WITH hits AS (
+  SELECT ts, value, UNNEST([
+           date_trunc('hour', ts),
+           date_trunc('hour', ts - INTERVAL 15 MINUTE) + INTERVAL 15 MINUTE,
+           date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
+           date_trunc('hour', ts - INTERVAL 45 MINUTE) + INTERVAL 45 MINUTE
+         ]) AS win_start
+  FROM events)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM hits
+WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+GROUP BY win_start
+"""
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes",
