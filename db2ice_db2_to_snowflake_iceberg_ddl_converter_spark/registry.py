@@ -124,8 +124,17 @@ def _streaming_queries():
             "event_type", "n_events", "total_value")
 
     def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _drain(spark, ev.session_windows(
+        """Oracle-checkable: the lag/cumsum SQL twin reproduces
+        session_window's (first event, last event + gap) boundaries."""
+        out = _drain(spark, ev.session_windows(
             ev.read_events_stream(spark, sf_dir)), "s_sessions")
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events", "total_value")
 
     def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"s_dedup_{uuid.uuid4().hex[:8]}"
@@ -365,6 +374,7 @@ def build_oracles() -> dict[str, str]:
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
+    oracles["streaming_session_windows"] = _ev.ORACLE_STREAMING_SESSIONS
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,
@@ -440,7 +450,6 @@ def build_oracles() -> dict[str, str]:
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk
         # (xxhash64 has no DuckDB twin), multimodal_features,
         # ddl_schema_catalog, ddl_assess_catalog,
-        # streaming_session_windows (session boundary emission shape),
         # streaming_dedup (arrival-order dependent which duplicate wins),
         # approx_distinct_counts, approx_quantiles (sketches — approximate
         # by design; error bounds pinned in tests/test_operators.py),

@@ -152,10 +152,37 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("total_value"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "total_value"))
+
+
+# session_window(gap) semantics: a session is a maximal run of events with
+# inter-arrival ≤ gap; start = first event, end = LAST EVENT + gap. The
+# lag/cumsum SQL below reproduces that exactly, so the drained stream is
+# oracle-checkable (decimal-protocol sum keeps values order-independent).
+ORACLE_STREAMING_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM sessions GROUP BY user_id, sid
+"""
 
 
 def purchase_click_interval_join(events: DataFrame,
