@@ -1,0 +1,97 @@
+"""Iterative graph analytics on DataFrames: PageRank over the
+customer–supplier interaction graph.
+
+Complements the min-label-propagation connected components in
+operators/dedup.py as the second iterative-algorithm surface (the class
+the correctness gate exempts from SQL oracles; tests verify against a
+numpy power iteration instead).
+
+Scale design: each iteration is ONE join (edges ⋈ ranks on src) + ONE
+aggregation (sum of contributions per dst) — the standard Pregel-style
+formulation. The rank vector is O(nodes) and re-partitioned consistently
+with the edge src so iterations reuse the same hash partitioning;
+``localCheckpoint`` per iteration truncates the lineage (without it the
+plan doubles every round and the job dies of analysis time long before
+memory — same lesson as dedup.connected_components). Dangling nodes
+(no out-edges) redistribute their rank uniformly, keeping Σrank = 1 so
+the result is a proper probability distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             n_iters: int = 10) -> DataFrame:
+    """PageRank over a directed edge list (columns ``src``, ``dst``).
+
+    Returns (node, rank) with Σrank = 1. Deterministic up to float
+    summation order (iterative double math → rows-only territory; the
+    pytest checks against numpy with tolerance).
+    """
+    spark = edges.sparkSession
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(n_iters):
+        contribs = (edges.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(out_deg, "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("rank") / F.col("deg"))
+                         .alias("contrib")))
+        # dangling mass: rank held by nodes with no out-edges, spread evenly
+        dangling = (ranks.join(out_deg,
+                               ranks["node"] == out_deg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * F.coalesce(F.col("contrib"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bipartite interaction graph from the order flow: customer →
+    supplier for every distinct (customer, supplier) trade relationship,
+    plus the reverse edge so rank circulates (pure one-way bipartite flow
+    would strand all rank at suppliers). Customers and suppliers share an
+    id space via disjoint offsets."""
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (o.join(l, o["o_orderkey"] == l["l_orderkey"])
+             .select(F.col("o_custkey").alias("cust"),
+                     F.col("l_suppkey").alias("supp"))
+             .distinct())
+    # suppliers offset into their own id range: node = 10^9 + suppkey
+    fwd = pairs.select(F.col("cust").alias("src"),
+                       (F.lit(1_000_000_000) + F.col("supp")).alias("dst"))
+    rev = pairs.select((F.lit(1_000_000_000) + F.col("supp")).alias("src"),
+                       F.col("cust").alias("dst"))
+    return fwd.union(rev)
+
+
+def graph_pagerank_top(spark: SparkSession, sf_dir: str,
+                       k: int = 25) -> DataFrame:
+    """Top-k nodes of the customer–supplier graph by PageRank (rows-only
+    driver check: iterative float math; pytest verifies against a numpy
+    power iteration). Rank is rounded for emission stability; ties break
+    on node id."""
+    ranks = pagerank(customer_supplier_edges(spark, sf_dir))
+    return (ranks.select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), "node").limit(k))
+
+
+QUERIES = {"graph_pagerank_top": graph_pagerank_top}

@@ -22,6 +22,7 @@ from .operators import (
     asof,
     corpus,
     dedup,
+    graph,
     multimodal,
     relational as rel,
     relational_ext as rext,
@@ -308,6 +309,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_nation_metrics": rel.unpivot_nation_metrics,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # iterative float math → rows-only; pytest pins vs numpy power iter
+        "graph_pagerank_top": graph.graph_pagerank_top,
     })
     # -- r01-green canaries --
     q.update({

@@ -161,3 +161,39 @@ class TestTimeseries:
         slid = plan_profile(timeseries.events_sliding_hourly(spark, sf_dir))
         assert slid["cartesian_products"] == 0
         assert slid["python_evals"] == 0
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark, sf_dir):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+
+        edges = graph.customer_supplier_edges(spark, sf_dir)
+        got = {r.node: r.rank for r in graph.pagerank(edges).collect()}
+        epairs = [(r.src, r.dst) for r in edges.collect()]
+        nodes = sorted({x for e in epairs for x in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        M = np.zeros((n, n))
+        for s, d in epairs:
+            M[idx[d], idx[s]] += 1.0
+        deg = M.sum(axis=0)
+        r = np.full(n, 1.0 / n)
+        for _ in range(10):
+            contrib = M @ np.divide(r, deg, out=np.zeros(n), where=deg > 0)
+            dangling = r[deg == 0].sum()
+            r = (1 - 0.85) / n + 0.85 * (contrib + dangling / n)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for node, i in idx.items():
+            assert got[node] == pytest.approx(r[i], rel=1e-9), node
+
+    def test_iteration_is_one_join_one_agg(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+
+        out = graph.graph_pagerank_top(spark, sf_dir, k=5)
+        assert out.count() == 5
