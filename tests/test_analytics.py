@@ -197,3 +197,64 @@ class TestPageRank:
 
         out = graph.graph_pagerank_top(spark, sf_dir, k=5)
         assert out.count() == 5
+
+
+class TestAsofTolerance:
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+            "k long, ts string").select(
+                "k", F.col("ts").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:50:00", 100.0)],
+            "k long, ts string, v double").select(
+                "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+        out = {r.ts.hour: r.v_asof
+               for r in asof_join(left, right, on="ts", by="k",
+                                  tolerance="30 minutes").collect()}
+        # 10:00 is 10 min after the right row → within tolerance
+        assert out[10] == 100.0
+        # 12:00 is 2h10m after → stale, nulled
+        assert out[12] is None
+
+    def test_no_tolerance_keeps_stale_matches(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 12:00:00")], "k long, ts string").select(
+                "k", F.col("ts").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", 7.0)],
+            "k long, ts string, v double").select(
+                "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+        [r] = asof_join(left, right, on="ts", by="k").collect()
+        assert r.v_asof == 7.0
+
+
+class TestTfidf:
+    def test_rarer_term_outranks_common_at_equal_tf(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.corpus_tfidf_top_terms(spark, sf_dir).collect()
+        assert rows, "tf-idf output must be non-empty"
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc, terms in by_doc.items():
+            assert [t.rk for t in terms] == list(range(1, len(terms) + 1))
+            scores = [t.score for t in terms]
+            assert scores == sorted(scores, reverse=True), doc
+            for t in terms:
+                # score formula is the pinned rational BM25-style weight
+                n_docs = 500 if "0.01" in sf_dir else None
+                if n_docs:
+                    expect = t.tf * (n_docs - t.df + 0.5) / (t.df + 0.5)
+                    assert t.score == pytest.approx(expect, rel=1e-12)
