@@ -297,7 +297,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(cq)
     q.update(sq)
     # -- past the 50-entry window from here: new-but-evidenced entries
-    # (oracle/pytest locally green) that rotate into the window next round --
+    # (oracle/pytest locally green) that rotate into the window next round.
+    # ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 proves the current window
+    # green, move these oracle-backed entries inside the cap (the 9 fixed
+    # hash-fails + 19 second-wave TPC-H free 28 slots): sample_hash_
+    # stratified, dedup_levenshtein_blocked, events_gapfill_hourly,
+    # events_sliding_hourly, corpus_top_tokens, corpus_tfidf_top_terms,
+    # events_asof_tolerance, unpivot_nation_metrics, streaming_hourly/
+    # sliding/session rollups, plus the remaining rows-only entries
+    # (ann_ivf, multimodal_features, graph_pagerank_top, ddl_*,
+    # streaming_dedup/user_stats) for their first driver rows. --
     q.update({
         "sample_hash_stratified": analytics.sample_hash_stratified,
         "dedup_levenshtein_blocked": analytics.dedup_levenshtein_blocked,
