@@ -1056,3 +1056,29 @@ SELECT c_nationkey, metric, value FROM (
   SELECT c_nationkey, 'max_acctbal', max_acctbal FROM wide)
 ORDER BY c_nationkey, metric
 """
+
+
+def scalar_regex_fns(spark, sf_dir):
+    """Regex battery over part names: extract / replace / match / count.
+    Patterns stay within the character-class + quantifier subset where
+    Java regex (Spark) and RE2 (DuckDB) agree — no backrefs, no
+    lookaround (engine-divergent features are a documented non-goal)."""
+    p = ld(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        F.size(F.split("p_name", "[aeiou]+")).alias("vowel_runs_plus1"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_SCALAR_REGEX = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+       regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+       CAST(len(regexp_split_to_array(p_name, '[aeiou]+')) AS INT)
+         AS vowel_runs_plus1
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""

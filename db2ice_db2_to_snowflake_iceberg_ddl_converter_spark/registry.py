@@ -316,6 +316,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_top_terms": corpus.corpus_tfidf_top_terms,
         "events_asof_tolerance": asof.events_asof_tolerance,
         "unpivot_nation_metrics": rel.unpivot_nation_metrics,
+        "scalar_regex_fns": rel.scalar_regex_fns,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -383,6 +384,7 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
     oracles["unpivot_nation_metrics"] = rel.ORACLE_UNPIVOT
+    oracles["scalar_regex_fns"] = rel.ORACLE_SCALAR_REGEX
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
