@@ -1082,3 +1082,36 @@ SELECT p_partkey,
          AS vowel_runs_plus1
 FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
 """
+
+
+def scalar_variant_fns(spark, sf_dir):
+    """Spark 4 VARIANT battery: build a JSON document from event columns,
+    parse it to a VARIANT, and extract typed scalars back out with JSON
+    paths (incl. a nested field and the raw props column).
+
+    Narrative tie-in: the reference degrades Snowflake VARIANT columns to
+    STRING with a critical EWI (SURVEY.md §1.2) because Iceberg-compatible
+    targets lacked the type — Spark 4's native VariantType is the
+    engine-side answer, and the oracle computes the same scalars directly
+    from the source columns, so a hash match proves the
+    construct→parse→extract roundtrip is value-exact (doubles included)."""
+    e = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    doc = F.to_json(F.struct(
+        F.col("event_type").alias("t"),
+        F.col("user_id").alias("u"),
+        F.struct(F.col("value").alias("v")).alias("nested")))
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.t", "string").alias("t"),
+        F.try_variant_get(v, "$.u", "long").alias("u"),
+        F.try_variant_get(v, "$.nested.v", "double").alias("vv"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    ).orderBy("event_id")
+
+
+ORACLE_SCALAR_VARIANT = """
+SELECT event_id, event_type AS t, user_id AS u, value AS vv,
+       CAST(json_extract(props, '$.k') AS INT) AS k
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""

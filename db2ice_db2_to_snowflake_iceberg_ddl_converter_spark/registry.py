@@ -317,6 +317,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": asof.events_asof_tolerance,
         "unpivot_nation_metrics": rel.unpivot_nation_metrics,
         "scalar_regex_fns": rel.scalar_regex_fns,
+        "scalar_variant_fns": rel.scalar_variant_fns,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -385,6 +386,7 @@ def build_oracles() -> dict[str, str]:
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
     oracles["unpivot_nation_metrics"] = rel.ORACLE_UNPIVOT
     oracles["scalar_regex_fns"] = rel.ORACLE_SCALAR_REGEX
+    oracles["scalar_variant_fns"] = rel.ORACLE_SCALAR_VARIANT
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
