@@ -325,3 +325,59 @@ def enrich_with_customer_segment(events_stream: DataFrame,
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment")))
     return events_stream.join(dim, "user_id", "left")
+
+
+def supports_transform_with_state() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state protocol over
+    protobuf; without a working ``google.protobuf`` the streaming Python
+    runner crashes at init (measured in this container:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError
+    'descriptor'). Capability-gate callers the same way the Iceberg write
+    path gates on the runtime jar."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def user_running_stats_v2(events: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Per-user running totals on the modern Spark 4 stateful API
+    (``transformWithStateInPandas`` + ValueState) when the runtime supports
+    it, else the ``applyInPandasWithState`` implementation — identical
+    output contract either way (the batch-equivalence pytest runs against
+    whichever path the environment takes)."""
+    if not supports_transform_with_state():
+        return user_running_stats(events, watermark)
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState(
+                "totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (self.state.get() if self.state.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total]})
+
+        def close(self):
+            pass
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningStats(),
+                outputStructType="user_id long, n_events long, "
+                                 "total_value double",
+                outputMode="Update",
+                timeMode="None"))

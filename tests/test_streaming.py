@@ -187,3 +187,24 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, batch_events,
                      .groupBy("segment")
                      .agg(F.count(F.lit(1)).alias("n_events"))).collect()}
     assert got == exp and sum(got.values()) == batch_events.count()
+
+
+def test_stateful_v2_capability_gate_and_equivalence(spark, sf_dir,
+                                                     batch_events, tmp_path):
+    """user_running_stats_v2 must produce batch-equivalent totals on
+    whichever stateful API the runtime supports (transformWithStateInPandas
+    needs protobuf; this container lacks it, so the gate routes to
+    applyInPandasWithState — the test is path-agnostic by design)."""
+    stream = ev.user_running_stats_v2(
+        ev.read_events_stream(spark, sf_dir))
+    rows = _drain(spark, stream, "t_ustats_v2", tmp_path, mode="update")
+    got = {}
+    for r in rows:
+        if r.n_events >= got.get(r.user_id, (0,))[0]:
+            got[r.user_id] = (r.n_events,)
+    exp = {r.user_id: r.n for r in
+           (batch_events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    assert set(got) == set(exp)
+    for uid, n in exp.items():
+        assert got[uid][0] == n
