@@ -221,6 +221,12 @@ def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
+def _source_pydatasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.pydatasource import source_pydatasource_agg
+
+    return source_pydatasource_agg(spark, sf_dir)
+
+
 def _source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.registry import source_roundtrip_formats
 
@@ -318,6 +324,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_nation_metrics": rel.unpivot_nation_metrics,
         "scalar_regex_fns": rel.scalar_regex_fns,
         "scalar_variant_fns": rel.scalar_variant_fns,
+        "source_pydatasource_agg": _source_pydatasource_agg,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -387,6 +394,8 @@ def build_oracles() -> dict[str, str]:
     oracles["unpivot_nation_metrics"] = rel.ORACLE_UNPIVOT
     oracles["scalar_regex_fns"] = rel.ORACLE_SCALAR_REGEX
     oracles["scalar_variant_fns"] = rel.ORACLE_SCALAR_VARIANT
+    from .sources.pydatasource import ORACLE_PYDATASOURCE
+    oracles["source_pydatasource_agg"] = ORACLE_PYDATASOURCE
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING

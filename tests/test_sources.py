@@ -112,3 +112,26 @@ class TestIcebergCapabilityPath:
             assert choose_write_branch(spark, None, catalog="fake") == "file"
         finally:
             spark.conf.unset("spark.sql.catalog.fake")
+
+
+class TestPythonDataSource:
+    def test_partitioned_deterministic_generation(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources import (
+            pydatasource,
+        )
+
+        pydatasource.register(spark)
+        a = (spark.read.format("eventsgen")
+             .option("n", 1000).option("parts", 8).load())
+        assert a.rdd.getNumPartitions() == 8
+        assert a.count() == 1000
+        # same rows regardless of partition layout
+        b = (spark.read.format("eventsgen")
+             .option("n", 1000).option("parts", 3).load())
+        assert (sorted(r.event_id for r in a.collect())
+                == sorted(r.event_id for r in b.collect()))
+        ra = {r.event_id: (r.user_id, r.event_type, r.value)
+              for r in a.collect()}
+        rb = {r.event_id: (r.user_id, r.event_type, r.value)
+              for r in b.collect()}
+        assert ra == rb
