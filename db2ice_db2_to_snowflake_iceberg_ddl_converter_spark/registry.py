@@ -221,6 +221,12 @@ def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
+def _udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.tablefns import udtf_sentence_split
+
+    return udtf_sentence_split(spark, sf_dir)
+
+
 def _source_pydatasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pydatasource import source_pydatasource_agg
 
@@ -325,6 +331,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_regex_fns": rel.scalar_regex_fns,
         "scalar_variant_fns": rel.scalar_variant_fns,
         "source_pydatasource_agg": _source_pydatasource_agg,
+        "udtf_sentence_split": _udtf_sentence_split,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -396,6 +403,8 @@ def build_oracles() -> dict[str, str]:
     oracles["scalar_variant_fns"] = rel.ORACLE_SCALAR_VARIANT
     from .sources.pydatasource import ORACLE_PYDATASOURCE
     oracles["source_pydatasource_agg"] = ORACLE_PYDATASOURCE
+    from .functions.tablefns import ORACLE_UDTF_SENTENCES
+    oracles["udtf_sentence_split"] = ORACLE_UDTF_SENTENCES
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
