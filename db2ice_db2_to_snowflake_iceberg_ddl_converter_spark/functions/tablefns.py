@@ -63,3 +63,46 @@ SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, parts[i] AS sentence
 FROM s, UNNEST(generate_series(1, len(parts))) AS t(i)
 ORDER BY doc_id, sent_idx
 """
+
+
+def dedup_sentences_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition entry: document → sentence rows (UDTF) → exact dedup —
+    the sentence-level dedup pass of a text pipeline (boilerplate
+    sentences repeat across documents far more than whole documents do).
+    Keeps the lexicographically-first (doc_id, sent_idx) occurrence per
+    normalized sentence; one hash-groupBy after the generator, same
+    single-shuffle shape as document-level exact dedup."""
+    from pyspark.sql import functions as F
+
+    register_udtfs(spark)
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("docs_udtf")
+    sents = spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf d, LATERAL sentence_split(d.text) s
+    """)
+    return (sents
+            .select(F.lower("sentence").alias("norm"), "doc_id", "sent_idx")
+            .groupBy("norm")
+            .agg(F.min(F.struct("doc_id", "sent_idx")).alias("keep"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .select(F.col("keep.doc_id").alias("keep_doc"),
+                    F.col("keep.sent_idx").alias("keep_idx"),
+                    "n_occurrences")
+            .orderBy("keep_doc", "keep_idx"))
+
+
+ORACLE_DEDUP_SENTENCES = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS parts
+  FROM documents),
+sent AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, LOWER(parts[i]) AS norm
+  FROM s, UNNEST(generate_series(1, len(parts))) AS t(i))
+SELECT MIN({'doc_id': doc_id, 'sent_idx': sent_idx}).doc_id AS keep_doc,
+       MIN({'doc_id': doc_id, 'sent_idx': sent_idx}).sent_idx AS keep_idx,
+       COUNT(*) AS n_occurrences
+FROM sent GROUP BY norm ORDER BY keep_doc, keep_idx
+"""

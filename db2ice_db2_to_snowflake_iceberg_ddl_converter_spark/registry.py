@@ -227,6 +227,12 @@ def _udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udtf_sentence_split(spark, sf_dir)
 
 
+def _dedup_sentences_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.tablefns import dedup_sentences_exact
+
+    return dedup_sentences_exact(spark, sf_dir)
+
+
 def _source_pydatasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pydatasource import source_pydatasource_agg
 
@@ -332,6 +338,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_variant_fns": rel.scalar_variant_fns,
         "source_pydatasource_agg": _source_pydatasource_agg,
         "udtf_sentence_split": _udtf_sentence_split,
+        "dedup_sentences_exact": _dedup_sentences_exact,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -405,6 +412,8 @@ def build_oracles() -> dict[str, str]:
     oracles["source_pydatasource_agg"] = ORACLE_PYDATASOURCE
     from .functions.tablefns import ORACLE_UDTF_SENTENCES
     oracles["udtf_sentence_split"] = ORACLE_UDTF_SENTENCES
+    from .functions.tablefns import ORACLE_DEDUP_SENTENCES
+    oracles["dedup_sentences_exact"] = ORACLE_DEDUP_SENTENCES
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
