@@ -1115,3 +1115,29 @@ SELECT event_id, event_type AS t, user_id AS u, value AS vv,
        CAST(json_extract(props, '$.k') AS INT) AS k
 FROM events WHERE event_id < 2000 ORDER BY event_id
 """
+
+
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (listagg WITHIN GROUP — Spark 4):
+    per-nation roster of the lowest-keyed customer names. The explicit
+    WITHIN GROUP ordering is what makes a concatenative aggregate
+    deterministic under distributed row order — an unordered collect_list
+    would be shuffle-order-dependent and unverifiable."""
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 60)
+    c.createOrReplaceTempView("cust_la")
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey)
+                 AS roster,
+               COUNT(*) AS n
+        FROM cust_la GROUP BY c_nationkey ORDER BY c_nationkey
+    """)
+
+
+ORACLE_AGG_STRING_CONCAT = """
+SELECT c_nationkey,
+       STRING_AGG(c_name, '|' ORDER BY c_custkey) AS roster,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey <= 60
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
