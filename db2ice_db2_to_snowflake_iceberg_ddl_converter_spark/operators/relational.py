@@ -1141,3 +1141,34 @@ SELECT c_nationkey,
 FROM customer WHERE c_custkey <= 60
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+def scalar_xml_fns(spark, sf_dir):
+    """XPath battery: build an XML fragment per event and extract typed
+    values back out with xpath_string / xpath_long / xpath_double.
+
+    Narrative tie-in: DB2 XML columns are UNSUPPORTED in the reference's
+    mapping (critical EWI, SURVEY.md §1.2) — the engine-side answer is
+    that XML *content* remains queryable in Spark via the native xpath
+    expression family. The oracle computes the same scalars from the
+    source columns, so a hash match proves the construct→xpath roundtrip
+    is value-exact (same protocol as the VARIANT battery)."""
+    e = load_events(spark, sf_dir).filter(F.col("event_id") < 1500)
+    xml = F.concat(F.lit("<e><t>"), F.col("event_type"),
+                   F.lit("</t><u>"), F.col("user_id").cast("string"),
+                   F.lit("</u><k>"),
+                   F.get_json_object("props", "$.k"),
+                   F.lit("</k></e>"))
+    return e.select(
+        "event_id",
+        F.xpath_string(xml, F.lit("/e/t")).alias("t"),
+        F.xpath_long(xml, F.lit("/e/u")).alias("u"),
+        F.xpath_int(xml, F.lit("/e/k")).alias("k"),
+    ).orderBy("event_id")
+
+
+ORACLE_SCALAR_XML = """
+SELECT event_id, event_type AS t, user_id AS u,
+       CAST(json_extract(props, '$.k') AS INT) AS k
+FROM events WHERE event_id < 1500 ORDER BY event_id
+"""

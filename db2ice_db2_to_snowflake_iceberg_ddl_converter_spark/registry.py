@@ -340,6 +340,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentence_split": _udtf_sentence_split,
         "dedup_sentences_exact": _dedup_sentences_exact,
         "agg_string_concat": rel.agg_string_concat,
+        "scalar_xml_fns": rel.scalar_xml_fns,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -416,6 +417,7 @@ def build_oracles() -> dict[str, str]:
     from .functions.tablefns import ORACLE_DEDUP_SENTENCES
     oracles["dedup_sentences_exact"] = ORACLE_DEDUP_SENTENCES
     oracles["agg_string_concat"] = rel.ORACLE_AGG_STRING_CONCAT
+    oracles["scalar_xml_fns"] = rel.ORACLE_SCALAR_XML
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
