@@ -190,3 +190,36 @@ class TestRound2PlanShapes:
         for cols in read_schemas(q):
             assert set(cols) == {"text", "n_chars"}
         assert_no_python_in_plan(q)
+
+
+class TestAdaptiveLoaderAtScale:
+    """ld()'s conditional repartition fires at sf0.1 (large single-row-group
+    files); these pins run against that fixture directly to prove pushdown
+    and pruning survive the added Exchange."""
+
+    SF01 = "/root/testdata/sf0.1"
+
+    def test_repartition_fires_and_parallelizes(self, spark):
+        import os
+
+        if not os.path.isdir(self.SF01):
+            import pytest
+            pytest.skip("sf0.1 fixture not present")
+        df = rel.ld(spark, self.SF01, "lineitem")
+        assert df.rdd.getNumPartitions() >= \
+            spark.sparkContext.defaultParallelism
+        # small dimension stays un-repartitioned (gate is size-based)
+        dim = rel.ld(spark, self.SF01, "nation")
+        assert dim.rdd.getNumPartitions() < 8
+
+    def test_pushdown_survives_repartition(self, spark):
+        import os
+
+        if not os.path.isdir(self.SF01):
+            import pytest
+            pytest.skip("sf0.1 fixture not present")
+        q = rel.q6_forecast_revenue(spark, self.SF01)
+        pushed = " ".join(pushed_filters(q))
+        assert "l_shipdate" in pushed and "l_discount" in pushed
+        [cols] = read_schemas(q)
+        assert len(cols) <= 4
