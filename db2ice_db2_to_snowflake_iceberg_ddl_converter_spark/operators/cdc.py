@@ -1,0 +1,115 @@
+"""CDC apply / upsert: MERGE semantics as a DataFrame composition.
+
+The migration engine's ongoing-sync half: after the initial snapshot copy
+(sources/migrate.py), a production cutover tails the source's change feed
+and applies (upsert/delete) batches to the target. With an Iceberg/Delta
+runtime this is ``MERGE INTO``; the engine expresses the same semantics
+as a declarative plan that works on any snapshot DataFrame — and the
+same shape IS what those runtimes execute under the hood.
+
+Scale design: ONE full-outer join on the key (shuffle on key both sides —
+the change batch is usually small, so AQE broadcasts it), then a
+row-level action projection. No windows, no driver involvement; the
+apply is a single stage pipeline after the join. Last-writer-wins within
+a batch is resolved BEFORE the join by a max_by on a monotonically
+increasing change sequence — one aggregation over the (small) batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame,
+                  key: str, op_col: str = "op",
+                  seq_col: str | None = None) -> DataFrame:
+    """Apply a CDC batch to a snapshot: ``op`` ∈ {'I','U','D'} (insert /
+    update / delete; I and U are both upserts — the change row's payload
+    wins). ``seq_col`` orders multiple changes to one key within the
+    batch (last writer wins); omit it when keys are unique per batch.
+
+    Returns the post-apply snapshot with the snapshot's column order.
+    """
+    payload_cols = [c for c in snapshot.columns]
+    if seq_col is not None:
+        latest = (changes.groupBy(key)
+                  .agg(F.max_by(F.struct(op_col, *[c for c in payload_cols
+                                                   if c != key]),
+                                F.col(seq_col)).alias("__c"))
+                  .select(key, F.col(f"__c.{op_col}").alias(op_col),
+                          *[F.col(f"__c.{c}").alias(c)
+                            for c in payload_cols if c != key]))
+    else:
+        latest = changes.select(key, op_col,
+                                *[c for c in payload_cols if c != key])
+
+    s = snapshot.alias("s")
+    c = latest.alias("c")
+    joined = s.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = (F.col(f"c.{op_col}").isNull()        # unchanged snapshot row
+            | (F.col(f"c.{op_col}") != "D"))     # not a delete
+    merged = [
+        F.when(F.col(f"c.{op_col}").isin("I", "U"), F.col(f"c.{col}"))
+        .otherwise(F.col(f"s.{col}")).alias(col)
+        for col in payload_cols
+    ]
+    return joined.filter(keep).select(*merged)
+
+
+def cdc_apply_customers(spark, sf_dir) -> DataFrame:
+    """Registry entry: apply a deterministic synthetic change batch to the
+    customer snapshot — deletes (key % 10 == 0), balance updates
+    (% 10 == 1, two competing changes so last-writer-wins is exercised),
+    and inserts (new keys past the snapshot's range). Oracle replays the
+    identical batch in SQL, so the hash match proves MERGE semantics:
+    delete wins, payload overwrite, insert materialization, and
+    untouched-row passthrough."""
+    snap = ld(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    deletes = (snap.filter(k % 10 == 0)
+               .select(k.alias("c_custkey"), F.lit("D").alias("op"),
+                       F.lit(1).alias("seq"),
+                       F.lit(None).cast("string").alias("c_name"),
+                       F.lit(None).cast("int").alias("c_nationkey"),
+                       F.lit(None).cast("double").alias("c_acctbal"),
+                       F.lit(None).cast("string").alias("c_mktsegment")))
+    upd1 = (snap.filter(k % 10 == 1)
+            .select("c_custkey", F.lit("U").alias("op"),
+                    F.lit(1).alias("seq"), "c_name", "c_nationkey",
+                    (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                    "c_mktsegment"))
+    upd2 = (snap.filter(k % 10 == 1)
+            .select("c_custkey", F.lit("U").alias("op"),
+                    F.lit(2).alias("seq"), "c_name", "c_nationkey",
+                    (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
+                    "c_mktsegment"))
+    inserts = (snap.filter(k % 10 == 2)
+               .select((k + 1_000_000).alias("c_custkey"),
+                       F.lit("I").alias("op"), F.lit(1).alias("seq"),
+                       F.concat(F.lit("new-"), "c_name").alias("c_name"),
+                       "c_nationkey", F.lit(0.0).alias("c_acctbal"),
+                       "c_mktsegment"))
+    changes = deletes.union(upd1).union(upd2).union(inserts)
+    out = apply_changes(snap, changes, key="c_custkey", seq_col="seq")
+    return out.orderBy("c_custkey")
+
+
+ORACLE_CDC_APPLY = """
+WITH upserts AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey, 0.0,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 2)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+  SELECT * FROM customer
+  WHERE c_custkey % 10 NOT IN (0, 1)
+  UNION ALL
+  SELECT * FROM upserts)
+ORDER BY c_custkey
+"""

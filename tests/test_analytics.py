@@ -258,3 +258,36 @@ class TestTfidf:
                 if n_docs:
                     expect = t.tf * (n_docs - t.df + 0.5) / (t.df + 0.5)
                     assert t.score == pytest.approx(expect, rel=1e-12)
+
+
+class TestCdcApply:
+    def test_merge_semantics(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            apply_changes,
+        )
+
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, bal double")
+        changes = spark.createDataFrame(
+            [(2, "U", 1, "b2", 21.0),   # update
+             (2, "U", 2, "b3", 22.0),   # later update wins
+             (3, "D", 1, None, None),   # delete
+             (9, "I", 1, "i", 90.0)],   # insert
+            "id long, op string, seq int, name string, bal double")
+        out = {r.id: (r.name, r.bal)
+               for r in apply_changes(snap, changes, key="id",
+                                      seq_col="seq").collect()}
+        assert out == {1: ("a", 10.0), 2: ("b3", 22.0), 9: ("i", 90.0)}
+
+    def test_apply_plan_is_one_join(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            cdc_apply_customers,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        prof = plan_profile(cdc_apply_customers(spark, sf_dir))
+        assert prof["cartesian_products"] == 0
+        assert prof["python_evals"] == 0
