@@ -113,3 +113,88 @@ SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
   SELECT * FROM upserts)
 ORDER BY c_custkey
 """
+
+
+def scd2_apply(history: DataFrame, changes: DataFrame, key: str,
+               compare_cols: list[str], change_ts: str,
+               from_col: str = "valid_from",
+               to_col: str = "valid_to") -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 apply: history-preserving merge.
+
+    ``history`` carries versioned rows (``valid_to IS NULL`` = current);
+    ``changes`` carries one new payload per key. A key whose compared
+    payload actually differs gets its current row CLOSED (valid_to =
+    change_ts) and a new current row opened; identical payloads are
+    no-ops (the standard SCD2 idempotence property). Closed history rows
+    pass through untouched.
+
+    Plan: one join of current rows vs changes + three unioned projections
+    — no windows, no driver loop; the changes side is broadcast-class.
+    """
+    cur = history.filter(F.col(to_col).isNull()).alias("s")
+    hist = history.filter(F.col(to_col).isNotNull())
+    c = changes.alias("c")
+    diff = None
+    for col in compare_cols:
+        d = ~F.col(f"s.{col}").eqNullSafe(F.col(f"c.{col}"))
+        diff = d if diff is None else (diff | d)
+    j = cur.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "left")
+    payload = [col for col in history.columns
+               if col not in (from_col, to_col)]
+    changed = F.col(f"c.{key}").isNotNull() & diff
+    # current rows: closed if changed, passed through otherwise
+    kept = j.select(
+        *[F.col(f"s.{col}").alias(col) for col in payload],
+        F.col(f"s.{from_col}").alias(from_col),
+        F.when(changed, F.lit(change_ts).cast("date"))
+        .otherwise(F.col(f"s.{to_col}")).alias(to_col))
+    # new current versions for changed keys
+    opened = (j.filter(changed)
+              .select(*[F.col(f"c.{col}").alias(col) for col in payload],
+                      F.lit(change_ts).cast("date").alias(from_col),
+                      F.lit(None).cast("date").alias(to_col)))
+    return hist.select(*payload, from_col, to_col).union(kept).union(opened)
+
+
+def scd2_apply_customers(spark, sf_dir) -> DataFrame:
+    """Registry entry: SCD2 over the customer dimension — keys with
+    custkey % 10 == 3 move to segment 'MOVED' (a real change → close +
+    open), keys % 10 == 4 receive an identical payload (no-op → single
+    untouched current row). The oracle replays the same merge in SQL;
+    the hash match proves close/open/no-op semantics and date handling."""
+    base = (ld(spark, sf_dir, "customer")
+            .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
+            .withColumn("valid_to", F.lit(None).cast("date")))
+    k = F.col("c_custkey")
+    moved = (base.filter(k % 10 == 3)
+             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     F.lit("MOVED").alias("c_mktsegment")))
+    noop = (base.filter(k % 10 == 4)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment"))
+    out = scd2_apply(base, moved.union(noop), key="c_custkey",
+                     compare_cols=["c_mktsegment"],
+                     change_ts="2024-06-01")
+    return (out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                       "c_mktsegment",
+                       F.date_format("valid_from", "yyyy-MM-dd")
+                       .alias("valid_from"),
+                       F.date_format("valid_to", "yyyy-MM-dd")
+                       .alias("valid_to"))
+            .orderBy("c_custkey", "valid_from"))
+
+
+ORACLE_SCD2_APPLY = """
+WITH closed AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         '2024-01-01' AS valid_from,
+         CASE WHEN c_custkey % 10 = 3 THEN '2024-06-01' END AS valid_to
+  FROM customer),
+opened AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         'MOVED' AS c_mktsegment,
+         '2024-06-01' AS valid_from, NULL AS valid_to
+  FROM customer WHERE c_custkey % 10 = 3)
+SELECT * FROM closed UNION ALL SELECT * FROM opened
+ORDER BY c_custkey, valid_from
+"""
