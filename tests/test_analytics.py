@@ -291,3 +291,30 @@ class TestCdcApply:
         prof = plan_profile(cdc_apply_customers(spark, sf_dir))
         assert prof["cartesian_products"] == 0
         assert prof["python_evals"] == 0
+
+    def test_scd2_close_open_noop(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            scd2_apply,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "x", "2024-01-01", None),
+             (2, "y", "2024-01-01", None),
+             (2, "old", "2023-01-01", "2024-01-01")],
+            "id long, seg string, valid_from string, valid_to string"
+        ).select("id", "seg",
+                 F.col("valid_from").cast("date").alias("valid_from"),
+                 F.col("valid_to").cast("date").alias("valid_to"))
+        changes = spark.createDataFrame(
+            [(1, "x2"),   # real change -> close + open
+             (2, "y")],   # identical -> no-op
+            "id long, seg string")
+        out = scd2_apply(hist, changes, key="id", compare_cols=["seg"],
+                         change_ts="2024-06-01")
+        rows = {(r.id, r.seg): (str(r.valid_from), str(r.valid_to))
+                for r in out.collect()}
+        assert rows[(1, "x")] == ("2024-01-01", "2024-06-01")   # closed
+        assert rows[(1, "x2")] == ("2024-06-01", "None")        # opened
+        assert rows[(2, "y")] == ("2024-01-01", "None")         # no-op
+        assert rows[(2, "old")] == ("2023-01-01", "2024-01-01")  # history
+        assert len(rows) == 4
