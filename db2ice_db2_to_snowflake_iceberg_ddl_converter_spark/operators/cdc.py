@@ -198,3 +198,69 @@ opened AS (
 SELECT * FROM closed UNION ALL SELECT * FROM opened
 ORDER BY c_custkey, valid_from
 """
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profile audit in ONE scan: per column, null count, distinct
+    count, and min/max rendered as strings (strings make one output
+    schema fit every column type). This is the data-quality pass a
+    migration runs on source and target to certify a copy — and the
+    numbers the assessment report consumes.
+
+    Shape: a single aggregation computes all columns' statistics
+    simultaneously (no per-column scans); the long-form reshape is a
+    zero-shuffle unpivot of one row."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(f"n_{c}").alias("n_nulls"),
+                 F.col(f"d_{c}").alias("n_distinct"),
+                 F.col(f"mn_{c}").alias("min_str"),
+                 F.col(f"mx_{c}").alias("max_str"))
+        for c in cols
+    ])
+    return (row.select(F.explode(pairs).alias("p")).select("p.*")
+            .orderBy("col_name"))
+
+
+def profile_customer_stats(spark, sf_dir) -> DataFrame:
+    """Registry entry: profile every customer column in one scan."""
+    c = ld(spark, sf_dir, "customer")
+    return profile_table(c, ["c_custkey", "c_name", "c_nationkey",
+                             "c_acctbal", "c_mktsegment"])
+
+
+ORACLE_PROFILE_CUSTOMER = """
+SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct,
+       min_str, max_str FROM (
+  SELECT 'c_custkey' AS col_name,
+         SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT c_custkey) AS n_distinct,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+  FROM customer
+  UNION ALL
+  SELECT 'c_name', SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name) FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR),
+         CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT c_acctbal), CAST(MIN(c_acctbal) AS VARCHAR),
+         CAST(MAX(c_acctbal) AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
+  FROM customer)
+ORDER BY col_name
+"""
