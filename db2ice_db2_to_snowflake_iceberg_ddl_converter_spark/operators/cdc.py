@@ -264,3 +264,52 @@ SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct,
   FROM customer)
 ORDER BY col_name
 """
+
+
+def scd2_point_in_time_join(spark, sf_dir,
+                            change_date: str = "1998-01-01") -> DataFrame:
+    """Point-in-time (temporal) fact lookup against SCD2 history: each
+    order joins to the customer VERSION that was valid on its order date —
+    the query pattern versioned dimensions exist for.
+
+    History here is the two-version build from ``scd2_apply`` (segment
+    change on {change_date} for keys % 10 == 3); the join is an equi-join
+    on the key plus the validity-range predicate evaluated at the probe —
+    at scale this is key-partitioned with a ≤versions-per-key fanout,
+    never a cartesian (same shape Iceberg/Delta time travel compiles to).
+    """
+    base = (ld(spark, sf_dir, "customer")
+            .withColumn("valid_from", F.lit("1995-01-01").cast("date"))
+            .withColumn("valid_to", F.lit(None).cast("date")))
+    moved = (base.filter(F.col("c_custkey") % 10 == 3)
+             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     F.lit("MOVED").alias("c_mktsegment")))
+    hist = scd2_apply(base, moved, key="c_custkey",
+                      compare_cols=["c_mktsegment"], change_ts=change_date)
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od"))
+    j = o.join(hist.alias("h"),
+               (F.col("o_custkey") == F.col("h.c_custkey"))
+               & (F.col("od") >= F.col("h.valid_from"))
+               & ((F.col("h.valid_to").isNull())
+                  | (F.col("od") < F.col("h.valid_to"))))
+    return (j.select("o_orderkey", "o_custkey",
+                     F.col("h.c_mktsegment").alias("segment_at_order"))
+            .orderBy("o_orderkey"))
+
+
+ORACLE_SCD2_PIT = """
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS valid_from,
+         CASE WHEN c_custkey % 10 = 3 THEN DATE '1998-01-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MOVED', DATE '1998-01-01', NULL
+  FROM customer WHERE c_custkey % 10 = 3)
+SELECT o_orderkey, o_custkey, h.c_mktsegment AS segment_at_order
+FROM orders o JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+ AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+ORDER BY o_orderkey
+"""

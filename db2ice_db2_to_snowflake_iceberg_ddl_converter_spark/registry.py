@@ -345,6 +345,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_customers": cdc.cdc_apply_customers,
         "scd2_apply_customers": cdc.scd2_apply_customers,
         "profile_customer_stats": cdc.profile_customer_stats,
+        "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
         "multimodal_features": multimodal.multimodal_features,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # iterative float math → rows-only; pytest pins vs numpy power iter
@@ -425,6 +426,7 @@ def build_oracles() -> dict[str, str]:
     oracles["cdc_apply_customers"] = cdc.ORACLE_CDC_APPLY
     oracles["scd2_apply_customers"] = cdc.ORACLE_SCD2_APPLY
     oracles["profile_customer_stats"] = cdc.ORACLE_PROFILE_CUSTOMER
+    oracles["scd2_point_in_time_join"] = cdc.ORACLE_SCD2_PIT
     from .streaming import events as _ev
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
