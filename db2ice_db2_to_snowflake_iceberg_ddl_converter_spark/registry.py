@@ -323,7 +323,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stratified, dedup_levenshtein_blocked, events_gapfill_hourly,
     # events_sliding_hourly, corpus_top_tokens, corpus_tfidf_top_terms,
     # events_asof_tolerance, unpivot_nation_metrics, streaming_hourly/
-    # sliding/session rollups, plus the remaining rows-only entries
+    # sliding/session rollups, scalar regex/variant/xml batteries,
+    # listagg, pydatasource, udtf + sentence dedup, cdc/scd2/pit/profile,
+    # plus the remaining rows-only entries
     # (ann_ivf, multimodal_features, graph_pagerank_top, ddl_*,
     # streaming_dedup/user_stats) for their first driver rows. --
     q.update({
