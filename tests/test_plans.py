@@ -223,3 +223,37 @@ class TestAdaptiveLoaderAtScale:
         assert "l_shipdate" in pushed and "l_discount" in pushed
         [cols] = read_schemas(q)
         assert len(cols) <= 4
+
+
+class TestLateRoundPlanShapes:
+    def test_top_tokens_fuses_topk(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        prof = plan_profile(corpus.corpus_top_tokens(spark, sf_dir))
+        assert prof["top_k_sorts"] >= 1
+        assert prof["global_sorts"] == 0, \
+            "vocabulary head must not globally sort the whole vocabulary"
+
+    def test_tfidf_broadcasts_df_table(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        prof = plan_profile(corpus.corpus_tfidf_top_terms(spark, sf_dir))
+        assert prof["broadcast_hash_joins"] >= 1, \
+            "vocabulary-sized df table must broadcast, not shuffle-join"
+        assert prof["cartesian_products"] == 0
+
+    def test_cdc_and_pit_are_join_shaped(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            cdc,
+        )
+
+        for fn in (cdc.cdc_apply_customers, cdc.scd2_apply_customers,
+                   cdc.scd2_point_in_time_join,
+                   cdc.profile_customer_stats):
+            prof = plan_profile(fn(spark, sf_dir))
+            assert prof["cartesian_products"] == 0, fn.__name__
+            assert prof["python_evals"] == 0, fn.__name__
