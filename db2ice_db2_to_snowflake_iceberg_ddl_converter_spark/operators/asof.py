@@ -35,9 +35,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     ``tiebreak`` (right-side column names) makes the winner among
     equal-timestamp right rows deterministic. ``tolerance`` (an SQL
     interval string, e.g. ``"30 minutes"``) nulls the match when the
-    carried right row is older than ``left[on] − tolerance`` — pandas
+    matched right row is older than ``left[on] − tolerance`` — pandas
     ``merge_asof(tolerance=...)`` semantics, implemented as a post-window
-    projection so the plan stays one shuffle + one window."""
+    projection so the plan stays one shuffle + one window.
+
+    The carry is ROW-ATOMIC: one struct(right ts, *value_cols) travels
+    through a single ``last(ignorenulls)`` window expression, so the
+    recency check and every value column always describe the SAME right
+    row — a newest right row with a NULL value column yields NULL for
+    that column (pandas merge_asof row semantics), never a stale value
+    smuggled past the tolerance check from an older row. One struct
+    carry also replaces N per-column window expressions."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
@@ -53,31 +61,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         [F.col(f"{c}{suffix}") for c in (tiebreak or [])]
     w = (Window.partitionBy(by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carry_cols = list(value_cols)
-    if tolerance is not None:
-        # carry the matched right timestamp too, to age-check the match
-        unioned = unioned.withColumn(
-            f"__rts{suffix}",
-            F.when(F.col("__side") == 0, F.col(on)))
-        carried_ts = F.last(f"__rts{suffix}", ignorenulls=True).over(w)
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col(on).alias("__rts"),
+                 *[F.col(f"{c}{suffix}").alias(c) for c in value_cols]))
     carried = unioned.select(
-        "*",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-          .alias(f"__carry_{c}") for c in carry_cols],
-        *([carried_ts.alias("__carry_rts")] if tolerance is not None else []))
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__carry"))
     out_vals = []
-    for c in carry_cols:
-        v = F.col(f"__carry_{c}")
+    for c in value_cols:
+        v = F.col(f"__carry.{c}")
         if tolerance is not None:
-            v = F.when(F.col("__carry_rts")
+            v = F.when(F.col("__carry.__rts")
                        >= F.col(on) - F.expr(f"INTERVAL {tolerance}"), v)
         out_vals.append(v.alias(f"{c}{suffix}"))
     return (carried.filter(F.col("__side") == 1)
-            .drop("__side", *[f"{c}{suffix}" for c in value_cols],
-                  *([f"__rts{suffix}"] if tolerance is not None else []))
+            .drop("__side", *[f"{c}{suffix}" for c in value_cols])
             .select("*", *out_vals)
-            .drop("__carry_rts",
-                  *[f"__carry_{c}" for c in carry_cols]))
+            .drop("__carry"))
 
 
 def events_asof_last_click(spark, sf_dir):
@@ -112,15 +112,16 @@ WITH tagged AS (
   FROM events WHERE event_type = 'click'
 ), carried AS (
   SELECT *,
-         LAST_VALUE(click_id IGNORE NULLS) OVER w AS click_id_asof,
-         LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value_asof
+         LAST_VALUE(CASE WHEN side = 0 THEN
+             struct_pack(cid := click_id, cval := click_value)
+           END IGNORE NULLS) OVER w AS r
   FROM tagged
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, click_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       click_id_asof, click_value_asof
+       r.cid AS click_id_asof, r.cval AS click_value_asof
 FROM carried WHERE side = 1 ORDER BY event_id
 """
 
@@ -157,18 +158,18 @@ WITH tagged AS (
   FROM events WHERE event_type = 'click'
 ), carried AS (
   SELECT *,
-         LAST_VALUE(click_id IGNORE NULLS) OVER w AS cid,
-         LAST_VALUE(click_value IGNORE NULLS) OVER w AS cval,
-         LAST_VALUE(rts IGNORE NULLS) OVER w AS crts
+         LAST_VALUE(CASE WHEN side = 0 THEN
+             struct_pack(rts := rts, cid := click_id, cval := click_value)
+           END IGNORE NULLS) OVER w AS r
   FROM tagged
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, click_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       CASE WHEN crts >= ts - INTERVAL 30 MINUTE THEN cid END
+       CASE WHEN r.rts >= ts - INTERVAL 30 MINUTE THEN r.cid END
          AS click_id_asof,
-       CASE WHEN crts >= ts - INTERVAL 30 MINUTE THEN cval END
+       CASE WHEN r.rts >= ts - INTERVAL 30 MINUTE THEN r.cval END
          AS click_value_asof
 FROM carried WHERE side = 1 ORDER BY event_id
 """

@@ -125,11 +125,15 @@ def scd2_apply(history: DataFrame, changes: DataFrame, key: str,
     ``changes`` carries one new payload per key. A key whose compared
     payload actually differs gets its current row CLOSED (valid_to =
     change_ts) and a new current row opened; identical payloads are
-    no-ops (the standard SCD2 idempotence property). Closed history rows
-    pass through untouched.
+    no-ops (the standard SCD2 idempotence property). A change key with NO
+    history row at all is a dimension INSERT: it opens a new current row
+    (valid_from = change_ts) — the standard first-version case. Closed
+    history rows pass through untouched.
 
-    Plan: one join of current rows vs changes + three unioned projections
-    — no windows, no driver loop; the changes side is broadcast-class.
+    Plan: ONE full-outer join of current rows vs changes + two unioned
+    projections — no windows, no driver loop; the changes side is
+    broadcast-class, and Catalyst specializes the branch filters (the
+    kept branch degrades the full-outer to an outer on the snapshot side).
     """
     cur = history.filter(F.col(to_col).isNull()).alias("s")
     hist = history.filter(F.col(to_col).isNotNull())
@@ -138,18 +142,19 @@ def scd2_apply(history: DataFrame, changes: DataFrame, key: str,
     for col in compare_cols:
         d = ~F.col(f"s.{col}").eqNullSafe(F.col(f"c.{col}"))
         diff = d if diff is None else (diff | d)
-    j = cur.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "left")
+    j = cur.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "full_outer")
     payload = [col for col in history.columns
                if col not in (from_col, to_col)]
-    changed = F.col(f"c.{key}").isNotNull() & diff
+    is_new = F.col(f"s.{key}").isNull()          # change key absent from dim
+    changed = F.col(f"c.{key}").isNotNull() & ~is_new & diff
     # current rows: closed if changed, passed through otherwise
-    kept = j.select(
+    kept = j.filter(~is_new).select(
         *[F.col(f"s.{col}").alias(col) for col in payload],
         F.col(f"s.{from_col}").alias(from_col),
         F.when(changed, F.lit(change_ts).cast("date"))
         .otherwise(F.col(f"s.{to_col}")).alias(to_col))
-    # new current versions for changed keys
-    opened = (j.filter(changed)
+    # new current versions: changed keys re-open, unseen keys insert
+    opened = (j.filter(changed | is_new)
               .select(*[F.col(f"c.{col}").alias(col) for col in payload],
                       F.lit(change_ts).cast("date").alias(from_col),
                       F.lit(None).cast("date").alias(to_col)))
@@ -160,8 +165,10 @@ def scd2_apply_customers(spark, sf_dir) -> DataFrame:
     """Registry entry: SCD2 over the customer dimension — keys with
     custkey % 10 == 3 move to segment 'MOVED' (a real change → close +
     open), keys % 10 == 4 receive an identical payload (no-op → single
-    untouched current row). The oracle replays the same merge in SQL;
-    the hash match proves close/open/no-op semantics and date handling."""
+    untouched current row), and keys % 10 == 5 arrive shifted past the
+    snapshot's key range (a brand-new key → dimension insert opening its
+    first version). The oracle replays the same merge in SQL; the hash
+    match proves close/open/no-op/insert semantics and date handling."""
     base = (ld(spark, sf_dir, "customer")
             .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
             .withColumn("valid_to", F.lit(None).cast("date")))
@@ -172,7 +179,12 @@ def scd2_apply_customers(spark, sf_dir) -> DataFrame:
     noop = (base.filter(k % 10 == 4)
             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                     "c_mktsegment"))
-    out = scd2_apply(base, moved.union(noop), key="c_custkey",
+    fresh = (base.filter(k % 10 == 5)
+             .select((k + 1_000_000).alias("c_custkey"),
+                     F.concat(F.lit("new-"), "c_name").alias("c_name"),
+                     "c_nationkey", "c_acctbal",
+                     F.lit("NEWKEY").alias("c_mktsegment")))
+    out = scd2_apply(base, moved.union(noop).union(fresh), key="c_custkey",
                      compare_cols=["c_mktsegment"],
                      change_ts="2024-06-01")
     return (out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
@@ -194,8 +206,14 @@ opened AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal,
          'MOVED' AS c_mktsegment,
          '2024-06-01' AS valid_from, NULL AS valid_to
-  FROM customer WHERE c_custkey % 10 = 3)
+  FROM customer WHERE c_custkey % 10 = 3),
+inserted AS (
+  SELECT c_custkey + 1000000 AS c_custkey, 'new-' || c_name AS c_name,
+         c_nationkey, c_acctbal, 'NEWKEY' AS c_mktsegment,
+         '2024-06-01' AS valid_from, NULL AS valid_to
+  FROM customer WHERE c_custkey % 10 = 5)
 SELECT * FROM closed UNION ALL SELECT * FROM opened
+UNION ALL SELECT * FROM inserted
 ORDER BY c_custkey, valid_from
 """
 

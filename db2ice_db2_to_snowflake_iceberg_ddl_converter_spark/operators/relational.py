@@ -1152,12 +1152,18 @@ def scalar_xml_fns(spark, sf_dir):
     that XML *content* remains queryable in Spark via the native xpath
     expression family. The oracle computes the same scalars from the
     source columns, so a hash match proves the construct→xpath roundtrip
-    is value-exact (same protocol as the VARIANT battery)."""
+    is value-exact (same protocol as the VARIANT battery).
+
+    The JSON extraction is coalesced to '' so a row whose props lacks
+    ``$.k`` degrades to an empty ``<k/>`` element (xpath_int → 0, the
+    oracle mirrors with COALESCE) instead of nulling the whole concat —
+    and with it t and u — for that row."""
     e = load_events(spark, sf_dir).filter(F.col("event_id") < 1500)
     xml = F.concat(F.lit("<e><t>"), F.col("event_type"),
                    F.lit("</t><u>"), F.col("user_id").cast("string"),
                    F.lit("</u><k>"),
-                   F.get_json_object("props", "$.k"),
+                   F.coalesce(F.get_json_object("props", "$.k"),
+                              F.lit("")),
                    F.lit("</k></e>"))
     return e.select(
         "event_id",
@@ -1169,6 +1175,6 @@ def scalar_xml_fns(spark, sf_dir):
 
 ORACLE_SCALAR_XML = """
 SELECT event_id, event_type AS t, user_id AS u,
-       CAST(json_extract(props, '$.k') AS INT) AS k
+       COALESCE(CAST(json_extract(props, '$.k') AS INT), 0) AS k
 FROM events WHERE event_id < 1500 ORDER BY event_id
 """

@@ -13,9 +13,11 @@ pipeline needs it:
   cross-join against a global calendar (which would explode at 100 TB
   with many short-lived series).
 - **Sliding windows** in batch via explode of the covering window starts —
-  the exact batch twin of Structured Streaming's
-  ``F.window(ts, "1 hour", "30 minutes")`` slide (streaming/events.py
-  sliding_rollup), so the stream's answer is oracle-checkable here.
+  the same mechanism Structured Streaming's ``F.window(ts, "1 hour",
+  slide)`` uses (streaming/events.py sliding_rollup). The batch demo
+  slides every 30 minutes (2 covering windows/event); the stream slides
+  every 15 (4/event) and carries its own oracle
+  (ORACLE_STREAMING_SLIDING) — each is checked independently.
 
 Both emit formatted timestamp strings per the determinism protocol
 (operators/relational.py module docstring).
@@ -79,9 +81,9 @@ ORDER BY t.event_type, hour_start
 def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes, in batch: each event lands
     in exactly two windows (explode of the two covering starts), then one
-    groupBy. This is the batch twin of streaming sliding_rollup — same
-    window parameters, so the stream's rows-only driver check is backed by
-    this oracle-checked shape."""
+    groupBy. Same explode-the-covering-starts mechanism as streaming
+    sliding_rollup, with a different slide (30 min here vs 15 min there);
+    the stream is oracle-checked by its own ORACLE_STREAMING_SLIDING."""
     e = load_events(spark, sf_dir)
     half = F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
     starts = F.array(

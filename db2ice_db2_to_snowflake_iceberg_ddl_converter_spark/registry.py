@@ -251,117 +251,107 @@ from .sources.registry import ORACLE_SOURCE_ROUNDTRIP as _ORACLE_SOURCE_ROUNDTRI
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry order is load-bearing: the driver's CORRECTNESS pass checks the
-    FIRST 50 entries per round (r01 stopped exactly at entry #50). Entries
-    are therefore ordered by evidence need, not by topic:
+    FIRST 50 entries per round (r01 and r02 both stopped exactly at entry
+    #50). Entries are therefore ordered by evidence need, not by topic.
 
-    1. the nine r01 hash-fail queries, now emitting portable doubles;
-    2. everything that has never had a driver row (second-wave TPC-H, text,
-       multimodal, migration, ddl/streaming rows-only, IVF);
-    3. a handful of r01-green oracle entries as regression canaries;
-    4. past the cap: entries already proven green in CORRECTNESS_r01.
+    ROUND-3 ROTATION (executes the plan recorded here last round, per the
+    r02 verdict): the 49 r02-green entries move past the cap; the window
+    now holds (1) the 22 oracle-backed entries only judge-verified so far
+    (cdc/scd2/pit/profile, streaming rollups, udtf + sentence dedup,
+    pydatasource, regex/variant/xml/listagg batteries, gapfill/sliding,
+    tfidf/top-tokens, asof-tolerance, unpivot, levenshtein, stratified
+    sample), (2) the 8 rows-only entries that have never had a driver row
+    (ann_ivf, pagerank, multimodal_features, ddl_* ×3, streaming_dedup/
+    user_stats), (3) new round-3 entries, and (4) r02-green canaries to
+    fill to 50. approx_quantiles (err:"no_oracle" in r02) moves past the
+    cap — its exact twin agg_percentiles is driver-green and its error
+    bound is pytest-pinned, so it stops burning a window slot.
     """
-    q = {
-        # -- r01 hash-fails, fixed via double-emission (relational.py) --
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_nation_revenue": rel.q5_nation_revenue,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q10_returned_items": rel.q10_returned_items,
-        "join_inner_broadcast": rel.join_inner_broadcast,
-        "agg_rollup": rel.agg_rollup,
-        "events_tumbling_hourly": rel.events_tumbling_hourly,
-        "events_sessionize": rel.events_sessionize,
-    }
-    # -- never driver-verified: all 19 second-wave TPC-H shapes --
-    q.update(rext.QUERIES)
+    q = {}
+    # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
     q.update({
-        # -- never driver-verified: text / multimodal / similarity --
-        "text_token_stats": textstats.text_token_stats,
-        "text_quality_score": textstats.text_quality_score,
-        "text_normalize": textstats.text_normalize,
-        "text_langid": textstats.text_langid,
-        "text_fingerprint": textstats.text_fingerprint,
-        "multimodal_metadata": multimodal.multimodal_metadata,
-        # -- re-verify: implementation changed this round --
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "approx_quantiles": approx.approx_quantiles,
-        # -- new this round: global rank without a single-partition sort --
-        "window_ntile_scalable": scale.window_ntile_scalable,
-        # -- new this round: corpus curation statistics + pipeline end --
-        "corpus_token_histogram": corpus.corpus_token_histogram,
-        "embedding_covariance": corpus.embedding_covariance,
-        "dedup_keep_representatives": dedup.dedup_keep_representatives,
-        # -- new this round: bag-semantics set ops + connector round-trip --
-        "set_intersect_all": rel.set_intersect_all,
-        "set_except_all": rel.set_except_all,
-        "source_roundtrip_formats": _source_roundtrip,
-        # -- new this round: stop-shingle skew mitigation, oracle-exact --
-        "dedup_ngram_jaccard_pruned": dedup.dedup_ngram_jaccard_pruned,
-        # -- new this round: the composite curation pass (dedup ∘ lang ∘
-        #    quality in one job) --
-        "corpus_curate": corpus.corpus_curate,
-        # -- new this round: bivariate stats, rank-rule percentiles, array
-        #    battery (operators/analytics.py; the other two analytics
-        #    entries sit past the cap and rotate in next round) --
-        "agg_corr_regr": analytics.agg_corr_regr,
-        "agg_percentiles": analytics.agg_percentiles,
-        "scalar_array_fns": analytics.scalar_array_fns,
-    })
-    # -- never driver-verified: schema plane + streaming; oracle-backed
-    # entries (interval join, migrate) take window priority over rows-only
-    cq = _catalog_queries()
-    sq = _streaming_queries()
-    q["streaming_interval_join"] = sq.pop("streaming_interval_join")
-    q["migrate_customer_cast"] = cq.pop("migrate_customer_cast")
-    q.update(cq)
-    q.update(sq)
-    # -- past the 50-entry window from here: new-but-evidenced entries
-    # (oracle/pytest locally green) that rotate into the window next round.
-    # ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 proves the current window
-    # green, move these oracle-backed entries inside the cap (the 9 fixed
-    # hash-fails + 19 second-wave TPC-H free 28 slots): sample_hash_
-    # stratified, dedup_levenshtein_blocked, events_gapfill_hourly,
-    # events_sliding_hourly, corpus_top_tokens, corpus_tfidf_top_terms,
-    # events_asof_tolerance, unpivot_nation_metrics, streaming_hourly/
-    # sliding/session rollups, scalar regex/variant/xml batteries,
-    # listagg, pydatasource, udtf + sentence dedup, cdc/scd2/pit/profile,
-    # plus the remaining rows-only entries
-    # (ann_ivf, multimodal_features, graph_pagerank_top, ddl_*,
-    # streaming_dedup/user_stats) for their first driver rows. --
-    q.update({
-        "sample_hash_stratified": analytics.sample_hash_stratified,
-        "dedup_levenshtein_blocked": analytics.dedup_levenshtein_blocked,
-        "events_gapfill_hourly": timeseries.events_gapfill_hourly,
-        "events_sliding_hourly": timeseries.events_sliding_hourly,
-        "corpus_top_tokens": corpus.corpus_top_tokens,
-        "corpus_tfidf_top_terms": corpus.corpus_tfidf_top_terms,
-        "events_asof_tolerance": asof.events_asof_tolerance,
-        "unpivot_nation_metrics": rel.unpivot_nation_metrics,
-        "scalar_regex_fns": rel.scalar_regex_fns,
-        "scalar_variant_fns": rel.scalar_variant_fns,
-        "source_pydatasource_agg": _source_pydatasource_agg,
-        "udtf_sentence_split": _udtf_sentence_split,
-        "dedup_sentences_exact": _dedup_sentences_exact,
-        "agg_string_concat": rel.agg_string_concat,
-        "scalar_xml_fns": rel.scalar_xml_fns,
         "cdc_apply_customers": cdc.cdc_apply_customers,
         "scd2_apply_customers": cdc.scd2_apply_customers,
         "profile_customer_stats": cdc.profile_customer_stats,
         "scd2_point_in_time_join": cdc.scd2_point_in_time_join,
-        "multimodal_features": multimodal.multimodal_features,
+        "events_asof_tolerance": asof.events_asof_tolerance,
+        "events_gapfill_hourly": timeseries.events_gapfill_hourly,
+        "events_sliding_hourly": timeseries.events_sliding_hourly,
+        "sample_hash_stratified": analytics.sample_hash_stratified,
+        "dedup_levenshtein_blocked": analytics.dedup_levenshtein_blocked,
+        "corpus_top_tokens": corpus.corpus_top_tokens,
+        "corpus_tfidf_top_terms": corpus.corpus_tfidf_top_terms,
+        "unpivot_nation_metrics": rel.unpivot_nation_metrics,
+        "scalar_regex_fns": rel.scalar_regex_fns,
+        "scalar_variant_fns": rel.scalar_variant_fns,
+        "scalar_xml_fns": rel.scalar_xml_fns,
+        "agg_string_concat": rel.agg_string_concat,
+        "source_pydatasource_agg": _source_pydatasource_agg,
+        "udtf_sentence_split": _udtf_sentence_split,
+        "dedup_sentences_exact": _dedup_sentences_exact,
+    })
+    sq = _streaming_queries()
+    q["streaming_hourly_rollup"] = sq.pop("streaming_hourly_rollup")
+    q["streaming_sliding_rollup"] = sq.pop("streaming_sliding_rollup")
+    q["streaming_session_windows"] = sq.pop("streaming_session_windows")
+    ivj = sq.pop("streaming_interval_join")   # held back for the canaries
+    # ---- window 23-30: rows-only entries earning their first driver row --
+    cq = _catalog_queries()
+    mig = cq.pop("migrate_customer_cast")
+    q.update(cq)                       # ddl_* ×3
+    q.update(sq)                       # streaming_dedup, streaming_user_stats
+    q.update({
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "multimodal_features": multimodal.multimodal_features,
         # iterative float math → rows-only; pytest pins vs numpy power iter
         "graph_pagerank_top": graph.graph_pagerank_top,
     })
-    # -- r01-green canaries --
+    # ---- window 31-...: NEW round-3 entries (oracle-backed) ----
+    q.update(_round3_queries())
+    # ---- window fill to 50: r02-green canaries (regression sentinels
+    # spanning the plan families: agg, join, window, streaming, dedup,
+    # corpus, text, migration) ----
     q.update({
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q9_product_profit": rext.QUERIES["q9_product_profit"],
+        "agg_rollup": rel.agg_rollup,
+        "window_ntile_scalable": scale.window_ntile_scalable,
+        "streaming_interval_join": ivj,
+        "dedup_ngram_jaccard_pruned": dedup.dedup_ngram_jaccard_pruned,
+        "corpus_curate": corpus.corpus_curate,
+        "text_quality_score": textstats.text_quality_score,
+        "migrate_customer_cast": mig,
+    })
+    # -- past the 50-entry window from here: proven green in r01/r02 --
+    q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
+    q.update({
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_nation_revenue": rel.q5_nation_revenue,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q10_returned_items": rel.q10_returned_items,
         "q18_large_orders": rel.q18_large_orders,
+        "join_inner_broadcast": rel.join_inner_broadcast,
+        "events_tumbling_hourly": rel.events_tumbling_hourly,
+        "events_sessionize": rel.events_sessionize,
         "events_asof_last_click": asof.events_asof_last_click,
+        "text_token_stats": textstats.text_token_stats,
+        "text_normalize": textstats.text_normalize,
+        "text_langid": textstats.text_langid,
+        "text_fingerprint": textstats.text_fingerprint,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "approx_quantiles": approx.approx_quantiles,
+        "corpus_token_histogram": corpus.corpus_token_histogram,
+        "embedding_covariance": corpus.embedding_covariance,
+        "dedup_keep_representatives": dedup.dedup_keep_representatives,
+        "set_intersect_all": rel.set_intersect_all,
+        "set_except_all": rel.set_except_all,
+        "source_roundtrip_formats": _source_roundtrip,
+        "agg_corr_regr": analytics.agg_corr_regr,
+        "agg_percentiles": analytics.agg_percentiles,
+        "scalar_array_fns": analytics.scalar_array_fns,
         "dedup_clusters": dedup.dedup_clusters,
         "ann_brute_force_topk": similarity.ann_brute_force_topk,
-    })
-    # -- past the 50-entry window: proven green in CORRECTNESS_r01 --
-    q.update({
         "scan_filter_projection": rel.scan_filter_projection,
         "filter_null_safe": rel.filter_null_safe,
         "join_left_outer": rel.join_left_outer,
@@ -405,6 +395,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
     })
     return q
+
+
+def _round3_queries():
+    """New round-3 entries; grows as the round progresses. Placed INSIDE
+    the window so each earns a driver row immediately."""
+    return {}
 
 
 def build_oracles() -> dict[str, str]:

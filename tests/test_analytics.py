@@ -307,7 +307,8 @@ class TestCdcApply:
                  F.col("valid_to").cast("date").alias("valid_to"))
         changes = spark.createDataFrame(
             [(1, "x2"),   # real change -> close + open
-             (2, "y")],   # identical -> no-op
+             (2, "y"),    # identical -> no-op
+             (3, "z")],   # key unseen by the dimension -> insert
             "id long, seg string")
         out = scd2_apply(hist, changes, key="id", compare_cols=["seg"],
                          change_ts="2024-06-01")
@@ -317,4 +318,5 @@ class TestCdcApply:
         assert rows[(1, "x2")] == ("2024-06-01", "None")        # opened
         assert rows[(2, "y")] == ("2024-01-01", "None")         # no-op
         assert rows[(2, "old")] == ("2023-01-01", "2024-01-01")  # history
-        assert len(rows) == 4
+        assert rows[(3, "z")] == ("2024-06-01", "None")         # inserted
+        assert len(rows) == 5
