@@ -51,16 +51,29 @@ DEC = "decimal(28,6)"
 _MIN_REPARTITION_BYTES = 1_500_000
 
 
-def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def ld(spark: SparkSession, sf_dir: str, name: str,
+       fanout: bool = True) -> DataFrame:
     """Load a fixture table; if the file is big enough to matter and its
     scan yields fewer partitions than ``defaultParallelism``, redistribute
     once so map stages saturate the cluster. On production layouts (many
     files / many row groups) the condition is false and this is a plain
     scan — it is NOT a blanket shuffle at 100 TB. Filters and projections
     still reach the scan: Catalyst pushes both through Repartition
-    (pinned by tests/test_plans.py at sf0.1)."""
+    (pinned by tests/test_plans.py at sf0.1).
+
+    ``fanout=False`` skips the redistribution. Pass it when the first
+    thing downstream is a key exchange (shuffle join / keyed agg / window
+    partitionBy) with only cheap row work before it: the consumer's own
+    exchange already parallelizes everything after the scan, so a
+    round-robin exchange ahead of it is a pure extra round-trip of the
+    data (measured r02: q3 +41%, q5 +31%, q10 +29%, q18 +23% from
+    exactly this). Keep the default when real per-row compute sits
+    between scan and first exchange — q1's 8 decimal partial aggregates
+    win 25% from the fan-out."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not fanout:
+        return df
     try:
         big = os.path.getsize(path) >= _MIN_REPARTITION_BYTES
     except OSError:
@@ -179,8 +192,10 @@ def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3: 3-way join, revenue agg, top-10. customer is small → Catalyst
     broadcasts it; only lineitem⋈orders shuffles, and AQE sizes it."""
     c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-06-30")
-    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
+        F.col("o_orderdate") < "1996-06-30")
+    l = ld(spark, sf_dir, "lineitem", fanout=False).filter(
+        F.col("l_shipdate") > "1996-06-30")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -217,9 +232,9 @@ def q5_nation_revenue(spark, sf_dir):
     n = ld(spark, sf_dir, "nation")
     c = ld(spark, sf_dir, "customer")
     s = ld(spark, sf_dir, "supplier")
-    o = ld(spark, sf_dir, "orders").filter(
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-    l = ld(spark, sf_dir, "lineitem")
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -278,9 +293,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10: returned-item revenue per customer, top-20."""
     c = ld(spark, sf_dir, "customer")
-    o = ld(spark, sf_dir, "orders").filter(
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
-    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = ld(spark, sf_dir, "lineitem", fanout=False).filter(
+        F.col("l_returnflag") == "R")
     n = ld(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -311,11 +327,11 @@ LIMIT 20
 
 def q18_large_orders(spark, sf_dir):
     """TPC-H Q18: agg-subquery semi-join (orders whose total quantity > 300)."""
-    l = ld(spark, sf_dir, "lineitem")
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     big = (l.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
            .filter(F.col("total_qty") > 300))
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders", fanout=False)
     c = ld(spark, sf_dir, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -639,7 +655,7 @@ FROM customer GROUP BY 1
 
 def window_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by price; row_number with unique tiebreak."""
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders", fanout=False)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
                                                 "o_orderkey")
     return (o.withColumn("rn", F.row_number().over(w))

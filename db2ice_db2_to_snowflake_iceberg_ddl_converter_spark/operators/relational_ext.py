@@ -25,10 +25,10 @@ def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: priority counts for orders with at least one
     late-shipped line (EXISTS → left-semi join; the semi join keeps the
     orders side's cardinality so the count never double-counts lines)."""
-    o = ld(spark, sf_dir, "orders").filter(
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
         (F.col("o_orderdate") >= "1996-07-01")
         & (F.col("o_orderdate") < "1996-10-01"))
-    l = ld(spark, sf_dir, "lineitem")
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     late = o.join(l, (o.o_orderkey == l.l_orderkey)
                   & (l.l_shipdate > o.o_orderdate), "left_semi")
     return (late.groupBy("o_orderpriority")
@@ -56,8 +56,8 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation"))
     s = ld(spark, sf_dir, "supplier")
     c = ld(spark, sf_dir, "customer")
-    o = ld(spark, sf_dir, "orders")
-    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
            ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
@@ -103,8 +103,8 @@ def q9_product_profit(spark, sf_dir):
     p = ld(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
     s = ld(spark, sf_dir, "supplier")
     n = ld(spark, sf_dir, "nation")
-    o = ld(spark, sf_dir, "orders")
-    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.col("p_retailprice") * F.col("l_quantity") * 0.6)
     return (
@@ -137,8 +137,8 @@ def q12_priority_by_status(spark, sf_dir):
     """TPC-H Q12 shape (shipmode → linestatus): per line status, how many
     lines belong to high- vs low-priority orders — conditional counts after
     one fact-fact join."""
-    o = ld(spark, sf_dir, "orders")
-    l = ld(spark, sf_dir, "lineitem").filter(
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    l = ld(spark, sf_dir, "lineitem", fanout=False).filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
@@ -164,7 +164,7 @@ def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13: distribution of order counts per customer — left outer
     join so zero-order customers land in the c_count=0 bucket."""
     c = ld(spark, sf_dir, "customer")
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders", fanout=False)
     per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
                 .groupBy("c_custkey")
                 .agg(F.count("o_orderkey").alias("c_count")))
@@ -212,7 +212,7 @@ def q15_top_supplier(spark, sf_dir):
     max arrives via a broadcast cross join of a 1-row aggregate; equality
     is exact decimal=decimal."""
     s = ld(spark, sf_dir, "supplier")
-    l = ld(spark, sf_dir, "lineitem").filter(
+    l = ld(spark, sf_dir, "lineitem", fanout=False).filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
     rev = (l.groupBy("l_suppkey")
            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -310,7 +310,7 @@ def q22_dormant_customers(spark, sf_dir):
     ≥1 order, so the anti-join targets the urgent subset to stay
     non-degenerate.)"""
     c = ld(spark, sf_dir, "customer")
-    o = ld(spark, sf_dir, "orders").filter(
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
         F.col("o_orderpriority") == "1-URGENT")
     avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
                .agg(_davg(F.col("c_acctbal")).alias("avg_bal")))
@@ -554,8 +554,8 @@ def q8_market_share(spark, sf_dir):
                 .select("s_suppkey", "supp_nation"))
     p = ld(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY") \
         .select("p_partkey")
-    o = ld(spark, sf_dir, "orders")
-    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -653,9 +653,10 @@ def q21_waiting_suppliers(spark, sf_dir):
     lines; NOT EXISTS → left-anti on other-supplier *late* lines. "Late"
     is adapted to the slimmed schema (no commit/receipt dates):
     l_shipdate > o_orderdate + 90 days."""
-    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+    o = ld(spark, sf_dir, "orders", fanout=False) \
+        .filter(F.col("o_orderstatus") == "F") \
         .select("o_orderkey", "o_orderdate")
-    l = ld(spark, sf_dir, "lineitem").select(
+    l = ld(spark, sf_dir, "lineitem", fanout=False).select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     late = (l.join(o, l.l_orderkey == o.o_orderkey)
             .filter(F.col("l_shipdate")
@@ -704,7 +705,8 @@ def window_range_frame(spark, sf_dir):
     of the customer's orders fall within ±1000 of its total price, and
     their summed price. RANGE frames dedupe-tie semantics differ from ROWS
     — this pins them cross-engine."""
-    o = ld(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    o = ld(spark, sf_dir, "orders", fanout=False).filter(
+        F.col("o_custkey") < 200)
     w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
          .rangeBetween(-1000, 1000))
     return (o.select(
