@@ -198,6 +198,32 @@ class TestPageRank:
         out = graph.graph_pagerank_top(spark, sf_dir, k=5)
         assert out.count() == 5
 
+    def test_no_driver_collect_inside_iteration(self, spark, monkeypatch):
+        """The dangling-mass fold must NOT collect a scalar per iteration
+        (it rides a broadcast 1-row cross join instead) — a blocking
+        driver action in the loop doubles per-iteration scheduling
+        latency at scale. Pinned structurally: pagerank must never call
+        DataFrame.collect at all (its only driver actions are one count
+        and the eager localCheckpoints)."""
+        from pyspark.sql import DataFrame
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+
+        calls = []
+        orig = DataFrame.collect
+        monkeypatch.setattr(
+            DataFrame, "collect",
+            lambda self: (calls.append(1), orig(self))[1])
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)],
+            "src long, dst long")
+        ranks = graph.pagerank(edges, n_iters=5)
+        assert calls == [], "pagerank called DataFrame.collect internally"
+        got = {r.node: r.rank for r in ranks.collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
 
 class TestAsofTolerance:
     def test_tolerance_nulls_stale_matches(self, spark):
