@@ -43,6 +43,14 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_token_stats",
     "text_quality_score",
+    # round-2 operators, tracked from round 3 on so their perf is known
+    # before anyone scales them
+    "cdc_apply_customers",
+    "scd2_point_in_time_join",
+    "dedup_ngram_jaccard_pruned",
+    "corpus_curate",
+    "window_ntile_scalable",
+    "ann_ivf_topk",
 ]
 
 
