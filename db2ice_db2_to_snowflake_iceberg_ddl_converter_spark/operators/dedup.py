@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from .relational import ld
+from .relational import ld, ld_py
 
 NUM_MINHASHES = 64
 LSH_BANDS = 16
@@ -107,7 +107,7 @@ def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
     """doc_id → distinct word n-grams. Arrow/pandas path: shingling is a
     per-row string op — embarrassingly parallel, no shuffle — and the
     vectorized UDF keeps it off the interpreted HOF evaluator."""
-    d = ld(spark, sf_dir, "documents")
+    d = ld_py(spark, sf_dir, "documents")
     return d.select("doc_id", _shingle_udf(n)("text").alias("shingles"))
 
 

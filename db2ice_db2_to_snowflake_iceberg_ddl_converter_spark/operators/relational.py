@@ -84,6 +84,27 @@ def ld(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def ld_py(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for tables about to enter a row-work-heavy map stage — an
+    Arrow/Python UDF pass or a wide partial aggregate. Unlike ``ld``, the
+    fan-out has NO size threshold: the stage cost scales with rows (not
+    file bytes), so even a sub-MB single-row-group file serializes the
+    whole stage onto one core (measured: 3-gram shingling of sf0.1
+    documents 3.1 s serial → 2.2 s fanned). On production layouts with
+    enough scan partitions this is a no-op.
+
+    Measured guidance (sf0.1, local[32]): use it for per-row Python work
+    that dominates the stage (shingling: pruned jaccard −22%, minhash
+    −13%); do NOT use it in front of a single BLAS matmul over Arrow
+    (sign-LSH signatures, IVF assign) — one big Arrow batch beats 32 tiny
+    ones, +0.9 s measured each, and the same held for the 64-vote simhash
+    partial agg."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _dsum(expr) -> F.Column:
     """Exact, order-independent sum of a double money expression.
 

@@ -114,7 +114,10 @@ class TestAggregationShape:
         sig = dedup.minhash_signatures(dedup.doc_shingles(spark, sf_dir))
         prof = plan_profile(sig)
         assert prof["hash_aggregates"] >= 2
-        assert prof["shuffles"] == 1  # one doc_id exchange, nothing else
+        # one doc_id exchange, plus at most the ld_py fan-out exchange that
+        # parallelizes the shingle UDF over single-row-group fixtures (a
+        # no-op on production layouts — relational.ld_py docstring)
+        assert prof["shuffles"] <= 2
 
 
 class TestTopKAndOrdering:
