@@ -135,3 +135,65 @@ class TestPythonDataSource:
         rb = {r.event_id: (r.user_id, r.event_type, r.value)
               for r in b.collect()}
         assert ra == rb
+
+
+class TestJdbcPartitionedRead:
+    """End-to-end partitioned JDBC evidence against embedded Derby (the
+    JDBC engine Spark already ships for its Hive metastore — no external
+    service). This is the 'Spark read DB2' path of BASELINE.json with a
+    real driver: jdbc_reader's option assembly must produce a read that
+    (a) returns the written rows and (b) actually splits into
+    numPartitions stride queries on the partition column."""
+
+    @pytest.fixture()
+    def derby_url(self, spark, sf_dir, tmp_path):
+        url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+        src = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+               .limit(200))
+        (src.write.format("jdbc")
+         .option("url", url)
+         .option("dbtable", "CUSTOMER")
+         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+         .mode("overwrite").save())
+        return url, src
+
+    def test_partitioned_read_round_trips(self, spark, derby_url):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.migrate import (
+            jdbc_reader,
+        )
+
+        url, src = derby_url
+        lo, hi = (src.agg(F.min("c_custkey"), F.max("c_custkey"))
+                  .first())
+        got = jdbc_reader(
+            spark, url, "CUSTOMER",
+            partition_column="c_custkey",
+            lower_bound=int(lo), upper_bound=int(hi) + 1,
+            num_partitions=4,
+            driver="org.apache.derby.jdbc.EmbeddedDriver").load()
+        # partition evidence: the scan splits into the requested strides
+        assert got.rdd.getNumPartitions() == 4
+        want = {(r.c_custkey, r.c_name) for r in src.collect()}
+        have = {(r.c_custkey, r.c_name) for r in got.collect()}
+        assert have == want
+
+    def test_unpartitioned_needs_no_bounds(self, spark, derby_url):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.migrate import (
+            jdbc_reader,
+        )
+
+        url, src = derby_url
+        got = jdbc_reader(
+            spark, url, "CUSTOMER",
+            driver="org.apache.derby.jdbc.EmbeddedDriver").load()
+        assert got.rdd.getNumPartitions() == 1
+        assert got.count() == src.count()
+
+    def test_bounds_are_mandatory_with_partition_column(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.migrate import (
+            jdbc_reader,
+        )
+
+        with pytest.raises(ValueError, match="bounds"):
+            jdbc_reader(spark, "jdbc:derby:memory:x", "T",
+                        partition_column="ID")
