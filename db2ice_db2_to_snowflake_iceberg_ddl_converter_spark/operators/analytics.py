@@ -273,3 +273,48 @@ ORACLES = {
     "sample_hash_stratified": ORACLE_SAMPLE_HASH,
     "dedup_levenshtein_blocked": ORACLE_DEDUP_LEVENSHTEIN,
 }
+
+
+def agg_histogram_equi_width(spark, sf_dir, n_bins: int = 10):
+    """Equi-width histogram of order totals: bin edges from the global
+    min/max (a broadcast 1-row aggregate — no driver action), bin id =
+    ``least(floor((v - min)/width), n_bins - 1)``. Every derived double
+    (width, edges) is computed with the same op order in both engines, so
+    bin boundaries are bitwise identical and boundary rows cannot flip
+    bins between Spark and the oracle. One scan + one 1-row agg + one
+    ``n_bins``-row agg; the edge columns make the row self-describing."""
+    from .relational import ld
+
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    stats = o.agg(F.min("o_totalprice").alias("mn"),
+                  F.max("o_totalprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / float(n_bins)
+    b = F.least(F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+                F.lit(n_bins - 1)).cast("int")
+    return (o.crossJoin(F.broadcast(stats))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.first("mn").alias("_mn"), F.first("mx").alias("_mx"))
+            .select("bin", "n_orders",
+                    (F.col("_mn") + F.col("bin")
+                     * ((F.col("_mx") - F.col("_mn")) / float(n_bins)))
+                    .alias("bin_lo"),
+                    (F.col("_mn") + (F.col("bin") + 1)
+                     * ((F.col("_mx") - F.col("_mn")) / float(n_bins)))
+                    .alias("bin_hi"))
+            .orderBy("bin"))
+
+
+ORACLE_AGG_HISTOGRAM = """
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0))
+               AS BIGINT), 9) AS bin, mn, mx
+  FROM orders CROSS JOIN stats
+)
+SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_orders,
+       mn + bin * ((mx - mn) / 10.0) AS bin_lo,
+       mn + (bin + 1) * ((mx - mn) / 10.0) AS bin_hi
+FROM binned GROUP BY bin, mn, mx ORDER BY bin
+"""

@@ -1,0 +1,268 @@
+"""Behavioral / product analytics over the events stream: funnel
+conversion, retention cohorts, rolling windows, transition matrices, and
+z-score outlier flagging.
+
+These are the ongoing-sync VALIDATION queries a migration engine runs
+against an event table after cutover (the reference's schema plane has no
+row surface — SURVEY.md §2.2 EXT), and simultaneously the feature-
+engineering shapes a training-data pipeline derives from interaction logs.
+
+Scale notes per operator are in each docstring; the common theme: every
+operator is a fixed number of keyed shuffles (no driver loops, no windows
+without PARTITION BY), so each parallelizes by user/type cardinality.
+
+Determinism protocol: operators/relational.py module docstring (exact
+decimal sums, single-rounding doubles, formatted timestamps, unique sort
+tiebreakers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import DEC, load_events
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: a stage counts only if it
+    happens at-or-after the user's previous stage (first qualifying event
+    per stage). Emits one row of global stage counts.
+
+    Plan: three staged per-user conditional MIN aggregations, each a keyed
+    shuffle on user_id joined back to the (already user-partitioned)
+    events — the exchange is reused across stages. No window over the full
+    stream, no driver involvement; user cardinality bounds every state.
+    """
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (e.join(v, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") >= F.col("v_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (e.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") >= F.col("c_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    # total-user denominator rides a broadcast 1-row cross join — no
+    # driver-side count() action in the operator
+    nu = e.agg(F.count_distinct("user_id").alias("n_users"))
+    stages = (v.join(c, "user_id", "left").join(p, "user_id", "left")
+              .agg(F.count("v_ts").alias("n_viewed"),
+                   F.count("c_ts").alias("n_clicked_after_view"),
+                   F.count("p_ts").alias("n_purchased_after_click")))
+    return (nu.crossJoin(stages)
+            .select("n_users", "n_viewed", "n_clicked_after_view",
+                    "n_purchased_after_click"))
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       COUNT(v.v_ts) AS n_viewed,
+       COUNT(c.c_ts) AS n_clicked_after_view,
+       COUNT(p.p_ts) AS n_purchased_after_click
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str,
+                             max_offset: int = 7) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active day; for
+    each day offset 0..max_offset, how many of the cohort were active.
+
+    Plan: one (user, day) distinct pass (keyed shuffle), per-user cohort
+    via a min-over-user aggregation reusing the same partitioning, then
+    one (cohort, offset) count. Offsets beyond ``max_offset`` are dropped
+    to bound output; `log()`-free integer datediff is portable.
+    """
+    e = load_events(spark, sf_dir)
+    active = (e.select("user_id", F.to_date("ts").alias("day")).distinct())
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = (active.join(cohort, "user_id")
+         .withColumn("day_offset", F.datediff("day", "cohort_day"))
+         .filter(F.col("day_offset") <= max_offset))
+    return (j.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active_users"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort_day"),
+                    "day_offset", "n_active_users")
+            .orderBy("cohort_day", "day_offset"))
+
+
+ORACLE_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', c.cohort_day, a.day) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+WHERE date_diff('day', c.cohort_day, a.day) <= 7
+GROUP BY c.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+def events_rolling_stats(spark: SparkSession, sf_dir: str,
+                         window_rows: int = 5) -> DataFrame:
+    """Per-user rolling features over the last ``window_rows`` events:
+    rolling sum (exact decimal, emitted double), rolling max, and the
+    actual window population (ramps up at each user's start).
+
+    Plan: ONE window over (user_id | ts, event_id) — the per-user frame
+    never leaves its partition's sort run, so this scans at shuffle speed
+    on any table size; the unique event_id tiebreak makes the frame
+    deterministic. The sum follows the decimal protocol so the emitted
+    doubles are bitwise portable.
+    """
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    return (e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        .alias("rolling_sum"),
+        F.max("value").over(w).alias("rolling_max"),
+        F.count(F.lit(1)).over(w).alias("n_window"))
+        .orderBy("event_id"))
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         AS rolling_sum,
+       MAX(value) OVER w AS rolling_max,
+       COUNT(*) OVER w AS n_window
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (the sequence features a behavioral model trains on).
+
+    Plan: one lag window over (user_id | ts, event_id) + one count
+    aggregation over the 25-cell type×type matrix. Transition probability
+    is an exact integer ratio (portable double division).
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "ts", "event_id", "event_type",
+                      F.lag("event_type").over(w).alias("prev_type"))
+             .filter(F.col("prev_type").isNotNull()))
+    counted = (pairs.groupBy("prev_type", F.col("event_type").alias("next_type"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    w_tot = Window.partitionBy("prev_type")
+    return (counted
+            .withColumn("p",
+                        F.col("n").cast("double")
+                        / F.sum("n").over(w_tot).cast("double"))
+            .orderBy("prev_type", "next_type"))
+
+
+ORACLE_TRANSITIONS = """
+WITH pairs AS (
+  SELECT user_id, event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counted AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type)::DOUBLE AS p
+FROM counted
+ORDER BY prev_type, next_type
+"""
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str,
+                        z_cut: float = 2.5) -> DataFrame:
+    """Per-type z-score outliers: events whose value deviates more than
+    ``z_cut`` standard deviations from their type's mean.
+
+    Mean and variance come from exact decimal sufficient statistics
+    (Σv, Σv² summed as DECIMAL — order-independent and identical in both
+    engines), converted to double once; the per-row z is then built from
+    bitwise-identical operands with a SINGLE sqrt (protocol: sqrt is
+    IEEE-exact, and the op order is mirrored textually in the oracle).
+
+    Plan: one per-type aggregation (5 rows) broadcast back over the
+    stream — the flagging pass is a scan, not a shuffle.
+    """
+    e = load_events(spark, sf_dir)
+    v = F.col("value")
+    stats = (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(v.cast(DEC)).alias("s1"),
+                  F.sum((v * v).cast(DEC)).alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = stats.select("event_type", mean.alias("mean_v"),
+                         F.sqrt(var).alias("std_v"))
+    return (e.join(F.broadcast(stats), "event_type")
+            .withColumn("z", (v - F.col("mean_v")) / F.col("std_v"))
+            .filter(F.abs(F.col("z")) > z_cut)
+            .select("event_id", "event_type", "value", "z")
+            .orderBy("event_id"))
+
+
+ORACLE_ZSCORE = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS mean_v,
+         SQRT(CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(*)
+              - (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*))
+                * (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*))) AS std_v
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       (value - mean_v) / std_v AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((value - mean_v) / std_v) > 2.5
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "events_funnel_conversion": events_funnel_conversion,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_rolling_stats": events_rolling_stats,
+    "events_transition_matrix": events_transition_matrix,
+    "events_value_zscore": events_value_zscore,
+}
+
+ORACLES = {
+    "events_funnel_conversion": ORACLE_FUNNEL,
+    "events_retention_cohorts": ORACLE_RETENTION,
+    "events_rolling_stats": ORACLE_ROLLING,
+    "events_transition_matrix": ORACLE_TRANSITIONS,
+    "events_value_zscore": ORACLE_ZSCORE,
+}

@@ -192,3 +192,54 @@ def repartition_for_write(df: DataFrame, cluster_cols: list[str],
     out = (df.repartition(target_partitions, *cluster_cols)
            if target_partitions else df.repartition(*cluster_cols))
     return out.sortWithinPartitions(*cluster_cols)
+
+
+def join_salted_hot_key(spark: SparkSession, sf_dir: str,
+                        num_salts: int = 8) -> DataFrame:
+    """Salted join exercised on a GENUINELY hot key: ~30% of lineitem is
+    remapped onto key 0 (every l_orderkey % 10 ∈ {0,1,2}), the kind of
+    single-key skew where one unsalted task would hold a third of the
+    fact table. The dim side is the distinct key set with a derived
+    payload, so every fact row matches exactly once and the salted result
+    is row-identical to the plain join — which is exactly what the DuckDB
+    oracle computes (no salt), making this a correctness proof of the
+    rewrite, not just a plan-shape test (tests/test_scale.py pins
+    salted ≡ plain at the pair level too).
+
+    Scale: the salt splits key 0's rows over ``num_salts`` sub-buckets;
+    the dim side replicates ``num_salts``× (dim-sized, cheap); the
+    aggregate downstream is oblivious. Emitted sums follow the decimal
+    protocol.
+    """
+    from .relational import DEC, ld
+
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
+    hk = F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)) \
+        .otherwise(F.col("l_orderkey")).alias("hk")
+    fact = l.select(hk, "l_orderkey", "l_linenumber", "l_extendedprice")
+    dim = (fact.select("hk").distinct()
+           .withColumn("payload", F.col("hk") % 97))
+    joined = salted_join(fact, dim, key="hk",
+                         id_cols=["l_orderkey", "l_linenumber"],
+                         num_salts=num_salts)
+    return (joined.groupBy((F.col("payload") % 10).alias("pbucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                 .alias("sum_price"))
+            .orderBy("pbucket"))
+
+
+ORACLE_JOIN_SALTED_HOT = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS hk,
+         l_extendedprice
+  FROM lineitem
+), dim AS (
+  SELECT hk, hk % 97 AS payload FROM (SELECT DISTINCT hk FROM fact)
+)
+SELECT payload % 10 AS pbucket, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_price
+FROM fact JOIN dim USING (hk)
+GROUP BY pbucket ORDER BY pbucket
+"""

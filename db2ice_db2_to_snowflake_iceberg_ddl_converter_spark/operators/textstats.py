@@ -213,3 +213,141 @@ SELECT doc_id,
          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
 FROM documents WHERE doc_id < 200
 """
+
+
+# union of every language's marker words — the Gopher-style "contains a
+# common function word" rule must fire for non-English fixture docs too
+_ALL_MARKERS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def text_gopher_filters(spark, sf_dir):
+    """Gopher-style quality-filter rule battery (per-rule flags + final
+    keep decision) — the document-level gate a pretraining pipeline runs
+    before tokenization. Rules adapted to the fixture corpus:
+
+    - word count inside [10, 5000];
+    - mean word length inside [2, 12];
+    - at least one common function word (union of the language marker
+      lists — multilingual corpora must not auto-fail the stopword rule);
+    - symbol ratio ≤ 0.1 (non-alphanumeric, non-space characters).
+
+    Pure Catalyst: splits, translates, integer arithmetic; ratios are
+    single exact divisions so every flag is oracle-portable. One scan, no
+    shuffle — at 100 TB this runs at read speed and the keep flag drives
+    a pushed-down filter in the downstream pipeline.
+    """
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mwl = (F.length("text") - n_words + 1).cast("double") / n_words
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in _ALL_MARKERS])))
+    # strip a-z, A-Z, 0-9 and spaces; what's left is "symbols"
+    stripped = F.translate(
+        F.lower("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
+    sym_ratio = F.length(stripped).cast("double") / F.length("text")
+    words_ok = (n_words >= 10) & (n_words <= 5000)
+    mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    stop_ok = stop_hits > 0
+    sym_ok = sym_ratio <= 0.1
+    return d.select(
+        "doc_id", n_words.alias("n_words"), mwl.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"), sym_ratio.alias("symbol_ratio"),
+        words_ok.alias("words_ok"), mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"), sym_ok.alias("sym_ok"),
+        (words_ok & mwl_ok & stop_ok & sym_ok).alias("keep"))
+
+
+_MARKERS_SQL = ", ".join(f"'{w}'" for w in _ALL_MARKERS)
+
+ORACLE_TEXT_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         LENGTH(translate(LOWER(text),
+                'abcdefghijklmnopqrstuvwxyz0123456789 ', ''))::DOUBLE
+           / LENGTH(text) AS sym_ratio,
+         (LENGTH(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+           / len(string_split(text, ' ')) AS mwl,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             [{_MARKERS_SQL}])) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, len(w) AS n_words, mwl AS mean_word_len,
+       stop_hits AS stopword_hits, sym_ratio AS symbol_ratio,
+       len(w) BETWEEN 10 AND 5000 AS words_ok,
+       mwl BETWEEN 2.0 AND 12.0 AS mwl_ok,
+       stop_hits > 0 AS stop_ok,
+       sym_ratio <= 0.1 AS sym_ok,
+       (len(w) BETWEEN 10 AND 5000) AND (mwl BETWEEN 2.0 AND 12.0)
+         AND stop_hits > 0 AND sym_ratio <= 0.1 AS keep
+FROM t
+"""
+
+
+def text_repetition_metrics(spark, sf_dir):
+    """Repetition-based quality signals: the share of a document taken by
+    its single most frequent word and most frequent word bigram (boiler-
+    plate and degenerate generations score high). A doc is flagged when
+    the top unigram exceeds 20% of tokens or the top bigram exceeds 10%.
+
+    Plan: explode → two (doc, gram) count aggregations → per-doc max.
+    Both aggregations partition by doc_id, so the exchanges line up; all
+    counts are exact integers and the shares single divisions (portable).
+    """
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = d.select("doc_id", words.alias("w"),
+                    F.size(words).alias("n_words"))
+    uni = (base.select("doc_id", "n_words", F.explode("w").alias("g"))
+           .groupBy("doc_id", "n_words", "g")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id", "n_words")
+           .agg(F.max("c").alias("top_uni")))
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (x, y) -> concat(x, ' ', y))")
+    bi = (base.select("doc_id", "n_words",
+                      F.explode(bigrams).alias("g"))
+          .groupBy("doc_id", "n_words", "g")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id", "n_words")
+          .agg(F.max("c").alias("top_bi")))
+    uni_share = F.col("top_uni").cast("double") / F.col("n_words")
+    bi_share = F.col("top_bi").cast("double") / (F.col("n_words") - 1)
+    return (uni.join(bi, ["doc_id", "n_words"])
+            .select("doc_id", "n_words",
+                    uni_share.alias("top_unigram_share"),
+                    bi_share.alias("top_bigram_share"),
+                    ((uni_share > 0.2) | (bi_share > 0.1))
+                    .alias("repetitive"))
+            .orderBy("doc_id"))
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), uni AS (
+  SELECT doc_id, len(w) AS n_words, MAX(c) AS top_uni FROM (
+    SELECT doc_id, w, g, COUNT(*) AS c
+    FROM (SELECT doc_id, w, unnest(w) AS g FROM t)
+    GROUP BY doc_id, w, g)
+  GROUP BY doc_id, len(w)
+), bi AS (
+  SELECT doc_id, MAX(c) AS top_bi FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
+                   AS g
+          FROM t)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, n_words,
+       top_uni::DOUBLE / n_words AS top_unigram_share,
+       top_bi::DOUBLE / (n_words - 1) AS top_bigram_share,
+       (top_uni::DOUBLE / n_words > 0.2)
+         OR (top_bi::DOUBLE / (n_words - 1) > 0.1) AS repetitive
+FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+ORDER BY uni.doc_id
+"""

@@ -400,13 +400,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _round3_queries():
     """New round-3 entries; grows as the round progresses. Placed INSIDE
     the window so each earns a driver row immediately."""
-    return {}
+    from .operators import behavior
+
+    q = {}
+    q.update(behavior.QUERIES)
+    q.update({
+        "text_gopher_filters": textstats.text_gopher_filters,
+        "text_repetition_metrics": textstats.text_repetition_metrics,
+        "agg_histogram_equi_width": analytics.agg_histogram_equi_width,
+        "join_salted_hot_key": scale.join_salted_hot_key,
+    })
+    return q
 
 
 def build_oracles() -> dict[str, str]:
+    from .operators import behavior
+
     oracles = dict(rext.ORACLES)
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
+    oracles.update(behavior.ORACLES)
+    oracles["text_gopher_filters"] = textstats.ORACLE_TEXT_GOPHER
+    oracles["text_repetition_metrics"] = textstats.ORACLE_TEXT_REPETITION
+    oracles["agg_histogram_equi_width"] = analytics.ORACLE_AGG_HISTOGRAM
+    oracles["join_salted_hot_key"] = scale.ORACLE_JOIN_SALTED_HOT
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE

@@ -1,0 +1,172 @@
+"""Property tests for the behavioral-analytics battery (operators/behavior.py)
+and the round-3 quality/histogram/salted additions. Value-exactness is the
+oracle's job (all nine entries are oracle-backed); these pin the semantic
+invariants that survive any fixture regeneration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+    analytics,
+    behavior,
+    scale,
+    textstats,
+)
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+    ld,
+    load_events,
+)
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+    plan_profile,
+)
+
+
+class TestFunnel:
+    def test_stages_monotonically_shrink(self, spark, sf_dir):
+        row = behavior.events_funnel_conversion(spark, sf_dir).first()
+        assert row.n_users >= row.n_viewed
+        assert row.n_viewed >= row.n_clicked_after_view
+        assert row.n_clicked_after_view >= row.n_purchased_after_click
+        assert row.n_purchased_after_click >= 0
+
+    def test_ordering_constraint_binds(self, spark):
+        """A purchase BEFORE the first view-click chain must not count."""
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "purchase"),  # too early
+            (1, "2024-01-01 11:00:00", 2, "view"),
+            (1, "2024-01-01 12:00:00", 3, "click"),
+            (2, "2024-01-01 10:00:00", 4, "view"),
+            (2, "2024-01-01 11:00:00", 5, "click"),
+            (2, "2024-01-01 12:00:00", 6, "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_id long, event_type string"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "event_id", "event_type", F.lit(1.0).alias("value"),
+                 F.lit("{}").alias("props"))
+        import db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior as b
+        orig = b.load_events
+        b.load_events = lambda spark, sf_dir: df
+        try:
+            row = b.events_funnel_conversion(spark, "ignored").first()
+        finally:
+            b.load_events = orig
+        assert row.n_users == 2
+        assert row.n_viewed == 2
+        assert row.n_clicked_after_view == 2
+        assert row.n_purchased_after_click == 1  # user 1's purchase too early
+
+
+class TestRetention:
+    def test_day_zero_equals_cohort_size(self, spark, sf_dir):
+        """Every user is by definition active on their cohort day."""
+        out = behavior.events_retention_cohorts(spark, sf_dir).collect()
+        day0 = {r.cohort_day: r.n_active_users
+                for r in out if r.day_offset == 0}
+        later_max = {}
+        for r in out:
+            if r.day_offset > 0:
+                later_max[r.cohort_day] = max(
+                    later_max.get(r.cohort_day, 0), r.n_active_users)
+        for cd, n in later_max.items():
+            assert n <= day0[cd], "retention cannot exceed cohort size"
+        total_users = (load_events(spark, sf_dir)
+                       .select("user_id").distinct().count())
+        assert sum(day0.values()) == total_users
+
+
+class TestTransitions:
+    def test_probabilities_sum_to_one_per_row_type(self, spark, sf_dir):
+        out = behavior.events_transition_matrix(spark, sf_dir).collect()
+        sums = {}
+        for r in out:
+            sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p
+        for t, s in sums.items():
+            assert s == pytest.approx(1.0, abs=1e-9), t
+
+
+class TestRollingStats:
+    def test_window_population_caps_at_five(self, spark, sf_dir):
+        out = behavior.events_rolling_stats(spark, sf_dir)
+        mx = out.agg(F.max("n_window")).first()[0]
+        assert mx == 5
+        bad = out.filter(
+            F.col("rolling_max") * F.col("n_window")
+            < F.col("rolling_sum")).count()
+        assert bad == 0  # sum of n values ≤ n · max
+
+
+class TestZScore:
+    def test_flagged_values_are_type_extremes(self, spark, sf_dir):
+        e = load_events(spark, sf_dir)
+        flagged = behavior.events_value_zscore(spark, sf_dir)
+        # every flagged event's value must sit outside its type's
+        # [mean - 2.5σ, mean + 2.5σ] band computed independently here
+        import math
+        stats = {r.event_type: r for r in
+                 e.groupBy("event_type")
+                 .agg(F.avg("value").alias("m"),
+                      F.stddev_pop("value").alias("s")).collect()}
+        for r in flagged.collect():
+            st = stats[r.event_type]
+            assert abs(r.value - st.m) > 2.4 * st.s  # slack for float path
+
+
+class TestTextQualityAdditions:
+    def test_gopher_keep_is_conjunction(self, spark, sf_dir):
+        out = textstats.text_gopher_filters(spark, sf_dir)
+        bad = out.filter(
+            F.col("keep") != (F.col("words_ok") & F.col("mwl_ok")
+                              & F.col("stop_ok") & F.col("sym_ok"))).count()
+        assert bad == 0
+
+    def test_repetition_shares_are_valid_fractions(self, spark, sf_dir):
+        out = textstats.text_repetition_metrics(spark, sf_dir)
+        n = out.count()
+        docs = ld(spark, sf_dir, "documents").count()
+        assert n == docs
+        bad = out.filter((F.col("top_unigram_share") <= 0)
+                         | (F.col("top_unigram_share") > 1)
+                         | (F.col("top_bigram_share") <= 0)
+                         | (F.col("top_bigram_share") > 1)).count()
+        assert bad == 0
+
+
+class TestHistogram:
+    def test_bins_partition_the_table(self, spark, sf_dir):
+        out = analytics.agg_histogram_equi_width(spark, sf_dir).collect()
+        total = sum(r.n_orders for r in out)
+        assert total == ld(spark, sf_dir, "orders").count()
+        assert [r.bin for r in out] == sorted(set(r.bin for r in out))
+        for r in out:
+            assert r.bin_lo < r.bin_hi
+
+    def test_no_python_no_cartesian(self, spark, sf_dir):
+        prof = plan_profile(analytics.agg_histogram_equi_width(spark, sf_dir))
+        assert prof["python_evals"] == 0
+
+
+class TestSaltedHotKey:
+    def test_matches_plain_join(self, spark, sf_dir):
+        """The salted rewrite must be row-identical to the plain join on
+        the same hot-key data (complements tests/test_scale.py, which
+        pins it pair-level on synthetic rows)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            DEC,
+        )
+
+        l = ld(spark, sf_dir, "lineitem", fanout=False)
+        hk = F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)) \
+            .otherwise(F.col("l_orderkey")).alias("hk")
+        fact = l.select(hk, "l_extendedprice")
+        dim = (fact.select("hk").distinct()
+               .withColumn("payload", F.col("hk") % 97))
+        plain = (fact.join(dim, "hk")
+                 .groupBy((F.col("payload") % 10).alias("pbucket"))
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.col("l_extendedprice").cast(DEC))
+                      .cast("double").alias("sum_price"))
+                 .orderBy("pbucket"))
+        salted = scale.join_salted_hot_key(spark, sf_dir)
+        assert [tuple(r) for r in salted.collect()] \
+            == [tuple(r) for r in plain.collect()]
