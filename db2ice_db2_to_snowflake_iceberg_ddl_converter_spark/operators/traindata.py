@@ -1,0 +1,254 @@
+"""Training-data preparation operators: deterministic dataset splitting,
+sequence packing, embedding quantization, and benchmark-contamination
+detection — the last-mile passes between a curated corpus
+(operators/corpus.py, dedup.py, textstats.py) and a training run.
+
+Every operator here is deterministic by construction (md5-based hashing,
+explicit rounding, contiguous-fill packing) so each carries a DuckDB
+oracle; none of them touches Python in the row path except where Arrow
+vectorization is the measured win elsewhere in the repo.
+
+Determinism protocol: operators/relational.py module docstring. Extra
+rules used here:
+- dataset splits hash md5 hex (identical across engines; memory rule) and
+  convert hex→int via ``instr``-arithmetic, which both engines express
+  identically — no engine-specific hash functions;
+- quantization rounds with an explicit ``floor(x + 0.5)`` so the
+  half-up/half-even difference between engines cannot flip a code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+
+def _hex_bucket(col: F.Column, chars: int = 2) -> F.Column:
+    """0..16^chars−1 from the first ``chars`` hex digits of an md5 hex
+    string, using only instr arithmetic (portable to DuckDB strpos)."""
+    b = F.lit(0)
+    for i in range(1, chars + 1):
+        digit = F.instr(F.lit("0123456789abcdef"),
+                        F.substring(col, i, 1)) - 1
+        b = b * 16 + digit
+    return b
+
+
+def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) by content hash —
+    stable across runs, machines, and engine versions, which is the
+    property a training pipeline needs so re-ingests never migrate a
+    document across splits (test-set leakage). Emits the per-(source,
+    split) census a data card reports.
+
+    Plan: one scan computing md5 → bucket → split, one small aggregation.
+    The hash is on doc CONTENT (not id), so re-keyed copies land in the
+    same split.
+    """
+    d = ld(spark, sf_dir, "documents")
+    bucket = _hex_bucket(F.md5(F.col("text")), 2)  # 0..255
+    split = (F.when(bucket < 230, "train")
+             .when(bucket < 243, "val")
+             .otherwise("test"))
+    return (d.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "split"))
+
+
+ORACLE_DATA_SPLIT = """
+WITH b AS (
+  SELECT source,
+         (strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16
+         + (strpos('0123456789abcdef', md5(text)[2:2]) - 1) AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 230 THEN 'train'
+            WHEN bucket < 243 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY source, split ORDER BY source, split
+"""
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str,
+                          budget: int = 512) -> DataFrame:
+    """Contiguous-fill sequence packing: documents (per language, in
+    doc_id order) are packed into training sequences of at most
+    ``budget`` whitespace tokens; a doc longer than the budget gets its
+    own bin. This is the deterministic streaming approximation of bin
+    packing a data loader actually uses (first-fit on a stream), not the
+    NP-hard optimum.
+
+    bin id = floor(exclusive-prefix-sum / budget) puts each doc in the
+    bin its fill would start in — contiguous fill, one window pass, no
+    driver loop. Emits per-bin fill statistics (the packing-efficiency
+    metric a pipeline monitors).
+
+    Plan: one window (lang | doc_id) cumsum + one aggregation. At 100 TB
+    the lang partitioning bounds every sort run; for a single giant
+    stream, range-repartition by the order key first (scale.global_ranks
+    pattern).
+    """
+    d = ld(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    binned = toks.select(
+        "doc_id", "lang", "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                / F.lit(budget)).cast("int").alias("bin"))
+    return (binned.groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("lang", "bin"))
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 512) AS INTEGER) AS bin
+  FROM toks
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str,
+                            n_vecs: int = 20) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the compression step an ANN serving layer applies before indexing.
+    code = floor(x · 127 / max|x| + 0.5) ∈ [−127, 127]; the explicit
+    +0.5 floor makes rounding identical in both engines (F.round is
+    HALF_UP in Spark but banker's in DuckDB — memory protocol).
+
+    Emits (vec_id, dim, code, dequant error) posexploded for the first
+    ``n_vecs`` vectors — scalar rows because the driver's canonicalizer
+    rejects array outputs. All math is per-element double IEEE with one
+    division by a per-vector scalar: bitwise portable.
+
+    Plan: pure Catalyst HOFs (aggregate for max|x|, transform for the
+    codes) — scan-speed, no shuffle, no Python.
+    """
+    e = (ld(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < n_vecs))
+    maxabs = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+    withs = e.select("vec_id", "embedding", maxabs.alias("s"))
+    code = F.floor(F.col("x").cast("double") * 127.0 / F.col("s") + 0.5) \
+        .cast("int")
+    exploded = (withs.select(
+        "vec_id", "s",
+        F.posexplode("embedding").alias("dim", "x")))
+    dequant = F.col("code").cast("double") * F.col("s") / 127.0
+    return (exploded.select("vec_id", "dim", code.alias("code"))
+            .join(exploded.select("vec_id", "dim", "s",
+                                  F.col("x").cast("double").alias("xd")),
+                  ["vec_id", "dim"])
+            .select("vec_id", "dim", "code",
+                    (dequant - F.col("xd")).alias("err"))
+            .orderBy("vec_id", "dim"))
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [ABS(CAST(x AS DOUBLE)) FOR x IN embedding]),
+                     (m, x) -> GREATEST(m, x)) AS s
+  FROM embeddings WHERE vec_id < 20
+), e AS (
+  SELECT vec_id, s, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS xd
+  FROM v
+)
+SELECT vec_id, dim,
+       CAST(FLOOR(xd * 127.0 / s + 0.5) AS INTEGER) AS code,
+       CAST(FLOOR(xd * 127.0 / s + 0.5) AS DOUBLE) * s / 127.0 - xd AS err
+FROM e ORDER BY vec_id, dim
+"""
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str,
+                                n: int = 5) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share a
+    5-gram with a held-out evaluation set (here: every doc whose content
+    hash falls in the ``data_split_assign`` test bucket). The standard
+    pre-training hygiene pass: n-gram collisions between train and eval
+    inflate benchmark scores.
+
+    Plan: eval docs are a small fraction by construction → their exploded
+    n-gram set broadcasts; the train side streams through one scan +
+    broadcast probe, then one (train, eval) count aggregation. No
+    all-pairs join at any scale; skew-safe because the probe key is the
+    n-gram itself.
+    """
+    d = ld(spark, sf_dir, "documents")
+    bucket = _hex_bucket(F.md5(F.col("text")), 2)
+    tagged = d.select("doc_id", "text",
+                      (bucket >= 243).alias("is_eval"))
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))")
+    ex = tagged.select("doc_id", "is_eval",
+                       F.explode(F.array_distinct(grams)).alias("g"))
+    ev = (ex.filter(F.col("is_eval"))
+          .select(F.col("doc_id").alias("eval_doc"), "g"))
+    tr = (ex.filter(~F.col("is_eval"))
+          .select(F.col("doc_id").alias("train_doc"), "g"))
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("train_doc", "eval_doc")
+            .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+            .orderBy("train_doc", "eval_doc"))
+
+
+ORACLE_CONTAMINATION = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         ((strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16
+          + (strpos('0123456789abcdef', md5(text)[2:2]) - 1)) >= 243
+           AS is_eval
+  FROM documents
+), ex AS (
+  SELECT doc_id, is_eval, unnest(list_distinct(
+           [array_to_string(wl[i:i+4], ' ')
+            FOR i IN range(1, len(wl) - 3)])) AS g
+  FROM (SELECT doc_id, is_eval, string_split(text, ' ') AS wl FROM tagged)
+)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       COUNT(*) AS shared_ngrams
+FROM ex t JOIN ex e ON t.g = e.g
+WHERE NOT t.is_eval AND e.is_eval
+GROUP BY train_doc, eval_doc
+ORDER BY train_doc, eval_doc
+"""
+
+
+QUERIES = {
+    "data_split_assign": data_split_assign,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+}
+
+ORACLES = {
+    "data_split_assign": ORACLE_DATA_SPLIT,
+    "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "embedding_quantize_int8": ORACLE_QUANTIZE,
+    "contamination_ngram_overlap": ORACLE_CONTAMINATION,
+}

@@ -170,3 +170,62 @@ class TestSaltedHotKey:
         salted = scale.join_salted_hot_key(spark, sf_dir)
         assert [tuple(r) for r in salted.collect()] \
             == [tuple(r) for r in plain.collect()]
+
+
+class TestTrainData:
+    def test_split_is_stable_and_covers_all_docs(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        a = traindata.data_split_assign(spark, sf_dir).collect()
+        b = traindata.data_split_assign(spark, sf_dir).collect()
+        assert a == b  # hash split: re-runs never migrate docs
+        total = sum(r.n_docs for r in a)
+        assert total == ld(spark, sf_dir, "documents").count()
+        by_split = {}
+        for r in a:
+            by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+        # ~90/5/5 with sampling noise at 500 docs
+        assert by_split["train"] / total > 0.8
+        assert 0 < by_split.get("val", 0) < 0.15 * total
+        assert 0 < by_split.get("test", 0) < 0.15 * total
+
+    def test_packing_respects_budget_except_oversized_docs(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        out = traindata.corpus_pack_sequences(spark, sf_dir).collect()
+        docs = ld(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in out) == docs
+        for r in out:
+            # a bin overfills only via its last doc (contiguous fill) —
+            # so any bin except a single-doc bin stays under budget + max doc
+            if r.n_docs > 1:
+                assert r.bin_tokens < 512 + 600  # max doc ~553 chars
+
+    def test_quantize_codes_bounded_and_error_small(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        out = traindata.embedding_quantize_int8(spark, sf_dir)
+        bad = out.filter((F.col("code") < -127) | (F.col("code") > 127)).count()
+        assert bad == 0
+        # dequantization error bounded by half a quantization step of the
+        # per-vector scale; scales here are ≤ ~1.0 for unit-ish embeddings
+        mx = out.agg(F.max(F.abs("err"))).first()[0]
+        assert mx <= 0.5 * 1.0 / 127 + 1e-9
+
+    def test_contamination_only_cross_split_pairs(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        out = traindata.contamination_ngram_overlap(spark, sf_dir).collect()
+        train_docs = {r.train_doc for r in out}
+        eval_docs = {r.eval_doc for r in out}
+        assert not (train_docs & eval_docs)
+        for r in out:
+            assert r.shared_ngrams >= 1
