@@ -143,6 +143,41 @@ def decode_payload(fmt: str):
         "plug a decoder into extract_features(decoder=...)")
 
 
+def pillow_feature_decoder():
+    """Factory for a Pillow-backed image feature extractor covering the
+    compressed formats (PNG/JPEG/GIF/WebP) the built-in codecs honestly
+    refuse. Returns a ``bytes → float[FEATURE_DIM]`` callable shaped like
+    ``bmp_feature_decoder`` so it plugs straight into
+    ``extract_features(decoder=...)``.
+
+    Gated behind an import-try: this container ships no Pillow, so the
+    factory raising ImportError (with the install hint) IS the designed
+    behavior here — the pytest asserts exactly that, and asserts the
+    seam works by injecting a fake. On a cluster with Pillow the same
+    call returns a real decoder with zero code changes."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - env-dependent branch
+        raise ImportError(
+            "Pillow is not installed; `pip install Pillow` on the cluster "
+            "image, or plug another decoder into "
+            "extract_features(decoder=...)") from exc
+
+    import io
+
+    import numpy as np
+
+    def _decode(payload: bytes) -> list[float]:  # pragma: no cover
+        img = np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), dtype="float64")
+        means = img.mean(axis=(0, 1))
+        stds = img.std(axis=(0, 1))
+        return [float(img.shape[1]), float(img.shape[0]),
+                *[float(x) for x in means], *[float(x) for x in stds]]
+
+    return _decode
+
+
 def bmp_feature_decoder(payload: bytes) -> list[float]:
     """bytes → float[FEATURE_DIM] for BMP images: dims + per-channel
     mean/std (the classic cheap visual signature)."""

@@ -579,3 +579,23 @@ class TestStopShinglePruning:
         assert set(pruned) <= set(exact)
         for p, lb in pruned.items():
             assert lb <= exact[p] + 1e-12
+
+
+class TestPillowSeam:
+    def test_factory_raises_with_install_hint_when_absent(self):
+        """This container has no Pillow, so the designed behavior is a
+        clean ImportError carrying the remediation — NOT a crash inside a
+        Spark task at runtime. (On a Pillow-equipped cluster the same
+        factory returns a real PNG/JPEG decoder; the plumbing it plugs
+        into is exercised by test_custom_decoder_plugs_in.)"""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        try:
+            import PIL  # noqa: F401
+            pytest.skip("Pillow unexpectedly present; factory would work")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="pip install Pillow"):
+            multimodal.pillow_feature_decoder()
