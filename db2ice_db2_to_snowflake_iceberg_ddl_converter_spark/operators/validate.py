@@ -1,0 +1,248 @@
+"""Migration validation operators: the data-plane checks a DB2→Iceberg
+cutover runs AFTER the rows move — constraint conformance against the
+parsed DDL, snapshot diffing, and order-independent reconciliation
+checksums.
+
+This closes the loop the reference leaves open: its assessment scores the
+*schema* (app.py's readiness report, SURVEY.md §2.1 #22-25), but a real
+migration must also certify the *rows*. Each operator here takes the same
+``TableDef`` the schema plane produces (ddl/db2_parser.py), so one parsed
+DDL drives conversion (convert.py), movement (sources/migrate.py), and
+now verification.
+
+Scale notes: every check is a single scan or a single key-partitioned
+join; checksums are per-row hashes folded through an order-independent
+SUM, so source and target can be checksummed on different clusters with
+different partitioning and still compare equal.
+
+Determinism protocol: operators/relational.py docstring. Checksums use
+md5 (hex-identical across engines — memory rule) folded via instr
+arithmetic; doubles are EXCLUDED from checksum input (engine string
+formatting of doubles differs; the reconcile row count + the constraint
+checks cover numeric columns instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import TableDef
+from .relational import ld
+from .traindata import _hex_bucket
+
+
+def validate_table(df: DataFrame, table: TableDef) -> DataFrame:
+    """Row-conformance audit of ``df`` against a parsed DB2 table def:
+    NOT NULL violations per declared column, primary-key duplicate rows,
+    and VARCHAR/CHAR length overflows. One scan computes every check
+    (single aggregation — no per-check passes); emitted long-form as
+    (check_name, n_violations) so any table shape shares one schema.
+    """
+    lower = {c.lower(): c for c in df.columns}
+    pk_cols = [c for con in table.constraints if con.kind == "PRIMARY KEY"
+               for c in con.columns]
+    aggs = []
+    names = []
+    for col in table.columns:
+        src = lower.get(col.name.lower())
+        if src is None:
+            continue
+        if not col.nullable or col.name in pk_cols:
+            aggs.append(F.sum(F.col(src).isNull().cast("long"))
+                        .alias(f"nn_{src}"))
+            names.append((f"nn_{src}", f"not_null:{src}"))
+        base = (col.data_type or "").upper()
+        if base in ("VARCHAR", "CHAR", "CHARACTER") and col.length:
+            aggs.append(F.sum((F.length(F.col(src)) > col.length)
+                              .cast("long")).alias(f"len_{src}"))
+            names.append((f"len_{src}", f"max_length:{src}"))
+    pk = [lower[c.lower()] for c in pk_cols if c.lower() in lower]
+    if pk:
+        # duplicates among fully-keyed rows only — NULL keys are the
+        # not_null check's finding, not a duplicate
+        keyed = None
+        for c in pk:
+            nn = F.col(c).isNotNull()
+            keyed = nn if keyed is None else (keyed & nn)
+        aggs.append((F.sum(keyed.cast("long"))
+                     - F.count_distinct(*[F.col(c) for c in pk]))
+                    .alias("pk_dups"))
+        names.append(("pk_dups", "pk_unique:" + ",".join(pk)))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(label).alias("check_name"),
+                 F.col(alias).alias("n_violations"))
+        for alias, label in names
+    ])
+    return (row.select(F.explode(pairs).alias("p")).select("p.*")
+            .orderBy("check_name"))
+
+
+_CUSTOMER_DDL = """
+CREATE TABLE TPCH.CUSTOMER (C_CUSTKEY BIGINT NOT NULL, C_NAME VARCHAR(100),
+    C_NATIONKEY INTEGER NOT NULL, C_ACCTBAL DECIMAL(12,2),
+    C_MKTSEGMENT CHAR(10), PRIMARY KEY (C_CUSTKEY));
+"""
+
+
+def validate_customer_constraints(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Registry entry: parse the customer DDL, audit the customer parquet
+    against it. The fixture is clean, so every count is 0 — the oracle
+    proves the CHECKS (same SQL predicates), not just the zeros; the
+    pytest feeds corrupted rows to prove violations actually count."""
+    from ..assess import Assessor
+
+    table = next(t for t in Assessor().parser.parse(_CUSTOMER_DDL)
+                 if t.name == "CUSTOMER")
+    return validate_table(ld(spark, sf_dir, "customer"), table)
+
+
+ORACLE_VALIDATE_CUSTOMER = """
+SELECT check_name, CAST(n AS BIGINT) AS n_violations FROM (
+  SELECT 'max_length:c_mktsegment' AS check_name,
+         SUM(CASE WHEN LENGTH(c_mktsegment) > 10 THEN 1 ELSE 0 END) AS n
+  FROM customer
+  UNION ALL
+  SELECT 'max_length:c_name',
+         SUM(CASE WHEN LENGTH(c_name) > 100 THEN 1 ELSE 0 END)
+  FROM customer
+  UNION ALL
+  SELECT 'not_null:c_custkey',
+         SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) FROM customer
+  UNION ALL
+  SELECT 'not_null:c_nationkey',
+         SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) FROM customer
+  UNION ALL
+  SELECT 'pk_unique:c_custkey',
+         COUNT(c_custkey) - COUNT(DISTINCT c_custkey) FROM customer
+)
+ORDER BY check_name
+"""
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Row-level diff of two table snapshots keyed on ``key``: each key is
+    classified added / deleted / changed / unchanged. ONE full-outer join
+    on the key; payload comparison is a null-safe conjunction over the
+    shared non-key columns (computed column-wise, no row serialization).
+    This is the audit a migration runs between source-at-cutover and
+    target-after-apply — and the generator of a retroactive change feed.
+    """
+    cols = [c for c in old.columns if c != key and c in new.columns]
+    o = old.alias("o")
+    n = new.alias("n")
+    same = None
+    for c in cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    status = (F.when(F.col(f"o.{key}").isNull(), "added")
+              .when(F.col(f"n.{key}").isNull(), "deleted")
+              .when(same, "unchanged").otherwise("changed"))
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("status"))
+
+
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: diff the customer snapshot against a deterministic
+    synthetic next-day snapshot (deletes %10==0, rebalances %10==1,
+    inserts shifted %10==2 keys) — the oracle replays the same diff."""
+    old = ld(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    kept = old.filter(k % 10 != 0)
+    new = (kept.withColumn(
+        "c_acctbal",
+        F.when(k % 10 == 1, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")))
+        .unionByName(
+            old.filter(k % 10 == 2)
+            .withColumn("c_custkey", k + 1_000_000)))
+    return snapshot_diff(old, new, key="c_custkey")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal FROM customer
+  WHERE c_custkey % 10 = 2
+)
+SELECT status, COUNT(*) AS n_rows FROM (
+  SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'deleted'
+              WHEN o.c_acctbal = n.c_acctbal THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+GROUP BY status ORDER BY status
+"""
+
+
+def reconcile_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum: per row, md5 over the
+    '|'-joined column values (nulls sentinel-encoded), folded to a 16-bit
+    bucket by instr arithmetic, summed. Two tables with equal (n_rows,
+    checksum) over the same columns are content-equal with overwhelming
+    probability — and the sum is partition-order independent, so source
+    and target clusters need share nothing but the column list.
+
+    Doubles are rejected: engine string formatting differs, which would
+    make equal data checksum differently (use snapshot_diff for those).
+    """
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t in ("double", "float"):
+            raise ValueError(
+                f"checksum over float column {c!r} is not portable; "
+                "compare floats via snapshot_diff instead")
+    payload = F.concat_ws("|", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+        for c in cols])
+    bucket = _hex_bucket(F.md5(payload), 4)
+    return df.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(bucket).alias("content_checksum"))
+
+
+def migrate_reconcile_customers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Registry entry: checksum the customer table over its non-float
+    columns — the reconciliation a cutover runs on both sides."""
+    c = ld(spark, sf_dir, "customer")
+    return reconcile_checksum(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
+ORACLE_RECONCILE = """
+WITH h AS (
+  SELECT md5(concat_ws('|',
+             CAST(c_custkey AS VARCHAR), c_name,
+             CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS hx
+  FROM customer
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM((strpos('0123456789abcdef', hx[1:1]) - 1) * 4096
+           + (strpos('0123456789abcdef', hx[2:2]) - 1) * 256
+           + (strpos('0123456789abcdef', hx[3:3]) - 1) * 16
+           + (strpos('0123456789abcdef', hx[4:4]) - 1)) AS BIGINT)
+         AS content_checksum
+FROM h
+"""
+
+
+QUERIES = {
+    "validate_customer_constraints": validate_customer_constraints,
+    "snapshot_diff_customers": snapshot_diff_customers,
+    "migrate_reconcile_customers": migrate_reconcile_customers,
+}
+
+ORACLES = {
+    "validate_customer_constraints": ORACLE_VALIDATE_CUSTOMER,
+    "snapshot_diff_customers": ORACLE_SNAPSHOT_DIFF,
+    "migrate_reconcile_customers": ORACLE_RECONCILE,
+}

@@ -400,11 +400,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _round3_queries():
     """New round-3 entries; grows as the round progresses. Placed INSIDE
     the window so each earns a driver row immediately."""
-    from .operators import behavior, traindata
+    from .operators import behavior, traindata, validate
 
     q = {}
     q.update(behavior.QUERIES)
     q.update(traindata.QUERIES)
+    q.update(validate.QUERIES)
     q.update({
         "text_gopher_filters": textstats.text_gopher_filters,
         "text_repetition_metrics": textstats.text_repetition_metrics,
@@ -415,13 +416,14 @@ def _round3_queries():
 
 
 def build_oracles() -> dict[str, str]:
-    from .operators import behavior, traindata
+    from .operators import behavior, traindata, validate
 
     oracles = dict(rext.ORACLES)
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
     oracles.update(behavior.ORACLES)
     oracles.update(traindata.ORACLES)
+    oracles.update(validate.ORACLES)
     oracles["text_gopher_filters"] = textstats.ORACLE_TEXT_GOPHER
     oracles["text_repetition_metrics"] = textstats.ORACLE_TEXT_REPETITION
     oracles["agg_histogram_equi_width"] = analytics.ORACLE_AGG_HISTOGRAM
