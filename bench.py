@@ -51,6 +51,13 @@ HEADLINE = [
     "corpus_curate",
     "window_ntile_scalable",
     "ann_ivf_topk",
+    # round-3 operators
+    "ann_pq_topk",
+    "contamination_ngram_overlap",
+    "text_repetition_metrics",
+    "events_retention_cohorts",
+    "join_salted_hot_key",
+    "snapshot_diff_customers",
 ]
 
 

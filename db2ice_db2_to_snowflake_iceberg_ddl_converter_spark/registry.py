@@ -406,6 +406,9 @@ def _round3_queries():
     q.update(behavior.QUERIES)
     q.update(traindata.QUERIES)
     q.update(validate.QUERIES)
+    # PQ/ADC ANN: approximate by construction → rows-only driver check;
+    # recall-vs-brute-force pinned in tests/test_behavior.py
+    q["ann_pq_topk"] = similarity.ann_pq_topk
     q.update({
         "text_gopher_filters": textstats.text_gopher_filters,
         "text_repetition_metrics": textstats.text_repetition_metrics,

@@ -300,3 +300,51 @@ class TestValidation:
         df = spark.createDataFrame([(1, 1.5)], "id long, v double")
         with pytest.raises(ValueError, match="not portable"):
             reconcile_checksum(df, ["id", "v"])
+
+
+class TestProductQuantization:
+    def test_rerank_recall_vs_brute_force(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        pq = similarity.ann_pq_topk(spark, sf_dir)
+        bf = similarity.ann_brute_force_topk(spark, sf_dir)
+        bfs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+        pqs = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+        # near-uniform synthetic vectors are PQ's worst case; real
+        # embeddings cluster and do far better. 0.5 is the sanity floor
+        # (random shortlists of 50/500 would land ~0.1).
+        assert len(bfs & pqs) / len(bfs) >= 0.5
+
+    def test_reranked_scores_are_exact_cosines(self, spark, sf_dir):
+        """The emitted cosine must equal the exact fold cosine (re-rank
+        touches full vectors), even though candidates came from ADC."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        pq = similarity.ann_pq_topk(spark, sf_dir).collect()
+        bf = {(r.query_id, r.neighbor_id): r.cosine
+              for r in similarity.ann_brute_force_topk(
+                  spark, sf_dir, k=500).collect()}
+        for r in pq:
+            key = (r.query_id, r.neighbor_id)
+            if key in bf:
+                assert r.cosine == bf[key]
+
+    def test_codes_are_bounded(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        e = ld(spark, sf_dir, "embeddings")
+        books = similarity.pq_codebooks(e)
+        coded = similarity.pq_assign_codes(e, books)
+        bad = coded.filter(
+            F.exists("codes", lambda c: (c < 0) | (c >= 16))).count()
+        assert bad == 0
+        assert books.shape == (8, 16, 8)
