@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import ld
+from .relational import ld, ld_py
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 LANG_MARKERS = {
@@ -235,8 +235,14 @@ def text_gopher_filters(spark, sf_dir):
     single exact divisions so every flag is oracle-portable. One scan, no
     shuffle — at 100 TB this runs at read speed and the keep flag drives
     a pushed-down filter in the downstream pipeline.
+
+    Loaded via ``ld_py``: per-row work (translate + array_intersect) with
+    NO downstream exchange means a single-row-group fixture would run the
+    whole battery on one core — measured 0.75 s → 0.43 s fanned at sf0.1.
+    (``text_repetition_metrics`` keeps ``ld``: its explode feeds a keyed
+    partial agg, the pattern where the fan-out measured slower.)
     """
-    d = ld(spark, sf_dir, "documents")
+    d = ld_py(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     mwl = (F.length("text") - n_words + 1).cast("double") / n_words

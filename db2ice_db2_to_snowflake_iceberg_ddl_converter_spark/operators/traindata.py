@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import ld
+from .relational import ld, ld_py
 
 
 def _hex_bucket(col: F.Column, chars: int = 2) -> F.Column:
@@ -197,8 +197,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str,
     broadcast probe, then one (train, eval) count aggregation. No
     all-pairs join at any scale; skew-safe because the probe key is the
     n-gram itself.
+
+    Loaded via ``ld_py``: the gram transform + distinct + explode is
+    heavy JVM row work feeding a broadcast probe (no key exchange to
+    parallelize it), so the fan-out is the only source of parallelism —
+    measured 2.31 s → 0.96 s at sf0.1.
     """
-    d = ld(spark, sf_dir, "documents")
+    d = ld_py(spark, sf_dir, "documents")
     bucket = _hex_bucket(F.md5(F.col("text")), 2)
     tagged = d.select("doc_id", "text",
                       (bucket >= 243).alias("is_eval"))
