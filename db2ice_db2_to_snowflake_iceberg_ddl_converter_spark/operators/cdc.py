@@ -304,7 +304,7 @@ def scd2_point_in_time_join(spark, sf_dir,
                      F.lit("MOVED").alias("c_mktsegment")))
     hist = scd2_apply(base, moved, key="c_custkey",
                       compare_cols=["c_mktsegment"], change_ts=change_date)
-    o = ld(spark, sf_dir, "orders").select(
+    o = ld(spark, sf_dir, "orders", fanout=False).select(
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od"))
     j = o.join(hist.alias("h"),
                (F.col("o_custkey") == F.col("h.c_custkey"))

@@ -217,7 +217,13 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str,
     hk = F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)) \
         .otherwise(F.col("l_orderkey")).alias("hk")
     fact = l.select(hk, "l_orderkey", "l_linenumber", "l_extendedprice")
-    dim = (fact.select("hk").distinct()
+    # dim keys from the key DOMAIN table (orders), not a distinct over the
+    # 4x-bigger fact (measured 2.8 s -> 2.0 s); extra never-referenced
+    # keys are inert under the inner join
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    ohk = F.when(F.col("o_orderkey") % 10 < 3, F.lit(0)) \
+        .otherwise(F.col("o_orderkey")).alias("hk")
+    dim = (o.select(ohk).distinct()
            .withColumn("payload", F.col("hk") % 97))
     joined = salted_join(fact, dim, key="hk",
                          id_cols=["l_orderkey", "l_linenumber"],
@@ -235,7 +241,9 @@ WITH fact AS (
          l_extendedprice
   FROM lineitem
 ), dim AS (
-  SELECT hk, hk % 97 AS payload FROM (SELECT DISTINCT hk FROM fact)
+  SELECT hk, hk % 97 AS payload FROM (
+    SELECT DISTINCT CASE WHEN o_orderkey % 10 < 3 THEN 0
+                         ELSE o_orderkey END AS hk FROM orders)
 )
 SELECT payload % 10 AS pbucket, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
