@@ -244,8 +244,76 @@ ORDER BY train_doc, eval_doc
 """
 
 
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str,
+                            new_source: str = "src19") -> DataFrame:
+    """Incremental ingest dedup: which documents of an arriving batch
+    (``source == new_source``) are exact-content duplicates of the
+    existing corpus — the steady-state shape of production dedup, where
+    the corpus is indexed once and each new batch joins against it
+    (never corpus × corpus again).
+
+    Plan: hash both sides (md5 content key), LEFT join batch→corpus
+    grouped to the smallest duplicate-of id. The corpus side shuffles by
+    hash key once — at 100 TB that side is a pre-bucketed hash index the
+    batch probes. Deterministic → oracle-checked.
+    """
+    d = ld(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "source", F.md5("text").alias("h"))
+    batch = (hashed.filter(F.col("source") == new_source)
+             .select(F.col("doc_id").alias("new_doc"), "h"))
+    corpus = (hashed.filter(F.col("source") != new_source)
+              .groupBy("h").agg(F.min("doc_id").alias("duplicate_of")))
+    return (batch.join(corpus, "h", "left")
+            .select("new_doc", "duplicate_of",
+                    F.col("duplicate_of").isNotNull().alias("is_duplicate"))
+            .orderBy("new_doc"))
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), corpus AS (
+  SELECT h, MIN(doc_id) AS duplicate_of FROM hashed
+  WHERE source <> 'src19' GROUP BY h
+)
+SELECT b.doc_id AS new_doc, c.duplicate_of,
+       c.duplicate_of IS NOT NULL AS is_duplicate
+FROM hashed b LEFT JOIN corpus c ON b.h = c.h
+WHERE b.source = 'src19'
+ORDER BY new_doc
+"""
+
+
+def sample_per_group_topn(spark: SparkSession, sf_dir: str,
+                          n: int = 5) -> DataFrame:
+    """Deterministic per-language evaluation sample: the ``n`` documents
+    per language that sort first by content hash — a uniform-at-random
+    but re-run-stable pick (the same property as ``data_split_assign``,
+    applied group-wise). One window over (lang | md5, doc_id).
+    """
+    d = ld(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= n)
+            .orderBy("lang", "rk"))
+
+
+ORACLE_SAMPLE_TOPN = """
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "data_split_assign": data_split_assign,
+    "dedup_incremental_exact": dedup_incremental_exact,
+    "sample_per_group_topn": sample_per_group_topn,
     "corpus_pack_sequences": corpus_pack_sequences,
     "embedding_quantize_int8": embedding_quantize_int8,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -253,6 +321,8 @@ QUERIES = {
 
 ORACLES = {
     "data_split_assign": ORACLE_DATA_SPLIT,
+    "dedup_incremental_exact": ORACLE_DEDUP_INCREMENTAL,
+    "sample_per_group_topn": ORACLE_SAMPLE_TOPN,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
     "embedding_quantize_int8": ORACLE_QUANTIZE,
     "contamination_ngram_overlap": ORACLE_CONTAMINATION,

@@ -322,7 +322,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": textstats.text_quality_score,
         "migrate_customer_cast": mig,
     })
-    # -- past the 50-entry window from here: proven green in r01/r02 --
+    # -- past the 50-entry window from here --
+    # late round-3 additions awaiting their round-4 window slot:
+    from .operators import traindata as _td
+    q["dedup_incremental_exact"] = _td.dedup_incremental_exact
+    q["sample_per_group_topn"] = _td.sample_per_group_topn
+    # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -405,6 +410,10 @@ def _round3_queries():
     q = {}
     q.update(behavior.QUERIES)
     q.update(traindata.QUERIES)
+    # late round-3 additions parked past the cap — ROUND-4 ROTATION: move
+    # these two into the window for their first driver rows (both oracle-
+    # backed, locally green), swapping out two of this round's canaries
+    del q["dedup_incremental_exact"], q["sample_per_group_topn"]
     q.update(validate.QUERIES)
     # PQ/ADC ANN: approximate by construction → rows-only driver check;
     # recall-vs-brute-force pinned in tests/test_behavior.py
