@@ -348,3 +348,27 @@ class TestProductQuantization:
             F.exists("codes", lambda c: (c < 0) | (c >= 16))).count()
         assert bad == 0
         assert books.shape == (8, 16, 8)
+
+
+class TestRound3PlanShapes:
+    def test_new_batteries_stay_jvm_side(self, spark, sf_dir):
+        """Every round-3 oracle-backed entry must compile to a pure-JVM
+        plan: no Python row evaluation, no cartesian product (the PQ path
+        is exempt — its Arrow stages are the point)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+            validate,
+        )
+
+        fns = {}
+        fns.update(behavior.QUERIES)
+        fns.update(traindata.QUERIES)
+        fns.update(validate.QUERIES)
+        fns["text_gopher_filters"] = textstats.text_gopher_filters
+        fns["text_repetition_metrics"] = textstats.text_repetition_metrics
+        fns["agg_histogram_equi_width"] = analytics.agg_histogram_equi_width
+        fns["join_salted_hot_key"] = scale.join_salted_hot_key
+        for name, fn in fns.items():
+            prof = plan_profile(fn(spark, sf_dir))
+            assert prof["python_evals"] == 0, name
+            assert prof["cartesian_products"] == 0, name
