@@ -310,10 +310,122 @@ WHERE rk <= 5 ORDER BY lang, rk
 """
 
 
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing census: per source, its actual token share vs a uniform
+    target share, and the repetition factor an epoch sampler would apply
+    to hit the target (>1 = upsample, <1 = downsample) — the bookkeeping
+    behind every "dataset X is repeated 3.1 epochs" table in a training
+    report.
+
+    All shares are single divisions of exact integer token counts
+    (portable doubles); the source count rides a broadcast 1-row cross
+    join. One keyed agg + one tiny agg — no driver math.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select("source",
+                    F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    per_src = (toks.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens")))
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return (per_src.crossJoin(F.broadcast(totals))
+            .select("source", "n_docs", "n_tokens",
+                    share.alias("actual_share"),
+                    (target / share).alias("repeat_factor"))
+            .orderBy("source"))
+
+
+ORACLE_MIX_WEIGHTS = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens::DOUBLE / total_tokens AS actual_share,
+       (1.0 / n_sources) / (n_tokens::DOUBLE / total_tokens)
+         AS repeat_factor
+FROM per_src CROSS JOIN totals
+ORDER BY source
+"""
+
+
+def corpus_token_budget_cut(spark: SparkSession, sf_dir: str,
+                            budget_frac: float = 0.6) -> DataFrame:
+    """Curriculum/budget cut: sources ranked by mean document quality
+    (exact-ratio type-token score), kept greedily until the cumulative
+    token count crosses ``budget_frac`` of the corpus — how a pipeline
+    picks which sources fit a fixed token budget, best-first.
+
+    The ranking key is a portable double (decimal-free integer ratio
+    average), ties broken by source name; the cumulative comparison is
+    exact-int vs exact-int·frac. One keyed agg + one 20-row window.
+    """
+    d = ld(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    per_src = (d.select("source", F.size(words).alias("n_tok"),
+                        (F.size(F.array_distinct(words)).cast("double")
+                         / F.size(words)).alias("ttr"))
+               .groupBy("source")
+               .agg(F.sum("n_tok").alias("n_tokens"),
+                    # decimal protocol: a raw double sum is order-dependent
+                    (F.sum(F.col("ttr").cast("decimal(28,6)"))
+                     .cast("double") / F.count(F.lit(1))).alias("avg_ttr")))
+    w = (Window.orderBy(F.desc("avg_ttr"), "source")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    ranked = (per_src.crossJoin(F.broadcast(total))
+              .select("source", "n_tokens", "avg_ttr",
+                      F.sum("n_tokens").over(w).alias("cum_tokens"),
+                      F.col("total_tokens")))
+    return (ranked
+            .filter(F.col("cum_tokens").cast("double")
+                    <= budget_frac * F.col("total_tokens").cast("double"))
+            .select("source", "n_tokens", "avg_ttr", "cum_tokens")
+            .orderBy(F.desc("avg_ttr"), "source"))
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ttr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS avg_ttr
+  FROM (SELECT source, len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')) AS ttr
+        FROM documents)
+  GROUP BY source
+), ranked AS (
+  SELECT source, n_tokens, avg_ttr,
+         CAST(SUM(n_tokens) OVER (ORDER BY avg_ttr DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens,
+         (SELECT SUM(n_tokens) FROM per_src) AS total_tokens
+  FROM per_src
+)
+SELECT source, n_tokens, avg_ttr, cum_tokens
+FROM ranked
+WHERE cum_tokens::DOUBLE <= 0.6 * total_tokens::DOUBLE
+ORDER BY avg_ttr DESC, source
+"""
+
+
+
 QUERIES = {
     "data_split_assign": data_split_assign,
     "dedup_incremental_exact": dedup_incremental_exact,
     "sample_per_group_topn": sample_per_group_topn,
+    "corpus_mix_weights": corpus_mix_weights,
+    "corpus_token_budget_cut": corpus_token_budget_cut,
     "corpus_pack_sequences": corpus_pack_sequences,
     "embedding_quantize_int8": embedding_quantize_int8,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -323,6 +435,8 @@ ORACLES = {
     "data_split_assign": ORACLE_DATA_SPLIT,
     "dedup_incremental_exact": ORACLE_DEDUP_INCREMENTAL,
     "sample_per_group_topn": ORACLE_SAMPLE_TOPN,
+    "corpus_mix_weights": ORACLE_MIX_WEIGHTS,
+    "corpus_token_budget_cut": ORACLE_TOKEN_BUDGET,
     "corpus_pack_sequences": ORACLE_PACK_SEQUENCES,
     "embedding_quantize_int8": ORACLE_QUANTIZE,
     "contamination_ngram_overlap": ORACLE_CONTAMINATION,

@@ -327,6 +327,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .operators import traindata as _td
     q["dedup_incremental_exact"] = _td.dedup_incremental_exact
     q["sample_per_group_topn"] = _td.sample_per_group_topn
+    q["corpus_mix_weights"] = _td.corpus_mix_weights
+    q["corpus_token_budget_cut"] = _td.corpus_token_budget_cut
     # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
@@ -414,6 +416,7 @@ def _round3_queries():
     # these two into the window for their first driver rows (both oracle-
     # backed, locally green), swapping out two of this round's canaries
     del q["dedup_incremental_exact"], q["sample_per_group_topn"]
+    del q["corpus_mix_weights"], q["corpus_token_budget_cut"]
     q.update(validate.QUERIES)
     # PQ/ADC ANN: approximate by construction → rows-only driver check;
     # recall-vs-brute-force pinned in tests/test_behavior.py
