@@ -372,3 +372,28 @@ class TestRound3PlanShapes:
             prof = plan_profile(fn(spark, sf_dir))
             assert prof["python_evals"] == 0, name
             assert prof["cartesian_products"] == 0, name
+
+
+class TestFanoutLoadersAtProductionLayout:
+    def test_ld_py_is_noop_on_multifile_layout(self, spark, sf_dir, tmp_path):
+        """On a realistic layout (many files → many scan partitions) the
+        fan-out loaders must add NOTHING: no repartition, same plan as a
+        plain read. The fixture-only exchange must never ship to a real
+        cluster's plans."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+            ld_py,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        (src.repartition(par).write.mode("overwrite")
+         .parquet(f"{tmp_path}/documents.parquet"))
+        plain = spark.read.parquet(f"{tmp_path}/documents.parquet")
+        fanned = ld_py(spark, str(tmp_path), "documents")
+        assert fanned.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+        assert "Repartition" not in fanned._jdf.queryExecution() \
+            .logical().toString()
+        fanned2 = ld(spark, str(tmp_path), "documents")
+        assert "Repartition" not in fanned2._jdf.queryExecution() \
+            .logical().toString()
