@@ -22,6 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The first 20 entries are the round-1 suite — their subtotal is emitted
+# separately (r01_suite_total) so round-over-round totals stay comparable
+# as the headline grows.
+N_R01_SUITE = 20
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -98,12 +103,15 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    r01_total = round(sum(timings[n] for n in HEADLINE[:N_R01_SUITE]), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "r01_suite_total": r01_total,
+        "n_queries": len(HEADLINE),
     }))
     spark.stop()
     return 0
