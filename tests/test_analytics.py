@@ -94,11 +94,12 @@ class TestHashSampling:
 
 
 class TestLevenshteinBlocked:
-    def test_pairs_complete_within_blocks(self, spark, sf_dir):
-        out = analytics.dedup_levenshtein_blocked(spark, sf_dir, max_dist=5)
-        pairs = {(r.key1, r.key2) for r in out.collect()}
+    def test_block_summary_matches_python_brute_force(self, spark, sf_dir):
+        out = analytics.dedup_levenshtein_blocked(spark, sf_dir, max_dist=4)
+        got = {(r.blk, r.brand): (r.n_candidates, r.n_near, r.min_dist)
+               for r in out.collect()}
         pdf = (spark.read.parquet(f"{sf_dir}/part.parquet")
-               .select("p_partkey", "p_name").toPandas())
+               .select("p_partkey", "p_name", "p_brand").toPandas())
         pdf["blk"] = pdf.p_name.str.split(" ").str[0]
         import itertools
 
@@ -112,14 +113,24 @@ class TestLevenshteinBlocked:
                 prev = cur
             return prev[-1]
 
-        # brute force one block: every qualifying pair must be found
-        blk = pdf[pdf.blk == pdf.blk.mode()[0]].sort_values("p_partkey")
-        expect = set()
+        # brute-force ONE (block, brand) cell: candidate count (after the
+        # length prune), near count, and min distance must all agree
+        blk = pdf[pdf.blk == pdf.blk.mode()[0]]
+        brand = blk.p_brand.mode()[0]
+        cell = blk[blk.p_brand == brand].sort_values("p_partkey")
+        n_cand = n_near = 0
+        mind = None
         for (k1, n1), (k2, n2) in itertools.combinations(
-                zip(blk.p_partkey, blk.p_name), 2):
-            if lev(n1, n2) <= 5:
-                expect.add((min(k1, k2), max(k1, k2)))
-        assert expect <= pairs
+                zip(cell.p_partkey, cell.p_name), 2):
+            if abs(len(n1) - len(n2)) > 4:
+                continue
+            n_cand += 1
+            d = lev(n1, n2)
+            mind = d if mind is None else min(mind, d)
+            if d <= 4:
+                n_near += 1
+        key = (cell.blk.iloc[0], brand)
+        assert got[key] == (n_cand, n_near, mind)
 
     def test_equi_join_not_cartesian(self, spark, sf_dir):
         prof = plan_profile(
