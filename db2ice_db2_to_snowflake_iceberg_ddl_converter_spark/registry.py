@@ -166,6 +166,16 @@ def _streaming_queries():
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
 
+    def streaming_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-static anomaly alerts drained AvailableNow; append mode
+        emits exactly the matched rows, so the batch z-score oracle is an
+        exact twin (same decimal-protocol stats arithmetic)."""
+        stats = ev.event_type_stats(spark, sf_dir)
+        drained = _drain(spark, ev.zscore_alerts(
+            ev.read_events_stream(spark, sf_dir), stats), "s_zalerts",
+            mode="append")
+        return drained.orderBy("event_id")
+
     def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Oracle-checkable like the hourly rollup (decimal-protocol avg)."""
         out = _drain(spark, ev.sliding_rollup(
@@ -194,6 +204,7 @@ def _streaming_queries():
                 .select("user_id", "n_events"))
 
     return {"streaming_interval_join": streaming_interval_join,
+            "streaming_zscore_alerts": streaming_zscore_alerts,
             "streaming_hourly_rollup": streaming_hourly_rollup,
             "streaming_session_windows": streaming_session_windows,
             "streaming_dedup": streaming_dedup,
@@ -295,6 +306,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_sliding_rollup"] = sq.pop("streaming_sliding_rollup")
     q["streaming_session_windows"] = sq.pop("streaming_session_windows")
     ivj = sq.pop("streaming_interval_join")   # held back for the canaries
+    szs = sq.pop("streaming_zscore_alerts")   # parked past cap (round 4)
     # ---- window 23-30: rows-only entries earning their first driver row --
     cq = _catalog_queries()
     mig = cq.pop("migrate_customer_cast")
@@ -329,6 +341,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_per_group_topn"] = _td.sample_per_group_topn
     q["corpus_mix_weights"] = _td.corpus_mix_weights
     q["corpus_token_budget_cut"] = _td.corpus_token_budget_cut
+    q["streaming_zscore_alerts"] = szs
     # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
@@ -465,6 +478,8 @@ def build_oracles() -> dict[str, str]:
     oracles["streaming_hourly_rollup"] = _ev.ORACLE_STREAMING_HOURLY
     oracles["streaming_sliding_rollup"] = _ev.ORACLE_STREAMING_SLIDING
     oracles["streaming_session_windows"] = _ev.ORACLE_STREAMING_SESSIONS
+    # stream-static alerts drain to exactly the batch z-score rows
+    oracles["streaming_zscore_alerts"] = behavior.ORACLE_ZSCORE
     oracles.update({
         "q1_pricing_summary": rel.ORACLE_Q1,
         "q3_shipping_priority": rel.ORACLE_Q3,

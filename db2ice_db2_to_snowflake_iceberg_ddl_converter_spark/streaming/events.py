@@ -381,3 +381,43 @@ def user_running_stats_v2(events: DataFrame,
                                  "total_value double",
                 outputMode="Update",
                 timeMode="None"))
+
+
+def zscore_alerts(events: DataFrame, stats: DataFrame,
+                  z_cut: float = 2.5) -> DataFrame:
+    """Streaming anomaly alerts via STREAM-STATIC enrichment: each arriving
+    event joins the (batch-computed, broadcast) per-type mean/std and is
+    emitted iff |z| > z_cut. Stateless — no watermark or store needed; this
+    is the standard "yesterday's model scores today's stream" deployment,
+    with the stats table refreshed by a periodic batch job
+    (operators/behavior.events_value_zscore is the batch twin that also
+    derives the stats).
+
+    Append-mode emits exactly the matched rows, so a full AvailableNow
+    drain equals the batch query row-for-row — which is what makes the
+    DuckDB oracle fair for a streaming entry.
+    """
+    j = events.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (j.withColumn("z", z)
+            .filter(F.abs(F.col("z")) > z_cut)
+            .select("event_id", "event_type", "value", "z"))
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-side per-type sufficient statistics for zscore_alerts —
+    identical arithmetic to operators/behavior.events_value_zscore
+    (decimal sums, single division order) so stream and batch agree
+    bitwise."""
+    from ..operators.relational import DEC, load_events
+
+    e = load_events(spark, sf_dir)
+    v = F.col("value")
+    stats = (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(v.cast(DEC)).alias("s1"),
+                  F.sum((v * v).cast(DEC)).alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return stats.select("event_type", mean.alias("mean_v"),
+                        F.sqrt(var).alias("std_v"))

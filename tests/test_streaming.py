@@ -208,3 +208,35 @@ def test_stateful_v2_capability_gate_and_equivalence(spark, sf_dir,
     assert set(got) == set(exp)
     for uid, n in exp.items():
         assert got[uid][0] == n
+
+
+class TestZscoreAlerts:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """Stream-static anomaly alerts drained AvailableNow must equal
+        the batch z-score query row-for-row (stateless append join)."""
+        import tempfile
+        import uuid
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            behavior,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import (
+            events as ev,
+        )
+
+        stats = ev.event_type_stats(spark, sf_dir)
+        name = f"s_zal_{uuid.uuid4().hex[:8]}"
+        q = (ev.zscore_alerts(ev.read_events_stream(spark, sf_dir), stats)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+        streamed = sorted(
+            (r.event_id, r.z) for r in spark.table(name).collect())
+        batch = sorted(
+            (r.event_id, r.z)
+            for r in behavior.events_value_zscore(spark, sf_dir).collect())
+        assert streamed == batch
