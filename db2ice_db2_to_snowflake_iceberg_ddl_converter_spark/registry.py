@@ -277,6 +277,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fill to 50. approx_quantiles (err:"no_oracle" in r02) moves past the
     cap — its exact twin agg_percentiles is driver-green and its error
     bound is pytest-pinned, so it stops burning a window slot.
+
+    ROUND-4 ROTATION PLAN: move the late-r03 entries parked past the cap
+    (dedup_incremental_exact, sample_per_group_topn, corpus_mix_weights,
+    corpus_token_budget_cut, streaming_zscore_alerts — all oracle-backed,
+    locally green at sf0.01 and sf0.1) into the window for their first
+    driver rows, swap this round's canaries for a fresh family-spanning
+    set, and keep everything r03-green past the cap.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
