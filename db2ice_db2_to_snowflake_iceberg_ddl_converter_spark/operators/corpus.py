@@ -287,3 +287,52 @@ WHERE dup_rank = 1
   AND quality_score >= 60
 ORDER BY doc_id
 """
+
+
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str,
+                         min_count: int = 20, k: int = 100) -> DataFrame:
+    """Corpus-wide bigram language-model counts: top-k adjacent token
+    pairs occurring at least ``min_count`` times (the count table an
+    n-gram LM / tokenizer-merge pass starts from).
+
+    Shape: bigram generation is a per-row ``zip_with`` over the token
+    array (pure Catalyst codegen — each document emits its own bigrams
+    with no Python), then explode → hash aggregate. Map-side partials
+    make the shuffle O(distinct bigrams), not O(corpus tokens); the
+    ``min_count`` cutoff prunes the heavy tail before the final
+    TakeOrderedAndProject, so the driver fetch is k rows. Ties break on
+    the bigram string.
+
+    The oracle generates pairs positionally (lag over ordinal-indexed
+    unnest) — different formulation, same pair multiset.
+    """
+    d = ld(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "         (a, b) -> concat(a, ' ', b))")
+    return (d.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), "bigram")
+            .limit(k))
+
+
+ORACLE_BIGRAM_COUNTS = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), pairs AS (
+  SELECT LAG(tok) OVER (PARTITION BY doc_id ORDER BY i) AS a, tok AS b
+  FROM toks
+)
+SELECT a || ' ' || b AS bigram, COUNT(*) AS n
+FROM pairs WHERE a IS NOT NULL
+GROUP BY bigram
+HAVING COUNT(*) >= 20
+ORDER BY n DESC, bigram
+LIMIT 100
+"""

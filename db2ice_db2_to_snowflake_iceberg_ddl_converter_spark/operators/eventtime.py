@@ -1,0 +1,289 @@
+"""Event-time analytics battery #2: OHLC bars, time-weighted averages,
+interval coalescing (gaps-and-islands), and rolling-window distinct users.
+
+These are the market-data / observability shapes an event table answers
+after migration (reference has no row plane — SURVEY.md §2.2 EXT) and the
+session/coverage features a training-data pipeline derives from logs.
+
+Scale theme: every operator is a bounded number of keyed shuffles whose
+partitioning is (event_type | user_id | day) — high-cardinality keys that
+scale out; windows always carry PARTITION BY, so sort runs stay inside
+their shuffle partition at any data size.
+
+Determinism protocol (operators/relational.py): event-time arithmetic uses
+exact integer microseconds (``unix_micros`` ↔ DuckDB ``epoch_us``), money
+sums use the decimal protocol, emitted timestamps are formatted strings,
+and every window order carries the unique ``event_id`` tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import DEC, _fmt_ts, load_events
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type: open/close are the first/last
+    value in the hour (deterministic (ts, event_id) order), high/low the
+    extremes, plus count and exact-decimal volume.
+
+    Plan: ONE shuffle on (event_type, hour) shared by the window pass and
+    the final aggregation — row_number and the partition count ride the
+    same sort run, and AQE sees the agg needs the exact partitioning the
+    window just produced. open/close come from the rn=1 / rn=n rows via
+    conditional MAX, so no second ordering (a DESC twin window would force
+    another sort) and no driver involvement. Partition cardinality is
+    types × hours — grows with retention, shuffles evenly at 100 TB.
+    """
+    e = load_events(spark, sf_dir)
+    base = e.select(
+        "event_type", "event_id", "value",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("event_type", "hour_start") \
+        .orderBy("us", "event_id")
+    wn = Window.partitionBy("event_type", "hour_start")
+    ranked = base.select(
+        "event_type", "hour_start", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return (ranked.groupBy("event_type", "hour_start")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("value")))
+                 .alias("open_v"),
+                 F.max("value").alias("high_v"),
+                 F.min("value").alias("low_v"),
+                 F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
+                 .alias("close_v"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("volume"))
+            .select("event_type", _fmt_ts("hour_start").alias("hour_start"),
+                    "open_v", "high_v", "low_v", "close_v", "n_events",
+                    "volume")
+            .orderBy("event_type", "hour_start"))
+
+
+ORACLE_EVENTS_OHLC = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type,
+                        date_trunc('hour', ts)) AS n
+  FROM events
+)
+SELECT event_type,
+       strftime(hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       MAX(CASE WHEN rn = n THEN value END) AS close_v,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS volume
+FROM ranked
+GROUP BY event_type, hour_start
+ORDER BY event_type, hour_start
+"""
+
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation holds
+    until the next one, so its weight is that duration (the last
+    observation of a type carries no interval and is excluded — standard
+    TWAP over a closed observation span).
+
+    Determinism: durations are exact integer microseconds; the
+    value×duration product is one double multiply on identical operands;
+    products are summed under the decimal protocol and divided ONCE by
+    the exact integer duration total.
+
+    Plan: one shuffle on event_type shared by the lead() window and the
+    final agg (same key); no window without PARTITION BY, no second
+    exchange. Types × nothing else — the narrow state per type is two
+    running sums.
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    base = e.select("event_type", "event_id", "value",
+                    F.unix_micros("ts").alias("us"))
+    spans = (base
+             .withColumn("next_us", F.lead("us").over(w))
+             .filter(F.col("next_us").isNotNull())
+             .withColumn("dur_us", F.col("next_us") - F.col("us")))
+    weighted = F.col("value") * F.col("dur_us").cast("double")
+    return (spans.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("dur_us").alias("total_dur_us"),
+                 (F.sum(weighted.cast(DEC)).cast("double")
+                  / F.sum("dur_us").cast("double")).alias("twap"))
+            .orderBy("event_type"))
+
+
+ORACLE_EVENTS_TWAP = """
+WITH spans AS (
+  SELECT event_type, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_spans,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(SUM(CAST(value * CAST(dur_us AS DOUBLE) AS DECIMAL(28,6)))
+            AS DOUBLE)
+         / CAST(SUM(dur_us) AS DOUBLE) AS twap
+FROM spans
+WHERE dur_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_interval_islands(spark: SparkSession, sf_dir: str,
+                            hold_minutes: int = 10) -> DataFrame:
+    """Coalesce each user's activity into maximal covered intervals
+    (gaps-and-islands): every event opens a [ts, ts+hold) interval;
+    overlapping/touching intervals merge. Classic coverage/uptime shape.
+
+    The island boundary is where an interval starts strictly after the
+    running maximum end of all earlier intervals — computed with ONE
+    window over (user_id | us, event_id): a cumulative MAX over the
+    1-preceding frame, then a cumulative SUM of the boundary flags
+    numbers the islands. Exact integer microsecond arithmetic.
+
+    Plan: one shuffle on user_id shared by the window pass and the
+    (user, island) aggregation — island ids are a refinement of the
+    user partitioning, so the second groupBy needs no new exchange
+    under AQE. State per user is one sort run; users scale out.
+    """
+    hold_us = hold_minutes * 60_000_000
+    e = load_events(spark, sf_dir)
+    base = e.select("user_id", "event_id",
+                    F.unix_micros("ts").alias("st")) \
+        .withColumn("en", F.col("st") + F.lit(hold_us))
+    w = Window.partitionBy("user_id").orderBy("st", "event_id")
+    prev_max_end = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "is_start",
+        F.when(prev_max_end.isNull() | (F.col("st") > prev_max_end),
+               F.lit(1)).otherwise(F.lit(0)))
+    islanded = flagged.withColumn(
+        "island",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islanded.groupBy("user_id", "island")
+            .agg(F.min("st").alias("start_us"),
+                 F.max("en").alias("end_us"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "island",
+                    _fmt_ts(F.timestamp_micros(F.col("start_us")))
+                    .alias("covered_from"),
+                    _fmt_ts(F.timestamp_micros(F.col("end_us")))
+                    .alias("covered_to"),
+                    "n_events")
+            .orderBy("user_id", "island"))
+
+
+ORACLE_EVENTS_ISLANDS = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS st,
+         epoch_us(ts) + 600000000 AS en
+  FROM events
+), flagged AS (
+  SELECT user_id, st, en,
+         CASE WHEN MAX(en) OVER (PARTITION BY user_id
+                                 ORDER BY st, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                   OR st > MAX(en) OVER (PARTITION BY user_id
+                                         ORDER BY st, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_start,
+         event_id
+  FROM base
+), islanded AS (
+  SELECT user_id, st, en,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY st, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island,
+       strftime(make_timestamp(MIN(st)), '%Y-%m-%d %H:%M:%S')
+         AS covered_from,
+       strftime(make_timestamp(MAX(en)), '%Y-%m-%d %H:%M:%S')
+         AS covered_to,
+       COUNT(*) AS n_events
+FROM islanded
+GROUP BY user_id, island
+ORDER BY user_id, island
+"""
+
+
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per event type, one row per
+    (type, day) present in the data: users active in [day-6, day].
+
+    Spark has no COUNT(DISTINCT) over a window — the scalable rewrite is
+    contribute-then-count: each distinct (type, user, day) row is exploded
+    to the ≤7 window-end days it contributes to, then one COUNT(DISTINCT)
+    per (type, end day). The explode factor is the constant 7, not data-
+    sized; the dedup and the count are each one keyed shuffle. End days
+    are restricted to days that actually occur (semi-join against the
+    tiny distinct-day set — broadcast).
+    """
+    e = load_events(spark, sf_dir)
+    active = (e.select("event_type", "user_id",
+                       F.to_date("ts").alias("day")).distinct())
+    days = active.select("day").distinct()
+    contrib = active.select(
+        "event_type", "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))"))
+        .alias("win_end"))
+    return (contrib
+            .join(F.broadcast(days.withColumnRenamed("day", "win_end")),
+                  "win_end")
+            .groupBy("event_type", "win_end")
+            .agg(F.count_distinct("user_id").alias("n_active_7d"))
+            .select("event_type",
+                    F.date_format("win_end", "yyyy-MM-dd").alias("win_end"),
+                    "n_active_7d")
+            .orderBy("event_type", "win_end"))
+
+
+ORACLE_EVENTS_ACTIVE_7D = """
+WITH active AS (
+  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM active
+), contrib AS (
+  SELECT a.event_type, a.user_id,
+         CAST(UNNEST(generate_series(a.day, a.day + 6, INTERVAL 1 DAY))
+              AS DATE) AS win_end
+  FROM active a
+)
+SELECT c.event_type, strftime(c.win_end, '%Y-%m-%d') AS win_end,
+       COUNT(DISTINCT c.user_id) AS n_active_7d
+FROM contrib c JOIN days d ON c.win_end = d.day
+GROUP BY c.event_type, c.win_end
+ORDER BY event_type, win_end
+"""
+
+
+QUERIES = {
+    "events_ohlc_bars": events_ohlc_bars,
+    "events_twap": events_twap,
+    "events_interval_islands": events_interval_islands,
+    "events_active_users_7d": events_active_users_7d,
+}
+
+ORACLES = {
+    "events_ohlc_bars": ORACLE_EVENTS_OHLC,
+    "events_twap": ORACLE_EVENTS_TWAP,
+    "events_interval_islands": ORACLE_EVENTS_ISLANDS,
+    "events_active_users_7d": ORACLE_EVENTS_ACTIVE_7D,
+}

@@ -99,4 +99,72 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("rank"), "node").limit(k))
 
 
-QUERIES = {"graph_pagerank_top": graph_pagerank_top}
+def transitive_roots(parents: DataFrame, n_rounds: int = 6) -> DataFrame:
+    """Resolve every node of a forest to its root and depth by pointer
+    doubling: ``parents`` has columns (node, parent) with roots encoded as
+    self-parents. Returns (node, root, depth).
+
+    Scale design: the naive walk is one join per LEVEL (O(depth)
+    shuffles); pointer doubling composes the ancestor map with itself so
+    iteration k reaches the 2^k-th ancestor — O(log depth) self-joins
+    total. ``n_rounds=6`` resolves depth ≤ 2^6 = 64, far past any
+    log-shaped hierarchy at 100 TB (a binary tree over 10^10 nodes is
+    depth ~33). Root self-loops carry distance 0, so composition is
+    absorbing and exact depths survive. Each round is ONE keyed shuffle;
+    ``localCheckpoint`` truncates the doubling lineage (same lesson as
+    pagerank / dedup.connected_components).
+    """
+    amap = (parents.select(
+        "node", F.col("parent").alias("anc"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1)).alias("d")).localCheckpoint())
+    for _ in range(n_rounds):
+        step = amap.select(F.col("node").alias("j_node"),
+                           F.col("anc").alias("j_anc"),
+                           F.col("d").alias("j_d"))
+        amap = (amap.join(step, amap["anc"] == step["j_node"])
+                .select("node", F.col("j_anc").alias("anc"),
+                        (F.col("d") + F.col("j_d")).alias("d"))
+                .localCheckpoint())
+    return amap.select("node", F.col("anc").alias("root"),
+                       F.col("d").alias("depth"))
+
+
+def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root/depth resolution over a reporting hierarchy synthesized from
+    the customer table (parent(c) = c div 2, root 0 — a deterministic
+    binary tree ~11 levels deep at sf0.01, ~log2(N) at any scale).
+
+    Oracle-checkable: DuckDB's WITH RECURSIVE walks each node's ancestor
+    chain; exact integer arithmetic on both sides. The Spark side runs
+    pointer doubling (O(log depth) joins) — same answer, cluster-shaped
+    plan; the oracle's O(depth)-step recursion is the single-node
+    formulation.
+    """
+    c = ld(spark, sf_dir, "customer", fanout=False)
+    parents = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") > 0,
+               F.expr("c_custkey div 2")).otherwise(F.lit(0))
+        .alias("parent"))
+    roots = transitive_roots(parents)
+    return (roots.select(F.col("node").alias("c_custkey"), "root", "depth")
+            .orderBy("c_custkey"))
+
+
+ORACLE_HIERARCHY_DEPTHS = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, anc // 2, depth + 1 FROM walk WHERE anc > 0
+)
+SELECT node AS c_custkey, anc AS root, depth
+FROM walk WHERE anc = 0
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {"graph_pagerank_top": graph_pagerank_top,
+           "graph_hierarchy_depths": graph_hierarchy_depths}
+
+ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS}

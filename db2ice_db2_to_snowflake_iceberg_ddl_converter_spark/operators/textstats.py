@@ -357,3 +357,67 @@ SELECT uni.doc_id, n_words,
 FROM uni JOIN bi ON uni.doc_id = bi.doc_id
 ORDER BY uni.doc_id
 """
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction battery: regex-scrub emails and phone
+    numbers from free text, emitting the redacted string and per-kind
+    match counts (the scrub pass every LLM training corpus runs).
+
+    The fixture corpus is synthetic word salad with no embedded PII, so
+    the contact strings are CONSTRUCTED deterministically from customer
+    columns (identical scalar expressions on both engines) and then
+    scrubbed — the operator under test is the regex battery itself:
+    ``regexp_replace`` (global) + match counting, patterns restricted to
+    syntax Java regex and RE2 interpret identically (char classes,
+    bounded repetition — no backrefs, no lookaround).
+
+    Plan: pure per-row Catalyst expressions (whole-stage codegen, no
+    Python) over one scan; trivially scan-parallel at 100 TB.
+    """
+    email_re = r"[a-z0-9.]+@[a-z0-9.-]+\.example\.com"
+    phone_re = r"555-[0-9]{4}"
+    c = ld(spark, sf_dir, "customer", fanout=False)
+    handle = F.lower(F.regexp_replace("c_name", r"[^A-Za-z0-9]", ""))
+    msg = F.concat(
+        F.lit("user "), F.col("c_name"),
+        F.lit(" wrote: reach me at "), handle,
+        F.lit("@"), F.lower(F.trim("c_mktsegment")),
+        F.lit(".example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" during office hours"))
+    return (c.select(F.col("c_custkey"), msg.alias("msg"))
+            .select(
+                "c_custkey",
+                F.size(F.regexp_extract_all("msg", F.lit(email_re), 0))
+                .alias("n_emails"),
+                F.size(F.regexp_extract_all("msg", F.lit(phone_re), 0))
+                .alias("n_phones"),
+                F.regexp_replace(
+                    F.regexp_replace("msg", email_re, "[EMAIL]"),
+                    phone_re, "[PHONE]").alias("redacted"))
+            .orderBy("c_custkey"))
+
+
+ORACLE_TEXT_PII = r"""
+WITH m AS (
+  SELECT c_custkey,
+         'user ' || c_name || ' wrote: reach me at '
+           || LOWER(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+           || '@' || LOWER(TRIM(c_mktsegment))
+           || '.example.com or 555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' during office hours' AS msg
+  FROM customer
+)
+SELECT c_custkey,
+       len(regexp_extract_all(msg, '[a-z0-9.]+@[a-z0-9.-]+\.example\.com'))
+         AS n_emails,
+       len(regexp_extract_all(msg, '555-[0-9]{4}')) AS n_phones,
+       regexp_replace(
+         regexp_replace(msg, '[a-z0-9.]+@[a-z0-9.-]+\.example\.com',
+                        '[EMAIL]', 'g'),
+         '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+FROM m
+ORDER BY c_custkey
+"""

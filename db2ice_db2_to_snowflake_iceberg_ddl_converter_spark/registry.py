@@ -280,10 +280,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-4 ROTATION PLAN: move the late-r03 entries parked past the cap
     (dedup_incremental_exact, sample_per_group_topn, corpus_mix_weights,
-    corpus_token_budget_cut, streaming_zscore_alerts — all oracle-backed,
-    locally green at sf0.01 and sf0.1) into the window for their first
-    driver rows, swap this round's canaries for a fresh family-spanning
-    set, and keep everything r03-green past the cap.
+    corpus_token_budget_cut, streaming_zscore_alerts, the event-time
+    battery #2 — events_ohlc_bars / events_twap / events_interval_islands
+    / events_active_users_7d — graph_hierarchy_depths,
+    corpus_bigram_counts, text_pii_redact, sink_partitioned_prune — all
+    oracle-backed, locally green at sf0.01) into the window for their
+    first driver rows, swap this round's canaries for a fresh
+    family-spanning set, and keep everything r03-green past the cap.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -343,12 +346,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
     # -- past the 50-entry window from here --
     # late round-3 additions awaiting their round-4 window slot:
+    from .operators import eventtime
     from .operators import traindata as _td
+    from .sources.registry import sink_partitioned_prune
     q["dedup_incremental_exact"] = _td.dedup_incremental_exact
     q["sample_per_group_topn"] = _td.sample_per_group_topn
     q["corpus_mix_weights"] = _td.corpus_mix_weights
     q["corpus_token_budget_cut"] = _td.corpus_token_budget_cut
     q["streaming_zscore_alerts"] = szs
+    q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
+    q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
+    q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
+    q["text_pii_redact"] = textstats.text_pii_redact
+    q["sink_partitioned_prune"] = sink_partitioned_prune
     # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
@@ -451,9 +461,15 @@ def _round3_queries():
 
 
 def build_oracles() -> dict[str, str]:
-    from .operators import behavior, traindata, validate
+    from .operators import behavior, eventtime, graph, traindata, validate
+    from .sources.registry import ORACLE_SINK_PARTITIONED
 
     oracles = dict(rext.ORACLES)
+    oracles.update(eventtime.ORACLES)
+    oracles["graph_hierarchy_depths"] = graph.ORACLE_HIERARCHY_DEPTHS
+    oracles["corpus_bigram_counts"] = corpus.ORACLE_BIGRAM_COUNTS
+    oracles["text_pii_redact"] = textstats.ORACLE_TEXT_PII
+    oracles["sink_partitioned_prune"] = ORACLE_SINK_PARTITIONED
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
     oracles.update(behavior.ORACLES)

@@ -162,3 +162,49 @@ FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'json' UNION ALL SELECT 'orc'),
      base
 ORDER BY fmt
 """
+
+
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned read-back: events written
+    ``partitionBy(day)``, then one day's slice aggregated from the
+    partitioned copy. The read plan carries the day predicate as a
+    PartitionFilters entry (pinned in tests/test_plans.py) — at 100 TB
+    this is THE scan lever: the query touches one partition directory,
+    not the table.
+
+    The probed day is the dataset's third day, discovered with one
+    bounded scalar aggregate (a 1-row collect, same class as the pivot
+    value scan — documented driver-side bound). Output aggregates follow
+    the decimal protocol, so the oracle (same filter on the raw table)
+    matches bitwise.
+    """
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import DEC, load_events
+
+    e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="sink_part_")
+    write_table(e, path, partition_by=["day"], sort_by=["ts"])
+    # bounded scalar: min(day) is one row; the +2 offset keeps the probe
+    # inside the data range on every fixture regeneration
+    min_day = e.agg(F.min("day")).collect()[0][0]
+    probe = min_day + datetime.timedelta(days=2)
+    back = spark.read.parquet(path).filter(F.col("day") == F.lit(probe))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"))
+            .orderBy("event_type"))
+
+
+ORACLE_SINK_PARTITIONED = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,205 @@
+"""Property tests for the event-time battery #2 (operators/eventtime.py),
+the pointer-doubling hierarchy (operators/graph.py), bigram counts,
+PII redaction, and the partitioned sink. Value exactness is the oracle's
+job (all eight entries are oracle-backed); these pin semantic invariants
+that survive fixture regeneration, on crafted inputs where the invariant
+needs a known answer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+    corpus,
+    eventtime,
+    graph,
+    textstats,
+)
+
+
+def _events_df(spark, rows):
+    """rows: (user_id, ts_s, event_id, event_type, value)"""
+    return (spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, "
+              "event_type string, value double")
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "event_id", "event_type", "value",
+                F.lit("{}").alias("props")))
+
+
+def _patched(monkeypatch, df):
+    monkeypatch.setattr(eventtime, "load_events",
+                        lambda spark, sf_dir: df)
+
+
+class TestOHLC:
+    def test_open_close_order(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            (1, "2024-01-01 10:05:00", 1, "trade", 10.0),
+            (1, "2024-01-01 10:10:00", 2, "trade", 30.0),
+            (1, "2024-01-01 10:20:00", 3, "trade", 5.0),
+            (1, "2024-01-01 10:40:00", 4, "trade", 20.0),
+            (1, "2024-01-01 11:15:00", 5, "trade", 7.0),
+        ])
+        _patched(monkeypatch, df)
+        rows = eventtime.events_ohlc_bars(spark, "ignored").collect()
+        assert len(rows) == 2
+        h10 = rows[0]
+        assert h10.open_v == 10.0 and h10.close_v == 20.0
+        assert h10.high_v == 30.0 and h10.low_v == 5.0
+        assert h10.n_events == 4 and h10.volume == pytest.approx(65.0)
+        assert rows[1].open_v == rows[1].close_v == 7.0
+
+    def test_fixture_invariants(self, spark, sf_dir):
+        out = eventtime.events_ohlc_bars(spark, sf_dir)
+        bad = out.filter((F.col("high_v") < F.col("low_v"))
+                         | (F.col("open_v") > F.col("high_v"))
+                         | (F.col("close_v") < F.col("low_v"))).count()
+        assert bad == 0
+
+
+class TestTWAP:
+    def test_known_weights(self, spark, monkeypatch):
+        # 10 held 10s, then 20 held 20s, last obs carries no interval
+        df = _events_df(spark, [
+            (1, "2024-01-01 10:00:00", 1, "trade", 10.0),
+            (1, "2024-01-01 10:00:10", 2, "trade", 20.0),
+            (1, "2024-01-01 10:00:30", 3, "trade", 99.0),
+        ])
+        _patched(monkeypatch, df)
+        row = eventtime.events_twap(spark, "ignored").first()
+        assert row.n_spans == 2
+        assert row.total_dur_us == 30_000_000
+        assert row.twap == pytest.approx((10 * 10 + 20 * 20) / 30)
+
+    def test_twap_within_value_range(self, spark, sf_dir):
+        out = eventtime.events_twap(spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert r.total_dur_us > 0 and r.twap > 0
+
+
+class TestIntervalIslands:
+    def test_merge_and_split(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            # island 1: events 5 min apart (10-min hold overlaps)
+            (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 10:05:00", 2, "a", 1.0),
+            # island 2: 30 min later (> hold)
+            (1, "2024-01-01 10:45:00", 3, "a", 1.0),
+            # other user: own numbering
+            (2, "2024-01-01 10:00:00", 4, "a", 1.0),
+        ])
+        _patched(monkeypatch, df)
+        rows = eventtime.events_interval_islands(spark, "ignored").collect()
+        u1 = [r for r in rows if r.user_id == 1]
+        assert [r.island for r in u1] == [1, 2]
+        assert u1[0].n_events == 2
+        assert u1[0].covered_from == "2024-01-01 10:00:00"
+        assert u1[0].covered_to == "2024-01-01 10:15:00"
+        assert [r.island for r in rows if r.user_id == 2] == [1]
+
+    def test_islands_cover_all_events(self, spark, sf_dir):
+        out = eventtime.events_interval_islands(spark, sf_dir)
+        total = out.agg(F.sum("n_events")).first()[0]
+        n_events = eventtime.load_events(spark, sf_dir).count()
+        assert total == n_events
+
+
+class TestActiveUsers7d:
+    def test_window_contribution(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (2, "2024-01-03 10:00:00", 2, "a", 1.0),
+            (1, "2024-01-20 10:00:00", 3, "a", 1.0),
+        ])
+        _patched(monkeypatch, df)
+        rows = {r.win_end: r.n_active_7d
+                for r in eventtime.events_active_users_7d(spark, "ignored")
+                .collect()}
+        # days present: 01-01, 01-03, 01-20
+        assert rows["2024-01-01"] == 1          # only user 1 active
+        assert rows["2024-01-03"] == 2          # both within 7 days
+        assert rows["2024-01-20"] == 1          # old activity aged out
+        assert set(rows) == {"2024-01-01", "2024-01-03", "2024-01-20"}
+
+
+class TestHierarchy:
+    def test_matches_python_walk(self, spark, sf_dir):
+        out = {r.c_custkey: (r.root, r.depth)
+               for r in graph.graph_hierarchy_depths(spark, sf_dir)
+               .collect()}
+
+        def walk(c):
+            d = 0
+            while c > 0:
+                c //= 2
+                d += 1
+            return d
+
+        assert all(root == 0 for root, _ in out.values())
+        for ck in list(out):
+            assert out[ck][1] == walk(ck), ck
+
+    def test_pointer_doubling_deep_chain(self, spark):
+        # a pure path 0←1←2←…←40: depth 40 needs the doubling (6 rounds
+        # reach 64); a naive 6-join walk would stop at depth 6
+        parents = spark.createDataFrame(
+            [(i, max(i - 1, 0)) for i in range(41)], "node long, parent long")
+        roots = {r.node: (r.root, r.depth)
+                 for r in graph.transitive_roots(parents).collect()}
+        assert roots[40] == (0, 40)
+        assert roots[0] == (0, 0)
+        assert len(roots) == 41
+
+
+class TestBigrams:
+    def test_counts_on_crafted_docs(self, spark, monkeypatch):
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+        monkeypatch.setattr(corpus, "ld",
+                            lambda spark, sf_dir, name, **kw: df)
+        rows = corpus.corpus_bigram_counts(spark, "ignored",
+                                           min_count=1).collect()
+        counts = {r.bigram: r.n for r in rows}
+        assert counts == {"a b": 3, "b a": 1, "b c": 1}
+        # ordering: count desc, then bigram asc
+        assert [r.bigram for r in rows] == ["a b", "b a", "b c"]
+
+
+class TestPIIRedact:
+    def test_redaction_complete(self, spark, sf_dir):
+        out = textstats.text_pii_redact(spark, sf_dir)
+        leaked = out.filter(F.col("redacted").contains("@")
+                            | F.col("redacted").rlike("555-[0-9]{4}")).count()
+        assert leaked == 0
+        stats = out.agg(F.min("n_emails"), F.max("n_emails"),
+                        F.min("n_phones"), F.max("n_phones")).first()
+        assert tuple(stats) == (1, 1, 1, 1)
+        assert out.filter(~F.col("redacted").contains("[EMAIL]")).count() == 0
+
+
+class TestPartitionedSink:
+    def test_prune_reaches_scan(self, spark, sf_dir, tmp_path):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            write_table,
+        )
+
+        e = eventtime.load_events(spark, sf_dir) \
+            .withColumn("day", F.to_date("ts"))
+        path = str(tmp_path / "events_part")
+        write_table(e, path, partition_by=["day"])
+        back = spark.read.parquet(path) \
+            .filter(F.col("day") == "2024-01-02")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the day predicate must be a partition filter, not a data filter
+        assert "PushedFilters: []" in plan
+
+    def test_result_shape(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            sink_partitioned_prune,
+        )
+
+        rows = sink_partitioned_prune(spark, sf_dir).collect()
+        assert len(rows) > 0
+        assert all(r.n_events > 0 for r in rows)
