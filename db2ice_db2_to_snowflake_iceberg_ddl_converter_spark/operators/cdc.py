@@ -331,3 +331,62 @@ FROM orders o JOIN hist h
  AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
 ORDER BY o_orderkey
 """
+
+
+def scd2_history_from_events(spark, sf_dir) -> DataFrame:
+    """Build an SCD Type 2 validity-interval history FROM a change log:
+    each user's event stream is compressed to its state CHANGES (drop
+    consecutive repeats of the same event_type), and each surviving
+    change opens an interval [its ts, next change's ts) — the standard
+    "reconstruct the dimension history from CDC events" shape, inverse
+    of ``scd2_apply`` (which merges changes INTO an existing history).
+
+    Plan: two windows over the SAME (user_id | ts, event_id) ordering —
+    the lag that detects changes and the lead that closes intervals run
+    in one sort within one keyed shuffle; no second exchange (the change
+    filter preserves partitioning and order). is_current falls out of
+    the NULL lead. Users shard the state at any scale.
+    """
+    from .relational import _fmt_ts, load_events
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (e.withColumn("prev_type", F.lag("event_type").over(w))
+               .filter(F.col("prev_type").isNull()
+                       | (F.col("prev_type") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = changes.withColumn("valid_to_ts", F.lead("ts").over(w2))
+    return (hist.select(
+        "user_id", F.col("event_type").alias("state"),
+        _fmt_ts("ts").alias("valid_from"),
+        F.coalesce(_fmt_ts("valid_to_ts"), F.lit("9999-12-31 00:00:00"))
+        .alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"))
+        .orderBy("user_id", "valid_from"))
+
+
+ORACLE_SCD2_FROM_EVENTS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), hist AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to_ts
+  FROM changes
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       valid_to_ts IS NULL AS is_current
+FROM hist
+ORDER BY user_id, valid_from
+"""

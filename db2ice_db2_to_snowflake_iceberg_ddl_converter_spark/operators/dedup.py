@@ -573,3 +573,76 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 ORDER BY id1, id2
 """
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str,
+                          n: int = 8) -> DataFrame:
+    """Exact substring-span duplication (the suffix-array-style dedup of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better", token-n-gram formulation): for every document, how many of
+    its length-``n`` token spans also occur verbatim in at least one
+    OTHER document. Emits per-doc span totals and the duplicated
+    fraction; downstream curation drops or trims high-fraction docs.
+
+    Plan shape (the sharded pipeline the paper's suffix array replaces):
+    span generation is a per-row Catalyst ``transform`` over the token
+    array (no Python); one groupBy(gram) computes cross-doc document
+    frequency (map-side partials → O(distinct grams) shuffle state);
+    cross-doc grams then flow back over a hash join keyed on the gram.
+    No all-pairs comparison anywhere; every stage is key-partitioned,
+    so the pipeline shards over grams at 100 TB exactly like the
+    contamination scan (`traindata.py`).
+
+    The ``sequence(1, ...)`` span-start generator is guarded (Spark
+    emits DESCENDING sequences when start > stop, so size < n must short-
+    circuit to an empty array rather than produce [1, 0]).
+    """
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    grams_expr = F.when(
+        F.size(toks) >= n,
+        F.expr(f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+               f"          i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+               )).otherwise(F.array().cast("array<string>"))
+    spans = (d.select("doc_id", F.explode(grams_expr).alias("gram"))
+             .localCheckpoint())  # feeds both the DF pass and the probe join
+    cross_doc = (spans.groupBy("gram")
+                 .agg(F.count_distinct("doc_id").alias("nd"))
+                 .filter(F.col("nd") >= 2)
+                 .select("gram"))
+    dup_counts = (spans.join(cross_doc, "gram")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    totals = (d.select("doc_id",
+                       F.greatest(F.size(toks) - (n - 1), F.lit(0))
+                       .alias("n_spans")))
+    return (totals.join(dup_counts, "doc_id")
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    (F.col("n_dup_spans").cast("double")
+                     / F.col("n_spans").cast("double")).alias("dup_fraction"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SUBSTRING = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+), cross_doc AS (
+  SELECT gram FROM spans GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), dup_counts AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup_spans
+  FROM spans s JOIN cross_doc c ON s.gram = c.gram
+  GROUP BY s.doc_id
+), totals AS (
+  SELECT doc_id, GREATEST(len(w) - 7, 0) AS n_spans FROM toks
+)
+SELECT t.doc_id, CAST(t.n_spans AS INT) AS n_spans,
+       d.n_dup_spans,
+       CAST(d.n_dup_spans AS DOUBLE) / CAST(t.n_spans AS DOUBLE)
+         AS dup_fraction
+FROM totals t JOIN dup_counts d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
+"""

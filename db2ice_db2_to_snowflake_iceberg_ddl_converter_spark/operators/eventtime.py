@@ -287,3 +287,39 @@ ORACLES = {
     "events_interval_islands": ORACLE_EVENTS_ISLANDS,
     "events_active_users_7d": ORACLE_EVENTS_ACTIVE_7D,
 }
+
+
+def events_ema(spark: SparkSession, sf_dir: str,
+               alpha: float = 0.2) -> DataFrame:
+    """Exponential moving average of each event type's value stream —
+    the sequential recurrence ema_i = α·x_i + (1−α)·ema_{i−1} that no
+    fixed-frame window can express. Emits per-type last EMA + count.
+
+    Implementation: grouped ``applyInPandas`` — the canonical Spark
+    escape hatch for per-key SEQUENTIAL state in batch (the streaming
+    twin is ``applyInPandasWithState``, streaming/events.py). Each key's
+    recurrence is inherently serial, so the scalable axis is ACROSS keys:
+    one shuffle on event_type, then each group runs its vectorized
+    ``pandas.ewm`` recurrence inside its own task — no driver
+    involvement, state bounded by the largest single key.
+
+    Iterative float recurrence → rows-only driver check;
+    tests/test_eventtime.py pins the values against an explicit numpy
+    loop at sf0.001 and the α=1 / constant-series identities.
+    """
+    import pandas as pd
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value")
+
+    def ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ema = pdf["value"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                             "n_events": [len(pdf)],
+                             "ema_last": [float(ema)]})
+
+    return (e.groupBy("event_type")
+            .applyInPandas(ema_fn,
+                           "event_type string, n_events long, ema_last double")
+            .orderBy("event_type"))

@@ -283,9 +283,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_token_budget_cut, streaming_zscore_alerts, the event-time
     battery #2 — events_ohlc_bars / events_twap / events_interval_islands
     / events_active_users_7d — graph_hierarchy_depths,
-    corpus_bigram_counts, text_pii_redact, sink_partitioned_prune — all
-    oracle-backed, locally green at sf0.01) into the window for their
-    first driver rows, swap this round's canaries for a fresh
+    corpus_bigram_counts, text_pii_redact, sink_partitioned_prune,
+    dedup_substring_spans, scd2_history_from_events — all oracle-backed,
+    locally green at sf0.01 — plus rows-only events_ema) into the window
+    for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
     q = {}
@@ -359,6 +360,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
     q["text_pii_redact"] = textstats.text_pii_redact
     q["sink_partitioned_prune"] = sink_partitioned_prune
+    q["dedup_substring_spans"] = dedup.dedup_substring_spans
+    q["scd2_history_from_events"] = cdc.scd2_history_from_events
+    # per-key sequential recurrence via applyInPandas → rows-only
+    q["events_ema"] = eventtime.events_ema
     # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
@@ -470,6 +475,8 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_bigram_counts"] = corpus.ORACLE_BIGRAM_COUNTS
     oracles["text_pii_redact"] = textstats.ORACLE_TEXT_PII
     oracles["sink_partitioned_prune"] = ORACLE_SINK_PARTITIONED
+    oracles["dedup_substring_spans"] = dedup.ORACLE_DEDUP_SUBSTRING
+    oracles["scd2_history_from_events"] = cdc.ORACLE_SCD2_FROM_EVENTS
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
     oracles.update(behavior.ORACLES)

@@ -203,3 +203,94 @@ class TestPartitionedSink:
         rows = sink_partitioned_prune(spark, sf_dir).collect()
         assert len(rows) > 0
         assert all(r.n_events > 0 for r in rows)
+
+
+class TestSubstringSpans:
+    def test_crafted_shared_span(self, spark, monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        shared = "one two three four five six seven eight"
+        docs = [(1, shared + " tail1 x y"),
+                (2, "head2 " + shared),
+                (3, "totally different words here with no overlap at all")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        monkeypatch.setattr(dedup, "ld",
+                            lambda spark, sf_dir, name, **kw: df)
+        rows = {r.doc_id: r for r in
+                dedup.dedup_substring_spans(spark, "ignored").collect()}
+        # doc 3 shares nothing → absent; docs 1/2 share exactly the one
+        # 8-gram (their other spans are offset by the unique affixes)
+        assert set(rows) == {1, 2}
+        assert rows[1].n_dup_spans == 1 and rows[2].n_dup_spans == 1
+        assert rows[1].n_spans == 4   # 11 tokens → 4 spans
+        assert rows[1].dup_fraction == pytest.approx(1 / 4)
+
+    def test_short_doc_no_descending_sequence(self, spark, monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "also quite short indeed")],
+            "doc_id long, text string")
+        monkeypatch.setattr(dedup, "ld",
+                            lambda spark, sf_dir, name, **kw: df)
+        assert dedup.dedup_substring_spans(spark, "ignored").count() == 0
+
+
+class TestSCD2FromEvents:
+    def test_compress_and_intervals(self, spark, monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            cdc,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            relational,
+        )
+
+        df = _events_df(spark, [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (1, "2024-01-01 11:00:00", 2, "view", 1.0),    # repeat → folded
+            (1, "2024-01-01 12:00:00", 3, "click", 1.0),
+            (1, "2024-01-01 13:00:00", 4, "view", 1.0),    # back again
+        ])
+        monkeypatch.setattr(relational, "load_events",
+                            lambda spark, sf_dir: df)
+        rows = cdc.scd2_history_from_events(spark, "ignored").collect()
+        assert [(r.state, r.valid_from, r.valid_to, r.is_current)
+                for r in rows] == [
+            ("view", "2024-01-01 10:00:00", "2024-01-01 12:00:00", False),
+            ("click", "2024-01-01 12:00:00", "2024-01-01 13:00:00", False),
+            ("view", "2024-01-01 13:00:00", "9999-12-31 00:00:00", True),
+        ]
+
+
+class TestEMA:
+    def test_matches_numpy_loop(self, spark, sf_dir):
+        import numpy as np
+
+        got = {r.event_type: (r.n_events, r.ema_last)
+               for r in eventtime.events_ema(spark, sf_dir).collect()}
+        e = eventtime.load_events(spark, sf_dir) \
+            .select("event_type", "ts", "event_id", "value") \
+            .orderBy("ts", "event_id").collect()
+        by_type = {}
+        for r in e:
+            by_type.setdefault(r.event_type, []).append(r.value)
+        for t, vals in by_type.items():
+            ema = vals[0]
+            for v in vals[1:]:
+                ema = 0.2 * v + 0.8 * ema
+            n, got_ema = got[t]
+            assert n == len(vals)
+            assert got_ema == pytest.approx(ema, rel=1e-9)
+
+    def test_alpha_one_is_last_value(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            (1, "2024-01-01 10:00:00", 1, "a", 5.0),
+            (1, "2024-01-01 11:00:00", 2, "a", 7.0),
+        ])
+        _patched(monkeypatch, df)
+        row = eventtime.events_ema(spark, "ignored", alpha=1.0).first()
+        assert row.ema_last == 7.0 and row.n_events == 2
