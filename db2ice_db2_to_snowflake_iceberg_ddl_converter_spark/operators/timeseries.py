@@ -129,3 +129,64 @@ ORACLES = {
     "events_gapfill_hourly": ORACLE_EVENTS_GAPFILL,
     "events_sliding_hourly": ORACLE_EVENTS_SLIDING,
 }
+
+
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an (event_type, hour)
+    rollup built from the table's first days (the "materialized" state),
+    refreshed with a late-arriving delta batch by merging ONLY the
+    affected buckets — the continuous-aggregate / hypertable-rollup
+    pattern. The oracle recomputes the rollup over the WHOLE table, so
+    the driver check IS the view-maintenance correctness statement:
+    merge(base, delta) ≡ full recompute.
+
+    Scale: refresh cost is O(delta ∪ touched buckets), never O(table) —
+    the base side is already aggregated (at 100 TB it's the stored MV,
+    re-read not re-derived; here both halves come from one scan split by
+    a cutoff). Partial sums stay DECIMAL through the merge (exact,
+    order-independent) and convert to double once at emission. The
+    cutoff derives from the data via a broadcast 1-row cross join — no
+    driver-side collect.
+    """
+    from .relational import DEC, _fmt_ts
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts", F.col("value"))
+    cutoff = e.agg(
+        (F.date_trunc("day", F.min("ts"))
+         + F.expr("INTERVAL 4 DAYS")).alias("cutoff"))
+    tagged = e.crossJoin(F.broadcast(cutoff))
+
+    def _rollup(df):
+        return (df.groupBy("event_type",
+                           F.date_trunc("hour", "ts").alias("hour_start"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast(DEC)).alias("s")))
+
+    base = _rollup(tagged.filter(F.col("ts") < F.col("cutoff")))
+    delta = _rollup(tagged.filter(F.col("ts") >= F.col("cutoff")))
+    merged = (base.withColumnsRenamed({"n": "bn", "s": "bs"})
+              .join(delta.withColumnsRenamed({"n": "dn", "s": "ds"}),
+                    ["event_type", "hour_start"], "full_outer")
+              .select(
+                  "event_type", "hour_start",
+                  (F.coalesce("bn", F.lit(0))
+                   + F.coalesce("dn", F.lit(0))).alias("n_events"),
+                  (F.coalesce(F.col("bs"), F.lit(0).cast(DEC))
+                   + F.coalesce(F.col("ds"), F.lit(0).cast(DEC)))
+                  .cast("double").alias("total_value")))
+    return (merged.select("event_type",
+                          _fmt_ts("hour_start").alias("hour_start"),
+                          "n_events", "total_value")
+            .orderBy("event_type", "hour_start"))
+
+
+ORACLE_ROLLUP_REFRESH = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, hour_start
+"""

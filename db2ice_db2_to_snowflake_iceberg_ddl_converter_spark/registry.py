@@ -284,8 +284,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battery #2 — events_ohlc_bars / events_twap / events_interval_islands
     / events_active_users_7d — graph_hierarchy_depths,
     corpus_bigram_counts, text_pii_redact, sink_partitioned_prune,
-    dedup_substring_spans, scd2_history_from_events — all oracle-backed,
-    locally green at sf0.01 — plus rows-only events_ema) into the window
+    dedup_substring_spans, scd2_history_from_events,
+    rollup_incremental_refresh, sink_dynamic_partition_overwrite — all
+    oracle-backed, locally green at sf0.01 — plus rows-only events_ema)
+    into the window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
@@ -362,6 +364,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sink_partitioned_prune"] = sink_partitioned_prune
     q["dedup_substring_spans"] = dedup.dedup_substring_spans
     q["scd2_history_from_events"] = cdc.scd2_history_from_events
+    q["rollup_incremental_refresh"] = timeseries.rollup_incremental_refresh
+    from .sources.registry import sink_dynamic_partition_overwrite
+    q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
     # per-key sequential recurrence via applyInPandas → rows-only
     q["events_ema"] = eventtime.events_ema
     # proven green in r01/r02:
@@ -477,6 +482,9 @@ def build_oracles() -> dict[str, str]:
     oracles["sink_partitioned_prune"] = ORACLE_SINK_PARTITIONED
     oracles["dedup_substring_spans"] = dedup.ORACLE_DEDUP_SUBSTRING
     oracles["scd2_history_from_events"] = cdc.ORACLE_SCD2_FROM_EVENTS
+    oracles["rollup_incremental_refresh"] = timeseries.ORACLE_ROLLUP_REFRESH
+    from .sources.registry import ORACLE_SINK_DYNPART
+    oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)
     oracles.update(behavior.ORACLES)

@@ -208,3 +208,62 @@ WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def sink_dynamic_partition_overwrite(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Surgical partition replacement: events land hive-partitioned by
+    day; a restatement batch for ONE day (its values doubled) is then
+    written with ``partitionOverwriteMode=dynamic``, which replaces only
+    the partitions present in the incoming frame and leaves every other
+    day's files untouched — the lakehouse restatement/backfill pattern
+    (static overwrite mode would truncate the whole table; at 100 TB the
+    difference is rewriting one day vs. the world).
+
+    The read-back aggregates per day under the decimal protocol; the
+    oracle applies the same one-day restatement as a CASE expression over
+    the raw table, so a mismatch means the overwrite leaked beyond (or
+    missed) its partition.
+    """
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import DEC, load_events
+
+    e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="sink_dynpart_")
+    write_table(e, path, partition_by=["day"])
+    # bounded scalar (1-row min) to pick a restatement day inside the
+    # data range on every fixture regeneration
+    min_day = e.agg(F.min("day")).collect()[0][0]
+    restate_day = min_day + datetime.timedelta(days=1)
+    restated = (e.filter(F.col("day") == F.lit(restate_day))
+                .withColumn("value", F.col("value") * 2))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(path)
+    return (back.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"))
+            .orderBy("day"))
+
+
+ORACLE_SINK_DYNPART = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) =
+                               (SELECT MIN(CAST(ts AS DATE)) + 1 FROM events)
+                          THEN value * 2 ELSE value END
+                     AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY day
+"""

@@ -294,3 +294,57 @@ class TestEMA:
         _patched(monkeypatch, df)
         row = eventtime.events_ema(spark, "ignored", alpha=1.0).first()
         assert row.ema_last == 7.0 and row.n_events == 2
+
+
+class TestIncrementalRefresh:
+    def test_split_is_nontrivial_and_merge_equals_recompute(self, spark,
+                                                           sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            timeseries,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            DEC,
+        )
+
+        e = eventtime.load_events(spark, sf_dir)
+        cutoff = e.agg(F.date_trunc("day", F.min("ts"))
+                       + F.expr("INTERVAL 4 DAYS")).first()[0]
+        n_base = e.filter(F.col("ts") < F.lit(cutoff)).count()
+        n_delta = e.filter(F.col("ts") >= F.lit(cutoff)).count()
+        assert n_base > 0 and n_delta > 0  # both branches carry real work
+
+        merged = timeseries.rollup_incremental_refresh(spark, sf_dir)
+        full = (e.groupBy("event_type",
+                          F.date_format(F.date_trunc("hour", "ts"),
+                                        "yyyy-MM-dd HH:mm:ss")
+                          .alias("hour_start"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast(DEC)).cast("double")
+                     .alias("total_value")))
+        assert merged.count() == full.count()
+        assert merged.exceptAll(full).count() == 0
+
+
+class TestDynamicPartitionOverwrite:
+    def test_only_target_partition_restated(self, spark, sf_dir):
+        import datetime
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            sink_dynamic_partition_overwrite,
+        )
+
+        e = eventtime.load_events(spark, sf_dir) \
+            .withColumn("day", F.to_date("ts"))
+        min_day = e.agg(F.min("day")).first()[0]
+        restate = min_day + datetime.timedelta(days=1)
+        raw = {r.day: (r.n, r.s) for r in
+               e.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("s")).collect()}
+        out = {r.day: (r.n_events, r.total_value) for r in
+               sink_dynamic_partition_overwrite(spark, sf_dir).collect()}
+        assert set(out) == set(raw)  # no partition lost, none added
+        for day, (n, s) in raw.items():
+            factor = 2.0 if day == restate.strftime("%Y-%m-%d") else 1.0
+            assert out[day][0] == n
+            assert out[day][1] == pytest.approx(s * factor, rel=1e-9)

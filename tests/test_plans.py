@@ -260,3 +260,84 @@ class TestLateRoundPlanShapes:
             prof = plan_profile(fn(spark, sf_dir))
             assert prof["cartesian_products"] == 0, fn.__name__
             assert prof["python_evals"] == 0, fn.__name__
+
+
+class TestEventTimePlans:
+    """Round-3 event-time battery: the shared-shuffle claims in each
+    docstring, pinned on the sf0.001 fixture plans."""
+
+    def test_ohlc_single_shuffle(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            eventtime,
+        )
+
+        p = plan_profile(eventtime.events_ohlc_bars(spark, sf_dir))
+        # one keyed exchange feeds window + agg; orderBy adds one range
+        # exchange for emission — anything more means the agg re-shuffled
+        assert p["shuffles"] <= 2
+        assert p["python_evals"] == 0
+
+    def test_twap_single_shuffle(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            eventtime,
+        )
+
+        p = plan_profile(eventtime.events_twap(spark, sf_dir))
+        assert p["shuffles"] <= 2
+        assert p["python_evals"] == 0
+
+    def test_islands_single_shuffle(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            eventtime,
+        )
+
+        p = plan_profile(eventtime.events_interval_islands(spark, sf_dir))
+        assert p["shuffles"] <= 2
+        assert p["python_evals"] == 0
+
+    def test_active_7d_broadcasts_day_set(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            eventtime,
+        )
+
+        p = plan_profile(eventtime.events_active_users_7d(spark, sf_dir))
+        assert p["broadcast_hash_joins"] >= 1
+        assert p["cartesian_products"] == 0
+        assert p["python_evals"] == 0
+
+    def test_bigrams_stay_jvm_side(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        q = corpus.corpus_bigram_counts(spark, sf_dir)
+        assert_no_python_in_plan(q)
+        p = plan_profile(q)
+        assert p["top_k_sorts"] >= 1        # fused TakeOrderedAndProject
+
+    def test_substring_spans_no_cartesian(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        p = plan_profile(dedup.dedup_substring_spans(spark, sf_dir))
+        assert p["cartesian_products"] == 0
+        assert p["broadcast_nested_loop_joins"] == 0
+        assert p["python_evals"] == 0
+
+    def test_pii_redact_stays_jvm_side(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            textstats,
+        )
+
+        assert_no_python_in_plan(textstats.text_pii_redact(spark, sf_dir))
+
+    def test_scd2_from_events_two_windows_one_exchange(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            cdc,
+        )
+
+        p = plan_profile(cdc.scd2_history_from_events(spark, sf_dir))
+        # lag + lead share the (user_id | ts, event_id) sort: one keyed
+        # exchange (+ the emission sort)
+        assert p["shuffles"] <= 2
