@@ -63,6 +63,14 @@ HEADLINE = [
     "events_retention_cohorts",
     "join_salted_hot_key",
     "snapshot_diff_customers",
+    # late round-3 batteries (event-time #2, substring dedup, hierarchy,
+    # LM counts, incremental view maintenance)
+    "events_ohlc_bars",
+    "events_active_users_7d",
+    "dedup_substring_spans",
+    "rollup_incremental_refresh",
+    "graph_hierarchy_depths",
+    "corpus_bigram_counts",
 ]
 
 

@@ -336,3 +336,50 @@ HAVING COUNT(*) >= 20
 ORDER BY n DESC, bigram
 LIMIT 100
 """
+
+
+def corpus_bpe_merge_pairs(spark: SparkSession, sf_dir: str,
+                           k: int = 50) -> DataFrame:
+    """First BPE iteration over the corpus: the top-k adjacent CHARACTER
+    pairs weighted by word frequency — the merge candidates a byte-pair
+    tokenizer trains from.
+
+    The classic BPE scaling trick, expressed relationally: counting runs
+    over the VOCABULARY (token, freq) — O(|V|·token_len) pair rows —
+    never over the raw corpus, because each token's pairs are weighted by
+    its corpus frequency from the first aggregation. Two hash aggregates
+    (corpus→vocab, vocab→pairs), both with map-side partials; pure
+    Catalyst expressions throughout. The per-token pair generator guards
+    ``sequence`` against 1-char tokens (start > stop would emit a
+    DESCENDING sequence, not an empty one).
+    """
+    d = ld(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    pair_expr = F.when(
+        F.length("tok") >= 2,
+        F.expr("transform(sequence(1, length(tok) - 1), "
+               "          i -> substring(tok, i, 2))")
+    ).otherwise(F.array().cast("array<string>"))
+    return (vocab.select(F.explode(pair_expr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), "pair")
+            .limit(k))
+
+
+ORACLE_BPE_MERGE_PAIRS = """
+WITH vocab AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair, freq
+  FROM vocab, UNNEST(range(1, length(tok))) AS t(i)
+  WHERE length(tok) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair
+LIMIT 50
+"""

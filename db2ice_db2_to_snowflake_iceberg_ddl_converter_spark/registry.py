@@ -285,9 +285,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     / events_active_users_7d — graph_hierarchy_depths,
     corpus_bigram_counts, text_pii_redact, sink_partitioned_prune,
     dedup_substring_spans, scd2_history_from_events,
-    rollup_incremental_refresh, sink_dynamic_partition_overwrite — all
-    oracle-backed, locally green at sf0.01 — plus rows-only events_ema)
-    into the window
+    rollup_incremental_refresh, sink_dynamic_partition_overwrite,
+    corpus_bpe_merge_pairs — all oracle-backed, locally green at sf0.01 —
+    plus rows-only events_ema) into the window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
@@ -365,6 +365,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_substring_spans"] = dedup.dedup_substring_spans
     q["scd2_history_from_events"] = cdc.scd2_history_from_events
     q["rollup_incremental_refresh"] = timeseries.rollup_incremental_refresh
+    q["corpus_bpe_merge_pairs"] = corpus.corpus_bpe_merge_pairs
     from .sources.registry import sink_dynamic_partition_overwrite
     q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
     # per-key sequential recurrence via applyInPandas → rows-only
@@ -483,6 +484,7 @@ def build_oracles() -> dict[str, str]:
     oracles["dedup_substring_spans"] = dedup.ORACLE_DEDUP_SUBSTRING
     oracles["scd2_history_from_events"] = cdc.ORACLE_SCD2_FROM_EVENTS
     oracles["rollup_incremental_refresh"] = timeseries.ORACLE_ROLLUP_REFRESH
+    oracles["corpus_bpe_merge_pairs"] = corpus.ORACLE_BPE_MERGE_PAIRS
     from .sources.registry import ORACLE_SINK_DYNPART
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
     oracles.update(analytics.ORACLES)

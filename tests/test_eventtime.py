@@ -348,3 +348,16 @@ class TestDynamicPartitionOverwrite:
             factor = 2.0 if day == restate.strftime("%Y-%m-%d") else 1.0
             assert out[day][0] == n
             assert out[day][1] == pytest.approx(s * factor, rel=1e-9)
+
+
+class TestBPEMergePairs:
+    def test_weighted_char_pairs(self, spark, monkeypatch):
+        # "ab" x3 docs-occurrences, "abc" x1 → pair 'ab' weight 4,
+        # 'bc' weight 1; 1-char token 'x' contributes nothing
+        df = spark.createDataFrame(
+            [(1, "ab ab x"), (2, "ab abc")], "doc_id long, text string")
+        monkeypatch.setattr(corpus, "ld",
+                            lambda spark, sf_dir, name, **kw: df)
+        rows = {r.pair: r.weight for r in
+                corpus.corpus_bpe_merge_pairs(spark, "ignored").collect()}
+        assert rows == {"ab": 4, "bc": 1}
