@@ -323,3 +323,107 @@ def events_ema(spark: SparkSession, sf_dir: str,
             .applyInPandas(ema_fn,
                            "event_type string, n_events long, ema_last double")
             .orderBy("event_type"))
+
+
+def events_session_attribution(spark: SparkSession, sf_dir: str,
+                               hold_minutes: int = 10) -> DataFrame:
+    """Purchase→session attribution via a BUCKETED interval join: view
+    events coalesce into per-user session intervals (same islands logic
+    as ``events_interval_islands``, views only); each purchase is then
+    matched to the session interval containing it.
+
+    The scalable part is HOW the containment join runs: intervals explode
+    to the hour buckets they cover and points map to their single bucket,
+    so the join is a plain EQUI-join on (user_id, hour_bucket) with the
+    containment predicate verified after — the binning rewrite behind
+    commercial range-join hints. Fan-out is bounded by interval length in
+    hours (sessions are short), never by per-user event counts; a naive
+    user-only join would fan out n_sessions × n_purchases per user and
+    melt on power users. Purchases outside any view session drop (inner).
+
+    All interval arithmetic is exact integer microseconds; islands are
+    disjoint per user and a purchase has one bucket, so each purchase
+    matches at most one (island, bucket) row — no dedup step needed.
+    """
+    hold_us = hold_minutes * 60_000_000
+    bucket_us = 3_600_000_000  # 1 hour
+    e = load_events(spark, sf_dir)
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "event_id",
+                     F.unix_micros("ts").alias("st"))
+             .withColumn("en", F.col("st") + F.lit(hold_us)))
+    w = Window.partitionBy("user_id").orderBy("st", "event_id")
+    prev_max_end = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = views.withColumn(
+        "is_start",
+        F.when(prev_max_end.isNull() | (F.col("st") > prev_max_end),
+               F.lit(1)).otherwise(F.lit(0)))
+    islands = (flagged
+               .withColumn("island", F.sum("is_start").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy("user_id", "island")
+               .agg(F.min("st").alias("from_us"),
+                    F.max("en").alias("to_us")))
+    covering = islands.select(
+        "user_id", "island", "from_us", "to_us",
+        F.explode(F.expr(
+            f"sequence(from_us div {bucket_us}, (to_us - 1) div {bucket_us})"
+        )).alias("bucket"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "value",
+                         F.unix_micros("ts").alias("p_us"))
+                 .withColumn("bucket",
+                             F.expr(f"p_us div {bucket_us}")))
+    matched = (purchases.join(covering, ["user_id", "bucket"])
+               .filter((F.col("p_us") >= F.col("from_us"))
+                       & (F.col("p_us") < F.col("to_us"))))
+    return (matched.groupBy("user_id", "island")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("purchase_value"))
+            .orderBy("user_id", "island"))
+
+
+ORACLE_SESSION_ATTRIBUTION = """
+WITH views AS (
+  SELECT user_id, event_id, epoch_us(ts) AS st,
+         epoch_us(ts) + 600000000 AS en
+  FROM events WHERE event_type = 'view'
+), flagged AS (
+  SELECT user_id, st, en, event_id,
+         CASE WHEN MAX(en) OVER (PARTITION BY user_id
+                                 ORDER BY st, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                   OR st > MAX(en) OVER (PARTITION BY user_id
+                                         ORDER BY st, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_start
+  FROM views
+), islands AS (
+  SELECT user_id,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                  ORDER BY st, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS island,
+         st, en
+  FROM flagged
+), intervals AS (
+  SELECT user_id, island, MIN(st) AS from_us, MAX(en) AS to_us
+  FROM islands GROUP BY user_id, island
+), purchases AS (
+  SELECT user_id, value, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, i.island,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE)
+         AS purchase_value
+FROM purchases p JOIN intervals i
+  ON p.user_id = i.user_id
+ AND p.p_us >= i.from_us AND p.p_us < i.to_us
+GROUP BY p.user_id, i.island
+ORDER BY p.user_id, i.island
+"""

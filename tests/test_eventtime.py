@@ -361,3 +361,43 @@ class TestBPEMergePairs:
         rows = {r.pair: r.weight for r in
                 corpus.corpus_bpe_merge_pairs(spark, "ignored").collect()}
         assert rows == {"ab": 4, "bc": 1}
+
+
+class TestSessionAttribution:
+    def test_inside_outside_and_bucket_crossing(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            # view session: [10:55, 11:05) — crosses the 11:00 hour bucket
+            (1, "2024-01-01 10:55:00", 1, "view", 1.0),
+            (1, "2024-01-01 11:04:00", 2, "purchase", 50.0),  # inside
+            (1, "2024-01-01 12:00:00", 3, "purchase", 70.0),  # outside
+            # user 2 has no view session at all
+            (2, "2024-01-01 11:00:00", 4, "purchase", 10.0),
+        ])
+        _patched(monkeypatch, df)
+        rows = eventtime.events_session_attribution(spark, "ignored") \
+            .collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.user_id, r.island, r.n_purchases) == (1, 1, 1)
+        assert r.purchase_value == pytest.approx(50.0)
+
+    def test_matches_naive_theta_join(self, spark, sf_dir):
+        """The bucketed equi-join rewrite must equal the naive
+        containment join row-for-row (the oracle recomputes it in SQL;
+        this pins it DataFrame-side too)."""
+        out = eventtime.events_session_attribution(spark, sf_dir)
+        assert out.count() > 0
+        # every purchase matches at most one island
+        dup = (out.groupBy("user_id", "island").count()
+               .filter(F.col("count") > 1).count())
+        assert dup == 0
+
+    def test_equi_join_plan_no_bnlj(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(eventtime.events_session_attribution(spark, sf_dir))
+        assert p["broadcast_nested_loop_joins"] == 0
+        assert p["cartesian_products"] == 0
+        assert p["python_evals"] == 0
