@@ -142,6 +142,38 @@ ORDER BY event_type
 """
 
 
+def _user_islands(point_events: DataFrame, hold_us: int) -> DataFrame:
+    """Gaps-and-islands core shared by ``events_interval_islands`` and
+    ``events_session_attribution``: each input row opens a [st, st+hold)
+    interval; overlapping/touching intervals per user merge. Input needs
+    (user_id, event_id, ts); returns one row per (user_id, island) with
+    ``from_us``/``to_us`` bounds and ``n_events``.
+
+    Boundary rule (pinned by both call sites' tests and oracles): a new
+    island starts where an interval begins STRICTLY after the running
+    maximum end of all earlier intervals — cumulative MAX over the
+    1-preceding frame, then a cumulative SUM of the flags numbers the
+    islands. One window + one agg on the same user partitioning.
+    """
+    base = (point_events
+            .select("user_id", "event_id", F.unix_micros("ts").alias("st"))
+            .withColumn("en", F.col("st") + F.lit(hold_us)))
+    w = Window.partitionBy("user_id").orderBy("st", "event_id")
+    prev_max_end = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "is_start",
+        F.when(prev_max_end.isNull() | (F.col("st") > prev_max_end),
+               F.lit(1)).otherwise(F.lit(0)))
+    islanded = flagged.withColumn(
+        "island",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islanded.groupBy("user_id", "island")
+            .agg(F.min("st").alias("from_us"),
+                 F.max("en").alias("to_us"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def events_interval_islands(spark: SparkSession, sf_dir: str,
                             hold_minutes: int = 10) -> DataFrame:
     """Coalesce each user's activity into maximal covered intervals
@@ -159,32 +191,14 @@ def events_interval_islands(spark: SparkSession, sf_dir: str,
     user partitioning, so the second groupBy needs no new exchange
     under AQE. State per user is one sort run; users scale out.
     """
-    hold_us = hold_minutes * 60_000_000
-    e = load_events(spark, sf_dir)
-    base = e.select("user_id", "event_id",
-                    F.unix_micros("ts").alias("st")) \
-        .withColumn("en", F.col("st") + F.lit(hold_us))
-    w = Window.partitionBy("user_id").orderBy("st", "event_id")
-    prev_max_end = F.max("en").over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = base.withColumn(
-        "is_start",
-        F.when(prev_max_end.isNull() | (F.col("st") > prev_max_end),
-               F.lit(1)).otherwise(F.lit(0)))
-    islanded = flagged.withColumn(
-        "island",
-        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (islanded.groupBy("user_id", "island")
-            .agg(F.min("st").alias("start_us"),
-                 F.max("en").alias("end_us"),
-                 F.count(F.lit(1)).alias("n_events"))
-            .select("user_id", "island",
-                    _fmt_ts(F.timestamp_micros(F.col("start_us")))
-                    .alias("covered_from"),
-                    _fmt_ts(F.timestamp_micros(F.col("end_us")))
-                    .alias("covered_to"),
-                    "n_events")
-            .orderBy("user_id", "island"))
+    islands = _user_islands(load_events(spark, sf_dir),
+                            hold_minutes * 60_000_000)
+    return (islands.select(
+        "user_id", "island",
+        _fmt_ts(F.timestamp_micros(F.col("from_us"))).alias("covered_from"),
+        _fmt_ts(F.timestamp_micros(F.col("to_us"))).alias("covered_to"),
+        "n_events")
+        .orderBy("user_id", "island"))
 
 
 ORACLE_EVENTS_ISLANDS = """
@@ -345,26 +359,10 @@ def events_session_attribution(spark: SparkSession, sf_dir: str,
     disjoint per user and a purchase has one bucket, so each purchase
     matches at most one (island, bucket) row — no dedup step needed.
     """
-    hold_us = hold_minutes * 60_000_000
     bucket_us = 3_600_000_000  # 1 hour
     e = load_events(spark, sf_dir)
-    views = (e.filter(F.col("event_type") == "view")
-             .select("user_id", "event_id",
-                     F.unix_micros("ts").alias("st"))
-             .withColumn("en", F.col("st") + F.lit(hold_us)))
-    w = Window.partitionBy("user_id").orderBy("st", "event_id")
-    prev_max_end = F.max("en").over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = views.withColumn(
-        "is_start",
-        F.when(prev_max_end.isNull() | (F.col("st") > prev_max_end),
-               F.lit(1)).otherwise(F.lit(0)))
-    islands = (flagged
-               .withColumn("island", F.sum("is_start").over(
-                   w.rowsBetween(Window.unboundedPreceding, 0)))
-               .groupBy("user_id", "island")
-               .agg(F.min("st").alias("from_us"),
-                    F.max("en").alias("to_us")))
+    islands = _user_islands(e.filter(F.col("event_type") == "view"),
+                            hold_minutes * 60_000_000)
     covering = islands.select(
         "user_id", "island", "from_us", "to_us",
         F.explode(F.expr(

@@ -113,6 +113,12 @@ def transitive_roots(parents: DataFrame, n_rounds: int = 6) -> DataFrame:
     absorbing and exact depths survive. Each round is ONE keyed shuffle;
     ``localCheckpoint`` truncates the doubling lineage (same lesson as
     pagerank / dedup.connected_components).
+
+    A parent id with no row of its own (a forest rooted "outside" the
+    node set — e.g. 1-based keys walking to a phantom 0) terminates the
+    walk there: the composition join is LEFT, and a miss keeps the
+    current (anc, d) as final. An inner join would silently DROP such
+    nodes layer by layer and return an empty frame on a 1-based table.
     """
     amap = (parents.select(
         "node", F.col("parent").alias("anc"),
@@ -122,9 +128,11 @@ def transitive_roots(parents: DataFrame, n_rounds: int = 6) -> DataFrame:
         step = amap.select(F.col("node").alias("j_node"),
                            F.col("anc").alias("j_anc"),
                            F.col("d").alias("j_d"))
-        amap = (amap.join(step, amap["anc"] == step["j_node"])
-                .select("node", F.col("j_anc").alias("anc"),
-                        (F.col("d") + F.col("j_d")).alias("d"))
+        amap = (amap.join(step, amap["anc"] == step["j_node"], "left")
+                .select("node",
+                        F.coalesce("j_anc", "anc").alias("anc"),
+                        F.when(F.col("j_d").isNull(), F.col("d"))
+                        .otherwise(F.col("d") + F.col("j_d")).alias("d"))
                 .localCheckpoint())
     return amap.select("node", F.col("anc").alias("root"),
                        F.col("d").alias("depth"))

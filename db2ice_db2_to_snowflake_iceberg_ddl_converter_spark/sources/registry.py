@@ -15,6 +15,19 @@ from pyspark.sql import types as T
 _READERS = ("parquet", "orc", "csv", "json", "text")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that cleans itself up at interpreter exit. The sink demos
+    write real table copies; without this every registry sweep / bench
+    rep would permanently leak a copy of the events table into /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                schema: T.StructType | None = None, **options) -> DataFrame:
     """Read one table. Explicit schema avoids inference scans in production."""
@@ -122,8 +135,6 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats because Spark serializes them round-trippably and the decimal
     protocol quantizes identically afterwards.
     """
-    import tempfile
-
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -134,7 +145,7 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "o_orderpriority"))
     per_fmt = []
     for fmt in ("csv", "json", "orc"):
-        path = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_")
+        path = _scratch_dir(f"roundtrip_{fmt}_")
         write_table(src, path, fmt=fmt)
         back = read_table(spark, path, fmt=fmt,
                           **({"inferSchema": "true"} if fmt == "csv" else {}))
@@ -179,14 +190,13 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bitwise.
     """
     import datetime
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..operators.relational import DEC, load_events
 
     e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
-    path = tempfile.mkdtemp(prefix="sink_part_")
+    path = _scratch_dir("sink_part_")
     write_table(e, path, partition_by=["day"], sort_by=["ts"])
     # bounded scalar: min(day) is one row; the +2 offset keeps the probe
     # inside the data range on every fixture regeneration
@@ -226,14 +236,13 @@ def sink_dynamic_partition_overwrite(spark: SparkSession,
     missed) its partition.
     """
     import datetime
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..operators.relational import DEC, load_events
 
     e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
-    path = tempfile.mkdtemp(prefix="sink_dynpart_")
+    path = _scratch_dir("sink_dynpart_")
     write_table(e, path, partition_by=["day"])
     # bounded scalar (1-row min) to pick a restatement day inside the
     # data range on every fixture regeneration

@@ -136,9 +136,26 @@ class TestHierarchy:
                 d += 1
             return d
 
+        n_customers = graph.ld(spark, sf_dir, "customer",
+                               fanout=False).count()
+        assert len(out) == n_customers  # no node silently dropped
         assert all(root == 0 for root, _ in out.values())
         for ck in list(out):
             assert out[ck][1] == walk(ck), ck
+
+    def test_one_based_forest_phantom_root(self, spark):
+        """Keys 1..20 with parent = k div 2: node 1's parent 0 has no row
+        of its own. The left-join composition must terminate each walk at
+        the phantom root instead of dropping layers (an inner join
+        returns an empty frame here)."""
+        parents = spark.createDataFrame(
+            [(k, k // 2) for k in range(1, 21)], "node long, parent long")
+        out = {r.node: (r.root, r.depth)
+               for r in graph.transitive_roots(parents).collect()}
+        assert len(out) == 20
+        assert all(root == 0 for root, _ in out.values())
+        assert out[1] == (0, 1)
+        assert out[20] == (0, 5)   # 20→10→5→2→1→0
 
     def test_pointer_doubling_deep_chain(self, spark):
         # a pure path 0←1←2←…←40: depth 40 needs the doubling (6 rounds
@@ -383,14 +400,30 @@ class TestSessionAttribution:
 
     def test_matches_naive_theta_join(self, spark, sf_dir):
         """The bucketed equi-join rewrite must equal the naive
-        containment join row-for-row (the oracle recomputes it in SQL;
-        this pins it DataFrame-side too)."""
+        containment theta join row-for-row (the oracle recomputes it in
+        SQL; this pins the same equivalence DataFrame-side)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            DEC,
+        )
+
         out = eventtime.events_session_attribution(spark, sf_dir)
+        e = eventtime.load_events(spark, sf_dir)
+        intervals = eventtime._user_islands(
+            e.filter(F.col("event_type") == "view"), 10 * 60_000_000) \
+            .select("user_id", "island", "from_us", "to_us")
+        p = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "value", F.unix_micros("ts").alias("p_us")))
+        naive = (p.join(intervals, "user_id")
+                 .filter((F.col("p_us") >= F.col("from_us"))
+                         & (F.col("p_us") < F.col("to_us")))
+                 .groupBy("user_id", "island")
+                 .agg(F.count(F.lit(1)).alias("n_purchases"),
+                      F.sum(F.col("value").cast(DEC)).cast("double")
+                      .alias("purchase_value")))
         assert out.count() > 0
-        # every purchase matches at most one island
-        dup = (out.groupBy("user_id", "island").count()
-               .filter(F.col("count") > 1).count())
-        assert dup == 0
+        assert out.count() == naive.count()
+        assert out.exceptAll(naive).count() == 0
+        assert naive.exceptAll(out).count() == 0
 
     def test_equi_join_plan_no_bnlj(self, spark, sf_dir):
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
