@@ -1,0 +1,112 @@
+"""Seeded data-plane fuzz: generated predicates, aggregations, and join
+shapes run on BOTH engines (Spark DataFrame ↔ DuckDB SQL) over the same
+parquet, comparing counts and exact integer aggregates.
+
+The registry's oracle gate checks a fixed query list; this sweeps a
+randomized corner of the expression space every run (seeded → reproducible
+failures) so a Catalyst/DuckDB semantic divergence in comparison, null
+handling, or string ordering surfaces even if no hand-written query
+happens to exercise it. Counts and integer sums only — float formatting
+is the registry's determinism-protocol territory, not the fuzzer's.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+NUM_COLS = ["o_orderkey", "o_custkey"]
+STR_COLS = ["o_orderpriority", "o_orderstatus"]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'")
+    yield con
+    con.close()
+
+
+def _rand_predicate(rng, lo, hi):
+    """One conjunct as (spark_sql_expr, duckdb_sql_expr) — identical text;
+    the point is running the SAME predicate through both parsers."""
+    kind = rng.random()
+    if kind < 0.55:
+        col = rng.choice(NUM_COLS)
+        op = rng.choice(OPS)
+        v = rng.randint(lo, hi)
+        s = f"{col} {op} {v}"
+        return s, s
+    if kind < 0.8:
+        col = rng.choice(STR_COLS)
+        # prefix comparison exercises string collation order
+        ch = rng.choice("0123456789ABCMPU")
+        op = rng.choice(["<", ">=", "="])
+        s = f"substr({col}, 1, 1) {op} '{ch}'"
+        return s, s
+    col = rng.choice(NUM_COLS)
+    a, b = sorted((rng.randint(lo, hi), rng.randint(lo, hi)))
+    s = f"{col} BETWEEN {a} AND {b}"
+    return s, s
+
+
+class TestPredicateFuzz:
+    def test_filter_counts_match(self, spark, sf_dir, duck):
+        rng = random.Random(20260814)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hi = o.agg(F.max("o_orderkey")).first()[0]
+        for trial in range(40):
+            conjuncts = [_rand_predicate(rng, 0, hi)
+                         for _ in range(rng.randint(1, 3))]
+            sp = " AND ".join(c[0] for c in conjuncts)
+            du = " AND ".join(c[1] for c in conjuncts)
+            got = o.filter(sp).count()
+            want = duck.execute(
+                f"SELECT COUNT(*) FROM orders WHERE {du}").fetchone()[0]
+            assert got == want, f"trial {trial}: {sp!r} → {got} vs {want}"
+
+    def test_grouped_integer_aggs_match(self, spark, sf_dir, duck):
+        rng = random.Random(99)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hi = o.agg(F.max("o_orderkey")).first()[0]
+        for trial in range(15):
+            key = rng.choice(STR_COLS)
+            pred, _ = _rand_predicate(rng, 0, hi)
+            got = {tuple(r) for r in
+                   (o.filter(pred).groupBy(key)
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("o_orderkey").alias("s"))
+                    .collect())}
+            want = {tuple(r) for r in duck.execute(
+                f"SELECT {key}, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) "
+                f"FROM orders WHERE {pred} GROUP BY {key}").fetchall()}
+            assert got == want, f"trial {trial}: {pred!r}"
+
+    def test_join_cardinalities_match(self, spark, sf_dir, duck):
+        rng = random.Random(7)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n_cust = c.count()
+        for trial in range(10):
+            cut = rng.randint(0, n_cust)
+            how, sql = rng.choice([
+                ("inner", "JOIN"),
+                ("left", "LEFT JOIN"),
+                ("left_semi", "SEMI JOIN"),
+                ("left_anti", "ANTI JOIN"),
+            ])
+            cf = c.filter(F.col("c_custkey") < cut)
+            if how in ("left_semi", "left_anti"):
+                got = o.join(cf, o.o_custkey == cf.c_custkey, how).count()
+            else:
+                got = o.join(cf, o.o_custkey == cf.c_custkey, how).count()
+            want = duck.execute(
+                f"SELECT COUNT(*) FROM orders o {sql} "
+                f"(SELECT * FROM customer WHERE c_custkey < {cut}) c "
+                f"ON o.o_custkey = c.c_custkey").fetchone()[0]
+            assert got == want, f"trial {trial}: {how} cut={cut}"
