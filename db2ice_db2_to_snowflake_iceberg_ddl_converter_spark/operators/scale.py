@@ -251,3 +251,84 @@ SELECT payload % 10 AS pbucket, COUNT(*) AS n_rows,
 FROM fact JOIN dim USING (hk)
 GROUP BY pbucket ORDER BY pbucket
 """
+
+
+def zorder_value(x: F.Column, y: F.Column) -> F.Column:
+    """Morton (Z-order) code of two 16-bit keys as one BIGINT: bits of x
+    and y interleaved via the classic 4-step mask-spread, pure integer
+    Catalyst expressions (whole-stage codegen, no UDF).
+
+    Sorting/range-partitioning by this value clusters rows so that ANY
+    aligned z-block confines BOTH keys to a small square — the multi-
+    dimensional file-clustering trick (Delta/Iceberg OPTIMIZE ZORDER) that
+    makes min/max footer stats prunable on two columns at once, where a
+    lexicographic sort only serves its leading column.
+    """
+    def spread(v: F.Column) -> F.Column:
+        v = v.bitwiseAND(F.lit(0xFFFF))
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def scale_zorder_zvalues(spark: SparkSession, sf_dir: str,
+                         k: int = 200) -> DataFrame:
+    """Z-order clustering keys over lineitem's (orderkey, partkey) —
+    the write-time layout pass: compute the Morton code, range-partition
+    by it, sort within partitions, write. This query emits the first
+    ``k`` rows of that global z-order so the oracle (identical bit
+    arithmetic in SQL) pins the interleave exactly; the locality property
+    (any aligned z-block confines both keys to a square) is pytest-pinned
+    in tests/test_eventtime.py.
+
+    Plan: one scan + integer codegen + TakeOrderedAndProject — the
+    full-layout variant replaces the top-k with repartitionByRange(zv) +
+    sortWithinPartitions + write (see ``repartition_for_write``).
+    """
+    from .relational import ld
+
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
+    x = F.pmod(F.col("l_orderkey"), F.lit(65536))
+    y = F.pmod(F.col("l_partkey"), F.lit(65536))
+    return (l.select("l_orderkey", "l_partkey", "l_linenumber",
+                     zorder_value(x, y).alias("zv"))
+            .orderBy("zv", "l_orderkey", "l_linenumber")
+            .limit(k))
+
+
+ORACLE_ZORDER = """
+WITH spread AS (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         l_orderkey % 65536 AS x0, l_partkey % 65536 AS y0
+  FROM lineitem
+), s1 AS (
+  SELECT *,
+    ((x0 | (x0 << 8)) & 16711935) AS x1,
+    ((y0 | (y0 << 8)) & 16711935) AS y1
+  FROM spread
+), s2 AS (
+  SELECT *,
+    ((x1 | (x1 << 4)) & 252645135) AS x2,
+    ((y1 | (y1 << 4)) & 252645135) AS y2
+  FROM s1
+), s3 AS (
+  SELECT *,
+    ((x2 | (x2 << 2)) & 858993459) AS x3,
+    ((y2 | (y2 << 2)) & 858993459) AS y3
+  FROM s2
+), s4 AS (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+    ((x3 | (x3 << 1)) & 1431655765) AS xs,
+    ((y3 | (y3 << 1)) & 1431655765) AS ys
+  FROM s3
+)
+SELECT l_orderkey, l_partkey, l_linenumber,
+       (xs | (ys << 1)) AS zv
+FROM s4
+ORDER BY zv, l_orderkey, l_linenumber
+LIMIT 200
+"""

@@ -286,9 +286,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_bigram_counts, text_pii_redact, sink_partitioned_prune,
     dedup_substring_spans, scd2_history_from_events,
     rollup_incremental_refresh, sink_dynamic_partition_overwrite,
-    corpus_bpe_merge_pairs, events_session_attribution — all
-    oracle-backed, locally green at sf0.01 — plus rows-only events_ema)
-    into the window
+    corpus_bpe_merge_pairs, events_session_attribution,
+    scale_zorder_zvalues — all oracle-backed, locally green at sf0.01 —
+    plus rows-only events_ema) into the window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
@@ -368,6 +368,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_incremental_refresh"] = timeseries.rollup_incremental_refresh
     q["corpus_bpe_merge_pairs"] = corpus.corpus_bpe_merge_pairs
     q["events_session_attribution"] = eventtime.events_session_attribution
+    q["scale_zorder_zvalues"] = scale.scale_zorder_zvalues
     from .sources.registry import sink_dynamic_partition_overwrite
     q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
     # per-key sequential recurrence via applyInPandas → rows-only
@@ -489,6 +490,7 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_bpe_merge_pairs"] = corpus.ORACLE_BPE_MERGE_PAIRS
     oracles["events_session_attribution"] = \
         eventtime.ORACLE_SESSION_ATTRIBUTION
+    oracles["scale_zorder_zvalues"] = scale.ORACLE_ZORDER
     from .sources.registry import ORACLE_SINK_DYNPART
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
     oracles.update(analytics.ORACLES)

@@ -434,3 +434,50 @@ class TestSessionAttribution:
         assert p["broadcast_nested_loop_joins"] == 0
         assert p["cartesian_products"] == 0
         assert p["python_evals"] == 0
+
+
+class TestZOrder:
+    def test_interleave_known_values(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            zorder_value,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (65535, 65535), (3, 5)],
+            "x long, y long")
+        got = {(r.x, r.y): r.zv for r in
+               df.select("x", "y", zorder_value(F.col("x"), F.col("y"))
+                         .alias("zv")).collect()}
+
+        def morton(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        for (x, y), zv in got.items():
+            assert zv == morton(x, y), (x, y)
+
+    def test_aligned_block_locality(self, spark, sf_dir):
+        """The property that makes z-order prunable on BOTH keys: inside
+        any aligned block of 4^k consecutive z-values, x and y each span
+        < 2^k. Checked with k=6 (block 4096) over the fixture."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            zorder_value,
+        )
+
+        l = ld(spark, sf_dir, "lineitem", fanout=False)
+        x = F.pmod(F.col("l_orderkey"), F.lit(65536))
+        y = F.pmod(F.col("l_partkey"), F.lit(65536))
+        zv = zorder_value(x, y)
+        spans = (l.select(x.alias("x"), y.alias("y"), zv.alias("zv"))
+                 .withColumn("block", F.expr("zv div 4096"))
+                 .groupBy("block")
+                 .agg((F.max("x") - F.min("x")).alias("dx"),
+                      (F.max("y") - F.min("y")).alias("dy")))
+        bad = spans.filter((F.col("dx") >= 64) | (F.col("dy") >= 64)).count()
+        assert bad == 0
