@@ -351,3 +351,41 @@ SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_orders,
        mn + (bin + 1) * ((mx - mn) / 10.0) AS bin_hi
 FROM binned GROUP BY bin, mn, mx ORDER BY bin
 """
+
+
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count over an ordered window — how many distinct
+    event types each user has touched so far. Spark has no
+    COUNT(DISTINCT) OVER; the engine-level rewrite is
+    ``size(collect_set(...))`` over the cumulative frame, which keeps the
+    distinct state inside the window partition (bounded by the per-key
+    TYPE cardinality, here ≤5 — safe; for unbounded-cardinality columns
+    use the contribute-then-count rewrite of
+    ``eventtime.events_active_users_7d`` instead, which never holds a
+    per-row set). The oracle uses DuckDB's native windowed DISTINCT.
+
+    Plan: one keyed shuffle on user_id; the set state rides the sort run.
+    """
+    from pyspark.sql import Window
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.select(
+        "user_id", "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .alias("n_distinct_types"))
+        .orderBy("user_id", "event_id"))
+
+
+ORACLE_WINDOW_RUNNING_DISTINCT = """
+SELECT user_id, event_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS n_distinct_types
+FROM events WHERE user_id < 20
+ORDER BY user_id, event_id
+"""

@@ -481,3 +481,24 @@ class TestZOrder:
                       (F.max("y") - F.min("y")).alias("dy")))
         bad = spans.filter((F.col("dx") >= 64) | (F.col("dy") >= 64)).count()
         assert bad == 0
+
+
+class TestWindowRunningDistinct:
+    def test_monotone_and_first_is_one(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from pyspark.sql import Window
+
+        out = analytics.window_running_distinct(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        viol = (out.withColumn("prev", F.lag("n_distinct_types").over(w))
+                .filter(F.col("prev").isNotNull()
+                        & (F.col("n_distinct_types") < F.col("prev")))
+                .count())
+        assert viol == 0          # running distinct never decreases
+        firsts = (out.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("user_id").orderBy("event_id")))
+            .filter(F.col("rn") == 1))
+        assert firsts.filter(F.col("n_distinct_types") != 1).count() == 0
