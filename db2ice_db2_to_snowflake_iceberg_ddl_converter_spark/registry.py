@@ -287,7 +287,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_substring_spans, scd2_history_from_events,
     rollup_incremental_refresh, sink_dynamic_partition_overwrite,
     corpus_bpe_merge_pairs, events_session_attribution,
-    scale_zorder_zvalues, window_running_distinct — all
+    scale_zorder_zvalues, window_running_distinct,
+    sink_compact_small_files, source_schema_evolution — all
     oracle-backed, locally green at sf0.01 —
     plus rows-only events_ema) into the window
     for their first driver rows, swap this round's canaries for a fresh
@@ -371,6 +372,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_session_attribution"] = eventtime.events_session_attribution
     q["scale_zorder_zvalues"] = scale.scale_zorder_zvalues
     q["window_running_distinct"] = analytics.window_running_distinct
+    from .sources.registry import (sink_compact_small_files,
+                                   source_schema_evolution)
+    q["sink_compact_small_files"] = sink_compact_small_files
+    q["source_schema_evolution"] = source_schema_evolution
     from .sources.registry import sink_dynamic_partition_overwrite
     q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
     # per-key sequential recurrence via applyInPandas → rows-only
@@ -495,6 +500,10 @@ def build_oracles() -> dict[str, str]:
     oracles["scale_zorder_zvalues"] = scale.ORACLE_ZORDER
     oracles["window_running_distinct"] = \
         analytics.ORACLE_WINDOW_RUNNING_DISTINCT
+    from .sources.registry import (ORACLE_SCHEMA_EVOLUTION,
+                                   ORACLE_SINK_COMPACT)
+    oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
+    oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     from .sources.registry import ORACLE_SINK_DYNPART
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
     oracles.update(analytics.ORACLES)

@@ -276,3 +276,113 @@ FROM events
 GROUP BY CAST(ts AS DATE)
 ORDER BY day
 """
+
+
+def compact_small_files(spark: SparkSession, src_path: str, dst_path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files into few near-target-size files (the OPTIMIZE/compaction
+    maintenance pass every streaming or incremental sink eventually
+    needs — a 100 TB table fed by micro-batches degrades into millions
+    of KB-files whose open/footer costs dominate scans).
+
+    File count = ceil(total_bytes / target): computed from the source
+    listing, executed with coalesce (narrow — no shuffle; compaction
+    must not pay a full exchange just to merge files). Returns the
+    number of output files written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_path)
+    return sum(f.endswith(".parquet") for _r, _d, fs in os.walk(dst_path)
+               for f in fs)
+
+
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``compact_small_files``: fragment the events
+    table into 64 small files, compact back, and aggregate the compacted
+    copy — the oracle (same aggregate over the raw table) proves the
+    rewrite is content-preserving, and the pytest pins the file-count
+    collapse.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import DEC, load_events
+
+    frag = _scratch_dir("compact_src_")
+    out = _scratch_dir("compact_dst_")
+    e = load_events(spark, sf_dir)
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(spark, frag, out)
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"))
+            .orderBy("event_type"))
+
+
+ORACLE_SINK_COMPACT = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with DIFFERENT
+    schemas (the second adds a column — the standard additive evolution
+    a long-lived ingest path accumulates) read back as ONE DataFrame via
+    ``mergeSchema``; rows from the old batch surface the new column as
+    NULL. The oracle reproduces the same union with explicit NULL
+    padding, so the driver check pins Spark's merge semantics exactly.
+    """
+    from pyspark.sql import functions as F
+
+    path = _scratch_dir("schema_evo_")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # split point relative to the key range so both batches are non-empty
+    # at every fixture scale (bounded 1-row scalar, documented pattern)
+    mid = o.agg(F.expr("max(o_orderkey) div 2")).collect()[0][0]
+    batch1 = (o.filter(F.col("o_orderkey") <= mid)
+              .select("o_orderkey", "o_custkey"))
+    batch2 = (o.filter(F.col("o_orderkey") > mid)
+              .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    batch1.write.mode("overwrite").parquet(f"{path}/b=1")
+    batch2.write.mode("overwrite").parquet(f"{path}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b=1", f"{path}/b=2")
+    return (merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>"))
+        .alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("o_custkey").alias("custkey_sum"))
+        .orderBy("priority"))
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH mid AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+merged AS (
+  SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
+  FROM orders, mid WHERE o_orderkey <= m
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders, mid WHERE o_orderkey > m
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+FROM merged
+GROUP BY priority
+ORDER BY priority
+"""

@@ -502,3 +502,38 @@ class TestWindowRunningDistinct:
                 Window.partitionBy("user_id").orderBy("event_id")))
             .filter(F.col("rn") == 1))
         assert firsts.filter(F.col("n_distinct_types") != 1).count() == 0
+
+
+class TestCompaction:
+    def test_file_count_collapses_content_preserved(self, spark, sf_dir,
+                                                    tmp_path):
+        import os
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            compact_small_files,
+        )
+
+        e = eventtime.load_events(spark, sf_dir)
+        frag = str(tmp_path / "frag")
+        out = str(tmp_path / "out")
+        e.repartition(16).write.parquet(frag)
+        n_in = sum(f.endswith(".parquet")
+                   for _r, _d, fs in os.walk(frag) for f in fs)
+        n_out = compact_small_files(spark, frag, out)
+        assert n_in == 16 and n_out == 1   # tiny table → one target file
+        back = spark.read.parquet(out)
+        assert back.count() == e.count()
+        assert back.agg(F.sum("event_id")).first()[0] == \
+            e.agg(F.sum("event_id")).first()[0]
+
+
+class TestSchemaEvolution:
+    def test_old_rows_get_null_new_column(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            source_schema_evolution,
+        )
+
+        rows = {r.priority: r.n_orders for r in
+                source_schema_evolution(spark, sf_dir).collect()}
+        assert "<pre-evolution>" in rows    # batch-1 rows surfaced as NULL
+        assert len(rows) > 1                # batch-2 priorities present
