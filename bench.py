@@ -71,6 +71,9 @@ HEADLINE = [
     "rollup_incremental_refresh",
     "graph_hierarchy_depths",
     "corpus_bigram_counts",
+    "events_session_attribution",
+    "scale_zorder_zvalues",
+    "corpus_bpe_merge_pairs",
 ]
 
 

@@ -275,12 +275,13 @@ def zorder_value(x: F.Column, y: F.Column) -> F.Column:
     return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
 
 
-def scale_zorder_zvalues(spark: SparkSession, sf_dir: str,
-                         k: int = 200) -> DataFrame:
+def scale_zorder_zvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering keys over lineitem's (orderkey, partkey) —
     the write-time layout pass: compute the Morton code, range-partition
     by it, sort within partitions, write. This query emits the first
-    ``k`` rows of that global z-order so the oracle (identical bit
+    200 rows of that global z-order (fixed — the oracle's LIMIT is a
+    constant string, so a parameter here would silently break parity)
+    so the oracle (identical bit
     arithmetic in SQL) pins the interleave exactly; the locality property
     (any aligned z-block confines both keys to a square) is pytest-pinned
     in tests/test_eventtime.py.
@@ -297,7 +298,7 @@ def scale_zorder_zvalues(spark: SparkSession, sf_dir: str,
     return (l.select("l_orderkey", "l_partkey", "l_linenumber",
                      zorder_value(x, y).alias("zv"))
             .orderBy("zv", "l_orderkey", "l_linenumber")
-            .limit(k))
+            .limit(200))
 
 
 ORACLE_ZORDER = """

@@ -354,7 +354,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # late round-3 additions awaiting their round-4 window slot:
     from .operators import eventtime
     from .operators import traindata as _td
-    from .sources.registry import sink_partitioned_prune
+    from .sources.registry import (sink_compact_small_files,
+                                   sink_dynamic_partition_overwrite,
+                                   sink_partitioned_prune,
+                                   source_schema_evolution)
     q["dedup_incremental_exact"] = _td.dedup_incremental_exact
     q["sample_per_group_topn"] = _td.sample_per_group_topn
     q["corpus_mix_weights"] = _td.corpus_mix_weights
@@ -372,11 +375,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_session_attribution"] = eventtime.events_session_attribution
     q["scale_zorder_zvalues"] = scale.scale_zorder_zvalues
     q["window_running_distinct"] = analytics.window_running_distinct
-    from .sources.registry import (sink_compact_small_files,
-                                   source_schema_evolution)
     q["sink_compact_small_files"] = sink_compact_small_files
     q["source_schema_evolution"] = source_schema_evolution
-    from .sources.registry import sink_dynamic_partition_overwrite
     q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
     # per-key sequential recurrence via applyInPandas → rows-only
     q["events_ema"] = eventtime.events_ema
@@ -483,7 +483,10 @@ def _round3_queries():
 
 def build_oracles() -> dict[str, str]:
     from .operators import behavior, eventtime, graph, traindata, validate
-    from .sources.registry import ORACLE_SINK_PARTITIONED
+    from .sources.registry import (ORACLE_SCHEMA_EVOLUTION,
+                                   ORACLE_SINK_COMPACT,
+                                   ORACLE_SINK_DYNPART,
+                                   ORACLE_SINK_PARTITIONED)
 
     oracles = dict(rext.ORACLES)
     oracles.update(eventtime.ORACLES)
@@ -500,11 +503,8 @@ def build_oracles() -> dict[str, str]:
     oracles["scale_zorder_zvalues"] = scale.ORACLE_ZORDER
     oracles["window_running_distinct"] = \
         analytics.ORACLE_WINDOW_RUNNING_DISTINCT
-    from .sources.registry import (ORACLE_SCHEMA_EVOLUTION,
-                                   ORACLE_SINK_COMPACT)
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
-    from .sources.registry import ORACLE_SINK_DYNPART
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
     oracles.update(analytics.ORACLES)
     oracles.update(timeseries.ORACLES)

@@ -491,16 +491,21 @@ class TestWindowRunningDistinct:
         from pyspark.sql import Window
 
         out = analytics.window_running_distinct(spark, sf_dir)
-        w = Window.partitionBy("user_id").orderBy("event_id")
-        viol = (out.withColumn("prev", F.lag("n_distinct_types").over(w))
+        # the operator's running order is (ts, event_id) — join ts back
+        # so the monotonicity probe uses the SAME order (ordering by
+        # event_id alone only works while the fixture assigns ids in
+        # timestamp order, which a regeneration need not preserve)
+        ts = (eventtime.load_events(spark, sf_dir)
+              .select("event_id", "ts"))
+        outts = out.join(ts, "event_id")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        viol = (outts.withColumn("prev", F.lag("n_distinct_types").over(w))
                 .filter(F.col("prev").isNotNull()
                         & (F.col("n_distinct_types") < F.col("prev")))
                 .count())
         assert viol == 0          # running distinct never decreases
-        firsts = (out.withColumn(
-            "rn", F.row_number().over(
-                Window.partitionBy("user_id").orderBy("event_id")))
-            .filter(F.col("rn") == 1))
+        firsts = (outts.withColumn(
+            "rn", F.row_number().over(w)).filter(F.col("rn") == 1))
         assert firsts.filter(F.col("n_distinct_types") != 1).count() == 0
 
 

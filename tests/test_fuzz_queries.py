@@ -101,10 +101,7 @@ class TestPredicateFuzz:
                 ("left_anti", "ANTI JOIN"),
             ])
             cf = c.filter(F.col("c_custkey") < cut)
-            if how in ("left_semi", "left_anti"):
-                got = o.join(cf, o.o_custkey == cf.c_custkey, how).count()
-            else:
-                got = o.join(cf, o.o_custkey == cf.c_custkey, how).count()
+            got = o.join(cf, o.o_custkey == cf.c_custkey, how).count()
             want = duck.execute(
                 f"SELECT COUNT(*) FROM orders o {sql} "
                 f"(SELECT * FROM customer WHERE c_custkey < {cut}) c "
