@@ -187,6 +187,21 @@ def _streaming_queries():
             .alias("window_end"),
             "n_events", "avg_value")
 
+    def streaming_user_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same contract as streaming_user_stats but through the modern
+        Spark 4 stateful API (``transformWithStateInPandas`` + ValueState)
+        when the runtime supports it (rows-only, like v1; the batch-
+        equivalence pytest covers whichever path the environment takes)."""
+        from pyspark.sql import Window
+
+        drained = _drain(spark, ev.user_running_stats_v2(
+            ev.read_events_stream(spark, sf_dir)), "s_ustats2",
+            mode="update")
+        w = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+        return (drained.withColumn("rn", w).filter(F.col("rn") == 1)
+                .select("user_id", "n_events"))
+
     def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """applyInPandasWithState running totals, update-mode: the memory
         sink keeps every update, so take the LAST emitted row per user —
@@ -209,7 +224,8 @@ def _streaming_queries():
             "streaming_session_windows": streaming_session_windows,
             "streaming_dedup": streaming_dedup,
             "streaming_sliding_rollup": streaming_sliding_rollup,
-            "streaming_user_stats": streaming_user_stats}
+            "streaming_user_stats": streaming_user_stats,
+            "streaming_user_stats_v2": streaming_user_stats_v2}
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,8 +305,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_bpe_merge_pairs, events_session_attribution,
     scale_zorder_zvalues, window_running_distinct,
     sink_compact_small_files, source_schema_evolution — all
-    oracle-backed, locally green at sf0.01 —
-    plus rows-only events_ema) into the window
+    oracle-backed, locally green at sf0.01 — plus rows-only events_ema
+    and streaming_user_stats_v2) into the window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
@@ -323,6 +339,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_session_windows"] = sq.pop("streaming_session_windows")
     ivj = sq.pop("streaming_interval_join")   # held back for the canaries
     szs = sq.pop("streaming_zscore_alerts")   # parked past cap (round 4)
+    us2 = sq.pop("streaming_user_stats_v2")   # parked past cap (round 4)
     # ---- window 23-30: rows-only entries earning their first driver row --
     cq = _catalog_queries()
     mig = cq.pop("migrate_customer_cast")
@@ -363,6 +380,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_mix_weights"] = _td.corpus_mix_weights
     q["corpus_token_budget_cut"] = _td.corpus_token_budget_cut
     q["streaming_zscore_alerts"] = szs
+    # Spark 4 transformWithStateInPandas twin of streaming_user_stats
+    q["streaming_user_stats_v2"] = us2
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
