@@ -586,17 +586,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str,
 
     Plan shape (the sharded pipeline the paper's suffix array replaces):
     span generation is a per-row Catalyst ``transform`` over the token
-    array (no Python); one groupBy(gram) computes cross-doc document
-    frequency (map-side partials → O(distinct grams) shuffle state);
-    cross-doc grams then flow back over a hash join keyed on the gram.
-    No all-pairs comparison anywhere; every stage is key-partitioned,
-    so the pipeline shards over grams at 100 TB exactly like the
-    contamination scan (`traindata.py`).
+    array (no Python), consumed by ONE linear pipeline — (doc, gram)
+    occurrence counts, then cross-doc frequency as a COUNT over the
+    gram-partitioned window (each (doc, gram) row is already distinct,
+    so the window count IS the distinct-doc count), then the per-doc
+    roll-up. No self-join against the exploded table, so the heavy
+    scan+explode runs exactly once with no checkpoint (a join-back
+    formulation must either re-derive it — +40% at sf0.1 — or pin the
+    suite's largest intermediate in executor storage — 4x at sf0.01;
+    both measured). No all-pairs comparison anywhere; every stage is
+    key-partitioned, so the pipeline shards over grams at 100 TB exactly
+    like the contamination scan (`traindata.py`).
 
     The ``sequence(1, ...)`` span-start generator is guarded (Spark
     emits DESCENDING sequences when start > stop, so size < n must short-
     circuit to an empty array rather than produce [1, 0]).
     """
+    from pyspark.sql import Window
+
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     grams_expr = F.when(
@@ -604,21 +611,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str,
         F.expr(f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
                f"          i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
                )).otherwise(F.array().cast("array<string>"))
-    # NOT checkpointed although two consumers re-derive it (no exchange
-    # reuse exists here — the DF pass and the probe join exchange on
-    # different keys, verified in the executed plan): recomputing a
-    # pure-codegen scan+explode twice measured 4x FASTER than
-    # materializing the suite's largest intermediate (sf0.01 parity run
-    # 9.3 s checkpointed -> 2.3 s without), and a checkpoint would also
-    # force full materialization for plan-only inspection.
     spans = d.select("doc_id", F.explode(grams_expr).alias("gram"))
-    cross_doc = (spans.groupBy("gram")
-                 .agg(F.count_distinct("doc_id").alias("nd"))
-                 .filter(F.col("nd") >= 2)
-                 .select("gram"))
-    dup_counts = (spans.join(cross_doc, "gram")
+    per_doc_gram = (spans.groupBy("doc_id", "gram")
+                    .agg(F.count(F.lit(1)).alias("occ")))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dup_counts = (per_doc_gram.withColumn("nd", nd)
+                  .filter(F.col("nd") >= 2)
                   .groupBy("doc_id")
-                  .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+                  .agg(F.sum("occ").alias("n_dup_spans")))
     totals = (d.select("doc_id",
                        F.greatest(F.size(toks) - (n - 1), F.lit(0))
                        .alias("n_spans")))
