@@ -82,3 +82,58 @@ def approx_hll_union(spark, sf_dir):
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("approx_union_customers"),
                  F.sum("exact").alias("sum_of_parts")))
+
+
+def frequent_tokens_misra_gries(spark: SparkSession, sf_dir: str,
+                                k: int = 64) -> DataFrame:
+    """Heavy hitters via a distributed Misra-Gries sketch: every input
+    partition summarizes its token stream into at most ``k`` counters
+    (one Arrow pass, O(k) memory regardless of partition size), the
+    per-partition summaries merge by counter addition, and the merged
+    sketch keeps the MG guarantee: any token with true frequency
+    > N/(k+1) MUST survive, and each kept estimate undercounts by at
+    most N/(k+1).
+
+    This is the third mergeable-sketch class in the engine (HLL++ for
+    distinct, GK for quantiles, MG for heavy hitters) — the pattern that
+    makes one-pass corpus profiling possible at 100 TB: executor state
+    is O(k), the shuffle carries partitions × k rows, and the final
+    merge is one reduce. Counter decrement is the only non-trivial step
+    and runs vectorized per Arrow batch.
+
+    Approximate by construction → rows-only driver check;
+    tests/test_eventtime.py pins the support guarantee against the
+    exact counts.
+    """
+    import pandas as pd
+
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                cnt = int(cnt)
+                if tok in counters:
+                    counters[tok] += cnt
+                elif len(counters) < k:
+                    counters[tok] = cnt
+                else:
+                    # decrement all by the min headroom; vectorized over
+                    # the batch via value_counts so this path is rare
+                    dec = min(cnt, min(counters.values()))
+                    counters = {t: c - dec for t, c in counters.items()
+                                if c - dec > 0}
+                    if cnt - dec > 0:
+                        counters[tok] = cnt - dec
+        yield pd.DataFrame({"tok": list(counters),
+                            "est": list(counters.values())})
+
+    summaries = toks.mapInPandas(mg_partition, "tok string, est long")
+    # merge: counter addition keeps the union guarantee (merged error
+    # bounds add); the merged table is <= partitions x k rows — tiny
+    return (summaries.groupBy("tok")
+            .agg(F.sum("est").alias("est_count"))
+            .orderBy(F.desc("est_count"), "tok")
+            .limit(k))

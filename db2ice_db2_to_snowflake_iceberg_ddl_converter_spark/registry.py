@@ -305,8 +305,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_bpe_merge_pairs, events_session_attribution,
     scale_zorder_zvalues, window_running_distinct,
     sink_compact_small_files, source_schema_evolution — all
-    oracle-backed, locally green at sf0.01 — plus rows-only events_ema
-    and streaming_user_stats_v2) into the window
+    oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
+    streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
+    window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
@@ -382,6 +383,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_zscore_alerts"] = szs
     # Spark 4 transformWithStateInPandas twin of streaming_user_stats
     q["streaming_user_stats_v2"] = us2
+    # mergeable Misra-Gries heavy-hitter sketch -> rows-only
+    q["corpus_frequent_tokens_mg"] = approx.frequent_tokens_misra_gries
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts

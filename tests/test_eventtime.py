@@ -542,3 +542,33 @@ class TestSchemaEvolution:
                 source_schema_evolution(spark, sf_dir).collect()}
         assert "<pre-evolution>" in rows    # batch-1 rows surfaced as NULL
         assert len(rows) > 1                # batch-2 priorities present
+
+
+class TestMisraGries:
+    def test_support_guarantee(self, spark, sf_dir):
+        """Any token with true frequency > N/(k+1) must be in the sketch
+        output, and estimates never exceed true counts + 0 (MG only
+        undercounts)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        k = 64
+        got = {r.tok: r.est_count for r in
+               approx.frequent_tokens_misra_gries(spark, sf_dir, k=k)
+               .collect()}
+        toks = (ld(spark, sf_dir, "documents")
+                .select(F.explode(F.split("text", " ")).alias("tok")))
+        exact = {r.tok: r.n for r in
+                 toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        n_total = sum(exact.values())
+        threshold = n_total / (k + 1)
+        for tok, freq in exact.items():
+            if freq > threshold:
+                assert tok in got, (tok, freq, threshold)
+        for tok, est in got.items():
+            assert est <= exact.get(tok, 0)   # undercount only
