@@ -1,5 +1,6 @@
 """Event-time analytics battery #2: OHLC bars, time-weighted averages,
-interval coalescing (gaps-and-islands), and rolling-window distinct users.
+interval coalescing (gaps-and-islands), rolling-window distinct users,
+bucketed interval-join session attribution, and per-key EMA recurrence.
 
 These are the market-data / observability shapes an event table answers
 after migration (reference has no row plane — SURVEY.md §2.2 EXT) and the

@@ -1,9 +1,12 @@
-"""Property tests for the event-time battery #2 (operators/eventtime.py),
-the pointer-doubling hierarchy (operators/graph.py), bigram counts,
-PII redaction, and the partitioned sink. Value exactness is the oracle's
-job (all eight entries are oracle-backed); these pin semantic invariants
-that survive fixture regeneration, on crafted inputs where the invariant
-needs a known answer."""
+"""Property tests for the late round-3 batteries: event-time #2
+(OHLC/TWAP/islands/7-day actives/EMA/session attribution), pointer-
+doubling hierarchy, bigram + BPE LM counts, PII redaction, substring-span
+dedup, SCD2-from-events, incremental view maintenance, the partitioned /
+dynamic-overwrite / compaction sinks, schema evolution, z-order, running
+distinct, and the Misra-Gries sketch. Value exactness is the oracle's job
+for the oracle-backed entries; these pin semantic invariants that survive
+fixture regeneration, on crafted inputs where the invariant needs a known
+answer."""
 
 import pytest
 from pyspark.sql import functions as F
