@@ -389,3 +389,150 @@ SELECT user_id, event_id,
 FROM events WHERE user_id < 20
 ORDER BY user_id, event_id
 """
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse marketing query. Recency is measured against the
+    dataset's max order date (never the wall clock — deterministic and
+    replayable), frequency is the order count, monetary the exact-decimal
+    spend; each axis is cut at fixed business thresholds (portable
+    integer/decimal comparisons, no data-dependent quantiles) and the
+    result is the segment census.
+
+    Plan: one groupBy(custkey) over orders (keyed shuffle, map-side
+    partials), the max-date scalar rides a broadcast 1-row cross join,
+    and the census is a second tiny aggregation. Customers shard the
+    state; nothing is driver-side.
+    """
+    o = ld(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast(DEC))
+                     .alias("monetary")))
+    scored = (per_cust.crossJoin(F.broadcast(anchor))
+              .select(
+                  "o_custkey",
+                  F.datediff(F.to_date("anchor"), F.to_date("last_order"))
+                  .alias("recency_days"),
+                  "frequency",
+                  F.col("monetary").cast("double").alias("monetary"))
+              .withColumn("r_band",
+                          F.when(F.col("recency_days") <= 90, "R1")
+                          .when(F.col("recency_days") <= 365, "R2")
+                          .otherwise("R3"))
+              .withColumn("f_band",
+                          F.when(F.col("frequency") >= 20, "F1")
+                          .when(F.col("frequency") >= 10, "F2")
+                          .otherwise("F3"))
+              .withColumn("m_band",
+                          F.when(F.col("monetary") >= 2_000_000, "M1")
+                          .when(F.col("monetary") >= 1_000_000, "M2")
+                          .otherwise("M3")))
+    return (scored.groupBy("r_band", "f_band", "m_band")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("monetary").cast(DEC)).cast("double")
+                 .alias("segment_value"))
+            .orderBy("r_band", "f_band", "m_band"))
+
+
+ORACLE_CUSTOMER_RFM = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(last_order AS DATE), CAST(a AS DATE))
+           AS recency_days,
+         frequency,
+         CAST(monetary AS DOUBLE) AS monetary
+  FROM per_cust, anchor
+), banded AS (
+  SELECT *,
+         CASE WHEN recency_days <= 90 THEN 'R1'
+              WHEN recency_days <= 365 THEN 'R2' ELSE 'R3' END AS r_band,
+         CASE WHEN frequency >= 20 THEN 'F1'
+              WHEN frequency >= 10 THEN 'F2' ELSE 'F3' END AS f_band,
+         CASE WHEN monetary >= 2000000 THEN 'M1'
+              WHEN monetary >= 1000000 THEN 'M2' ELSE 'M3' END AS m_band
+  FROM scored
+)
+SELECT r_band, f_band, m_band, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE)
+         AS segment_value
+FROM banded
+GROUP BY r_band, f_band, m_band
+ORDER BY r_band, f_band, m_band
+"""
+
+
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue;
+    class A covers the first 80% of cumulative revenue share, B to 95%,
+    C the tail. Emits the 3-row class census (parts, revenue, share).
+
+    The cumulative sum runs over the per-part revenue table ORDERED
+    GLOBALLY — safe here because that table is dimension-sized (one row
+    per part, not per lineitem; the fact-table pass is the keyed groupBy
+    before it). Shares divide exact decimal cumsums by the exact decimal
+    total, and the class boundary comparison runs on identically-derived
+    doubles in both engines (same decimal→double cast, same multiply),
+    so banding can't flip at the edges.
+    """
+    from pyspark.sql import Window
+
+    l = ld(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (l.groupBy("l_partkey")
+                .agg(F.sum(rev.cast(DEC)).alias("revenue")))
+    w = (Window.orderBy(F.desc("revenue"), "l_partkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = per_part.agg(F.sum("revenue").alias("total_rev"))
+    classed = (per_part
+               .withColumn("cum_rev", F.sum("revenue").over(w))
+               .crossJoin(F.broadcast(total))
+               .withColumn("cum_d", F.col("cum_rev").cast("double"))
+               .withColumn("tot_d", F.col("total_rev").cast("double"))
+               .withColumn(
+                   "abc",
+                   F.when(F.col("cum_d") <= F.col("tot_d") * 0.80, "A")
+                   .when(F.col("cum_d") <= F.col("tot_d") * 0.95, "B")
+                   .otherwise("C")))
+    return (classed.groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(F.col("revenue")).cast("double")
+                 .alias("class_revenue"))
+            .orderBy("abc"))
+
+
+ORACLE_PART_ABC = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS revenue
+  FROM lineitem GROUP BY l_partkey
+), total AS (SELECT SUM(revenue) AS total_rev FROM per_part),
+classed AS (
+  SELECT p.l_partkey, p.revenue,
+         SUM(p.revenue) OVER (ORDER BY p.revenue DESC, p.l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_rev,
+         t.total_rev
+  FROM per_part p, total t
+)
+SELECT CASE WHEN CAST(cum_rev AS DOUBLE)
+                 <= CAST(total_rev AS DOUBLE) * 0.80 THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE)
+                 <= CAST(total_rev AS DOUBLE) * 0.95 THEN 'B'
+            ELSE 'C' END AS abc,
+       COUNT(*) AS n_parts,
+       CAST(SUM(revenue) AS DOUBLE) AS class_revenue
+FROM classed
+GROUP BY abc
+ORDER BY abc
+"""

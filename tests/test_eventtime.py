@@ -575,3 +575,34 @@ class TestMisraGries:
                 assert tok in got, (tok, freq, threshold)
         for tok, est in got.items():
             assert est <= exact.get(tok, 0)   # undercount only
+
+
+class TestRFMAndABC:
+    def test_rfm_census_covers_all_customers(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        out = analytics.customer_rfm_segments(spark, sf_dir)
+        n_seg = out.agg(F.sum("n_customers")).first()[0]
+        n_cust = (ld(spark, sf_dir, "orders")
+                  .select("o_custkey").distinct().count())
+        assert n_seg == n_cust    # every ordering customer lands in a cell
+
+    def test_abc_pareto_shape(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+
+        rows = {r.abc: (r.n_parts, r.class_revenue) for r in
+                analytics.part_abc_analysis(spark, sf_dir).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        total = sum(v for _n, v in rows.values())
+        # class A holds ~80% of revenue with a minority of parts
+        assert rows["A"][1] / total <= 0.80 + 0.01
+        assert rows["A"][1] / total > 0.5
+        n_total = sum(n for n, _v in rows.values())
+        assert rows["A"][0] < n_total * 0.9
