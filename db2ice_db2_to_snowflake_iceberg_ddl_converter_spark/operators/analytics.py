@@ -536,3 +536,71 @@ FROM classed
 GROUP BY abc
 ORDER BY abc
 """
+
+
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via a sweep line: an order is open from
+    its order date until its last line ships; the concurrent-interval
+    count per day is the running sum of +1 (open) / −1 (close) deltas —
+    the classic interval-counting rewrite that replaces a day×order
+    containment join (quadratic) with two scans and a cumulative sum.
+
+    Plan: per-order close dates are one keyed groupBy on the fact table;
+    each order then emits exactly two delta rows; the per-day delta
+    aggregation is keyed by day; the final running sum orders the
+    DAY-LEVEL table — bounded by calendar span (a few thousand rows at
+    any data scale), so the global window is dimension-sized, never
+    fact-sized. Pure integer arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_day"))
+    l = ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day"))
+    close = (l.groupBy("l_orderkey")
+             .agg(F.max("ship_day").alias("close_day")))
+    # the synthetic fixture has orders whose last ship date precedes the
+    # order date; clamp so every interval covers at least its order day
+    # (otherwise the +1/-1 sweep and a containment count diverge)
+    spans = (o.join(close, o["o_orderkey"] == close["l_orderkey"])
+             .withColumn("close_day",
+                         F.greatest("close_day", "open_day")))
+    deltas = (spans.select(F.col("open_day").alias("day"),
+                           F.lit(1).alias("delta"))
+              .unionAll(spans.select(
+                  F.date_add("close_day", 1).alias("day"),
+                  F.lit(-1).alias("delta"))))
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_day
+            .withColumn("open_orders", F.sum("net").over(w))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("open_orders").cast("long").alias("open_orders"))
+            .orderBy("day"))
+
+
+ORACLE_ORDERS_BACKLOG = """
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         GREATEST(c.close_day, CAST(o.o_orderdate AS DATE)) AS close_day
+  FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+), deltas AS (
+  SELECT open_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_day + 1 AS day, -1 AS delta FROM spans
+), per_day AS (
+  SELECT day, SUM(delta) AS net FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM per_day
+ORDER BY day
+"""

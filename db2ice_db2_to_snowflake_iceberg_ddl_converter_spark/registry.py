@@ -305,7 +305,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_bpe_merge_pairs, events_session_attribution,
     scale_zorder_zvalues, window_running_distinct,
     sink_compact_small_files, source_schema_evolution,
-    customer_rfm_segments, part_abc_analysis — all
+    customer_rfm_segments, part_abc_analysis,
+    orders_open_backlog_daily — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window
@@ -388,6 +389,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_frequent_tokens_mg"] = approx.frequent_tokens_misra_gries
     q["customer_rfm_segments"] = analytics.customer_rfm_segments
     q["part_abc_analysis"] = analytics.part_abc_analysis
+    q["orders_open_backlog_daily"] = analytics.orders_open_backlog_daily
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -530,6 +532,7 @@ def build_oracles() -> dict[str, str]:
         analytics.ORACLE_WINDOW_RUNNING_DISTINCT
     oracles["customer_rfm_segments"] = analytics.ORACLE_CUSTOMER_RFM
     oracles["part_abc_analysis"] = analytics.ORACLE_PART_ABC
+    oracles["orders_open_backlog_daily"] = analytics.ORACLE_ORDERS_BACKLOG
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART

@@ -606,3 +606,43 @@ class TestRFMAndABC:
         assert rows["A"][1] / total > 0.5
         n_total = sum(n for n, _v in rows.values())
         assert rows["A"][0] < n_total * 0.9
+
+
+class TestBacklogSweepLine:
+    def test_matches_containment_count_on_probe_days(self, spark, sf_dir):
+        """The sweep-line running sum must equal the naive 'count orders
+        whose interval contains this day' on sampled probe days."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        out = {r.day: r.open_orders for r in
+               analytics.orders_open_backlog_daily(spark, sf_dir)
+               .collect()}
+        o = ld(spark, sf_dir, "orders").select(
+            "o_orderkey", F.to_date("o_orderdate").alias("open_day"))
+        close = (ld(spark, sf_dir, "lineitem")
+                 .groupBy("l_orderkey")
+                 .agg(F.max(F.to_date("l_shipdate")).alias("close_day")))
+        spans = o.join(close, o.o_orderkey == close.l_orderkey) \
+            .select("open_day",
+                    F.greatest("close_day", "open_day").alias("close_day")) \
+            .collect()
+        days = sorted(out)
+        for probe in (days[0], days[len(days) // 2], days[-2]):
+            naive = sum(1 for r in spans
+                        if r.open_day.strftime("%Y-%m-%d") <= probe
+                        <= r.close_day.strftime("%Y-%m-%d"))
+            assert out[probe] == naive, probe
+
+    def test_backlog_never_negative_and_ends_at_zero(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+
+        rows = analytics.orders_open_backlog_daily(spark, sf_dir).collect()
+        assert all(r.open_orders >= 0 for r in rows)
+        assert rows[-1].open_orders == 0    # every order eventually closes
