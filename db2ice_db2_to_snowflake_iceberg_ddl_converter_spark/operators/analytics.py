@@ -604,3 +604,77 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM per_day
 ORDER BY day
 """
+
+
+def geo_nearest_site_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment (the spatial-join lite every logistics
+    migration asks for): each customer gets deterministic planar
+    coordinates derived from its key (integer-derived doubles — identical
+    in both engines; no fixture column carries geography), five fixed
+    distribution sites are broadcast, and each customer is assigned to
+    the site minimizing squared equirectangular distance — pure
+    arithmetic, no transcendental functions, so the scores (and therefore
+    the argmin) are bitwise portable. Ties break on site id via the
+    ROW_NUMBER ordering, mirrored exactly in the oracle.
+
+    Plan: customers × 5 sites is a constant per-row fan-out (explode of a
+    5-element literal array — no join), then one window over
+    (custkey | dist2, site) and one site-level census. At any scale the
+    only shuffle state is per-customer ranking plus a 5-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    sites = [(1, 10.0, 15.0), (2, -35.0, 40.0), (3, 55.0, -20.0),
+             (4, -10.0, -60.0), (5, 70.0, 80.0)]
+    c = ld(spark, sf_dir, "customer").select("c_custkey")
+    lat = ((F.col("c_custkey") % 180) - 90).cast("double") \
+        + F.lit(0.25)
+    lon = ((F.col("c_custkey") % 360) - 180).cast("double") \
+        + F.lit(0.5)
+    located = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    site_arr = F.array(*[
+        F.struct(F.lit(sid).alias("site_id"),
+                 F.lit(slat).alias("slat"), F.lit(slon).alias("slon"))
+        for sid, slat, slon in sites])
+    exploded = located.select(
+        "c_custkey", "lat", "lon", F.explode(site_arr).alias("s"))
+    d2 = ((F.col("lat") - F.col("s.slat"))
+          * (F.col("lat") - F.col("s.slat"))
+          + (F.col("lon") - F.col("s.slon"))
+          * (F.col("lon") - F.col("s.slon")))
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s.site_id")
+    nearest = (exploded.withColumn("d2", d2)
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    return (nearest.groupBy(F.col("s.site_id").alias("site_id"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("d2").cast(DEC)).cast("double")
+                 .alias("total_dist2"))
+            .orderBy("site_id"))
+
+
+ORACLE_GEO_NEAREST = """
+WITH located AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 180) - 90 AS DOUBLE) + 0.25 AS lat,
+         CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.5 AS lon
+  FROM customer
+), sites(site_id, slat, slon) AS (
+  VALUES (1, 10.0, 15.0), (2, -35.0, 40.0), (3, 55.0, -20.0),
+         (4, -10.0, -60.0), (5, 70.0, 80.0)
+), scored AS (
+  SELECT l.c_custkey, s.site_id,
+         (l.lat - s.slat) * (l.lat - s.slat)
+           + (l.lon - s.slon) * (l.lon - s.slon) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY l.c_custkey
+                            ORDER BY (l.lat - s.slat) * (l.lat - s.slat)
+                                     + (l.lon - s.slon) * (l.lon - s.slon),
+                                     s.site_id) AS rn
+  FROM located l, sites s
+)
+SELECT site_id, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS total_dist2
+FROM scored WHERE rn = 1
+GROUP BY site_id
+ORDER BY site_id
+"""

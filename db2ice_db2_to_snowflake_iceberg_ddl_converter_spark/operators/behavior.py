@@ -266,3 +266,71 @@ ORACLES = {
     "events_transition_matrix": ORACLE_TRANSITIONS,
     "events_value_zscore": ORACLE_ZSCORE,
 }
+
+
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type segments: for every unordered
+    type pair, how many distinct users belong to both — plus each pair's
+    Jaccard overlap as an exact integer ratio.
+
+    Scale shape: the naive formulation self-joins the (type, user)
+    membership table on user (fan-out quadratic in per-user segment
+    count ACROSS the join); this instead collects each user's segment
+    SET (bounded by the type cardinality, here 5) and explodes the
+    ordered pairs per user — pair generation is per-row work on a
+    5-element array, and the only shuffles are the user dedup and the
+    O(types²) pair count. Segment sizes ride the same scan for the
+    Jaccard denominator via a broadcast join.
+    """
+    e = load_events(spark, sf_dir)
+    membership = e.select("event_type", "user_id").distinct()
+    sizes = (membership.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("seg_size")))
+    per_user = (membership.groupBy("user_id")
+                .agg(F.sort_array(F.collect_set("event_type"))
+                     .alias("segs")))
+    pairs = per_user.select(
+        F.explode(F.expr(
+            "flatten(transform(segs, (a, i) -> "
+            "  transform(slice(segs, i + 2, size(segs)), "
+            "            b -> struct(a, b))))")).alias("p"))
+    counted = (pairs.select(F.col("p.a").alias("seg_a"),
+                            F.col("p.b").alias("seg_b"))
+               .groupBy("seg_a", "seg_b")
+               .agg(F.count(F.lit(1)).alias("n_shared_users")))
+    sa = sizes.select(F.col("event_type").alias("seg_a"),
+                      F.col("seg_size").alias("size_a"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"),
+                      F.col("seg_size").alias("size_b"))
+    return (counted.join(F.broadcast(sa), "seg_a")
+            .join(F.broadcast(sb), "seg_b")
+            .select("seg_a", "seg_b", "n_shared_users",
+                    (F.col("n_shared_users").cast("double")
+                     / (F.col("size_a") + F.col("size_b")
+                        - F.col("n_shared_users")).cast("double"))
+                    .alias("jaccard"))
+            .orderBy("seg_a", "seg_b"))
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH membership AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS seg_size FROM membership
+  GROUP BY event_type
+), shared AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         COUNT(*) AS n_shared_users
+  FROM membership a JOIN membership b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT s.seg_a, s.seg_b, s.n_shared_users,
+       CAST(s.n_shared_users AS DOUBLE)
+         / CAST(za.seg_size + zb.seg_size - s.n_shared_users AS DOUBLE)
+         AS jaccard
+FROM shared s
+JOIN sizes za ON za.event_type = s.seg_a
+JOIN sizes zb ON zb.event_type = s.seg_b
+ORDER BY seg_a, seg_b
+"""

@@ -306,7 +306,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scale_zorder_zvalues, window_running_distinct,
     sink_compact_small_files, source_schema_evolution,
     customer_rfm_segments, part_abc_analysis,
-    orders_open_backlog_daily — all
+    orders_open_backlog_daily, audience_overlap_matrix,
+    geo_nearest_site_assignment — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window
@@ -390,6 +391,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["customer_rfm_segments"] = analytics.customer_rfm_segments
     q["part_abc_analysis"] = analytics.part_abc_analysis
     q["orders_open_backlog_daily"] = analytics.orders_open_backlog_daily
+    from .operators import behavior as _bh
+    q["audience_overlap_matrix"] = _bh.audience_overlap_matrix
+    q["geo_nearest_site_assignment"] = analytics.geo_nearest_site_assignment
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -533,6 +537,8 @@ def build_oracles() -> dict[str, str]:
     oracles["customer_rfm_segments"] = analytics.ORACLE_CUSTOMER_RFM
     oracles["part_abc_analysis"] = analytics.ORACLE_PART_ABC
     oracles["orders_open_backlog_daily"] = analytics.ORACLE_ORDERS_BACKLOG
+    oracles["audience_overlap_matrix"] = behavior.ORACLE_AUDIENCE_OVERLAP
+    oracles["geo_nearest_site_assignment"] = analytics.ORACLE_GEO_NEAREST
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART

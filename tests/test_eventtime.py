@@ -646,3 +646,38 @@ class TestBacklogSweepLine:
         rows = analytics.orders_open_backlog_daily(spark, sf_dir).collect()
         assert all(r.open_orders >= 0 for r in rows)
         assert rows[-1].open_orders == 0    # every order eventually closes
+
+
+class TestAudienceAndGeo:
+    def test_overlap_matches_naive_self_join(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            behavior,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        out = {(r.seg_a, r.seg_b): r.n_shared_users for r in
+               behavior.audience_overlap_matrix(spark, sf_dir).collect()}
+        m = load_events(spark, sf_dir) \
+            .select("event_type", "user_id").distinct()
+        a, b = m.alias("a"), m.alias("b")
+        naive = {(r.sa, r.sb): r.n for r in
+                 (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                         & (F.col("a.event_type") < F.col("b.event_type")))
+                  .groupBy(F.col("a.event_type").alias("sa"),
+                           F.col("b.event_type").alias("sb"))
+                  .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        assert out == naive
+
+    def test_geo_every_customer_assigned_once(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        out = analytics.geo_nearest_site_assignment(spark, sf_dir)
+        total = out.agg(F.sum("n_customers")).first()[0]
+        assert total == ld(spark, sf_dir, "customer").count()
