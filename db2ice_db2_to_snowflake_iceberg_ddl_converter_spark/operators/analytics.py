@@ -678,3 +678,96 @@ FROM scored WHERE rn = 1
 GROUP BY site_id
 ORDER BY site_id
 """
+
+
+def supplier_on_time_scorecard(spark: SparkSession, sf_dir: str,
+                               window_days: int = 90) -> DataFrame:
+    """Supplier delivery scorecard: per supplier, the rate of lines
+    shipped within ``window_days`` of the order date, the average
+    overshoot in days over late lines (exact integer day sums ÷ count),
+    and the line volume — the vendor-performance query every
+    supply-chain migration validates (the fixture carries only
+    l_shipdate, so lateness is measured against the order date).
+
+    Plan: one orders⋈lineitem equi-join on the order key (the single
+    fact-fact shuffle), then one keyed groupBy with pure integer /
+    conditional aggregates (map-side partials); supplier cardinality
+    shards the state. Rates are exact integer ratios divided once as
+    doubles.
+    """
+    o = ld(spark, sf_dir, "orders", fanout=False).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate"))
+    l = ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sdate"))
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    late_days = F.datediff("sdate", "odate") - F.lit(window_days)
+    is_late = (late_days > 0).cast("long")
+    return (j.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(is_late).alias("n_late"),
+                 F.sum(F.when(late_days > 0, late_days)
+                       .otherwise(F.lit(0))).alias("late_day_sum"))
+            .select(
+                "l_suppkey", "n_lines", "n_late",
+                (F.lit(1.0) - F.col("n_late").cast("double")
+                 / F.col("n_lines").cast("double")).alias("on_time_rate"),
+                F.when(F.col("n_late") > 0,
+                       F.col("late_day_sum").cast("double")
+                       / F.col("n_late").cast("double"))
+                .otherwise(F.lit(0.0)).alias("avg_late_days"))
+            .orderBy("l_suppkey"))
+
+
+ORACLE_SUPPLIER_SCORECARD = """
+WITH j AS (
+  SELECT l.l_suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) - 90 AS late_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), agg AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+         SUM(CASE WHEN late_days > 0 THEN 1 ELSE 0 END) AS n_late,
+         SUM(CASE WHEN late_days > 0 THEN late_days ELSE 0 END)
+           AS late_day_sum
+  FROM j GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_lines, CAST(n_late AS BIGINT) AS n_late,
+       1.0 - CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         AS on_time_rate,
+       CASE WHEN n_late > 0
+            THEN CAST(late_day_sum AS DOUBLE) / CAST(n_late AS DOUBLE)
+            ELSE 0.0 END AS avg_late_days
+FROM agg
+ORDER BY l_suppkey
+"""
+
+
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap feed: event counts and exact-decimal value
+    totals per (day-of-week, hour-of-day) cell — the 7×24 profile behind
+    load forecasting and anomaly baselines. Day names come from the
+    locale-stable short pattern so both engines emit identical labels.
+
+    One groupBy on a derived 168-cell key: map-side partials collapse any
+    data volume to at most 168 rows per task.
+    """
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    return (e.groupBy(F.date_format("ts", "E").alias("dow"),
+                      F.hour("ts").alias("hour_of_day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"))
+            .orderBy("dow", "hour_of_day"))
+
+
+ORACLE_EVENTS_DOW_HOUR = """
+SELECT strftime(ts, '%a') AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY dow, hour_of_day
+ORDER BY dow, hour_of_day
+"""
