@@ -771,3 +771,81 @@ FROM events
 GROUP BY dow, hour_of_day
 ORDER BY dow, hour_of_day
 """
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str,
+                        mad_cut: float = 3.5) -> DataFrame:
+    """Robust outlier flags per event type: |x − median| > cut · MAD
+    (median absolute deviation) — the robust twin of the z-score pass
+    (behavior.events_value_zscore), immune to the outliers it hunts.
+
+    Both order statistics use the portable rank rule "smallest value
+    whose 1-based rank ≥ ceil(0.5·n)" (agg_percentiles) — exact-value
+    selection, no interpolation, so the medians are bitwise identical in
+    both engines; the deviation and threshold comparison then run on
+    identically-derived doubles. Two keyed window/agg passes (values,
+    then absolute deviations) plus a broadcast join of the 5-row
+    per-type statistics back over the stream — the flagging scan does no
+    extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+
+    def _rank_median(df, col, part):
+        w = Window.partitionBy(part).orderBy(col, "event_id")
+        ranked = df.select(
+            part, "event_id", F.col(col).alias("v"),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy(part)).alias("n"))
+        return (ranked.groupBy(part)
+                .agg(F.min(F.when(
+                    F.col("rk") >= F.ceil(F.lit(0.5) * F.col("n")),
+                    F.col("v"))).alias(f"med_{col}")))
+
+    med = _rank_median(e, "value", "event_type")
+    dev = (e.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med_value"))))
+    mad = _rank_median(dev, "adev", "event_type") \
+        .withColumnRenamed("med_adev", "mad")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("adev") > F.lit(mad_cut) * F.col("mad"))
+            .select("event_id", "event_type", "value",
+                    (F.col("adev") / F.col("mad")).alias("mad_score"))
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_MAD = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk >= CEIL(0.5 * n) THEN value END) AS med_value
+  FROM ranked GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ABS(e.value - m.med_value) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), dev_ranked AS (
+  SELECT event_type, event_id, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk >= CEIL(0.5 * n) THEN adev END) AS mad
+  FROM dev_ranked GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.adev / m.mad AS mad_score
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev > 3.5 * m.mad
+ORDER BY d.event_id
+"""
