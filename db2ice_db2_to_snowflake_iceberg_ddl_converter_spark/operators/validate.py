@@ -246,3 +246,49 @@ ORACLES = {
     "snapshot_diff_customers": ORACLE_SNAPSHOT_DIFF,
     "migrate_reconcile_customers": ORACLE_RECONCILE,
 }
+
+
+def observe_scan_metrics(spark, sf_dir) -> "DataFrame":
+    """Data-quality metrics via Spark's Observation API: the counters
+    ride the SAME pass as a real consuming action (here a noop-ish count
+    over the filtered stream) instead of paying a second scan — the
+    production pattern for row-level quality telemetry on 100 TB jobs
+    (a separate metrics query would double the I/O bill).
+
+    The observed values (row count, null count, exact-decimal value sum,
+    min/max event id) are emitted as a 1-row DataFrame; the oracle
+    computes the same aggregates directly, so the driver check proves
+    the piggybacked metrics equal a dedicated aggregation pass.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from .relational import DEC, load_events
+
+    e = load_events(spark, sf_dir)
+    obs = Observation("scan_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_null_value"]), float(m["value_sum"]),
+          int(m["min_event_id"]), int(m["max_event_id"]))],
+        "n_rows long, n_null_value long, value_sum double, "
+        "min_event_id long, max_event_id long")
+
+
+ORACLE_OBSERVE_METRICS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+"""

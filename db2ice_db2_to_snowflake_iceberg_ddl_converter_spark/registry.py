@@ -308,7 +308,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     customer_rfm_segments, part_abc_analysis,
     orders_open_backlog_daily, audience_overlap_matrix,
     geo_nearest_site_assignment, supplier_on_time_scorecard,
-    events_dow_hour_profile, events_mad_outliers — all
+    events_dow_hour_profile, events_mad_outliers,
+    observe_scan_metrics — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window
@@ -398,6 +399,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["supplier_on_time_scorecard"] = analytics.supplier_on_time_scorecard
     q["events_dow_hour_profile"] = analytics.events_dow_hour_profile
     q["events_mad_outliers"] = analytics.events_mad_outliers
+    from .operators import validate as _vd
+    q["observe_scan_metrics"] = _vd.observe_scan_metrics
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -547,6 +550,7 @@ def build_oracles() -> dict[str, str]:
         analytics.ORACLE_SUPPLIER_SCORECARD
     oracles["events_dow_hour_profile"] = analytics.ORACLE_EVENTS_DOW_HOUR
     oracles["events_mad_outliers"] = analytics.ORACLE_EVENTS_MAD
+    oracles["observe_scan_metrics"] = validate.ORACLE_OBSERVE_METRICS
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
