@@ -107,3 +107,30 @@ class TestPredicateFuzz:
                 f"(SELECT * FROM customer WHERE c_custkey < {cut}) c "
                 f"ON o.o_custkey = c.c_custkey").fetchone()[0]
             assert got == want, f"trial {trial}: {how} cut={cut}"
+
+
+class TestDecimalProtocolFuzz:
+    def test_money_sums_bitwise_identical(self, spark, sf_dir, duck):
+        """The engine's determinism protocol (per-row cast to
+        DECIMAL(28,6), exact sum, one cast to double) must produce
+        BITWISE-equal doubles in both engines for arbitrary filtered
+        groupings — fuzzed, because the fixed registry can't cover the
+        grouping×predicate space."""
+        import struct
+
+        rng = random.Random(4242)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hi = o.agg(F.max("o_orderkey")).first()[0]
+        for trial in range(12):
+            key = rng.choice(STR_COLS)
+            pred, _ = _rand_predicate(rng, 0, hi)
+            got = {r[0]: struct.pack("<d", r[1]) for r in
+                   (o.filter(pred).groupBy(key)
+                    .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                         .cast("double").alias("s")).collect())
+                   if r[1] is not None}
+            want = {r[0]: struct.pack("<d", r[1]) for r in duck.execute(
+                f"SELECT {key}, CAST(SUM(CAST(o_totalprice AS "
+                f"DECIMAL(28,6))) AS DOUBLE) FROM orders WHERE {pred} "
+                f"GROUP BY {key}").fetchall() if r[1] is not None}
+            assert got == want, f"trial {trial}: {pred!r} by {key}"
