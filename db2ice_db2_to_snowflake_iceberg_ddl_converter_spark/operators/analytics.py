@@ -849,3 +849,48 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 WHERE d.adev > 3.5 * m.mad
 ORDER BY d.event_id
 """
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI trend query: monthly
+    exact-decimal revenue, the previous month's figure via lag, and the
+    percent change computed from identically-derived doubles (single
+    division; NULL for the first month).
+
+    Plan: one keyed month aggregation collapses any order volume to a
+    calendar-sized table; the lag window then orders THAT table (global
+    window over dimension-sized data — same stance as the ABC cumsum).
+    """
+    from pyspark.sql import Window
+
+    o = ld(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_trunc("month", "o_orderdate")
+                         .alias("month_start"))
+               .agg(F.sum(F.col("o_totalprice").cast(DEC))
+                    .alias("rev")))
+    w = Window.orderBy("month_start")
+    cur = F.col("rev").cast("double")
+    prev = F.lag("rev").over(w).cast("double")
+    return (monthly
+            .select(F.date_format("month_start", "yyyy-MM")
+                    .alias("month"),
+                    cur.alias("revenue"),
+                    ((cur - prev) / prev).alias("mom_growth"))
+            .orderBy("month"))
+
+
+ORACLE_ORDERS_MONTHLY_GROWTH = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY month_start
+)
+SELECT strftime(month_start, '%Y-%m') AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       (CAST(rev AS DOUBLE)
+          - CAST(LAG(rev) OVER (ORDER BY month_start) AS DOUBLE))
+         / CAST(LAG(rev) OVER (ORDER BY month_start) AS DOUBLE)
+         AS mom_growth
+FROM monthly
+ORDER BY month
+"""

@@ -421,3 +421,93 @@ SELECT c_custkey,
 FROM m
 ORDER BY c_custkey
 """
+
+
+def text_langid_eval(spark, sf_dir) -> "DataFrame":
+    """Classifier evaluation metrics on Spark: per-language precision,
+    recall, and F1 for the language-ID heuristic against the labeled
+    ``lang`` column — the model-eval aggregation an ML data pipeline runs
+    after every labeling pass. F1 uses the integer-exact formulation
+    ``2·tp / (2·tp + fp + fn)`` (one division on identically-derived
+    operands — no p·r/(p+r) float composition).
+
+    Built FROM the confusion counts (text_langid): tp on the diagonal,
+    fp summed down the predicted column, fn along the actual row — three
+    tiny aggregations over the ≤25-cell matrix.
+    """
+    conf = text_langid(spark, sf_dir)
+    tp = (conf.filter(F.col("lang") == F.col("predicted_lang"))
+          .select(F.col("lang").alias("language"),
+                  F.col("n").alias("tp")))
+    fp = (conf.filter(F.col("lang") != F.col("predicted_lang"))
+          .groupBy(F.col("predicted_lang").alias("language"))
+          .agg(F.sum("n").alias("fp")))
+    fn = (conf.filter(F.col("lang") != F.col("predicted_lang"))
+          .groupBy(F.col("lang").alias("language"))
+          .agg(F.sum("n").alias("fn")))
+    j = (tp.join(fp, "language", "full_outer")
+         .join(fn, "language", "full_outer")
+         .select("language",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 F.coalesce("fp", F.lit(0)).alias("fp"),
+                 F.coalesce("fn", F.lit(0)).alias("fn")))
+    return (j.select(
+        "language", "tp", "fp", "fn",
+        F.try_divide(F.col("tp").cast("double"),
+                     (F.col("tp") + F.col("fp")).cast("double"))
+        .alias("precision"),
+        F.try_divide(F.col("tp").cast("double"),
+                     (F.col("tp") + F.col("fn")).cast("double"))
+        .alias("recall"),
+        F.try_divide((2 * F.col("tp")).cast("double"),
+                     (2 * F.col("tp") + F.col("fp")
+                      + F.col("fn")).cast("double")).alias("f1"))
+        .orderBy("language"))
+
+
+ORACLE_TEXT_LANGID_EVAL = """
+WITH h AS (
+  SELECT lang,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['the','a','of','and','is'])) AS en_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['el','la','de','y','es'])) AS es_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['der','die','das','und','ist'])) AS de_h,
+         len(list_intersect(list_distinct(string_split(text,' ')),
+             ['le','la','et','est','un'])) AS fr_h
+  FROM documents
+), conf AS (
+  SELECT lang,
+         CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+              WHEN es_h >= de_h AND es_h >= fr_h AND es_h > 0 THEN 'es'
+              WHEN de_h >= fr_h AND de_h > 0 THEN 'de'
+              WHEN fr_h > 0 THEN 'fr'
+              ELSE 'und' END AS predicted_lang,
+         COUNT(*) AS n
+  FROM h GROUP BY 1, 2
+), tp AS (
+  SELECT lang AS language, n AS tp FROM conf WHERE lang = predicted_lang
+), fp AS (
+  SELECT predicted_lang AS language, SUM(n) AS fp FROM conf
+  WHERE lang <> predicted_lang GROUP BY predicted_lang
+), fn AS (
+  SELECT lang AS language, SUM(n) AS fn FROM conf
+  WHERE lang <> predicted_lang GROUP BY lang
+), j AS (
+  SELECT COALESCE(tp.language, fp.language, fn.language) AS language,
+         COALESCE(tp.tp, 0) AS tp,
+         CAST(COALESCE(fp.fp, 0) AS BIGINT) AS fp,
+         CAST(COALESCE(fn.fn, 0) AS BIGINT) AS fn
+  FROM tp FULL OUTER JOIN fp ON tp.language = fp.language
+  FULL OUTER JOIN fn ON COALESCE(tp.language, fp.language) = fn.language
+)
+SELECT language, tp, fp, fn,
+       CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0)
+         AS precision,
+       CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0) AS recall,
+       CAST(2 * tp AS DOUBLE) / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0)
+         AS f1
+FROM j
+ORDER BY language
+"""
