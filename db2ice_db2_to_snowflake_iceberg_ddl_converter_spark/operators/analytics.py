@@ -894,3 +894,51 @@ SELECT strftime(month_start, '%Y-%m') AS month,
 FROM monthly
 ORDER BY month
 """
+
+
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over parts: the (retail price, size)
+    points not dominated by any other part (cheaper-or-equal AND
+    bigger-or-equal with at least one strict) — the multi-criteria
+    shortlist query (cheapest-per-capability).
+
+    Scalable formulation: collapse to one row per price (max size — it
+    dominates its price peers), then ONE ordered window: a point is on
+    the frontier iff its size strictly exceeds the running max size of
+    all strictly cheaper points. The window runs over the price-distinct
+    table (bounded by price cardinality, not part count). The oracle
+    uses the NAIVE quadratic NOT EXISTS dominance test — a different
+    formulation entirely, so the driver check proves the rewrite.
+    """
+    from pyspark.sql import Window
+
+    p = ld(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"))
+    per_price = p.groupBy("price").agg(F.max("size").alias("size"))
+    w = Window.orderBy("price")
+    prev_max = F.max("size").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    return (per_price
+            .withColumn("prev_max", prev_max)
+            .filter(F.col("prev_max").isNull()
+                    | (F.col("size") > F.col("prev_max")))
+            .select(F.col("price").cast("double").alias("price"), "size")
+            .orderBy("price"))
+
+
+ORACLE_PART_PARETO = """
+WITH pts AS (
+  SELECT price, MAX(size) AS size FROM (
+    SELECT p_retailprice AS price, p_size AS size FROM part)
+  GROUP BY price
+)
+SELECT CAST(a.price AS DOUBLE) AS price, a.size
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+ORDER BY price
+"""

@@ -309,7 +309,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders_open_backlog_daily, audience_overlap_matrix,
     geo_nearest_site_assignment, supplier_on_time_scorecard,
     events_dow_hour_profile, events_mad_outliers,
-    observe_scan_metrics, orders_monthly_growth, text_langid_eval — all
+    observe_scan_metrics, orders_monthly_growth, text_langid_eval,
+    part_pareto_frontier — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window
@@ -403,6 +404,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["observe_scan_metrics"] = _vd.observe_scan_metrics
     q["orders_monthly_growth"] = analytics.orders_monthly_growth
     q["text_langid_eval"] = textstats.text_langid_eval
+    q["part_pareto_frontier"] = analytics.part_pareto_frontier
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -556,6 +558,7 @@ def build_oracles() -> dict[str, str]:
     oracles["orders_monthly_growth"] = \
         analytics.ORACLE_ORDERS_MONTHLY_GROWTH
     oracles["text_langid_eval"] = textstats.ORACLE_TEXT_LANGID_EVAL
+    oracles["part_pareto_frontier"] = analytics.ORACLE_PART_PARETO
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART

@@ -681,3 +681,22 @@ class TestAudienceAndGeo:
         out = analytics.geo_nearest_site_assignment(spark, sf_dir)
         total = out.agg(F.sum("n_customers")).first()[0]
         assert total == ld(spark, sf_dir, "customer").count()
+
+
+class TestParetoFrontier:
+    def test_crafted_dominance(self, spark, monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+
+        df = spark.createDataFrame(
+            [(10.0, 5), (10.0, 7),    # same price: only max size counts
+             (12.0, 7),               # equal size, pricier → dominated
+             (15.0, 9),               # bigger → frontier
+             (20.0, 8)],              # pricier and smaller → dominated
+            "p_retailprice double, p_size int")
+        monkeypatch.setattr(analytics, "ld",
+                            lambda spark, sf_dir, name, **kw: df)
+        rows = [(r.price, r.size) for r in
+                analytics.part_pareto_frontier(spark, "ignored").collect()]
+        assert rows == [(10.0, 7), (15.0, 9)]
