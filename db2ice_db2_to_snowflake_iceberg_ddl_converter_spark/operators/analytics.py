@@ -942,3 +942,77 @@ WHERE NOT EXISTS (
 )
 ORDER BY price
 """
+
+
+def basket_part_affinity(spark: SparkSession, sf_dir: str,
+                         min_support: int = 2, k: int = 50) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same order,
+    with support counts and lift (P(a,b) / P(a)P(b) as the exact integer
+    ratio n_ab·N / (n_a·n_b)) — association-rules lite, the
+    cross-sell query.
+
+    Scale shape: baskets are collected per order (basket size is bounded
+    by order width, single digits here) and pairs explode PER ROW from
+    the sorted part array — the same pair-generation rewrite as
+    audience_overlap_matrix, avoiding the lineitem self-join whose
+    fan-out is quadratic per order ACROSS a shuffle. Per-part totals
+    broadcast back for the lift denominator. The oracle runs the
+    self-join formulation, so parity proves the rewrite.
+    """
+    l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    distinct_lp = l.distinct()
+    n_orders = distinct_lp.select("l_orderkey").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    part_counts = (distinct_lp.groupBy("l_partkey")
+                   .agg(F.count(F.lit(1)).alias("n_part")))
+    baskets = (distinct_lp.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    pairs = baskets.select(
+        F.explode(F.expr(
+            "flatten(transform(parts, (a, i) -> "
+            "  transform(slice(parts, i + 2, size(parts)), "
+            "            b -> struct(a, b))))")).alias("p"))
+    counted = (pairs.select(F.col("p.a").alias("part_a"),
+                            F.col("p.b").alias("part_b"))
+               .groupBy("part_a", "part_b")
+               .agg(F.count(F.lit(1)).alias("n_pair"))
+               .filter(F.col("n_pair") >= min_support))
+    ca = part_counts.select(F.col("l_partkey").alias("part_a"),
+                            F.col("n_part").alias("n_a"))
+    cb = part_counts.select(F.col("l_partkey").alias("part_b"),
+                            F.col("n_part").alias("n_b"))
+    return (counted.join(F.broadcast(ca), "part_a")
+            .join(F.broadcast(cb), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "n_pair",
+                    ((F.col("n_pair") * F.col("n_orders")).cast("double")
+                     / (F.col("n_a") * F.col("n_b")).cast("double"))
+                    .alias("lift"))
+            .orderBy(F.desc("n_pair"), "part_a", "part_b")
+            .limit(k))
+
+
+ORACLE_BASKET_AFFINITY = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
+pc AS (
+  SELECT l_partkey, COUNT(*) AS n_part FROM lp GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_pair
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       CAST(p.n_pair * n.n_orders AS DOUBLE)
+         / CAST(ca.n_part * cb.n_part AS DOUBLE) AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b, n
+ORDER BY n_pair DESC, part_a, part_b
+LIMIT 50
+"""

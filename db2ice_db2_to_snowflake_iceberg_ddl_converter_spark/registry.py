@@ -310,7 +310,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     geo_nearest_site_assignment, supplier_on_time_scorecard,
     events_dow_hour_profile, events_mad_outliers,
     observe_scan_metrics, orders_monthly_growth, text_langid_eval,
-    part_pareto_frontier — all
+    part_pareto_frontier, basket_part_affinity — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window
@@ -405,6 +405,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_monthly_growth"] = analytics.orders_monthly_growth
     q["text_langid_eval"] = textstats.text_langid_eval
     q["part_pareto_frontier"] = analytics.part_pareto_frontier
+    q["basket_part_affinity"] = analytics.basket_part_affinity
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -559,6 +560,7 @@ def build_oracles() -> dict[str, str]:
         analytics.ORACLE_ORDERS_MONTHLY_GROWTH
     oracles["text_langid_eval"] = textstats.ORACLE_TEXT_LANGID_EVAL
     oracles["part_pareto_frontier"] = analytics.ORACLE_PART_PARETO
+    oracles["basket_part_affinity"] = analytics.ORACLE_BASKET_AFFINITY
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART
