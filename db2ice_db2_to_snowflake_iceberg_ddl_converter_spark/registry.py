@@ -313,7 +313,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     part_pareto_frontier, basket_part_affinity — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
-    window
+    window. The parked list (~31) exceeds the slots one window frees
+    after canaries: fill round 4 to exactly 50 in the order above and
+    carry the overflow into the round-5 window
     for their first driver rows, swap this round's canaries for a fresh
     family-spanning set, and keep everything r03-green past the cap.
     """
