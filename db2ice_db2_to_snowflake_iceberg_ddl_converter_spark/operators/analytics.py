@@ -746,7 +746,9 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality heatmap feed: event counts and exact-decimal value
     totals per (day-of-week, hour-of-day) cell — the 7×24 profile behind
     load forecasting and anomaly baselines. Day names come from the
-    locale-stable short pattern so both engines emit identical labels.
+    locale-stable short pattern so both engines emit identical labels;
+    rows emit in CHRONOLOGICAL weekday order (sorted on the day number,
+    not the label).
 
     One groupBy on a derived 168-cell key: map-side partials collapse any
     data volume to at most 168 rows per task.
@@ -754,12 +756,14 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import load_events
 
     e = load_events(spark, sf_dir)
-    return (e.groupBy(F.date_format("ts", "E").alias("dow"),
+    return (e.groupBy(F.dayofweek("ts").alias("dow_num"),
+                      F.date_format("ts", "E").alias("dow"),
                       F.hour("ts").alias("hour_of_day"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast(DEC)).cast("double")
                  .alias("total_value"))
-            .orderBy("dow", "hour_of_day"))
+            .orderBy("dow_num", "hour_of_day")
+            .select("dow", "hour_of_day", "n_events", "total_value"))
 
 
 ORACLE_EVENTS_DOW_HOUR = """
@@ -768,8 +772,8 @@ SELECT strftime(ts, '%a') AS dow,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
 FROM events
-GROUP BY dow, hour_of_day
-ORDER BY dow, hour_of_day
+GROUP BY dow, hour_of_day, dayofweek(ts)
+ORDER BY dayofweek(ts), hour_of_day
 """
 
 
@@ -796,7 +800,11 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str,
         "event_id", "event_type", "value")
 
     def _rank_median(df, col, part):
-        w = Window.partitionBy(part).orderBy(col, "event_id")
+        # NULLS LAST pinned explicitly: Spark windows default NULLS
+        # FIRST, DuckDB NULLS LAST — a nullable value column would
+        # silently shift the rank-rule pick between engines otherwise
+        w = Window.partitionBy(part).orderBy(
+            F.col(col).asc_nulls_last(), "event_id")
         ranked = df.select(
             part, "event_id", F.col(col).alias("v"),
             F.row_number().over(w).alias("rk"),
@@ -822,7 +830,7 @@ ORACLE_EVENTS_MAD = """
 WITH ranked AS (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rk,
+                            ORDER BY value NULLS LAST, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ), med AS (
@@ -836,7 +844,7 @@ WITH ranked AS (
 ), dev_ranked AS (
   SELECT event_type, event_id, adev,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY adev, event_id) AS rk,
+                            ORDER BY adev NULLS LAST, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM dev
 ), mad AS (
@@ -968,11 +976,9 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str,
     baskets = (distinct_lp.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey"))
                     .alias("parts")))
-    pairs = baskets.select(
-        F.explode(F.expr(
-            "flatten(transform(parts, (a, i) -> "
-            "  transform(slice(parts, i + 2, size(parts)), "
-            "            b -> struct(a, b))))")).alias("p"))
+    from .relational import pair_explode
+
+    pairs = baskets.select(F.explode(pair_explode("parts")).alias("p"))
     counted = (pairs.select(F.col("p.a").alias("part_a"),
                             F.col("p.b").alias("part_b"))
                .groupBy("part_a", "part_b")

@@ -289,11 +289,9 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (membership.groupBy("user_id")
                 .agg(F.sort_array(F.collect_set("event_type"))
                      .alias("segs")))
-    pairs = per_user.select(
-        F.explode(F.expr(
-            "flatten(transform(segs, (a, i) -> "
-            "  transform(slice(segs, i + 2, size(segs)), "
-            "            b -> struct(a, b))))")).alias("p"))
+    from .relational import pair_explode
+
+    pairs = per_user.select(F.explode(pair_explode("segs")).alias("p"))
     counted = (pairs.select(F.col("p.a").alias("seg_a"),
                             F.col("p.b").alias("seg_b"))
                .groupBy("seg_a", "seg_b")

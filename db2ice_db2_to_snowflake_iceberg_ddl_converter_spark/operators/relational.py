@@ -137,6 +137,17 @@ def _fmt_ts(col) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def pair_explode(array_col: str) -> F.Column:
+    """All ordered pairs (a, b) with a before b from a SORTED array
+    column — the per-row pair-generation rewrite that replaces a
+    self-join when co-membership sets are small (audience overlap,
+    market baskets). Returns an array<struct<a,b>> to explode."""
+    return F.expr(
+        f"flatten(transform({array_col}, (a, i) -> "
+        f"  transform(slice({array_col}, i + 2, size({array_col})), "
+        f"            b -> struct(a, b))))")
+
+
 ORACLE_STREAMING_INTERVAL_JOIN = """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id AS user_id,

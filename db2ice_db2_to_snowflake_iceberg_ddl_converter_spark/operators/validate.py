@@ -276,9 +276,16 @@ def observe_scan_metrics(spark, sf_dir) -> "DataFrame":
         F.max("event_id").alias("max_event_id"))
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    def _opt(v, conv):
+        # SUM/MIN/MAX observe as None on an empty (or all-NULL) input —
+        # degrade to NULL cells like any aggregation would, don't crash
+        return None if v is None else conv(v)
+
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["n_null_value"]), float(m["value_sum"]),
-          int(m["min_event_id"]), int(m["max_event_id"]))],
+        [(int(m["n_rows"]), _opt(m["n_null_value"], int),
+          _opt(m["value_sum"], float),
+          _opt(m["min_event_id"], int), _opt(m["max_event_id"], int))],
         "n_rows long, n_null_value long, value_sum double, "
         "min_event_id long, max_event_id long")
 
