@@ -426,3 +426,52 @@ FROM purchases p JOIN intervals i
 GROUP BY p.user_id, i.island
 ORDER BY p.user_id, i.island
 """
+
+
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE class):
+    find V-shapes in each user's value sequence — two strictly falling
+    steps followed by two strictly rising steps — and count matches per
+    user. Spark has no MATCH_RECOGNIZE; fixed-length row patterns
+    compile to a lag chain over ONE ordered window, which is exactly how
+    the engines that do support it execute the bounded-pattern case.
+
+    Plan: one keyed window (user_id | ts, event_id) producing four lags,
+    one boolean per row (pattern ends here), one count per user — a
+    single shuffle; pattern evaluation is whole-stage codegen.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3, l4 = (F.lag("value", i).over(w) for i in (1, 2, 3, 4))
+    is_v = (l4.isNotNull()
+            & (l3 < l4) & (l2 < l3)          # two falling steps
+            & (l1 > l2) & (F.col("value") > l1))  # two rising steps
+    return (e.withColumn("v_end", is_v.cast("long"))
+            .groupBy("user_id")
+            .agg(F.sum("v_end").alias("n_vshapes"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_vshapes") > 0)
+            .orderBy("user_id"))
+
+
+ORACLE_PATTERN_VSHAPE = """
+WITH lagged AS (
+  SELECT user_id, value,
+         LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+         LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN l4 IS NOT NULL AND l3 < l4 AND l2 < l3
+                          AND l1 > l2 AND value > l1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_vshapes,
+       COUNT(*) AS n_events
+FROM lagged
+GROUP BY user_id
+HAVING SUM(CASE WHEN l4 IS NOT NULL AND l3 < l4 AND l2 < l3
+                     AND l1 > l2 AND value > l1
+                THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""

@@ -190,3 +190,77 @@ FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, hour_start
 """
+
+
+def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation (last observation carried forward): each user's
+    sparse daily observations become a DENSE per-day series over the
+    user's own active range, missing days filled with the most recent
+    value — the panel-data imputation every feature store runs before
+    training on irregular observations.
+
+    Restricted to user_id < 15 to bound emitted rows (the dense grid is
+    users × days). Shape: per-(user, day) last value (keyed agg with a
+    deterministic (ts, event_id) tiebreak via MAX_BY on the packed key),
+    the user's day range densified JVM-side with ``sequence()`` (each
+    user expands only its own span — no global calendar cross join),
+    then ONE window ``last(ignorenulls)`` per user carries values
+    forward. The filled value is bitwise-portable (carried, not
+    computed).
+    """
+    from pyspark.sql import Window
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
+    # last observation per (user, day): deterministic pick via the
+    # packed (within-day offset, event_id) ordering key — the offset
+    # stays < 8.64e10 so the pack cannot overflow a BIGINT (full epoch
+    # micros * 1e5 would)
+    okey = (F.unix_micros("ts") % 86400000000) * 100000         + F.col("event_id") % 100000
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.max_by("value", okey).alias("day_value")))
+    spans = (daily.groupBy("user_id")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1")))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "day"], "left")
+            .withColumn("filled_value",
+                        F.last("day_value", ignorenulls=True).over(w))
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("day_value").isNotNull().alias("observed"),
+                    "filled_value")
+            .orderBy("user_id", "day"))
+
+
+ORACLE_EVENTS_LOCF = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         arg_max(value, (epoch_us(ts) % 86400000000) * 100000
+                        + event_id % 100000)
+           AS day_value
+  FROM events WHERE user_id < 15
+  GROUP BY user_id, CAST(ts AS DATE)
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+  GROUP BY user_id
+), grid AS (
+  SELECT s.user_id,
+         CAST(UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM spans s
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       d.day_value IS NOT NULL AS observed,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_value
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, day
+"""
