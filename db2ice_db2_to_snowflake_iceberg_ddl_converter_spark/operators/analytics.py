@@ -1022,3 +1022,86 @@ JOIN pc cb ON cb.l_partkey = p.part_b, n
 ORDER BY n_pair DESC, part_a, part_b
 LIMIT 50
 """
+
+
+def orders_keyset_page(spark: SparkSession, sf_dir: str,
+                       page_size: int = 25) -> DataFrame:
+    """Keyset (seek) pagination — the serving pattern that replaces
+    OFFSET: page N+1 starts WHERE key > last-seen-key, so the engine
+    seeks instead of scanning-and-discarding N pages. OFFSET pagination
+    at depth d costs O(d·page) per request at any scale; keyset stays
+    O(page) and the predicate pushes to the scan.
+
+    Demonstrated deterministically: the "last seen" key is derived from
+    the data (the page_size-th smallest orderkey — itself a bounded
+    TakeOrderedAndProject), then the next page is fetched with the seek
+    predicate. Output is page 2 exactly.
+    """
+    o = ld(spark, sf_dir, "orders", fanout=False).select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    # bounded scalar: the page-1 boundary key (page_size-th smallest)
+    last_seen = (o.orderBy("o_orderkey").limit(page_size)
+                 .agg(F.max("o_orderkey")).collect()[0][0])
+    return (o.filter(F.col("o_orderkey") > last_seen)
+            .orderBy("o_orderkey")
+            .limit(page_size))
+
+
+ORACLE_ORDERS_KEYSET = """
+WITH boundary AS (
+  SELECT MAX(o_orderkey) AS last_seen FROM (
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25)
+)
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders, boundary
+WHERE o_orderkey > last_seen
+ORDER BY o_orderkey
+LIMIT 25
+"""
+
+
+def customers_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer-adoption curve: per month, how many NEW
+    customers placed their first-ever order, and the running total — the
+    growth chart behind every activation dashboard.
+
+    Plan: first-order month per customer is one keyed aggregation; the
+    monthly census collapses to a calendar-sized table whose running sum
+    is the only (dimension-sized) global window. Pure integer counts.
+    """
+    from pyspark.sql import Window
+
+    o = ld(spark, sf_dir, "orders")
+    first = (o.groupBy("o_custkey")
+             .agg(F.date_trunc("month", F.min("o_orderdate"))
+                  .alias("first_month")))
+    monthly = (first.groupBy("first_month")
+               .agg(F.count(F.lit(1)).alias("n_new_customers")))
+    w = (Window.orderBy("first_month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (monthly
+            .withColumn("cumulative_customers",
+                        F.sum("n_new_customers").over(w))
+            .select(F.date_format("first_month", "yyyy-MM").alias("month"),
+                    "n_new_customers",
+                    F.col("cumulative_customers").cast("long")
+                    .alias("cumulative_customers"))
+            .orderBy("month"))
+
+
+ORACLE_CUSTOMERS_ADOPTION = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS first_month
+  FROM orders GROUP BY o_custkey
+), monthly AS (
+  SELECT first_month, COUNT(*) AS n_new_customers
+  FROM first GROUP BY first_month
+)
+SELECT strftime(first_month, '%Y-%m') AS month,
+       n_new_customers,
+       CAST(SUM(n_new_customers) OVER (ORDER BY first_month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_customers
+FROM monthly
+ORDER BY month
+"""
