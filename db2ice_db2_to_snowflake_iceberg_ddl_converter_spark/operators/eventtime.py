@@ -475,3 +475,63 @@ HAVING SUM(CASE WHEN l4 IS NOT NULL AND l3 < l4 AND l2 < l3
                 THEN 1 ELSE 0 END) > 0
 ORDER BY user_id
 """
+
+
+def events_activity_streaks(spark: SparkSession, sf_dir: str,
+                            min_streak: int = 3) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the engagement
+    metric): runs of adjacent active days grouped with the classic
+    day-minus-rank trick — within a user's sorted distinct days,
+    ``day − row_number`` is CONSTANT across a consecutive run, so one
+    dateadd turns it into a group key with no iterative logic (a
+    different gaps-and-islands technique than the cumulative-max one in
+    ``_user_islands``; both are one keyed window).
+
+    Emits users whose best streak reaches ``min_streak`` days, with the
+    streak's span. One (user) shuffle for the window + two calendar-
+    bounded aggregations.
+    """
+    e = load_events(spark, sf_dir)
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w)))
+    streaks = (grouped.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("from_day"),
+                    F.max("day").alias("to_day")))
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "from_day")
+    return (streaks.withColumn("rk", F.row_number().over(w_best))
+            .filter((F.col("rk") == 1) & (F.col("len") >= min_streak))
+            .select("user_id", F.col("len").alias("best_streak_days"),
+                    F.date_format("from_day", "yyyy-MM-dd")
+                    .alias("streak_from"),
+                    F.date_format("to_day", "yyyy-MM-dd")
+                    .alias("streak_to"))
+            .orderBy("user_id"))
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grouped AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INT) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len,
+         MIN(day) AS from_day, MAX(day) AS to_day
+  FROM grouped GROUP BY user_id, grp
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, from_day) AS rk
+  FROM streaks
+)
+SELECT user_id, CAST(len AS BIGINT) AS best_streak_days,
+       strftime(from_day, '%Y-%m-%d') AS streak_from,
+       strftime(to_day, '%Y-%m-%d') AS streak_to
+FROM best WHERE rk = 1 AND len >= 3
+ORDER BY user_id
+"""

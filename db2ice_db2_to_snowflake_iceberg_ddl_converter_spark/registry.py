@@ -312,7 +312,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     observe_scan_metrics, orders_monthly_growth, text_langid_eval,
     part_pareto_frontier, basket_part_affinity, events_locf_daily,
     events_pattern_vshape, orders_keyset_page,
-    customers_adoption_curve — all
+    customers_adoption_curve, events_activity_streaks — all
     oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
     streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
     window. The parked list (~31) exceeds the slots one window frees
@@ -414,6 +414,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_pattern_vshape"] = eventtime.events_pattern_vshape
     q["orders_keyset_page"] = analytics.orders_keyset_page
     q["customers_adoption_curve"] = analytics.customers_adoption_curve
+    q["events_activity_streaks"] = eventtime.events_activity_streaks
     q.update(eventtime.QUERIES)        # ohlc / twap / islands / 7d-actives
     q["graph_hierarchy_depths"] = graph.graph_hierarchy_depths
     q["corpus_bigram_counts"] = corpus.corpus_bigram_counts
@@ -574,6 +575,8 @@ def build_oracles() -> dict[str, str]:
     oracles["orders_keyset_page"] = analytics.ORACLE_ORDERS_KEYSET
     oracles["customers_adoption_curve"] = \
         analytics.ORACLE_CUSTOMERS_ADOPTION
+    oracles["events_activity_streaks"] = \
+        eventtime.ORACLE_ACTIVITY_STREAKS
     oracles["sink_compact_small_files"] = ORACLE_SINK_COMPACT
     oracles["source_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
     oracles["sink_dynamic_partition_overwrite"] = ORACLE_SINK_DYNPART

@@ -700,3 +700,25 @@ class TestParetoFrontier:
         rows = [(r.price, r.size) for r in
                 analytics.part_pareto_frontier(spark, "ignored").collect()]
         assert rows == [(10.0, 7), (15.0, 9)]
+
+
+class TestActivityStreaks:
+    def test_crafted_streaks(self, spark, monkeypatch):
+        df = _events_df(spark, [
+            # user 1: days 1,2,3 then gap then 5,6 → best streak 3
+            (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+            (1, "2024-01-02 10:00:00", 2, "a", 1.0),
+            (1, "2024-01-02 12:00:00", 3, "a", 1.0),   # same day, ignored
+            (1, "2024-01-03 10:00:00", 4, "a", 1.0),
+            (1, "2024-01-05 10:00:00", 5, "a", 1.0),
+            (1, "2024-01-06 10:00:00", 6, "a", 1.0),
+            # user 2: only 2 consecutive days → below min_streak
+            (2, "2024-01-01 10:00:00", 7, "a", 1.0),
+            (2, "2024-01-02 10:00:00", 8, "a", 1.0),
+        ])
+        _patched(monkeypatch, df)
+        rows = eventtime.events_activity_streaks(spark, "ignored").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.user_id, r.best_streak_days) == (1, 3)
+        assert r.streak_from == "2024-01-01" and r.streak_to == "2024-01-03"
