@@ -694,6 +694,11 @@ def supplier_on_time_scorecard(spark: SparkSession, sf_dir: str,
     conditional aggregates (map-side partials); supplier cardinality
     shards the state. Rates are exact integer ratios divided once as
     doubles.
+
+    Oracle coupling: the default ``window_days=90`` is baked into the
+    oracle as the constant ``- 90`` (same trap as scale_zorder_zvalues) —
+    the registry always calls with the default; a non-default value is
+    for ad-hoc use and intentionally has no parity claim.
     """
     o = ld(spark, sf_dir, "orders", fanout=False).select(
         "o_orderkey", F.to_date("o_orderdate").alias("odate"))
@@ -819,8 +824,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str,
            .withColumn("adev", F.abs(F.col("value") - F.col("med_value"))))
     mad = _rank_median(dev, "adev", "event_type") \
         .withColumnRenamed("med_adev", "mad")
+    # mad > 0 guard pinned on BOTH sides: with MAD = 0 (over half the
+    # type's values equal its median) Spark's double division yields NULL
+    # while DuckDB yields inf, so the degenerate type would break parity.
+    # A zero-MAD type gets no flags — callers wanting the degenerate case
+    # should test adev > 0 directly, not a ratio.
     return (dev.join(F.broadcast(mad), "event_type")
-            .filter(F.col("adev") > F.lit(mad_cut) * F.col("mad"))
+            .filter((F.col("mad") > 0)
+                    & (F.col("adev") > F.lit(mad_cut) * F.col("mad")))
             .select("event_id", "event_type", "value",
                     (F.col("adev") / F.col("mad")).alias("mad_score"))
             .orderBy("event_id"))
@@ -854,7 +865,7 @@ WITH ranked AS (
 )
 SELECT d.event_id, d.event_type, d.value, d.adev / m.mad AS mad_score
 FROM dev d JOIN mad m ON d.event_type = m.event_type
-WHERE d.adev > 3.5 * m.mad
+WHERE m.mad > 0 AND d.adev > 3.5 * m.mad
 ORDER BY d.event_id
 """
 
@@ -966,6 +977,10 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str,
     fan-out is quadratic per order ACROSS a shuffle. Per-part totals
     broadcast back for the lift denominator. The oracle runs the
     self-join formulation, so parity proves the rewrite.
+
+    Oracle coupling: the defaults ``min_support=2`` / ``k=50`` are baked
+    into the oracle as constants (same trap as scale_zorder_zvalues) —
+    non-default values are ad-hoc only, with no parity claim.
     """
     l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     distinct_lp = l.distinct()
@@ -1036,6 +1051,10 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str,
     the data (the page_size-th smallest orderkey — itself a bounded
     TakeOrderedAndProject), then the next page is fetched with the seek
     predicate. Output is page 2 exactly.
+
+    Oracle coupling: the default ``page_size=25`` is baked into the
+    oracle as a constant (same trap as scale_zorder_zvalues) —
+    non-default values are ad-hoc only, with no parity claim.
     """
     o = ld(spark, sf_dir, "orders", fanout=False).select(
         "o_orderkey", "o_custkey", "o_orderpriority")

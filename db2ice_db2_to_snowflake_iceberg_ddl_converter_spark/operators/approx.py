@@ -132,8 +132,13 @@ def frequent_tokens_misra_gries(spark: SparkSession, sf_dir: str,
 
     summaries = toks.mapInPandas(mg_partition, "tok string, est long")
     # merge: counter addition keeps the union guarantee (merged error
-    # bounds add); the merged table is <= partitions x k rows — tiny
+    # bounds add); the merged table is <= partitions x k rows — tiny.
+    # NO top-k cut here: a guaranteed-frequent token whose estimate was
+    # decremented to near zero could be evicted by up to partitions x k
+    # near-threshold tokens with larger retained estimates, so limit(k)
+    # would void the documented support guarantee on adversarial
+    # distributions. Callers wanting exactly k rows re-rank the (tiny)
+    # result against exact counts of just these candidates.
     return (summaries.groupBy("tok")
             .agg(F.sum("est").alias("est_count"))
-            .orderBy(F.desc("est_count"), "tok")
-            .limit(k))
+            .orderBy(F.desc("est_count"), "tok"))

@@ -305,6 +305,10 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str,
 
     The oracle generates pairs positionally (lag over ordinal-indexed
     unnest) — different formulation, same pair multiset.
+
+    Oracle coupling: the defaults ``min_count=20`` / ``k=100`` are baked
+    into the oracle as constants (same trap as scale_zorder_zvalues) —
+    non-default values are ad-hoc only, with no parity claim.
     """
     d = ld(spark, sf_dir, "documents")
     bigrams = F.expr(

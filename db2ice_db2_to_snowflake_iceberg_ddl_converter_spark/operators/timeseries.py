@@ -214,10 +214,14 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
     # last observation per (user, day): deterministic pick via the
-    # packed (within-day offset, event_id) ordering key — the offset
-    # stays < 8.64e10 so the pack cannot overflow a BIGINT (full epoch
-    # micros * 1e5 would)
-    okey = (F.unix_micros("ts") % 86400000000) * 100000         + F.col("event_id") % 100000
+    # packed (within-day offset, event_id) ordering key. The offset stays
+    # < 8.64e10, so offset * 1e7 < 8.64e17 cannot overflow a BIGINT (full
+    # epoch micros would), and the 1e7 id slot keeps the pack collision-
+    # free up to 10M event ids (~sf1000 fixture growth) — a % 1e5 slot
+    # wraps at sf1 and would let two same-microsecond events tie, where
+    # Spark max_by and DuckDB arg_max break ties differently.
+    okey = (F.unix_micros("ts") % 86400000000) * 10000000 \
+        + F.col("event_id") % 10000000
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
              .agg(F.max_by("value", okey).alias("day_value")))
     spans = (daily.groupBy("user_id")
@@ -240,8 +244,8 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_LOCF = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         arg_max(value, (epoch_us(ts) % 86400000000) * 100000
-                        + event_id % 100000)
+         arg_max(value, (epoch_us(ts) % 86400000000) * 10000000
+                        + event_id % 10000000)
            AS day_value
   FROM events WHERE user_id < 15
   GROUP BY user_id, CAST(ts AS DATE)

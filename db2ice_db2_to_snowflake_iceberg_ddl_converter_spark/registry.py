@@ -294,32 +294,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cap — its exact twin agg_percentiles is driver-green and its error
     bound is pytest-pinned, so it stops burning a window slot.
 
-    ROUND-4 ROTATION PLAN: move the late-r03 entries parked past the cap
-    (dedup_incremental_exact, sample_per_group_topn, corpus_mix_weights,
-    corpus_token_budget_cut, streaming_zscore_alerts, the event-time
-    battery #2 — events_ohlc_bars / events_twap / events_interval_islands
-    / events_active_users_7d — graph_hierarchy_depths,
-    corpus_bigram_counts, text_pii_redact, sink_partitioned_prune,
-    dedup_substring_spans, scd2_history_from_events,
-    rollup_incremental_refresh, sink_dynamic_partition_overwrite,
-    corpus_bpe_merge_pairs, events_session_attribution,
-    scale_zorder_zvalues, window_running_distinct,
-    sink_compact_small_files, source_schema_evolution,
-    customer_rfm_segments, part_abc_analysis,
-    orders_open_backlog_daily, audience_overlap_matrix,
-    geo_nearest_site_assignment, supplier_on_time_scorecard,
-    events_dow_hour_profile, events_mad_outliers,
-    observe_scan_metrics, orders_monthly_growth, text_langid_eval,
-    part_pareto_frontier, basket_part_affinity, events_locf_daily,
-    events_pattern_vshape, orders_keyset_page,
-    customers_adoption_curve, events_activity_streaks — all
-    oracle-backed, locally green at sf0.01 — plus rows-only events_ema,
-    streaming_user_stats_v2, and corpus_frequent_tokens_mg) into the
-    window. The parked list (~31) exceeds the slots one window frees
-    after canaries: fill round 4 to exactly 50 in the order above and
-    carry the overflow into the round-5 window
-    for their first driver rows, swap this round's canaries for a fresh
-    family-spanning set, and keep everything r03-green past the cap.
+    ROUND-4 ROTATION (executes the plan recorded here last round, per the
+    r03 verdict): the entire dict is still built in the round-3 layout
+    below, then REORDERED at the end of this function by ``_WINDOW_R04`` —
+    the 41 r03-green window entries move past the cap, and the window now
+    holds exactly the 47 entries that have never had a driver CORRECTNESS
+    row (the 44 late-r03 parked entries in their recorded order, plus
+    approx_hll_union / multimodal_resize / multimodal_frame_sample, which
+    the r03 audit found were also never in any driver window), topped up
+    to 50 with 3 fresh family-spanning canaries (join_full_outer,
+    agg_grouping_sets, text_fingerprint) that were last driver-checked in
+    r01. New round-4 entries go past the cap and form the start of the
+    round-5 window.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -504,7 +490,70 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 threshold=0.4).orderBy("id1", "id2"),
         "ann_lsh_topk": similarity.ann_lsh_topk,
     })
-    return q
+    # ---- ROUND-4 REORDER: window first, everything else keeps its
+    # relative order past the cap (see docstring) ----
+    missing = [k for k in _WINDOW_R04 if k not in q]
+    assert not missing, f"window entries absent from registry: {missing}"
+    in_window = set(_WINDOW_R04)
+    return {k: q[k] for k in [*_WINDOW_R04, *(k for k in q if k not in in_window)]}
+
+
+#: The driver checks the FIRST 50 ``queries()`` entries each round. This list
+#: IS the round-4 window: the 47 entries with no driver CORRECTNESS row in
+#: r01–r03 (recorded order), then 3 fresh canaries last checked in r01.
+_WINDOW_R04 = [
+    "dedup_incremental_exact",
+    "sample_per_group_topn",
+    "corpus_mix_weights",
+    "corpus_token_budget_cut",
+    "streaming_zscore_alerts",
+    "streaming_user_stats_v2",
+    "corpus_frequent_tokens_mg",
+    "customer_rfm_segments",
+    "part_abc_analysis",
+    "orders_open_backlog_daily",
+    "audience_overlap_matrix",
+    "geo_nearest_site_assignment",
+    "supplier_on_time_scorecard",
+    "events_dow_hour_profile",
+    "events_mad_outliers",
+    "observe_scan_metrics",
+    "orders_monthly_growth",
+    "text_langid_eval",
+    "part_pareto_frontier",
+    "basket_part_affinity",
+    "events_locf_daily",
+    "events_pattern_vshape",
+    "orders_keyset_page",
+    "customers_adoption_curve",
+    "events_activity_streaks",
+    "events_ohlc_bars",
+    "events_twap",
+    "events_interval_islands",
+    "events_active_users_7d",
+    "graph_hierarchy_depths",
+    "corpus_bigram_counts",
+    "text_pii_redact",
+    "sink_partitioned_prune",
+    "dedup_substring_spans",
+    "scd2_history_from_events",
+    "rollup_incremental_refresh",
+    "corpus_bpe_merge_pairs",
+    "events_session_attribution",
+    "scale_zorder_zvalues",
+    "window_running_distinct",
+    "sink_compact_small_files",
+    "source_schema_evolution",
+    "sink_dynamic_partition_overwrite",
+    "events_ema",
+    "approx_hll_union",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # fresh canaries (join / multi-set agg / text families, r01-green):
+    "join_full_outer",
+    "agg_grouping_sets",
+    "text_fingerprint",
+]
 
 
 def _round3_queries():

@@ -100,6 +100,10 @@ def duckdb_result(con, sql):
 
 def main() -> int:
     filters = sys.argv[1:]
+    first_n = None
+    if filters and filters[0] == "--first":       # replicate driver window
+        first_n = int(filters[1])
+        filters = filters[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     import duckdb
@@ -113,7 +117,8 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    pool = list(qs)[:first_n] if first_n else list(qs)
+    names = [n for n in pool if not filters or any(f in n for f in filters)]
     failures = []
     for name in names:
         t0 = time.time()
