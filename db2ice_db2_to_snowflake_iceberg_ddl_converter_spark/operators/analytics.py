@@ -356,27 +356,41 @@ FROM binned GROUP BY bin, mn, mx ORDER BY bin
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-count over an ordered window — how many distinct
     event types each user has touched so far. Spark has no
-    COUNT(DISTINCT) OVER; the engine-level rewrite is
-    ``size(collect_set(...))`` over the cumulative frame, which keeps the
-    distinct state inside the window partition (bounded by the per-key
-    TYPE cardinality, here ≤5 — safe; for unbounded-cardinality columns
-    use the contribute-then-count rewrite of
-    ``eventtime.events_active_users_7d`` instead, which never holds a
-    per-row set). The oracle uses DuckDB's native windowed DISTINCT.
+    COUNT(DISTINCT) OVER; this is the contribute-then-count rewrite
+    (the same trick as ``eventtime.events_active_users_7d``): a value
+    contributes +1 at its FIRST occurrence per key (row_number over
+    (user, type) == 1), and the running distinct count is then a plain
+    running SUM of those 0/1 contributions — executor window state is
+    one long, independent of the distinct cardinality, so the plan
+    survives an unbounded value column. (The bridged alternative,
+    ``size(collect_set(...))`` over the cumulative frame, keeps a
+    per-row SET in window state — fine when per-key cardinality is
+    bounded like the ≤5 event types here, but it is the variant that
+    breaks first on high-cardinality columns, so the scale-safe form is
+    what the registry/driver checks.) The oracle uses DuckDB's native
+    windowed DISTINCT — a different formulation, so parity proves the
+    rewrite.
 
-    Plan: one keyed shuffle on user_id; the set state rides the sort run.
+    Plan: two keyed shuffles — (user, type) for the first-occurrence
+    flag, then user for the running sum; both partial-aggregate-free
+    sort runs with O(1) per-row state.
     """
     from pyspark.sql import Window
 
     from .relational import load_events
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_first = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (e.select(
-        "user_id", "event_id",
-        F.size(F.collect_set("event_type").over(w))
-        .alias("n_distinct_types"))
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        .alias("__contrib"))
+        .select("user_id", "event_id",
+                F.sum("__contrib").over(w_run).cast("int")
+                .alias("n_distinct_types"))
         .orderBy("user_id", "event_id"))
 
 
@@ -476,25 +490,29 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     class A covers the first 80% of cumulative revenue share, B to 95%,
     C the tail. Emits the 3-row class census (parts, revenue, share).
 
-    The cumulative sum runs over the per-part revenue table ORDERED
-    GLOBALLY — safe here because that table is dimension-sized (one row
-    per part, not per lineitem; the fact-table pass is the keyed groupBy
-    before it). Shares divide exact decimal cumsums by the exact decimal
+    The cumulative sum runs over the per-part revenue table ordered
+    globally, via ``scale.global_prefix_window`` — a range shuffle
+    across 32 tasks plus a driver-side carry of 32 per-partition totals,
+    NOT a single-partition ``Window.orderBy``: part cardinality grows
+    with the catalog, so the r03 verdict flagged the unpartitioned
+    window here as the plan that breaks first at 100×. Decimal carry-ins
+    combine on exact Python Decimals, so the cumsum stays bitwise-exact.
+    Shares divide exact decimal cumsums by the exact decimal
     total, and the class boundary comparison runs on identically-derived
     doubles in both engines (same decimal→double cast, same multiply),
     so banding can't flip at the edges.
     """
-    from pyspark.sql import Window
+    from .scale import global_prefix_window
 
     l = ld(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = (l.groupBy("l_partkey")
                 .agg(F.sum(rev.cast(DEC)).alias("revenue")))
-    w = (Window.orderBy(F.desc("revenue"), "l_partkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     total = per_part.agg(F.sum("revenue").alias("total_rev"))
-    classed = (per_part
-               .withColumn("cum_rev", F.sum("revenue").over(w))
+    cum = global_prefix_window(
+        per_part, [F.desc("revenue"), F.asc("l_partkey")], "revenue",
+        how="sum", out_col="cum_rev")
+    classed = (cum
                .crossJoin(F.broadcast(total))
                .withColumn("cum_d", F.col("cum_rev").cast("double"))
                .withColumn("tot_d", F.col("total_rev").cast("double"))
@@ -922,24 +940,28 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist query (cheapest-per-capability).
 
     Scalable formulation: collapse to one row per price (max size — it
-    dominates its price peers), then ONE ordered window: a point is on
-    the frontier iff its size strictly exceeds the running max size of
-    all strictly cheaper points. The window runs over the price-distinct
-    table (bounded by price cardinality, not part count). The oracle
-    uses the NAIVE quadratic NOT EXISTS dominance test — a different
-    formulation entirely, so the driver check proves the rewrite.
+    dominates its price peers), then ONE global running max: a point is
+    on the frontier iff its size strictly exceeds the running max size
+    of all strictly cheaper points. The running max rides
+    ``scale.global_prefix_window`` (range shuffle + 32-row driver-side
+    carry, ``inclusive=False`` for the strictly-preceding frame) rather
+    than an unpartitioned ``Window.orderBy`` — the price domain bounds
+    the table today, but the r03 verdict flagged the single-task sort as
+    the part that breaks first if the distinct-price set grows with the
+    catalog. The oracle uses the NAIVE quadratic NOT EXISTS dominance
+    test — a different formulation entirely, so the driver check proves
+    the rewrite.
     """
-    from pyspark.sql import Window
+    from .scale import global_prefix_window
 
     p = ld(spark, sf_dir, "part").select(
         F.col("p_retailprice").alias("price"),
         F.col("p_size").alias("size"))
     per_price = p.groupBy("price").agg(F.max("size").alias("size"))
-    w = Window.orderBy("price")
-    prev_max = F.max("size").over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    return (per_price
-            .withColumn("prev_max", prev_max)
+    frontier = global_prefix_window(
+        per_price, [F.asc("price")], "size",
+        how="max", inclusive=False, out_col="prev_max")
+    return (frontier
             .filter(F.col("prev_max").isNull()
                     | (F.col("size") > F.col("prev_max")))
             .select(F.col("price").cast("double").alias("price"), "size")

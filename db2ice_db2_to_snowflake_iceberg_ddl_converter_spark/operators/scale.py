@@ -10,7 +10,7 @@ bucketed join; a salted join that actually fans the hot key out).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -135,6 +135,74 @@ def global_ranks(df: DataFrame, order_exprs: list,
                             + local + 1).cast("long"))
            .drop("__pid", "__mid"))
     return out, acc
+
+
+def global_prefix_window(df: DataFrame, order_exprs: list, value_col: str,
+                         how: str = "sum", inclusive: bool = True,
+                         num_partitions: int = 32,
+                         out_col: str = "prefix") -> DataFrame:
+    """Running SUM/MAX over a GLOBAL order without a single-partition
+    window — the prefix-scan companion to ``global_ranks`` (same range
+    shuffle, same localCheckpoint pin, same driver-side per-partition
+    summary bounded by ``num_partitions`` rows).
+
+    Mechanics: range-partition + sort on the order keys; each partition's
+    running aggregate is an ordinary PARTITION BY __pid window (parallel
+    across the range partitions); the cross-partition carry-in is the
+    driver-side exclusive prefix combine of the per-partition totals,
+    folded back in via a literal map. SUM offsets combine with ``+`` on
+    exact Python Decimals/ints and are cast back to the column's own type
+    (so decimal cumsums stay bitwise-exact); MAX offsets combine with
+    ``greatest`` (NULL-skipping, so partition 0's missing carry-in needs
+    no special case).
+
+    ``inclusive=False`` gives the strictly-preceding frame (running max of
+    everything BEFORE the current row — the skyline/frontier shape); the
+    first global row's prefix is then NULL.
+
+    ``order_exprs`` must total-order the rows (unique tie-break), same
+    contract as ``global_ranks``.
+    """
+    assert how in ("sum", "max")
+    aggfn = F.sum if how == "sum" else F.max
+    part = (df.repartitionByRange(num_partitions, *order_exprs)
+            .sortWithinPartitions(*order_exprs)
+            .select("*", F.spark_partition_id().alias("__pid"))
+            .localCheckpoint())
+    dtype = part.schema[value_col].dataType
+    w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding,
+        Window.currentRow if inclusive else -1)
+    local = aggfn(value_col).over(w)
+    # local SUM widens decimals (e.g. dec(28,6) -> dec(38,6)); the carry-in
+    # must land on that widened type, not the input column's
+    probe = part.select(local.alias("__local"))
+    out_type = probe.schema["__local"].dataType
+    totals = {r["__pid"]: r["t"] for r in
+              part.groupBy("__pid").agg(aggfn(value_col).alias("t"))
+              .collect()}
+    offsets, acc = {}, None
+    for pid in sorted(totals):
+        if acc is not None:
+            offsets[pid] = acc            # exclusive prefix: pid 0 has none
+        t = totals[pid]
+        if t is not None:
+            acc = t if acc is None else \
+                (acc + t if how == "sum" else max(acc, t))
+    if offsets:
+        off_map = F.create_map(*[x for pid, val in offsets.items()
+                                 for x in (F.lit(pid),
+                                           F.lit(str(val)).cast(out_type))])
+        carry = F.element_at(off_map, F.col("__pid"))
+    else:
+        carry = F.lit(None).cast(out_type)
+    if how == "sum":
+        combined = F.when(carry.isNull(), local).otherwise(
+            F.coalesce(local.cast(out_type), F.lit(0).cast(out_type))
+            + carry)
+    else:
+        combined = F.greatest(carry, local.cast(out_type))
+    return part.withColumn(out_col, combined).drop("__pid")
 
 
 def _idiv(a: F.Column, b: int) -> F.Column:

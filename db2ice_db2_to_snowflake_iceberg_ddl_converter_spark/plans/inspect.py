@@ -87,6 +87,26 @@ def plan_profile(df: DataFrame) -> dict[str, int]:
     }
 
 
+def single_partition_windows(df: DataFrame) -> int:
+    """Count WindowExec nodes fed by an ``Exchange SinglePartition`` — the
+    unpartitioned ``Window.orderBy(...)`` anti-pattern where one task sorts
+    and scans the entire input. A global final aggregation also uses a
+    SinglePartition exchange (1-row result — fine); only the Window-over-
+    SinglePartition shape is the scale hazard, so match the parent/child
+    pair, not the exchange alone."""
+    lines = executed_plan(df).splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)? \[", line):
+            # children render below, further indented; a global window's
+            # subtree is Window <- Sort <- Exchange SinglePartition
+            for nxt in lines[i + 1:i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    hits += 1
+                    break
+    return hits
+
+
 def assert_no_python_in_plan(df: DataFrame) -> None:
     """Guard for JVM-only operators: raises if any Python evaluation node
     sneaked into the physical plan (breaking codegen on the hot path)."""

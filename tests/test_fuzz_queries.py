@@ -134,3 +134,105 @@ class TestDecimalProtocolFuzz:
                 f"DECIMAL(28,6))) AS DOUBLE) FROM orders WHERE {pred} "
                 f"GROUP BY {key}").fetchall() if r[1] is not None}
             assert got == want, f"trial {trial}: {pred!r} by {key}"
+
+
+class TestScd2Composition:
+    """apply ∘ reconstruct = reconstruct ∘ append, on a fuzzed change log.
+
+    ``scd2_history_from_events`` rebuilds a validity-interval history FROM
+    a change log; ``scd2_apply`` merges one new change INTO a history.
+    The two must compose: applying day-T changes to the history rebuilt
+    from a log equals rebuilding from the log with those changes appended.
+    This pins the whole interval-boundary contract at once — close date ==
+    new valid_from, no-op on identical payloads, insert on unseen keys —
+    the exact class of off-by-one the round-2 review found.
+    """
+
+    @staticmethod
+    def _reconstruct(df):
+        """History from a (k, d, v) change log: consecutive same-v repeats
+        per key collapse; each surviving change spans to the next one
+        (same lag-filter + lead shape as scd2_history_from_events, on
+        DATE validity to match scd2_apply's convention)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy("d")
+        ch = (df.withColumn("prev_v", F.lag("v").over(w))
+              .filter(F.col("prev_v").isNull()
+                      | (F.col("prev_v") != F.col("v"))))
+        return (ch.withColumn("valid_to", F.lead("d").over(w))
+                .select("k", "v", F.col("d").alias("valid_from"),
+                        "valid_to"))
+
+    def test_apply_equals_reconstruct_of_appended_log(self, spark):
+        import datetime
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            scd2_apply,
+        )
+
+        rng = random.Random(20260814)
+        vals = ["a", "b", "c"]
+        log, appended = [], []
+        for k in range(1, 41):
+            n = rng.randint(1, 5)
+            days = sorted(rng.sample(range(0, 300), n))
+            for d in days:
+                log.append((k, datetime.date(2024, 1, 1)
+                            + datetime.timedelta(days=d),
+                            rng.choice(vals)))
+        # day-T change batch: mix of real changes, no-ops (same value as
+        # current), and brand-new keys
+        t_new = datetime.date(2025, 6, 1)
+        current = {}
+        for k, d, v in sorted(log):
+            current[k] = v
+        for k in range(1, 41):
+            if rng.random() < 0.4:
+                appended.append((k, t_new, current[k]))       # no-op
+            elif rng.random() < 0.7:
+                appended.append((k, t_new, rng.choice(vals))) # maybe change
+        for k in range(100, 100 + rng.randint(3, 8)):
+            appended.append((k, t_new, rng.choice(vals)))     # insert
+
+        log_df = spark.createDataFrame(log, "k int, d date, v string")
+        app_df = spark.createDataFrame(appended, "k int, d date, v string")
+
+        history = self._reconstruct(log_df)
+        applied = scd2_apply(
+            history, app_df.select("k", "v"), key="k",
+            compare_cols=["v"], change_ts=t_new.isoformat(),
+            from_col="valid_from", to_col="valid_to")
+        expected = self._reconstruct(log_df.union(app_df))
+
+        got = sorted(map(tuple, applied.collect()))
+        want = sorted(map(tuple, expected.collect()))
+        assert got == want
+
+    def test_apply_current_state_is_identity(self, spark):
+        """Idempotence corner pinned separately: re-applying every key's
+        CURRENT payload must leave the history bit-identical."""
+        import datetime
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            scd2_apply,
+        )
+
+        rng = random.Random(42)
+        log = []
+        for k in range(1, 31):
+            days = sorted(rng.sample(range(0, 200), rng.randint(1, 4)))
+            for d in days:
+                log.append((k, datetime.date(2024, 1, 1)
+                            + datetime.timedelta(days=d),
+                            rng.choice(["x", "y", "z"])))
+        log_df = spark.createDataFrame(log, "k int, d date, v string")
+        history = self._reconstruct(log_df)
+        current = (history.filter(F.col("valid_to").isNull())
+                   .select("k", "v"))
+        applied = scd2_apply(history, current, key="k", compare_cols=["v"],
+                             change_ts="2025-06-01",
+                             from_col="valid_from", to_col="valid_to")
+        got = sorted(map(tuple, applied.collect()))
+        want = sorted(map(tuple, history.collect()))
+        assert got == want

