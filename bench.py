@@ -22,10 +22,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The first 20 entries are the round-1 suite — their subtotal is emitted
-# separately (r01_suite_total) so round-over-round totals stay comparable
-# as the headline grows.
+# The first 20 entries are the round-1 suite and the first 41 the round-3
+# suite — each accreted battery's subtotal is emitted separately
+# (r01_suite_total / r03_suite_total) so round-over-round totals compare at
+# CONSTANT membership as the headline grows. (Round 2 ran the same 20
+# queries as round 1, so it needs no separate constant.)
 N_R01_SUITE = 20
+N_R03_SUITE = 41
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -74,6 +77,8 @@ HEADLINE = [
     "events_session_attribution",
     "scale_zorder_zvalues",
     "corpus_bpe_merge_pairs",
+    # round-4 operators
+    "rerank_ann_shortlist",
 ]
 
 
@@ -115,6 +120,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     r01_total = round(sum(timings[n] for n in HEADLINE[:N_R01_SUITE]), 3)
+    r03_total = round(sum(timings[n] for n in HEADLINE[:N_R03_SUITE]), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -122,6 +128,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "r01_suite_total": r01_total,
+        "r03_suite_total": r03_total,
         "n_queries": len(HEADLINE),
     }))
     spark.stop()

@@ -490,6 +490,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 threshold=0.4).orderBy("id1", "id2"),
         "ann_lsh_topk": similarity.ann_lsh_topk,
     })
+    # ---- NEW round-4 entries: past the cap by construction (the reorder
+    # below keeps non-window entries in this order), forming the start of
+    # the round-5 window ----
+    from .operators import rerank
+    q["rerank_ann_shortlist"] = rerank.rerank_ann_shortlist
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -743,4 +748,7 @@ def build_oracles() -> dict[str, str]:
         # dedup_embedding_blocked (BLAS-reassociated scores; pair-set
         # equality vs the exact path pinned in tests/test_operators.py)
     })
+    # ---- new round-4 entries ----
+    from .operators import rerank
+    oracles["rerank_ann_shortlist"] = rerank.ORACLE_RERANK_ANN
     return oracles

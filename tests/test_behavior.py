@@ -397,3 +397,81 @@ class TestFanoutLoadersAtProductionLayout:
         fanned2 = ld(spark, str(tmp_path), "documents")
         assert "Repartition" not in fanned2._jdf.queryExecution() \
             .logical().toString()
+
+
+class TestRerank:
+    def test_rerank_matches_driverside_recompute(self, spark, sf_dir):
+        """The two-stage pipeline's scores equal a driver-side recompute
+        of lexical F1 over the same (query, candidate) texts."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            rerank,
+        )
+
+        rows = rerank.rerank_ann_shortlist(spark, sf_dir).collect()
+        assert len(rows) == 10 * 5
+        docs = {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .collect()}
+        for r in rows:
+            a = set(docs[r["query_id"]].split(" "))
+            b = set(docs[r["neighbor_id"]].split(" "))
+            want = 2.0 * len(a & b) / (len(a) + len(b))
+            assert r["rerank_score"] == want
+        # per-query rerank_rank is 1..k and ordered by (score desc, id)
+        from collections import defaultdict
+        per_q = defaultdict(list)
+        for r in rows:
+            per_q[r["query_id"]].append(r)
+        for q, rs in per_q.items():
+            rs.sort(key=lambda r: r["rerank_rank"])
+            assert [r["rerank_rank"] for r in rs] == list(range(1, 6))
+            keys = [(-r["rerank_score"], r["neighbor_id"]) for r in rs]
+            assert keys == sorted(keys)
+
+    def test_rerank_actually_reorders_the_shortlist(self, spark, sf_dir):
+        """The pairwise stage must DO something: on the fixture corpus at
+        least one kept candidate's rerank position differs from its ANN
+        position (otherwise the second stage is dead weight)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            rerank,
+        )
+
+        rows = rerank.rerank_ann_shortlist(spark, sf_dir).collect()
+        assert any(r["ann_rank"] != r["rerank_rank"] for r in rows)
+
+    def test_pluggable_scorer_seam(self, spark, sf_dir):
+        """An injected scorer flows through the Arrow plumbing: a constant
+        scorer makes rerank order collapse to the neighbor_id tie-break."""
+        import pandas as pd
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            rerank,
+        )
+
+        def constant(q, c):
+            return pd.Series([1.0] * len(q), dtype="float64")
+
+        rows = rerank.rerank_ann_shortlist(spark, sf_dir,
+                                           scorer=constant).collect()
+        from collections import defaultdict
+        per_q = defaultdict(list)
+        for r in rows:
+            per_q[r["query_id"]].append(r)
+        for q, rs in per_q.items():
+            rs.sort(key=lambda r: r["rerank_rank"])
+            assert [r["neighbor_id"] for r in rs] \
+                == sorted(r["neighbor_id"] for r in rs)
+            assert all(r["rerank_score"] == 1.0 for r in rs)
+
+    def test_transformer_factory_is_an_honest_stub_here(self):
+        """No sentence-transformers in this container: the factory must
+        raise ImportError with the install hint (same designed behavior
+        as multimodal's pillow_feature_decoder)."""
+        import pytest as _pytest
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            rerank,
+        )
+
+        with _pytest.raises(ImportError, match="sentence-transformers"):
+            rerank.transformer_cross_encoder_factory()
