@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_bpe_merge_pairs",
     # round-4 operators
     "rerank_ann_shortlist",
+    "corpus_curation_report",
 ]
 
 

@@ -387,3 +387,95 @@ FROM pairs GROUP BY pair
 ORDER BY weight DESC, pair
 LIMIT 50
 """
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation summary a 100 TB run emits before training: per
+    (source, predicted language) bucket — document volume, exact-dup
+    volume and rate, quality-gate pass count, and token totals. Composes
+    the engine's own primitives (``textstats.predicted_lang_expr``,
+    ``textstats.quality_score_expr``, md5 exact-dup detection) into the
+    one table a data-curation review actually reads.
+
+    Scale shape: every per-document derivation (language, quality, token
+    count, content digest) is a scan-level Catalyst expression; dup
+    detection is ONE hash aggregation on the md5 digest joined back on
+    the digest (uniform shuffle key by construction); the final rollup is
+    keyed by (source, predicted_lang) — dimension-sized output. All
+    aggregates are exact integers; the single dup-rate division runs once
+    on exact operands, so the oracle hash-matches bitwise. (md5, not
+    xxhash64, precisely so DuckDB CAN mirror the digest.)
+    """
+    from .textstats import predicted_lang_expr, quality_score_expr
+
+    d = ld(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        predicted_lang_expr().alias("predicted_lang"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (quality_score_expr() >= 60).cast("int").alias("quality_pass"),
+        F.md5("text").alias("h"))
+    dup_counts = per_doc.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_same"))
+    return (per_doc.join(dup_counts, "h")
+            .groupBy("source", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_same") > 1).cast("int"))
+                 .alias("n_dup_docs"),
+                 F.sum("quality_pass").alias("n_quality_pass"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .withColumn("dup_rate",
+                        F.col("n_dup_docs").cast("double")
+                        / F.col("n_docs"))
+            .select("source", "predicted_lang", "n_docs", "n_dup_docs",
+                    "dup_rate", "n_quality_pass", "total_tokens")
+            .orderBy("source", "predicted_lang"))
+
+
+ORACLE_CURATION_REPORT = """
+WITH per_doc AS (
+  SELECT source, text, n_chars,
+         string_split(text, ' ') AS w,
+         list_distinct(string_split(text, ' ')) AS dw,
+         md5(text) AS h
+  FROM documents
+), scored AS (
+  SELECT source, h, len(w) AS n_tokens,
+         CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h
+                   AND en_h > 0 THEN 'en'
+              WHEN es_h >= de_h AND es_h >= fr_h AND es_h > 0 THEN 'es'
+              WHEN de_h >= fr_h AND de_h > 0 THEN 'de'
+              WHEN fr_h > 0 THEN 'fr'
+              ELSE 'und' END AS predicted_lang,
+         CASE WHEN
+           (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 40 ELSE 10 END)
+           + (len(dw)::DOUBLE / len(w)) * 30
+           + (CASE WHEN len(list_intersect(dw,
+                      ['the','a','of','and','is'])) > 0 THEN 20 ELSE 0 END)
+           + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(
+                 replace(replace(replace(text,
+                 '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', ''))
+                 )::DOUBLE / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END)
+           >= 60 THEN 1 ELSE 0 END AS quality_pass
+  FROM (
+    SELECT source, text, n_chars, w, dw, h,
+           len(list_intersect(dw, ['the','a','of','and','is'])) AS en_h,
+           len(list_intersect(dw, ['el','la','de','y','es'])) AS es_h,
+           len(list_intersect(dw, ['der','die','das','und','ist'])) AS de_h,
+           len(list_intersect(dw, ['le','la','et','est','un'])) AS fr_h
+    FROM per_doc)
+), dup AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY h) AS n_same FROM scored
+)
+SELECT source, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_rate,
+       CAST(SUM(quality_pass) AS BIGINT) AS n_quality_pass,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM dup
+GROUP BY source, predicted_lang
+ORDER BY source, predicted_lang
+"""

@@ -74,6 +74,29 @@ FROM documents
 """
 
 
+def quality_score_expr(text_col: str = "text",
+                       n_chars_col: str = "n_chars") -> F.Column:
+    """Composite 0-100 quality heuristic (length band, type-token ratio,
+    stopword presence, punctuation density) as a reusable expression —
+    shared by ``text_quality_score`` and the curation report so both
+    registries score documents identically."""
+    words = F.split(F.col(text_col), " ")
+    n_tokens = F.size(words).cast("double")
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    punct = (F.length(text_col)
+             - F.length(F.translate(text_col, _PUNCT_CHARS, ""))
+             ).cast("double")
+    punct_ratio = punct / F.length(text_col)
+    length_ok = (F.col(n_chars_col) >= 100) & (F.col(n_chars_col) <= 5000)
+    return (F.when(length_ok, 40).otherwise(10)
+            + ttr * 30
+            + F.when(stop_hits > 0, 20).otherwise(0)
+            + F.when(punct_ratio <= 0.1, 10).otherwise(0))
+
+
 def text_quality_score(spark, sf_dir):
     """Quality heuristics: length band, type-token ratio, stopword ratio,
     punctuation density → composite 0-100 score (all exact arithmetic)."""
@@ -81,20 +104,12 @@ def text_quality_score(spark, sf_dir):
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words).cast("double")
     ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(words),
-        F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
     punct = (F.length("text")
              - F.length(F.translate("text", _PUNCT_CHARS, ""))).cast("double")
     punct_ratio = punct / F.length("text")
-    length_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000)
-    score = (F.when(length_ok, 40).otherwise(10)
-             + ttr * 30
-             + F.when(stop_hits > 0, 20).otherwise(0)
-             + F.when(punct_ratio <= 0.1, 10).otherwise(0))
     return d.select("doc_id", ttr.alias("type_token_ratio"),
                     punct_ratio.alias("punct_ratio"),
-                    score.alias("quality_score"))
+                    quality_score_expr().alias("quality_score"))
 
 
 ORACLE_TEXT_QUALITY = """
@@ -117,17 +132,17 @@ FROM t
 """
 
 
-def text_langid(spark, sf_dir):
-    """Stopword-hit language heuristic with a fixed tie-break order, compared
-    against the labeled ``lang`` column → per-language accuracy counts."""
-    d = ld(spark, sf_dir, "documents")
-    words = F.array_distinct(F.split(F.col("text"), " "))
+def predicted_lang_expr(text_col: str = "text") -> F.Column:
+    """Stopword-hit language prediction with the fixed en→es→de→fr
+    tie-break, as a reusable expression — shared by ``text_langid``, its
+    eval twin, and the curation report."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
     hits = {
         lang: F.size(F.array_intersect(
             words, F.array(*[F.lit(w) for w in markers])))
         for lang, markers in LANG_MARKERS.items()
     }
-    predicted = (
+    return (
         F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
                & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), "en")
         .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"])
@@ -135,7 +150,13 @@ def text_langid(spark, sf_dir):
         .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), "de")
         .when(hits["fr"] > 0, "fr")
         .otherwise("und"))
-    return (d.select("lang", predicted.alias("predicted_lang"))
+
+
+def text_langid(spark, sf_dir):
+    """Stopword-hit language heuristic with a fixed tie-break order, compared
+    against the labeled ``lang`` column → per-language accuracy counts."""
+    d = ld(spark, sf_dir, "documents")
+    return (d.select("lang", predicted_lang_expr().alias("predicted_lang"))
             .groupBy("lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n")))
 

@@ -495,6 +495,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-5 window ----
     from .operators import rerank
     q["rerank_ann_shortlist"] = rerank.rerank_ann_shortlist
+    q["corpus_curation_report"] = corpus.corpus_curation_report
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -751,4 +752,5 @@ def build_oracles() -> dict[str, str]:
     # ---- new round-4 entries ----
     from .operators import rerank
     oracles["rerank_ann_shortlist"] = rerank.ORACLE_RERANK_ANN
+    oracles["corpus_curation_report"] = corpus.ORACLE_CURATION_REPORT
     return oracles

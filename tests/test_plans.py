@@ -402,3 +402,32 @@ class TestRound4PlanShapes:
         assert "collect_set" not in plan
         assert single_partition_windows(q) == 0
         assert_no_python_in_plan(q)
+
+    def test_curation_report_jvm_side_single_dup_join(self, spark, sf_dir):
+        """The curation rollup composes scan-level expressions + one
+        digest join — no Python stage, no cartesian, and the dup join
+        must not degrade to a nested loop."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        q = corpus.corpus_curation_report(spark, sf_dir)
+        assert_no_python_in_plan(q)
+        p = plan_profile(q)
+        assert p["cartesian_products"] == 0
+        assert p["broadcast_nested_loop_joins"] == 0
+
+    def test_rerank_is_arrow_batched(self, spark, sf_dir):
+        """The pairwise scorer must run as ONE Arrow-batched Python stage
+        (MapInPandas), never row-at-a-time BatchEvalPython."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            rerank,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(rerank.rerank_ann_shortlist(spark, sf_dir))
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("MapInPandas") == 1
