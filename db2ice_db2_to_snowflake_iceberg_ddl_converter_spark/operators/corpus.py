@@ -479,3 +479,72 @@ FROM dup
 GROUP BY source, predicted_lang
 ORDER BY source, predicted_lang
 """
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str,
+                     n_merges: int = 10) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules over the corpus — the real
+    iterative tokenizer-training loop, not just the single pair census
+    (``corpus_bpe_merge_pairs``): start from characters, repeatedly take
+    the highest-weighted adjacent symbol pair (weight = Σ token
+    frequency over all its occurrences, adjacent-overlapping counted,
+    ties broken on (left, right)) and merge it left-to-right
+    non-overlapping in every vocabulary entry.
+
+    Scale shape: the corpus is touched ONCE (the token-frequency
+    aggregation); every merge round then runs over the VOCABULARY table
+    (explode adjacent pairs → hash agg → 1-row TakeOrdered), which is
+    bounded by distinct-token count no matter the corpus size — the same
+    reason real BPE trainers are feasible at 100 TB. Each round is one
+    driver round-trip; production trainers batch many non-conflicting
+    merges per round to cut that latency, which changes scheduling, not
+    the per-round plan shape pinned here. The evolving symbols column is
+    localCheckpoint-ed every round to keep lineage flat.
+
+    Iterative algorithm → rows-only driver check; the pytest pins the
+    full merge sequence against an independent pure-Python BPE reference
+    on the same vocabulary.
+    """
+    d = ld(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+             .filter(F.length("tok") > 0)
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.split("tok", "").alias("syms"), "freq")
+             .localCheckpoint())
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.arrays_zip(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1))).alias("p")) \
+            .select(F.col("p.0").alias("left"),
+                    F.col("p.1").alias("right"), "freq")
+        best = (pairs.groupBy("left", "right")
+                .agg(F.sum("freq").alias("weight"))
+                .orderBy(F.desc("weight"), "left", "right")
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, w = best[0]["left"], best[0]["right"], best[0]["weight"]
+        merges.append((step, a, b, a + b, w))
+        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
+        # left-to-right non-overlapping merge as a fold: append, except
+        # when the incoming symbol is `b` and the last accumulated symbol
+        # is an UNCONSUMED `a` — then replace that last element with the
+        # merged symbol. (A just-merged `ab` never re-matches as `a`.)
+        merged = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == al)
+                & (s == bl),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(ml)))
+            .otherwise(F.concat(acc, F.array(s))))
+        vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+                "weight long")

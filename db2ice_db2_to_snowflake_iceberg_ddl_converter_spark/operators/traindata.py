@@ -441,3 +441,111 @@ ORACLES = {
     "embedding_quantize_int8": ORACLE_QUANTIZE,
     "contamination_ngram_overlap": ORACLE_CONTAMINATION,
 }
+
+
+def export_training_shards(spark: SparkSession, sf_dir: str,
+                           n_shards: int = 8) -> DataFrame:
+    """Deterministic corpus shuffle + shard manifest — the export step
+    before training: every document gets a content-hash shard (stable
+    across runs/engines/re-ingests, like ``data_split_assign``) and a
+    portable within-shard shuffle ORDER (the md5 hex string itself —
+    lexicographic order is engine-independent, unlike any float-based
+    rand). Emits the per-shard manifest a dataloader consumes: document
+    and token volume plus the first/last order keys, so shard boundaries
+    are auditable without re-reading the data.
+
+    The actual file export is ``docs.repartition(n_shards, "shard")
+    .sortWithinPartitions("shuffle_key").write.partitionBy("shard")`` —
+    one hash-uniform shuffle by construction (md5 buckets are uniform,
+    no hot shard). This registry entry emits the manifest the write
+    would produce.
+
+    Oracle coupling: the default ``n_shards=8`` is baked into the oracle
+    as a constant (same trap as scale_zorder_zvalues).
+    """
+    d = ld(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shard:"), F.col("text")))
+    per_doc = d.select(
+        "doc_id",
+        F.pmod(_hex_bucket(h, 4), F.lit(n_shards)).alias("shard"),
+        h.alias("shuffle_key"),
+        F.size(F.split("text", " ")).alias("n_tok"))
+    return (per_doc.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("shuffle_key").alias("first_key"),
+                 F.max("shuffle_key").alias("last_key"))
+            .orderBy("shard"))
+
+
+ORACLE_EXPORT_SHARDS = """
+WITH per_doc AS (
+  SELECT doc_id, md5('shard:' || text) AS h,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, h, n_tok,
+         ((strpos('0123456789abcdef', h[1:1]) - 1) * 4096
+          + (strpos('0123456789abcdef', h[2:2]) - 1) * 256
+          + (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+          + (strpos('0123456789abcdef', h[4:4]) - 1)) % 8 AS shard
+  FROM per_doc
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(h) AS first_key, MAX(h) AS last_key
+FROM bucketed GROUP BY shard ORDER BY shard
+"""
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture downsampling: each source is thinned to a
+    TARGET keep-fraction by content hash — keep a document iff its
+    16-bit md5 bucket falls under ``weight · 65536``. Re-ingests keep
+    exactly the same documents (no RNG state), and the achieved fraction
+    converges to the target by hash uniformity — this is how a 100 TB
+    curation run hits a prescribed source mixture without a shuffle:
+    the decision is a scan-level predicate on each row.
+
+    Fixture weights: even-numbered sources keep ~100%, others ~25% —
+    constants baked into the oracle (scale_zorder_zvalues trap; callers
+    wanting other mixtures go through this function's code path with
+    their own CASE, losing only the parity claim).
+
+    Emits the per-source census: kept count, total count, achieved
+    fraction (one exact integer division).
+    """
+    d = ld(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    weight_hi = F.when(F.pmod(src_num, F.lit(2)) == 0, F.lit(65536)) \
+        .otherwise(F.lit(16384))                       # 1.0 vs 0.25
+    bucket = _hex_bucket(F.md5(F.concat(F.lit("mix:"), F.col("text"))), 4)
+    per_doc = d.select("source",
+                       (bucket < weight_hi).cast("int").alias("kept"))
+    return (per_doc.groupBy("source")
+            .agg(F.sum("kept").alias("n_kept"),
+                 F.count(F.lit(1)).alias("n_total"))
+            .withColumn("achieved_fraction",
+                        F.col("n_kept").cast("double") / F.col("n_total"))
+            .orderBy("source"))
+
+
+ORACLE_MIXTURE_SAMPLE = """
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN (
+           (strpos('0123456789abcdef', md5('mix:' || text)[1:1]) - 1) * 4096
+           + (strpos('0123456789abcdef', md5('mix:' || text)[2:2]) - 1) * 256
+           + (strpos('0123456789abcdef', md5('mix:' || text)[3:3]) - 1) * 16
+           + (strpos('0123456789abcdef', md5('mix:' || text)[4:4]) - 1))
+           < (CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
+                        % 2 = 0
+                   THEN 65536 ELSE 16384 END)
+           THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_fraction
+FROM per_doc GROUP BY source ORDER BY source
+"""

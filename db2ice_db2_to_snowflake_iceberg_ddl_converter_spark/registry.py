@@ -496,6 +496,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .operators import rerank
     q["rerank_ann_shortlist"] = rerank.rerank_ann_shortlist
     q["corpus_curation_report"] = corpus.corpus_curation_report
+    from .operators import traindata as _td4
+    q["export_training_shards"] = _td4.export_training_shards
+    q["corpus_mixture_sample"] = _td4.corpus_mixture_sample
+    # iterative tokenizer training (driver-looped over the vocab table)
+    # → rows-only; pytest pins the merge sequence vs a pure-Python BPE
+    q["bpe_train_merges"] = corpus.bpe_train_merges
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -753,4 +759,6 @@ def build_oracles() -> dict[str, str]:
     from .operators import rerank
     oracles["rerank_ann_shortlist"] = rerank.ORACLE_RERANK_ANN
     oracles["corpus_curation_report"] = corpus.ORACLE_CURATION_REPORT
+    oracles["export_training_shards"] = traindata.ORACLE_EXPORT_SHARDS
+    oracles["corpus_mixture_sample"] = traindata.ORACLE_MIXTURE_SAMPLE
     return oracles

@@ -77,3 +77,69 @@ def test_feature_norm_sql_matches_multimodal(spark, sf_dir):
               if r.doc_id in via_sql}
     for k, v in via_sql.items():
         assert abs(v - via_op[k]) < 1e-9
+
+
+class TestBpeTrainMerges:
+    @staticmethod
+    def _ref_bpe(vocab, n_merges):
+        """Independent pure-Python BPE trainer: adjacent-overlapping pair
+        stats weighted by token frequency, ties on (left, right), greedy
+        left-to-right non-overlapping merge — the textbook algorithm."""
+        merges = []
+        for step in range(1, n_merges + 1):
+            stats = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + f
+            if not stats:
+                break
+            (a, b), w = min(stats.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((step, a, b, a + b, w))
+            new = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                new[key] = new.get(key, 0) + f
+            vocab = new
+        return merges
+
+    def test_merge_sequence_matches_reference(self, spark, sf_dir):
+        from collections import Counter
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        got = [tuple(r) for r in
+               corpus.bpe_train_merges(spark, sf_dir, n_merges=8).collect()]
+
+        toks = Counter()
+        for (text,) in duckdb.sql(
+                f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall():
+            toks.update(t for t in text.split(" ") if t)
+        vocab = {tuple(t): f for t, f in toks.items()}
+        want = self._ref_bpe(vocab, 8)
+        assert got == want
+
+    def test_merged_symbols_feed_later_rounds(self, spark, sf_dir):
+        """The trainer is genuinely iterative: with enough rounds some
+        merge must consume a previously-merged multi-char symbol."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.bpe_train_merges(spark, sf_dir, n_merges=12).collect()
+        assert len(rows) == 12
+        assert any(len(r["left"]) > 1 or len(r["right"]) > 1 for r in rows)
