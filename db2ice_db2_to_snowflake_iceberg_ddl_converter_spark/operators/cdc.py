@@ -390,3 +390,130 @@ SELECT user_id, event_type AS state,
 FROM hist
 ORDER BY user_id, valid_from
 """
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str,
+               when_matched_delete: F.Column | None = None,
+               when_matched_update: dict[str, F.Column] | None = None,
+               when_not_matched_insert: dict[str, F.Column] | None = None
+               ) -> DataFrame:
+    """ANSI / Iceberg ``MERGE INTO`` as a DataFrame composition — the
+    clause-driven twin of ``apply_changes`` (which is op-tagged CDC).
+    Clause semantics and precedence follow the SQL standard:
+
+    - WHEN MATCHED AND ``when_matched_delete`` THEN DELETE (evaluated
+      first, like a leading conditional DELETE clause);
+    - WHEN MATCHED THEN UPDATE SET ``when_matched_update`` (a partial
+      SET — unnamed target columns pass through);
+    - WHEN NOT MATCHED THEN INSERT ``when_not_matched_insert`` (omit to
+      drop unmatched source rows, i.e. no INSERT clause).
+
+    Expressions reference the two sides through the aliases ``t.`` and
+    ``s.`` (e.g. ``F.col("s.c_acctbal") < 0``), exactly how the SQL
+    clauses reference target/source. This is what an Iceberg/Delta
+    runtime executes under MERGE INTO; expressed declaratively it runs
+    on any snapshot DataFrame, and the physical shape is the same ONE
+    full-outer key join + row-action projection as ``apply_changes`` —
+    the change batch side broadcasts under AQE when small.
+
+    Reference intent: the conversion engine emits Iceberg DDL
+    (converter.py:103-183); MERGE INTO is the DML its migrated tables
+    are used with day to day.
+    """
+    cols = list(target.columns)
+    t, s = target.alias("t"), source.alias("s")
+    j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    delete = (matched & when_matched_delete) if when_matched_delete \
+        is not None else F.lit(False)
+    upd = when_matched_update or {}
+    out_cols = []
+    for c in cols:
+        updated = upd.get(c, F.col(f"t.{c}"))
+        if when_not_matched_insert is not None:
+            inserted = when_not_matched_insert.get(
+                c, F.lit(None).cast(target.schema[c].dataType))
+        else:
+            inserted = F.col(f"t.{c}")   # unreachable: row filtered below
+        out_cols.append(
+            F.when(matched, updated)
+            .when(F.col(f"t.{key}").isNotNull(), F.col(f"t.{c}"))
+            .otherwise(inserted).alias(c))
+    keep = ~delete
+    if when_not_matched_insert is None:
+        keep = keep & F.col(f"t.{key}").isNotNull()
+    return j.filter(keep).select(*out_cols)
+
+
+def merge_into_customers(spark, sf_dir) -> DataFrame:
+    """Registry entry: clause-driven MERGE over the customer dimension —
+    a staging batch carries balance corrections (key % 10 == 6, applied
+    via a partial UPDATE SET), tombstones (key % 10 == 7 arrive with a
+    negative balance → conditional DELETE clause), and fresh keys past
+    the snapshot range (INSERT clause with a derived segment). The
+    oracle replays the same clauses as joins/unions in SQL; the hash
+    match proves clause precedence (delete before update), partial-SET
+    passthrough, and insert materialization."""
+    snap = ld(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    corrections = (snap.filter(k % 10 == 6)
+                   .select("c_custkey",
+                           (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+                           F.lit("CORRECTED").alias("c_mktsegment")))
+    tombstones = (snap.filter(k % 10 == 7)
+                  .select("c_custkey", F.lit(-1.0).alias("c_acctbal"),
+                          F.lit("DEAD").alias("c_mktsegment")))
+    fresh = (snap.filter(k % 10 == 8)
+             .select((k + 2_000_000).alias("c_custkey"),
+                     F.lit(10.0).alias("c_acctbal"),
+                     F.lit("ONBOARD").alias("c_mktsegment")))
+    staging = corrections.union(tombstones).union(fresh)
+    out = merge_into(
+        snap, staging, key="c_custkey",
+        when_matched_delete=F.col("s.c_acctbal") < 0,
+        when_matched_update={
+            "c_acctbal": F.col("s.c_acctbal"),
+            "c_mktsegment": F.col("s.c_mktsegment"),
+        },
+        when_not_matched_insert={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.lit("onboarded"),
+            "c_nationkey": F.lit(0),
+            "c_acctbal": F.col("s.c_acctbal"),
+            "c_mktsegment": F.col("s.c_mktsegment"),
+        })
+    return out.orderBy("c_custkey")
+
+
+ORACLE_MERGE_INTO = """
+WITH staging AS (
+  SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal,
+         'CORRECTED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 6
+  UNION ALL
+  SELECT c_custkey, -1.0, 'DEAD' FROM customer WHERE c_custkey % 10 = 7
+  UNION ALL
+  SELECT c_custkey + 2000000, 10.0, 'ONBOARD'
+  FROM customer WHERE c_custkey % 10 = 8
+), matched AS (
+  SELECT t.c_custkey, t.c_name, t.c_nationkey,
+         s.c_acctbal AS c_acctbal, s.c_mktsegment AS c_mktsegment,
+         s.c_acctbal < 0 AS is_delete
+  FROM customer t JOIN staging s ON t.c_custkey = s.c_custkey
+), untouched AS (
+  SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+  FROM customer t ANTI JOIN staging s ON t.c_custkey = s.c_custkey
+), inserted AS (
+  SELECT s.c_custkey, 'onboarded' AS c_name, 0 AS c_nationkey,
+         s.c_acctbal, s.c_mktsegment
+  FROM staging s ANTI JOIN customer t ON s.c_custkey = t.c_custkey
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM matched WHERE NOT is_delete
+  UNION ALL SELECT * FROM untouched
+  UNION ALL SELECT * FROM inserted
+)
+ORDER BY c_custkey
+"""

@@ -502,6 +502,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # iterative tokenizer training (driver-looped over the vocab table)
     # → rows-only; pytest pins the merge sequence vs a pure-Python BPE
     q["bpe_train_merges"] = corpus.bpe_train_merges
+    q["merge_into_customers"] = cdc.merge_into_customers
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -761,4 +762,5 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_curation_report"] = corpus.ORACLE_CURATION_REPORT
     oracles["export_training_shards"] = traindata.ORACLE_EXPORT_SHARDS
     oracles["corpus_mixture_sample"] = traindata.ORACLE_MIXTURE_SAMPLE
+    oracles["merge_into_customers"] = cdc.ORACLE_MERGE_INTO
     return oracles

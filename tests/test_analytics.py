@@ -357,3 +357,62 @@ class TestCdcApply:
         assert rows[(2, "old")] == ("2023-01-01", "2024-01-01")  # history
         assert rows[(3, "z")] == ("2024-06-01", "None")         # inserted
         assert len(rows) == 5
+
+
+class TestMergeInto:
+    def _base(self, spark):
+        t = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, name string, bal double")
+        s = spark.createDataFrame(
+            [(2, "b2", -1.0), (3, "c2", 99.0), (4, "d", 5.0)],
+            "k int, name string, bal double")
+        return t, s
+
+    def test_clause_precedence_and_partial_set(self, spark):
+        """DELETE clause wins over UPDATE for matched rows; the partial
+        SET leaves unnamed target columns untouched; unmatched source
+        rows insert."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            merge_into,
+        )
+        from pyspark.sql import functions as F
+
+        t, s = self._base(spark)
+        out = merge_into(
+            t, s, key="k",
+            when_matched_delete=F.col("s.bal") < 0,
+            when_matched_update={"bal": F.col("s.bal")},   # name NOT set
+            when_not_matched_insert={
+                "k": F.col("s.k"), "name": F.col("s.name"),
+                "bal": F.col("s.bal")})
+        rows = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+        assert rows == {
+            1: ("a", 10.0),        # untouched
+            # 2 deleted (bal < 0 tombstone)
+            3: ("c", 99.0),        # updated bal, name passed through
+            4: ("d", 5.0),         # inserted
+        }
+
+    def test_no_insert_clause_drops_unmatched_source(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            merge_into,
+        )
+        from pyspark.sql import functions as F
+
+        t, s = self._base(spark)
+        out = merge_into(t, s, key="k",
+                         when_matched_update={"bal": F.col("s.bal")})
+        rows = {r["k"]: r["bal"] for r in out.collect()}
+        assert rows == {1: 10.0, 2: -1.0, 3: 99.0}   # no key 4, no deletes
+
+    def test_delete_only_merge(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            merge_into,
+        )
+        from pyspark.sql import functions as F
+
+        t, s = self._base(spark)
+        out = merge_into(t, s, key="k",
+                         when_matched_delete=F.lit(True))
+        assert sorted(r["k"] for r in out.collect()) == [1]
