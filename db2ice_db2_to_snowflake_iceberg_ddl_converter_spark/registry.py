@@ -306,6 +306,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     agg_grouping_sets, text_fingerprint) that were last driver-checked in
     r01. New round-4 entries go past the cap and form the start of the
     round-5 window.
+
+    ROUND-5 ROTATION PLAN: replace ``_WINDOW_R04`` with a ``_WINDOW_R05``
+    list holding (1) the new round-4 entries, which have no driver row
+    yet — rerank_ann_shortlist, corpus_curation_report,
+    export_training_shards, corpus_mixture_sample, merge_into_customers,
+    streaming_cdc_upsert (all oracle-backed, locally green) and
+    bpe_train_merges (rows-only, pytest-pinned vs a pure-Python BPE) —
+    then (2) fresh canaries last in-window in r01/r02 (e.g.
+    window_lag_lead, set_except_all, q3_shipping_priority,
+    q5_nation_revenue, q10_returned_items, events_asof_last_click,
+    dedup_exact_docs, agg_pivot), filling to exactly 50; keep everything
+    r04-green past the cap. Verify with
+    ``python tools/check_oracle_parity.py --first 50`` before committing.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -503,6 +516,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # → rows-only; pytest pins the merge sequence vs a pure-Python BPE
     q["bpe_train_merges"] = corpus.bpe_train_merges
     q["merge_into_customers"] = cdc.merge_into_customers
+    from .streaming.events import streaming_cdc_upsert
+    q["streaming_cdc_upsert"] = streaming_cdc_upsert
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -763,4 +778,5 @@ def build_oracles() -> dict[str, str]:
     oracles["export_training_shards"] = traindata.ORACLE_EXPORT_SHARDS
     oracles["corpus_mixture_sample"] = traindata.ORACLE_MIXTURE_SAMPLE
     oracles["merge_into_customers"] = cdc.ORACLE_MERGE_INTO
+    oracles["streaming_cdc_upsert"] = _ev.ORACLE_STREAMING_CDC_UPSERT
     return oracles

@@ -421,3 +421,107 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.col("s2").cast("double") / F.col("n") - mean * mean
     return stats.select("event_type", mean.alias("mean_v"),
                         F.sqrt(var).alias("std_v"))
+
+
+STATE_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("last_ts", TimestampType()),
+    StructField("last_event_id", LongType()),
+    StructField("last_type", StringType()),
+    StructField("last_value", DoubleType()),
+])
+
+
+def upsert_latest_state(spark: SparkSession, source_stream: DataFrame,
+                        target_dir: str, checkpoint_dir: str):
+    """Streaming CDC materialization: ``foreachBatch`` + seq-guarded
+    ``merge_into`` maintain a keyed latest-state table from the event
+    stream — the ongoing-sync half of a migration cutover (initial copy
+    via sources/migrate.py, then this keeps the target current).
+
+    The guard is the point: each batch collapses to one candidate row
+    per key (max_by on the total order (ts, event_id)), and the MERGE
+    only overwrites when the candidate is strictly newer than what the
+    target already holds. That makes the final table provably
+    independent of micro-batch boundaries — an out-of-order event
+    arriving in a LATER batch can never regress a key (the pytest
+    proves this by replaying the feed as many single-file batches in a
+    scrambled file order). Without the guard, foreachBatch upserts are
+    only correct for in-order feeds — the classic streaming-CDC bug.
+
+    Each batch rewrites the (key-cardinality-sized) state table; with an
+    Iceberg/Delta catalog the same hook is a native MERGE INTO and only
+    touched files rewrite. The state is localCheckpoint-ed before the
+    overwrite so the read and the write of the same path never overlap.
+    """
+    from ..operators.cdc import merge_into
+
+    cols = [f.name for f in STATE_SCHEMA.fields]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (batch_df.groupBy("user_id")
+                  .agg(F.max_by(F.struct("ts", "event_id", "event_type",
+                                         "value"),
+                                F.struct("ts", "event_id")).alias("c"))
+                  .select("user_id",
+                          F.col("c.ts").alias("last_ts"),
+                          F.col("c.event_id").alias("last_event_id"),
+                          F.col("c.event_type").alias("last_type"),
+                          F.col("c.value").alias("last_value")))
+        cur = spark.read.schema(STATE_SCHEMA).parquet(target_dir)
+        newer = (
+            (F.col("s.last_ts") > F.col("t.last_ts"))
+            | ((F.col("s.last_ts") == F.col("t.last_ts"))
+               & (F.col("s.last_event_id") > F.col("t.last_event_id"))))
+        merged = merge_into(
+            cur, latest, key="user_id",
+            when_matched_update={
+                c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                for c in cols if c != "user_id"},
+            when_not_matched_insert={c: F.col(f"s.{c}") for c in cols})
+        merged.localCheckpoint().write.mode("overwrite").parquet(target_dir)
+
+    return (source_stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: drain the whole events fixture through the
+    seq-guarded upsert and emit the final per-user latest state. Unlike
+    most streaming entries this IS oracle-checkable: the final state is
+    by construction the per-key (ts, event_id)-latest event, which SQL
+    expresses as a ROW_NUMBER pick — so the driver hash-match proves the
+    guard, the per-batch collapse, and the merge in one go. Values are
+    carried (never recomputed), so doubles are bitwise-portable."""
+    import tempfile
+
+    target_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    (spark.createDataFrame([], STATE_SCHEMA)
+     .write.mode("overwrite").parquet(target_dir))
+    q = upsert_latest_state(
+        spark, read_events_stream(spark, sf_dir), target_dir,
+        tempfile.mkdtemp(prefix="ckpt_cdc_upsert_"))
+    q.awaitTermination()
+    q.stop()
+    return (spark.read.schema(STATE_SCHEMA).parquet(target_dir)
+            .select("user_id",
+                    F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("last_ts"),
+                    "last_event_id", "last_type", "last_value")
+            .orderBy("user_id"))
+
+
+ORACLE_STREAMING_CDC_UPSERT = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""

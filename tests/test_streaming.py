@@ -240,3 +240,67 @@ class TestZscoreAlerts:
             (r.event_id, r.z)
             for r in behavior.events_value_zscore(spark, sf_dir).collect())
         assert streamed == batch
+
+
+class TestCdcUpsertStream:
+    def test_final_state_independent_of_batch_boundaries(self, spark,
+                                                         sf_dir, tmp_path):
+        """The seq guard's whole claim: replay the feed as MANY
+        single-file micro-batches in a SCRAMBLED file order and the final
+        state must equal the one-batch drain (and the batch ROW_NUMBER
+        pick). Without the guard, a key whose latest event lands in an
+        early batch would be regressed by later out-of-order batches."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import (
+            events as ev,
+        )
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        # scramble: split events into 8 files keyed by a hash (files are
+        # NOT time-ordered, so per-key event order across batches is
+        # arbitrary), then stream one file per micro-batch (plain
+        # readStream here — read_events_stream's pathGlobFilter targets
+        # the fixture layout, and the unit under test is the upsert)
+        src_dir = str(tmp_path / "scrambled")
+        normalized = load_events(spark, sf_dir)
+        (normalized.repartition(8, F.col("event_id") % 8)
+         .write.mode("overwrite").parquet(src_dir))
+
+        target_dir = str(tmp_path / "state")
+        (spark.createDataFrame([], ev.STATE_SCHEMA)
+         .write.mode("overwrite").parquet(target_dir))
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src_dir).schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir))
+        q = ev.upsert_latest_state(
+            spark, stream, target_dir,
+            tempfile.mkdtemp(prefix="ckpt_cdc_scrambled_"))
+        q.awaitTermination()
+        q.stop()
+
+        got = sorted(
+            tuple(r) for r in spark.read.schema(ev.STATE_SCHEMA)
+            .parquet(target_dir).collect())
+
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                                  F.desc("event_id"))
+        want = sorted(
+            tuple(r) for r in
+            spark.read.parquet(src_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value"))
+            .collect())
+        assert got == want
+        assert len(got) > 0
