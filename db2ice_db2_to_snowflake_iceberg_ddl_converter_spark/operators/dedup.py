@@ -652,3 +652,111 @@ SELECT t.doc_id, CAST(t.n_spans AS INT) AS n_spans,
 FROM totals t JOIN dup_counts d ON t.doc_id = d.doc_id
 ORDER BY t.doc_id
 """
+
+
+def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
+    """Near-duplicate curation rollup — the companion to
+    ``corpus.corpus_curation_report`` (which covers exact dups): per
+    source, how many documents sit in at least one ≥0.5 3-gram-Jaccard
+    near-dup pair, the near-dup rate, and the within- vs cross-source
+    pair split (cross-source near-dups are the ones that silently leak
+    eval data between corpus slices, so curation reviews read that
+    column first; a cross pair counts toward BOTH its sources).
+
+    Pair generation reuses ``dedup_ngram_jaccard`` (inverted-index join
+    with the size-bound prune — at 100 TB swap in the MinHash+LSH
+    candidate stage, same (id1, id2) contract); everything after is
+    dimension-sized per-source aggregation. The oracle recomputes the
+    pair set with the NAIVE quadratic formulation, so the driver check
+    proves the index rewrite AND the rollup at once. Counts are exact
+    integers; the one rate division runs on exact operands.
+    """
+    from .relational import ld
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "source")
+    p = (pairs
+         .join(docs.select(F.col("doc_id").alias("id1"),
+                           F.col("source").alias("src1")), "id1")
+         .join(docs.select(F.col("doc_id").alias("id2"),
+                           F.col("source").alias("src2")), "id2"))
+    members = (p.select(F.col("id1").alias("doc_id"),
+                        F.col("src1").alias("source"))
+               .union(p.select(F.col("id2").alias("doc_id"),
+                               F.col("src2").alias("source")))
+               .distinct()
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_neardup_docs")))
+    within = (p.filter(F.col("src1") == F.col("src2"))
+              .groupBy(F.col("src1").alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_pairs_within")))
+    cross = (p.filter(F.col("src1") != F.col("src2"))
+             .select(F.explode(F.array("src1", "src2")).alias("source"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_pairs_cross")))
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (base
+            .join(members, "source", "left")
+            .join(within, "source", "left")
+            .join(cross, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_neardup_docs", F.lit(0))
+                    .alias("n_neardup_docs"),
+                    (F.coalesce("n_neardup_docs", F.lit(0)).cast("double")
+                     / F.col("n_docs")).alias("neardup_rate"),
+                    F.coalesce("n_pairs_within", F.lit(0))
+                    .alias("n_pairs_within"),
+                    F.coalesce("n_pairs_cross", F.lit(0))
+                    .alias("n_pairs_cross"))
+            .orderBy("source"))
+
+
+ORACLE_NEARDUP_REPORT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM w
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+  HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+), tagged AS (
+  SELECT p.id1, p.id2, d1.source AS src1, d2.source AS src2
+  FROM pairs p
+  JOIN documents d1 ON p.id1 = d1.doc_id
+  JOIN documents d2 ON p.id2 = d2.doc_id
+), members AS (
+  SELECT source, COUNT(*) AS n_neardup_docs FROM (
+    SELECT DISTINCT doc_id, source FROM (
+      SELECT id1 AS doc_id, src1 AS source FROM tagged
+      UNION ALL SELECT id2, src2 FROM tagged))
+  GROUP BY source
+), within AS (
+  SELECT src1 AS source, COUNT(*) AS n_pairs_within
+  FROM tagged WHERE src1 = src2 GROUP BY src1
+), crossed AS (
+  SELECT source, COUNT(*) AS n_pairs_cross FROM (
+    SELECT UNNEST([src1, src2]) AS source
+    FROM tagged WHERE src1 <> src2)
+  GROUP BY source
+), base AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(m.n_neardup_docs, 0) AS BIGINT) AS n_neardup_docs,
+       CAST(COALESCE(m.n_neardup_docs, 0) AS DOUBLE) / b.n_docs
+         AS neardup_rate,
+       CAST(COALESCE(w2.n_pairs_within, 0) AS BIGINT) AS n_pairs_within,
+       CAST(COALESCE(c.n_pairs_cross, 0) AS BIGINT) AS n_pairs_cross
+FROM base b
+LEFT JOIN members m ON b.source = m.source
+LEFT JOIN within w2 ON b.source = w2.source
+LEFT JOIN crossed c ON b.source = c.source
+ORDER BY b.source
+"""

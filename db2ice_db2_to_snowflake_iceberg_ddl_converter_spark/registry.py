@@ -518,6 +518,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["merge_into_customers"] = cdc.merge_into_customers
     from .streaming.events import streaming_cdc_upsert
     q["streaming_cdc_upsert"] = streaming_cdc_upsert
+    q["corpus_neardup_report"] = dedup.corpus_neardup_report
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -779,4 +780,5 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_mixture_sample"] = traindata.ORACLE_MIXTURE_SAMPLE
     oracles["merge_into_customers"] = cdc.ORACLE_MERGE_INTO
     oracles["streaming_cdc_upsert"] = _ev.ORACLE_STREAMING_CDC_UPSERT
+    oracles["corpus_neardup_report"] = dedup.ORACLE_NEARDUP_REPORT
     return oracles
