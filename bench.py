@@ -80,6 +80,8 @@ HEADLINE = [
     # round-4 operators
     "rerank_ann_shortlist",
     "corpus_curation_report",
+    "merge_into_customers",
+    "export_training_shards",
 ]
 
 

@@ -416,3 +416,39 @@ class TestMergeInto:
         out = merge_into(t, s, key="k",
                          when_matched_delete=F.lit(True))
         assert sorted(r["k"] for r in out.collect()) == [1]
+
+
+class TestMadZeroGuard:
+    def test_zero_mad_type_gets_no_flags_instead_of_nulls(self, spark,
+                                                          tmp_path):
+        """Regression for the MAD=0 guard: a type where >half the values
+        equal the median has MAD 0 — Spark would emit NULL mad_scores
+        (DuckDB: inf) for its deviant rows without the guard. Guarded,
+        the degenerate type contributes NO rows; a normal type still
+        flags its outlier."""
+        import datetime
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        # degenerate type: 5 of 7 values identical -> median=5, MAD=0,
+        # two wild deviants that WOULD divide by zero
+        for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 5.0, 100.0, -100.0]):
+            rows.append((i, t0, i, "flat", v, "{}"))
+        # normal type: spread values with one clear outlier
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 1000.0]):
+            rows.append((100 + i, t0, i, "spread", v, "{}"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/events.parquet")
+
+        out = analytics.events_mad_outliers(spark, sf_dir).collect()
+        assert all(r["event_type"] != "flat" for r in out)
+        assert any(r["event_type"] == "spread" and r["value"] == 1000.0
+                   for r in out)
+        assert all(r["mad_score"] is not None for r in out)

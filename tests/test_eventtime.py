@@ -722,3 +722,53 @@ class TestActivityStreaks:
         r = rows[0]
         assert (r.user_id, r.best_streak_days) == (1, 3)
         assert r.streak_from == "2024-01-01" and r.streak_to == "2024-01-03"
+
+
+class TestMisraGriesNoTopKCut:
+    def test_guaranteed_tokens_survive_adversarial_mix(self, spark,
+                                                       tmp_path):
+        """Regression for the limit(k) removal: with k=4 and a token mix
+        engineered to decrement the heavy hitter's estimate while many
+        near-threshold tokens retain larger estimates, the top-k cut
+        could evict a token whose true frequency exceeds N/(k+1). The
+        merged table (no cut) must keep every guaranteed token — and may
+        legitimately exceed k rows."""
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        k = 4
+        # heavy hitter H: 40 occurrences; 10 medium tokens x 12; noise
+        # singletons to drive decrements. N = 40 + 120 + 40 = 200;
+        # N/(k+1) = 40 -> only H is GUARANTEED (40 > 200/5 is false...
+        # make H 50: N = 210, N/5 = 42 -> H guaranteed).
+        words = ["H"] * 50
+        for m in range(10):
+            words += [f"med{m}"] * 12
+        words += [f"noise{i}" for i in range(40)]
+        # interleave deterministically so H's counter sees decrements
+        import random as _random
+        rng = _random.Random(7)
+        rng.shuffle(words)
+        docs = [(i, " ".join(words[i::10]), "en", "src0", 0)
+                for i in range(10)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+
+        out = {r["tok"]: r["est_count"]
+               for r in approx.frequent_tokens_misra_gries(
+                   spark, sf_dir, k=k).collect()}
+        true = Counter(words)
+        n = sum(true.values())
+        guaranteed = {t for t, f in true.items() if f > n / (k + 1)}
+        assert guaranteed, "fixture must have at least one guaranteed token"
+        for t in guaranteed:
+            assert t in out, f"guaranteed-frequent token {t!r} evicted"
+            # MG estimate never overcounts and undercounts by <= N/(k+1)
+            assert out[t] <= true[t]
+            assert out[t] >= true[t] - n / (k + 1)
