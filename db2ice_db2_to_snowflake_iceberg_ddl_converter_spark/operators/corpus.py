@@ -548,3 +548,121 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, "
                 "weight long")
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str,
+                         size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking with overlap — the context-window
+    splitter every LLM training/RAG pipeline runs before tokenization:
+    each document becomes ceil(n_tokens/stride) chunks of up to ``size``
+    tokens, consecutive chunks sharing ``size - stride`` tokens.
+
+    Scale shape: a pure per-row NARROW transform — ``sequence()`` over
+    the start offsets, one explode, ``slice`` + ``array_join`` per chunk;
+    no shuffle, no Python, whole-stage codegen end-to-end. Output fanout
+    is bounded by n_tokens/stride per document, so a 100 TB corpus chunks
+    in one map pass and the writer's partitioning is inherited unchanged.
+
+    Oracle coupling: ``size=64`` / ``stride=48`` are baked into the
+    oracle as constants — non-default values are ad-hoc only, with no
+    parity claim.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (d.select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.expr(f"sequence(1, greatest(size(toks), 1), {stride})")
+                    .alias("starts"), "toks")
+            .select("doc_id", F.explode("starts").alias("start"), "toks")
+            .select("doc_id",
+                    ((F.col("start") - 1) / stride).cast("int")
+                    .alias("chunk_id"),
+                    F.col("start").alias("start_token"),
+                    F.slice("toks", F.col("start"), F.lit(size))
+                    .alias("chunk"))
+            .select("doc_id", "chunk_id", "start_token",
+                    F.size("chunk").alias("n_tokens"),
+                    F.array_join("chunk", " ").alias("chunk_text"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+ORACLE_CHUNK_OVERLAP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t,
+         UNNEST(range(1, greatest(len(t), 1) + 1, 48)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / 48 AS INT) AS chunk_id,
+       start AS start_token,
+       CAST(least(start + 63, len(t)) - start + 1 AS INT) AS n_tokens,
+       array_to_string(list_slice(t, start, least(start + 63, len(t))), ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+def corpus_doc_lm_coverage(spark: SparkSession, sf_dir: str,
+                           min_count: int = 20) -> DataFrame:
+    """Per-document bigram language-model coverage — the exact-integer
+    perplexity proxy a quality-filtering pass scores with: how many of a
+    document's adjacent token pairs appear in the corpus-level bigram
+    table (``corpus_bigram_counts``'s shape, cutoff ``min_count``), and
+    how much corpus mass those hits carry. Low coverage flags boilerplate,
+    mojibake, and wrong-language text without any float log-prob (the
+    log-domain score is a consumer-side transform of these integers).
+
+    Scale shape: the LM table is cutoff-pruned (heavy-tail bigrams never
+    leave the map side) and broadcast — the corpus-side probe is a
+    map-only broadcast hash join; the per-doc rollup re-aggregates rows
+    that are already co-located per input row, so map-side partial
+    aggregation collapses the shuffle to O(docs). All outputs are exact
+    BIGINTs — bitwise-portable by construction.
+
+    Oracle coupling: ``min_count=20`` is baked into the oracle as a
+    constant — non-default values are ad-hoc only, with no parity claim.
+    """
+    d = ld(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "         (a, b) -> concat(a, ' ', b))")
+    lm = (d.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("lm_n"))
+          .filter(F.col("lm_n") >= min_count))
+    doc_bigrams = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (doc_bigrams.join(F.broadcast(lm), "bigram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("total_bigrams"),
+                 F.count("lm_n").alias("matched_bigrams"),
+                 F.coalesce(F.sum("lm_n"), F.lit(0)).alias("matched_mass"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DOC_LM_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY i) || ' ' || tok
+           AS bigram
+  FROM toks
+  QUALIFY LAG(tok) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), lm AS (
+  SELECT bigram, COUNT(*) AS lm_n FROM pairs
+  GROUP BY bigram HAVING COUNT(*) >= 20
+)
+SELECT p.doc_id,
+       COUNT(*) AS total_bigrams,
+       COUNT(lm.lm_n) AS matched_bigrams,
+       CAST(COALESCE(SUM(lm.lm_n), 0) AS BIGINT) AS matched_mass
+FROM pairs p LEFT JOIN lm ON p.bigram = lm.bigram
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""

@@ -268,3 +268,113 @@ FROM grid g LEFT JOIN daily d
   ON g.user_id = d.user_id AND g.day = d.day
 ORDER BY g.user_id, day
 """
+
+
+def events_linear_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation imputation — the second imputation class
+    beside ``events_locf_daily`` (carry): missing days on each user's
+    dense daily grid get the value linearly interpolated between the
+    nearest observed neighbors (leading/trailing gaps fall back to the
+    single available neighbor, pandas ``interpolate(limit_direction=
+    'both')`` semantics).
+
+    Shape: reuses LOCF's grid construction (per-(user, day) last value
+    with the deterministic packed-key tiebreak, per-user ``sequence()``
+    densification), then FOUR window fills over ONE (user, day) sort —
+    backward value/day and forward value/day — feed the interpolation
+    arithmetic. All four windows share the same partitioning and
+    ordering, so Spark pays a single shuffle + sort.
+
+    Float parity: the interpolated value is computed with the exact
+    operand order mirrored in the oracle — ``prev + (next - prev) *
+    (CAST(gap AS DOUBLE) / span)`` — on operands that are themselves
+    bitwise-portable (carried doubles, integer day arithmetic), and
+    IEEE-754 +,-,*,/ are exactly rounded, so both engines produce the
+    identical double bit pattern.
+    """
+    from pyspark.sql import Window
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
+    okey = (F.unix_micros("ts") % 86400000000) * 10000000 \
+        + F.col("event_id") % 10000000
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.max_by("value", okey).alias("day_value")))
+    spans = (daily.groupBy("user_id")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1")))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    wb = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    g = (grid.join(daily, ["user_id", "day"], "left")
+         .withColumn("pv", F.last("day_value", ignorenulls=True).over(wb))
+         .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+         .withColumn("nv", F.first("day_value", ignorenulls=True).over(wf))
+         .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf)))
+    interp = (F.col("pv")
+              + (F.col("nv") - F.col("pv"))
+              * (F.datediff("day", "pd").cast("double")
+                 / F.datediff("nd", "pd").cast("double")))
+    filled = (F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .otherwise(interp))
+    return (g.select("user_id",
+                     F.date_format("day", "yyyy-MM-dd").alias("day"),
+                     F.col("day_value").isNotNull().alias("observed"),
+                     filled.alias("filled_value"))
+            .orderBy("user_id", "day"))
+
+
+ORACLE_EVENTS_LINEAR_INTERP = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         arg_max(value, (epoch_us(ts) % 86400000000) * 10000000
+                        + event_id % 10000000)
+           AS day_value
+  FROM events WHERE user_id < 15
+  GROUP BY user_id, CAST(ts AS DATE)
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+  GROUP BY user_id
+), grid AS (
+  SELECT s.user_id,
+         CAST(UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM spans s
+), filled AS (
+  SELECT g.user_id, g.day, d.day_value,
+         LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid g LEFT JOIN daily d
+    ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       day_value IS NOT NULL AS observed,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                    / CAST(date_diff('day', pd, nd) AS DOUBLE))
+       END AS filled_value
+FROM filled
+ORDER BY user_id, day
+"""

@@ -519,6 +519,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .streaming.events import streaming_cdc_upsert
     q["streaming_cdc_upsert"] = streaming_cdc_upsert
     q["corpus_neardup_report"] = dedup.corpus_neardup_report
+    q["corpus_chunk_overlap"] = corpus.corpus_chunk_overlap
+    q["corpus_doc_lm_coverage"] = corpus.corpus_doc_lm_coverage
+    q["events_linear_interp_daily"] = timeseries.events_linear_interp_daily
+    from .sources.registry import source_dpp_star_join
+    q["source_dpp_star_join"] = source_dpp_star_join
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -781,4 +786,10 @@ def build_oracles() -> dict[str, str]:
     oracles["merge_into_customers"] = cdc.ORACLE_MERGE_INTO
     oracles["streaming_cdc_upsert"] = _ev.ORACLE_STREAMING_CDC_UPSERT
     oracles["corpus_neardup_report"] = dedup.ORACLE_NEARDUP_REPORT
+    oracles["corpus_chunk_overlap"] = corpus.ORACLE_CHUNK_OVERLAP
+    oracles["corpus_doc_lm_coverage"] = corpus.ORACLE_DOC_LM_COVERAGE
+    oracles["events_linear_interp_daily"] = \
+        timeseries.ORACLE_EVENTS_LINEAR_INTERP
+    from .sources.registry import ORACLE_DPP_STAR_JOIN
+    oracles["source_dpp_star_join"] = ORACLE_DPP_STAR_JOIN
     return oracles

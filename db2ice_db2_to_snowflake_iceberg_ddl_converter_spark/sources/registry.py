@@ -386,3 +386,68 @@ FROM merged
 GROUP BY priority
 ORDER BY priority
 """
+
+
+def dpp_star_join_parts(spark: SparkSession, sf_dir: str):
+    """Build the star-join halves for ``source_dpp_star_join``: the
+    events fact hive-partitioned by day on scratch, and a day-dimension
+    (day, day_of_week) ALSO materialized to parquet — through a file
+    source, not an in-memory relation, so Catalyst cannot constant-fold
+    the dim filter into a static partition predicate and must plan the
+    runtime DPP subquery. Split out so the plan test can assert on the
+    pre-aggregation join. Returns (fact_df, filtered_dim_df).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import load_events
+
+    e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = _scratch_dir("dpp_star_")
+    write_table(e, f"{path}/fact", partition_by=["day"], sort_by=["ts"])
+    dim = (e.select("day").distinct()
+           .withColumn("dow", F.dayofweek("day")))
+    dim.coalesce(1).write.mode("overwrite").parquet(f"{path}/dim")
+    fact = spark.read.parquet(f"{path}/fact")
+    # Spark dayofweek: 1=Sunday..7=Saturday → 2 = Monday
+    dim_mon = spark.read.parquet(f"{path}/dim").filter(F.col("dow") == 2)
+    return fact, dim_mon
+
+
+def source_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a star join: the fact table is
+    hive-partitioned by day; the filter ("Mondays only") lives on the DAY
+    DIMENSION, not the fact — so static partition pruning can't help.
+    Spark plans a DPP subquery instead: the broadcast built for the dim
+    side is REUSED as a runtime partition filter on the fact scan
+    (``dynamicpruningexpression`` in PartitionFilters, pinned in
+    tests/test_plans.py), and only the matching day directories are read.
+
+    At 100 TB this is the difference between scanning ~1/7th of the fact
+    and scanning all of it: the dim predicate prunes fact PARTITIONS at
+    runtime with zero extra passes (reuseBroadcastOnly — the dim
+    broadcast was being built for the join anyway).
+
+    The oracle applies the equivalent weekday predicate directly (DuckDB
+    ``dayofweek``: 0=Sunday..6 — Monday is 1 there, 2 in Spark).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import DEC
+
+    fact, dim_mon = dpp_star_join_parts(spark, sf_dir)
+    return (fact.join(F.broadcast(dim_mon), "day")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("total_value"))
+            .orderBy("event_type"))
+
+
+ORACLE_DPP_STAR_JOIN = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE dayofweek(CAST(ts AS DATE)) = 1
+GROUP BY event_type
+ORDER BY event_type
+"""

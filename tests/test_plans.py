@@ -431,3 +431,17 @@ class TestRound4PlanShapes:
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("MapInPandas") == 1
+
+    def test_dpp_star_join_prunes_fact_partitions(self, spark, sf_dir):
+        """The dim-side weekday filter must reach the hive-partitioned
+        fact scan as a RUNTIME partition filter (dynamic partition
+        pruning) — at 100 TB the fact scan reads the matching day
+        directories only, not the table."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            dpp_star_join_parts,
+        )
+
+        fact, dim_mon = dpp_star_join_parts(spark, sf_dir)
+        joined = fact.join(F.broadcast(dim_mon), "day")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
