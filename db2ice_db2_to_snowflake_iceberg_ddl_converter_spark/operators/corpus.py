@@ -481,6 +481,27 @@ ORDER BY source, predicted_lang
 """
 
 
+def _bpe_merge_fold(a: str, b: str) -> F.Column:
+    """One BPE merge rule applied to a ``syms`` array column as a
+    left-to-right non-overlapping fold: append each symbol, except when
+    the incoming symbol is ``b`` and the last accumulated symbol is an
+    UNCONSUMED ``a`` — then replace that last element with the merged
+    symbol. (A just-merged ``ab`` never re-matches as ``a``.) Shared by
+    the trainer (``bpe_train_merges``) and the encoder
+    (``bpe_encode_stats``) so both apply rules with identical semantics.
+    """
+    al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        "syms",
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == al)
+            & (s == bl),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(ml)))
+        .otherwise(F.concat(acc, F.array(s))))
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str,
                      n_merges: int = 10) -> DataFrame:
     """Train ``n_merges`` BPE merge rules over the corpus — the real
@@ -529,21 +550,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
             break
         a, b, w = best[0]["left"], best[0]["right"], best[0]["weight"]
         merges.append((step, a, b, a + b, w))
-        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
-        # left-to-right non-overlapping merge as a fold: append, except
-        # when the incoming symbol is `b` and the last accumulated symbol
-        # is an UNCONSUMED `a` — then replace that last element with the
-        # merged symbol. (A just-merged `ab` never re-matches as `a`.)
-        merged = F.aggregate(
-            "syms",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == al)
-                & (s == bl),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                         F.array(ml)))
-            .otherwise(F.concat(acc, F.array(s))))
-        vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint()
+        vocab = vocab.select(_bpe_merge_fold(a, b).alias("syms"),
+                             "freq").localCheckpoint()
 
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, "
@@ -666,3 +674,50 @@ FROM pairs p LEFT JOIN lm ON p.bigram = lm.bigram
 GROUP BY p.doc_id
 ORDER BY p.doc_id
 """
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str,
+                     n_merges: int = 10) -> DataFrame:
+    """Apply trained BPE merges to the corpus — the tokenizer-APPLICATION
+    pass that closes the loop opened by ``bpe_train_merges``: every
+    document's per-token symbol counts after encoding, rolled up to
+    (doc_id, n_tokens, n_symbols, n_chars) — the table a token-budgeted
+    training pipeline reads to size its shards.
+
+    Scale shape: the classic encode trick, expressed relationally —
+    merges are applied to the DISTINCT-TOKEN table (O(|V|) rows no matter
+    the corpus size), never to the raw text; each rule is the shared
+    ``_bpe_merge_fold`` (pure Catalyst, identical semantics to training),
+    with a localCheckpoint every few rules to keep the expression tree
+    codegen-sized. The corpus pass is then a broadcast probe of the tiny
+    (token → n_syms) map plus one per-doc rollup whose shuffle collapses
+    to O(docs) via map-side partial aggregation.
+
+    Iterative training feeds the encode (driver-looped) → rows-only
+    driver check; the pytest pins per-token encodings against an
+    independent pure-Python BPE encoder using the same rules.
+    """
+    merge_rows = bpe_train_merges(spark, sf_dir, n_merges).collect()
+
+    d = ld(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+             .filter(F.length("tok") > 0)
+             .distinct()
+             .select("tok", F.split("tok", "").alias("syms"))
+             .localCheckpoint())
+    for i, m in enumerate(merge_rows, start=1):
+        vocab = vocab.select(
+            "tok", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
+        if i % 4 == 0:
+            vocab = vocab.localCheckpoint()
+    tok_syms = vocab.select("tok", F.size("syms").alias("n_syms"))
+
+    doc_toks = (d.select("doc_id", F.explode(F.split("text", " "))
+                 .alias("tok"))
+                .filter(F.length("tok") > 0))
+    return (doc_toks.join(F.broadcast(tok_syms), "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("n_syms").alias("n_symbols"),
+                 F.sum(F.length("tok")).alias("n_chars"))
+            .orderBy("doc_id"))

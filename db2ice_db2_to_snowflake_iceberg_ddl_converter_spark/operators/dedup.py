@@ -760,3 +760,61 @@ LEFT JOIN within w2 ON b.source = w2.source
 LEFT JOIN crossed c ON b.source = c.source
 ORDER BY b.source
 """
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str,
+                   n_cells: int = 16, threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a k-means codebook, then look for
+    near-duplicates ONLY within each cluster — the scale path that turns
+    O(n²) all-pairs cosine into O(Σ cell²) ≈ O(n²/k) with data-adaptive
+    cells. Inside a cell the keep/drop decision is the deterministic
+    greedy sweep in id order: a vector is DROPPED iff some already-KEPT
+    lower-id vector in its cell has cosine ≥ threshold — so the kept set
+    is exactly the greedy maximal independent set and any two kept
+    vectors in one cell are strictly below the threshold.
+
+    Scale shape: the codebook is the bounded driver-side k-means sample
+    (``similarity.ivf_centroids`` — KB-sized, broadcast); cell assignment
+    is one Arrow-batched matmul scan (``ivf_assign``, no shuffle); the
+    per-cell sweep is ONE ``applyInPandas`` over the cell grouping — the
+    only shuffle in the plan, keyed by the k-means cell, which balances
+    under skew precisely because the codebook follows the data. At 100 TB
+    a giant cell would recurse (re-cluster within the cell) or fall back
+    to ``all_pairs_cosine_blocked`` scoped to that cell; at fixture scale
+    cells are matmul-sized.
+
+    Cluster-scoped by construction (cross-cell near-dups are missed —
+    the documented SemDeDup recall trade) → rows-only driver check; the
+    pytest pins both greedy invariants against a brute-force numpy sweep.
+    The default threshold matches ``dedup_embedding_cosine``'s 0.4 — the
+    fixture embeddings are near-orthogonal (max off-diagonal cosine
+    ≈ 0.5), so the paper's 0.9x regime would never fire here.
+    """
+    import numpy as np
+
+    from .similarity import ivf_assign, ivf_centroids
+
+    e = ld(spark, sf_dir, "embeddings")
+    C = ivf_centroids(e, n_cells=n_cells)
+    tagged = ivf_assign(e.select("vec_id", "embedding"), C)
+
+    def greedy_sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        cell = pdf["cell"].to_numpy()
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        keep = np.zeros(len(ids), dtype=bool)
+        kept: list[int] = []
+        for i in range(len(ids)):
+            if not kept or sims[i, kept].max() < threshold:
+                keep[i] = True
+                kept.append(i)
+        return pd.DataFrame({"vec_id": ids, "cell": cell, "keep": keep})
+
+    return (tagged.groupBy("cell")
+            .applyInPandas(greedy_sweep,
+                           schema="vec_id long, cell int, keep boolean")
+            .orderBy("vec_id"))

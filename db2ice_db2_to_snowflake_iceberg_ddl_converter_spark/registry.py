@@ -524,6 +524,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_linear_interp_daily"] = timeseries.events_linear_interp_daily
     from .sources.registry import source_dpp_star_join
     q["source_dpp_star_join"] = source_dpp_star_join
+    # tokenizer application (trained rules drive the vocab-table encode)
+    # → rows-only; pytest pins per-token encodings vs a pure-Python BPE
+    q["bpe_encode_stats"] = corpus.bpe_encode_stats
+    # k-means-scoped greedy semantic dedup: approximate by construction
+    # → rows-only; pytest pins both greedy invariants vs brute force
+    q["dedup_semdedup"] = dedup.dedup_semdedup
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]

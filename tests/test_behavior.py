@@ -475,3 +475,42 @@ class TestRerank:
 
         with _pytest.raises(ImportError, match="sentence-transformers"):
             rerank.transformer_cross_encoder_factory()
+
+
+class TestSemDeDup:
+    def test_greedy_invariants_vs_brute_force(self, spark, sf_dir):
+        """Both SemDeDup invariants, checked against numpy on the full
+        fixture: (1) every DROPPED vector has cosine >= threshold to some
+        KEPT lower-id vector in its cell; (2) no two KEPT vectors in one
+        cell reach the threshold."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        thr = 0.4
+        rows = dedup.dedup_semdedup(spark, sf_dir, threshold=thr).collect()
+        emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+               for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .collect()}
+        for v in emb.values():
+            v /= np.linalg.norm(v)
+
+        by_cell: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: r["vec_id"]):
+            by_cell.setdefault(r["cell"], []).append(r)
+        assert sum(len(v) for v in by_cell.values()) == len(emb)
+
+        any_dropped = False
+        for members in by_cell.values():
+            kept = [r["vec_id"] for r in members if r["keep"]]
+            for r in members:
+                sims = [float(emb[r["vec_id"]] @ emb[k]) for k in kept
+                        if k < r["vec_id"]]
+                if r["keep"]:
+                    assert not sims or max(sims) < thr
+                else:
+                    any_dropped = True
+                    assert sims and max(sims) >= thr
+        assert any_dropped, "fixture should contain semantic near-dups"

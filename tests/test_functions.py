@@ -143,3 +143,64 @@ class TestBpeTrainMerges:
         rows = corpus.bpe_train_merges(spark, sf_dir, n_merges=12).collect()
         assert len(rows) == 12
         assert any(len(r["left"]) > 1 or len(r["right"]) > 1 for r in rows)
+
+
+class TestBpeEncodeStats:
+    @staticmethod
+    def _ref_encode(tok: str, merges) -> int:
+        """Independent pure-Python BPE encoder: apply each trained rule
+        in order, greedy left-to-right non-overlapping."""
+        syms = list(tok)
+        for _, a, b, _m, _w in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def test_doc_rollup_matches_reference_encoder(self, spark, sf_dir):
+        from collections import Counter
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        merges = [tuple(r) for r in
+                  corpus.bpe_train_merges(spark, sf_dir, n_merges=8)
+                  .collect()]
+        got = {r["doc_id"]: (r["n_tokens"], r["n_symbols"], r["n_chars"])
+               for r in corpus.bpe_encode_stats(spark, sf_dir, n_merges=8)
+               .collect()}
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        # encode each distinct token once, like the operator does
+        vocab = Counter(t for _, text in docs for t in text.split(" ") if t)
+        enc = {t: self._ref_encode(t, merges) for t in vocab}
+        want = {}
+        for doc_id, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            want[doc_id] = (len(toks), sum(enc[t] for t in toks),
+                            sum(len(t) for t in toks))
+        assert got == want
+
+    def test_encoding_actually_compresses(self, spark, sf_dir):
+        """With trained merges, symbols per doc must drop strictly below
+        character count somewhere (the rules fired) and never below the
+        token count (each token is >= 1 symbol)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.bpe_encode_stats(spark, sf_dir, n_merges=8).collect()
+        assert all(r["n_tokens"] <= r["n_symbols"] <= r["n_chars"]
+                   for r in rows)
+        assert any(r["n_symbols"] < r["n_chars"] for r in rows)
