@@ -82,6 +82,10 @@ HEADLINE = [
     "corpus_curation_report",
     "merge_into_customers",
     "export_training_shards",
+    "corpus_chunk_overlap",
+    "corpus_doc_lm_coverage",
+    "dedup_semdedup",
+    "bpe_encode_stats",
 ]
 
 

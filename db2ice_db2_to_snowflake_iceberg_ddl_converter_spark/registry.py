@@ -166,6 +166,21 @@ def _streaming_queries():
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
 
+    def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-stream LEFT OUTER interval join, drained AvailableNow.
+        Unmatched purchases inside the final watermark horizon stay in
+        state when the drain stops (inherent to outer streaming joins)
+        → rows-only driver check; tests/test_streaming.py pins matched
+        ≡ batch inner join, unmatched ⊆ batch anti join, and
+        completeness past the horizon."""
+        drained = _drain(spark, ev.purchase_click_left_join(
+            ev.read_events_stream(spark, sf_dir)), "s_lojoin",
+            mode="append")
+        return drained.select(
+            "purchase_id", "click_id", "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
+
     def streaming_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Stream-static anomaly alerts drained AvailableNow; append mode
         emits exactly the matched rows, so the batch z-score oracle is an
@@ -219,6 +234,7 @@ def _streaming_queries():
                 .select("user_id", "n_events"))
 
     return {"streaming_interval_join": streaming_interval_join,
+            "streaming_left_outer_join": streaming_left_outer_join,
             "streaming_zscore_alerts": streaming_zscore_alerts,
             "streaming_hourly_rollup": streaming_hourly_rollup,
             "streaming_session_windows": streaming_session_windows,
@@ -311,9 +327,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     list holding (1) the new round-4 entries, which have no driver row
     yet — rerank_ann_shortlist, corpus_curation_report,
     export_training_shards, corpus_mixture_sample, merge_into_customers,
-    streaming_cdc_upsert (all oracle-backed, locally green) and
-    bpe_train_merges (rows-only, pytest-pinned vs a pure-Python BPE) —
-    then (2) fresh canaries last in-window in r01/r02 (e.g.
+    streaming_cdc_upsert, corpus_neardup_report, corpus_chunk_overlap,
+    corpus_doc_lm_coverage, events_linear_interp_daily,
+    source_dpp_star_join (all oracle-backed, locally green) and
+    bpe_train_merges / bpe_encode_stats / dedup_semdedup (rows-only,
+    pytest-pinned vs pure-Python BPE twins and a brute-force numpy
+    sweep) — then (2) fresh canaries last in-window in r01/r02 (e.g.
     window_lag_lead, set_except_all, q3_shipping_priority,
     q5_nation_revenue, q10_returned_items, events_asof_last_click,
     dedup_exact_docs, agg_pivot), filling to exactly 50; keep everything
@@ -350,6 +369,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivj = sq.pop("streaming_interval_join")   # held back for the canaries
     szs = sq.pop("streaming_zscore_alerts")   # parked past cap (round 4)
     us2 = sq.pop("streaming_user_stats_v2")   # parked past cap (round 4)
+    loj = sq.pop("streaming_left_outer_join")  # NEW round 4 → past cap
     # ---- window 23-30: rows-only entries earning their first driver row --
     cq = _catalog_queries()
     mig = cq.pop("migrate_customer_cast")
@@ -530,6 +550,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k-means-scoped greedy semantic dedup: approximate by construction
     # → rows-only; pytest pins both greedy invariants vs brute force
     q["dedup_semdedup"] = dedup.dedup_semdedup
+    # outer streaming join: final-watermark-bounded emission → rows-only;
+    # pytest pins matched ≡ inner batch join + horizon completeness
+    q["streaming_left_outer_join"] = loj
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]

@@ -216,6 +216,46 @@ def purchase_click_interval_join(events: DataFrame,
                     F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
 
 
+def purchase_click_left_join(events: DataFrame,
+                             watermark: str = "10 minutes",
+                             lookback: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution variant
+    that also emits purchases with NO qualifying click (click columns
+    NULL), the rows a conversion-rate report needs.
+
+    Outer semantics are the hard part of streaming joins: an unmatched
+    purchase can only be emitted once the watermark proves no future
+    click can still match it (p_ts has fallen behind the click-side
+    watermark minus the interval bound), so null-padded rows trail the
+    event time by watermark + lookback. On an AvailableNow drain the
+    trailing no-data micro-batch advances the watermark to
+    max(event time) − delay and flushes every unmatched purchase older
+    than that; purchases inside the final watermark window remain in
+    state when the query stops — inherent to outer streaming joins, NOT
+    a bug, and exactly what resuming the query would flush next. The
+    pytest pins: matched rows ≡ the batch inner join, emitted unmatched
+    rows ⊆ the batch anti join, and completeness for purchases older
+    than the final-watermark horizon.
+    """
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+                f"INTERVAL {lookback}")))
+    return (purchases.join(clicks, cond, "leftOuter")
+            .select("purchase_id", "click_id",
+                    F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state
     (``dropDuplicatesWithinWatermark``): two records with the same key are

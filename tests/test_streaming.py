@@ -99,6 +99,52 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events,
     assert exp, "fixture must produce at least one purchase-click match"
 
 
+def test_stream_stream_left_outer_join_semantics(spark, sf_dir,
+                                                 batch_events, tmp_path):
+    """LEFT OUTER interval join drained with AvailableNow: (1) the
+    matched rows are EXACTLY the batch inner join; (2) every null-padded
+    row is a genuinely unmatched purchase (batch anti join); (3) every
+    unmatched purchase older than the final-watermark horizon
+    (max event time - watermark - lookback) IS emitted — only the tail
+    still inside the horizon may legitimately stay in state."""
+    import datetime
+
+    stream = ev.purchase_click_left_join(ev.read_events_stream(spark, sf_dir))
+    rows = _drain(spark, stream, "t_lsj", tmp_path, mode="append")
+    got_matched = {(r.purchase_id, r.click_id)
+                   for r in rows if r.click_id is not None}
+    got_unmatched = {r.purchase_id for r in rows if r.click_id is None}
+
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")))
+    exp_matched = {(r.purchase_id, r.click_id)
+                   for r in p.join(c, cond).collect()}
+    exp_unmatched = {r.purchase_id
+                     for r in p.join(c, cond, "left_anti").collect()}
+
+    assert got_matched == exp_matched
+    assert got_unmatched <= exp_unmatched
+    # completeness past the final-watermark horizon: the global watermark
+    # is the MIN across both sides' per-source watermarks (each side's
+    # max observed ts - delay), and left state is only evictable once the
+    # watermark clears p_ts + the interval bound
+    max_p = p.agg(F.max("p_ts")).collect()[0][0]
+    max_c = c.agg(F.max("c_ts")).collect()[0][0]
+    horizon = min(max_p, max_c) - datetime.timedelta(minutes=10 + 30 + 1)
+    must_emit = {r.purchase_id
+                 for r in p.join(c, cond, "left_anti")
+                 .filter(F.col("p_ts") < F.lit(horizon)).collect()}
+    assert must_emit <= got_unmatched
+    assert got_unmatched, "fixture must contain unmatched purchases"
+
+
 def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, batch_events,
                                                 tmp_path):
     """dropDuplicatesWithinWatermark over a stream that unions the source
