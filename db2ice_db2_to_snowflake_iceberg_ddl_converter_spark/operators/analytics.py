@@ -1146,3 +1146,82 @@ SELECT strftime(first_month, '%Y-%m') AS month,
 FROM monthly
 ORDER BY month
 """
+
+
+def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization per event type — the outlier-clipping
+    pass feature pipelines run before normalization: values below the
+    1st / above the 99th percentile are clamped to those cuts, and the
+    per-type summary reports how much mass moved. Third robust-statistics
+    member beside the z-score and MAD passes.
+
+    The cuts use the module's portable rank rule ("smallest value whose
+    1-based rank ≥ ceil(q·n)", event_id tiebreak) — native percentile
+    interpolation conventions are NOT engine-portable. Shape: one window
+    rank partitioned by event_type (each type sorts in its own
+    partition), a type-cardinality cut table broadcast back, one final
+    hash aggregate; the clamped sum follows the decimal protocol so the
+    double output is bitwise-portable.
+    """
+    from pyspark.sql import Window
+
+    from .relational import DEC, load_events
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    cuts = (ranked.groupBy("event_type")
+            .agg(F.min(F.when(F.col("rk") >= F.ceil(F.lit(0.01) * F.col("n")),
+                              F.col("value"))).alias("p01"),
+                 F.min(F.when(F.col("rk") >= F.ceil(F.lit(0.99) * F.col("n")),
+                              F.col("value"))).alias("p99")))
+    clipped = (F.when(F.col("value") < F.col("p01"), F.col("p01"))
+               .when(F.col("value") > F.col("p99"), F.col("p99"))
+               .otherwise(F.col("value")))
+    return (e.join(F.broadcast(cuts), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("value") < F.col("p01")).cast("int"))
+                 .alias("n_clipped_lo"),
+                 F.sum((F.col("value") > F.col("p99")).cast("int"))
+                 .alias("n_clipped_hi"),
+                 F.first("p01").alias("p01"),
+                 F.first("p99").alias("p99"),
+                 F.sum(clipped.cast(DEC)).cast("double")
+                 .alias("winsorized_sum"))
+            .orderBy("event_type"))
+
+
+ORACLE_EVENTS_WINSORIZE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), cuts AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk >= CEIL(0.01 * n) THEN value END) AS p01,
+         MIN(CASE WHEN rk >= CEIL(0.99 * n) THEN value END) AS p99
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN e.value < c.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       MIN(c.p01) AS p01,
+       MIN(c.p99) AS p99,
+       CAST(SUM(CAST(CASE WHEN e.value < c.p01 THEN c.p01
+                          WHEN e.value > c.p99 THEN c.p99
+                          ELSE e.value END AS DECIMAL(28,6))) AS DOUBLE)
+         AS winsorized_sum
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

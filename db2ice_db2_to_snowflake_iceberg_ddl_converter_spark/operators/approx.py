@@ -142,3 +142,52 @@ def frequent_tokens_misra_gries(spark: SparkSession, sf_dir: str,
     return (summaries.groupBy("tok")
             .agg(F.sum("est").alias("est_count"))
             .orderBy(F.desc("est_count"), "tok"))
+
+
+def token_counts_countmin(spark: SparkSession, sf_dir: str,
+                          depth: int = 4, width: int = 512,
+                          n_probe: int = 40) -> DataFrame:
+    """Count-Min sketch over the corpus token stream — the fourth
+    mergeable-sketch class (HLL++ distinct, GK quantiles, MG heavy
+    hitters, CM point frequencies): a depth × width counter matrix where
+    every token increments one counter per row (hash_d(tok) mod width),
+    and a point estimate is the MIN across rows — always ≥ the true
+    count, over by at most ≈ 2N/width with prob. 1 − 2^−depth.
+
+    Scale shape: the matrix is built ENTIRELY relationally — explode the
+    depth hash probes per token (pure Catalyst: ``xxhash64(tok, seed)``)
+    and hash-aggregate on (row, bucket); partial aggregation makes each
+    executor emit ≤ depth × width partial cells, so the shuffle is
+    sketch-sized, not corpus-sized — the same property the dedicated
+    sketch libraries buy with custom merge code, here for free from
+    Spark's agg machinery. The probe stage then estimates the ``n_probe``
+    alphabetically-first distinct tokens by broadcasting their probe
+    cells back onto the cell table.
+
+    Estimates are approximate by construction → rows-only driver check;
+    the pytest pins the CM invariants (est ≥ true, overcount bound)
+    against exact counts.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    probes = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 F.pmod(F.xxhash64("tok", F.lit(r)), F.lit(width))
+                 .cast("int").alias("bucket"))
+        for r in range(depth)
+    ])
+    cells = (toks.select(F.explode(probes).alias("p"))
+             .groupBy("p.row", "p.bucket")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+
+    # probe set: bounded, deterministic (alphabetically-first distinct
+    # tokens); its probe cells are derived with the SAME hash expression
+    queries = (toks.select("tok").distinct()
+               .orderBy("tok").limit(n_probe)
+               .select("tok", F.explode(probes).alias("p"))
+               .select("tok", F.col("p.row").alias("row"),
+                       F.col("p.bucket").alias("bucket")))
+    return (cells.join(F.broadcast(queries), ["row", "bucket"])
+            .groupBy("tok")
+            .agg(F.min("cnt").alias("est_count"))
+            .orderBy("tok"))

@@ -553,6 +553,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outer streaming join: final-watermark-bounded emission → rows-only;
     # pytest pins matched ≡ inner batch join + horizon completeness
     q["streaming_left_outer_join"] = loj
+    q["events_winsorize_clip"] = analytics.events_winsorize_clip
+    # CM point estimates are approximate by construction → rows-only;
+    # pytest pins est >= true and the 2N/width overcount bound
+    q["corpus_token_countmin"] = approx.token_counts_countmin
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -821,4 +825,5 @@ def build_oracles() -> dict[str, str]:
         timeseries.ORACLE_EVENTS_LINEAR_INTERP
     from .sources.registry import ORACLE_DPP_STAR_JOIN
     oracles["source_dpp_star_join"] = ORACLE_DPP_STAR_JOIN
+    oracles["events_winsorize_clip"] = analytics.ORACLE_EVENTS_WINSORIZE
     return oracles

@@ -772,3 +772,37 @@ class TestMisraGriesNoTopKCut:
             # MG estimate never overcounts and undercounts by <= N/(k+1)
             assert out[t] <= true[t]
             assert out[t] >= true[t] - n / (k + 1)
+
+
+class TestCountMin:
+    def test_cm_invariants_vs_exact_counts(self, spark, sf_dir):
+        """Count-Min guarantees, pinned against exact counts: every
+        estimate is >= the true frequency (CM never undercounts), and
+        with depth=4 the overcount stays within the 2N/width bound for
+        every probed token (the per-row expectation is N/width; taking
+        the min of 4 rows makes exceeding 2N/width on ALL rows
+        vanishingly unlikely and deterministic here — fixed hashes,
+        fixed data)."""
+        from collections import Counter
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        width = 512
+        got = {r["tok"]: r["est_count"]
+               for r in approx.token_counts_countmin(
+                   spark, sf_dir, width=width).collect()}
+        assert got, "probe set must be non-empty"
+
+        exact = Counter()
+        for (text,) in duckdb.sql(
+                f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall():
+            exact.update(text.split(" "))
+        n_total = sum(exact.values())
+        for tok, est in got.items():
+            assert est >= exact[tok], (tok, est, exact[tok])
+            assert est - exact[tok] <= 2 * n_total / width, \
+                (tok, est, exact[tok], n_total)
