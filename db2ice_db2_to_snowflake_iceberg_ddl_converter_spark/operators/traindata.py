@@ -549,3 +549,74 @@ SELECT source, CAST(SUM(kept) AS BIGINT) AS n_kept,
        CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_fraction
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str,
+                          n_dims: int = 8, n_vecs: int = 40) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding table —
+    the feature-scaling pass that precedes distance-based training
+    (k-means, contrastive batches): every dimension is centered on its
+    corpus mean and divided by its population std.
+
+    Scale shape: ONE aggregation computes all per-dim sufficient
+    statistics (n, Σx, Σx²) — exploding (dim, x) pairs and hash-
+    aggregating by dim keeps the shuffle O(dims) via partial aggs — and
+    the O(dims) stats table broadcasts back onto the scan, so the
+    normalize pass is map-only. Emitted long-form for the first
+    ``n_vecs`` vectors × ``n_dims`` dims (the full-width rewrite is the
+    same plan with an array rebuild).
+
+    Float parity: sums ride the decimal protocol; mean/var/std/scale are
+    computed with the identical IEEE op order in the oracle (sqrt is
+    correctly rounded, so it preserves bitwise equality); a zero-std
+    dimension yields NULL on BOTH engines via the explicit guard (Spark
+    and DuckDB disagree on float x/0 — NULL vs inf — so the guard is
+    load-bearing, same class as the MAD=0 fix).
+    """
+    from .relational import DEC
+
+    e = ld(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        "vec_id",
+        F.explode(F.arrays_zip(
+            F.expr(f"sequence(1, {n_dims})"),
+            F.slice("embedding", 1, n_dims))).alias("p")) \
+        .select("vec_id", F.col("p.0").alias("dim"),
+                F.col("p.1").cast("double").alias("x"))
+    stats = (pairs.groupBy("dim")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("x").cast(DEC)).cast("double").alias("s1"),
+                  F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+                  .alias("s2")))
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    scaled = F.when(std > 0.0, (F.col("x") - mean) / std)
+    return (pairs.filter(F.col("vec_id") < n_vecs)
+            .join(F.broadcast(stats), "dim")
+            .select("vec_id", "dim", "x", scaled.alias("scaled"))
+            .orderBy("vec_id", "dim"))
+
+
+ORACLE_EMBEDDING_STANDARDIZE = """
+WITH pairs AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), bounded AS (
+  SELECT vec_id, dim, x FROM pairs WHERE dim <= 8
+), stats AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM bounded GROUP BY dim
+)
+SELECT b.vec_id, b.dim, b.x,
+       CASE WHEN sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+            THEN (b.x - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+       END AS scaled
+FROM bounded b JOIN stats s USING (dim)
+WHERE b.vec_id < 40
+ORDER BY b.vec_id, b.dim
+"""

@@ -557,6 +557,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CM point estimates are approximate by construction → rows-only;
     # pytest pins est >= true and the 2N/width overcount bound
     q["corpus_token_countmin"] = approx.token_counts_countmin
+    q["embedding_standardize"] = _td4.embedding_standardize
     # ---- ROUND-4 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
     missing = [k for k in _WINDOW_R04 if k not in q]
@@ -826,4 +827,5 @@ def build_oracles() -> dict[str, str]:
     from .sources.registry import ORACLE_DPP_STAR_JOIN
     oracles["source_dpp_star_join"] = ORACLE_DPP_STAR_JOIN
     oracles["events_winsorize_clip"] = analytics.ORACLE_EVENTS_WINSORIZE
+    oracles["embedding_standardize"] = traindata.ORACLE_EMBEDDING_STANDARDIZE
     return oracles

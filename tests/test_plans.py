@@ -445,3 +445,43 @@ class TestRound4PlanShapes:
         joined = fact.join(F.broadcast(dim_mon), "day")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower()
+
+    def test_aqe_splits_skewed_join_partitions(self, spark, sf_dir):
+        """AQE's runtime skew-join handling is the engine-side complement
+        to manual salting (join_salted_hot_key): with skew thresholds
+        scaled to the fixture, the same 30%-hot-key join must come out of
+        adaptive execution with the skewed partition SPLIT (the
+        SortMergeJoin/ShuffledHashJoin node is marked ``skew=true``) —
+        proof the cluster-side fallback engages when nobody salted."""
+        hot_key = (F.when(F.col("l_orderkey") % 10 <= 2, F.lit(0))
+                   .otherwise(F.col("l_orderkey")).alias("k"))
+        fact = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .select(hot_key, "l_quantity"))
+        dim = fact.select("k").distinct().withColumn(
+            "w", F.col("k") % 7)
+        confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            # fixture-sized thresholds so the hot partition counts as skew
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            # force the shuffle join path (a broadcast dim hides skew)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            joined = (fact.join(dim.hint("merge"), "k")
+                      .groupBy("w").count())
+            joined.collect()   # AQE finalizes the plan at runtime
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
