@@ -448,25 +448,26 @@ class TestRound4PlanShapes:
 
     def test_aqe_splits_skewed_join_partitions(self, spark, sf_dir):
         """AQE's runtime skew-join handling is the engine-side complement
-        to manual salting (join_salted_hot_key): with skew thresholds
-        scaled to the fixture, the same 30%-hot-key join must come out of
-        adaptive execution with the skewed partition SPLIT (the
-        SortMergeJoin/ShuffledHashJoin node is marked ``skew=true``) —
-        proof the cluster-side fallback engages when nobody salted."""
-        hot_key = (F.when(F.col("l_orderkey") % 10 <= 2, F.lit(0))
-                   .otherwise(F.col("l_orderkey")).alias("k"))
-        fact = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-                .select(hot_key, "l_quantity"))
-        dim = fact.select("k").distinct().withColumn(
-            "w", F.col("k") % 7)
+        to manual salting (join_salted_hot_key): a 50%-hot-key join must
+        come out of adaptive execution with the skewed partition SPLIT
+        (the SortMergeJoin node is marked ``skew=true``) — proof the
+        cluster-side fallback engages when nobody salted.
+
+        Two fixture requirements learned the hard way (r4 regression):
+        (1) the hot partition's SHUFFLE bytes must exceed
+        skewedPartitionThresholdInBytes — the sf0.001 parquet fixture
+        compresses below it, so the data is generated inline with an
+        incompressible sha2 pad; (2) OptimizeSkewedJoin only pattern-
+        matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — a distinct/
+        aggregate on the dim side breaks the match, so the dim is built
+        as a plain union, not ``fact.select(k).distinct()``."""
         confs = {
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
-            # fixture-sized thresholds so the hot partition counts as skew
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-                "32KB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+                "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
             # force the shuffle join path (a broadcast dim hides skew)
             "spark.sql.autoBroadcastJoinThreshold": "-1",
         }
@@ -474,10 +475,23 @@ class TestRound4PlanShapes:
         try:
             for k, v in confs.items():
                 spark.conf.set(k, v)
+            # 200k rows, half on key 0; ~72B incompressible pad per row
+            # puts the hot partition at ~7 MB of shuffle — far above the
+            # 64KB * factor-2 skew bar at 8 shuffle partitions.
+            fact = (spark.range(200_000).select(
+                F.when(F.col("id") % 2 == 0, F.lit(0))
+                .otherwise(F.col("id")).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad")))
+            dim = (spark.range(100_000)
+                   .select((F.col("id") * 2 + 1).alias("k"))
+                   .union(spark.range(1)
+                          .select(F.lit(0).cast("long").alias("k")))
+                   .withColumn("w", F.col("k") % 7))
             joined = (fact.join(dim.hint("merge"), "k")
-                      .groupBy("w").count())
+                      .select(F.length("pad").alias("lp"), "w"))
             joined.collect()   # AQE finalizes the plan at runtime
             plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
             assert "skew=true" in plan
         finally:
             for k, v in old.items():
