@@ -323,9 +323,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r01. New round-4 entries go past the cap and form the start of the
     round-5 window.
 
-    ROUND-5 ROTATION PLAN: replace ``_WINDOW_R04`` with a ``_WINDOW_R05``
-    list holding (1) the new round-4 entries, which have no driver row
-    yet — rerank_ann_shortlist, corpus_curation_report,
+    ROUND-5 ROTATION (executes the plan recorded here last round, per the
+    r04 verdict): reorder now happens via ``_window_r05()`` — the 18
+    entries with no driver row in r01–r04 (``_NEVER_CHECKED_R04``), then
+    every new round-5 entry (``_ROUND5_NEW``), then oldest-first r01/r02
+    canaries (``_CANARIES_R05``) filling to 50. Closing note on the
+    original plan text (kept for the audit trail): (1) the new round-4
+    entries, which had no driver row
+    then — rerank_ann_shortlist, corpus_curation_report,
     export_training_shards, corpus_mixture_sample, merge_into_customers,
     streaming_cdc_upsert, corpus_neardup_report, corpus_chunk_overlap,
     corpus_doc_lm_coverage, events_linear_interp_daily,
@@ -558,12 +563,113 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest pins est >= true and the 2N/width overcount bound
     q["corpus_token_countmin"] = approx.token_counts_countmin
     q["embedding_standardize"] = _td4.embedding_standardize
-    # ---- ROUND-4 REORDER: window first, everything else keeps its
+    # ---- new ROUND-5 entries (each also listed in _ROUND5_NEW so the
+    # reorder below places it inside the driver window immediately) ----
+    q.update(_round5_queries())
+    # ---- ROUND-5 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    missing = [k for k in _WINDOW_R04 if k not in q]
+    window = _window_r05()
+    missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
-    in_window = set(_WINDOW_R04)
-    return {k: q[k] for k in [*_WINDOW_R04, *(k for k in q if k not in in_window)]}
+    in_window = set(window)
+    return {k: q[k] for k in [*window, *(k for k in q if k not in in_window)]}
+
+
+def _window_r05() -> list:
+    """The round-5 driver window (first 50 ``queries()`` keys), executing
+    the rotation plan recorded in the r4 verdict: (1) the 18 entries that
+    have never had a driver CORRECTNESS row in r01–r04, (2) every new
+    round-5 entry, (3) regression canaries last driver-checked in r01/r02
+    — oldest first — filling to exactly 50. Adding a round-5 entry to
+    ``_ROUND5_NEW`` automatically displaces the trailing canary."""
+    window = [*_NEVER_CHECKED_R04, *_ROUND5_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-5 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R05[:fill]]
+
+
+_WINDOW_SIZE = 50
+
+#: The 18 registry entries with no CORRECTNESS row in any of r01–r04
+#: (computed from the four driver files; r4 verdict item 1). Green locally
+#: via ``python tools/check_oracle_parity.py --first 50``.
+_NEVER_CHECKED_R04 = [
+    "rerank_ann_shortlist",
+    "corpus_curation_report",
+    "export_training_shards",
+    "corpus_mixture_sample",
+    "bpe_train_merges",
+    "merge_into_customers",
+    "streaming_cdc_upsert",
+    "corpus_neardup_report",
+    "corpus_chunk_overlap",
+    "corpus_doc_lm_coverage",
+    "events_linear_interp_daily",
+    "source_dpp_star_join",
+    "bpe_encode_stats",
+    "dedup_semdedup",
+    "streaming_left_outer_join",
+    "events_winsorize_clip",
+    "corpus_token_countmin",
+    "embedding_standardize",
+]
+
+#: New round-5 entries — kept in sync with ``_round5_queries()`` so each
+#: earns a driver row in its debut round.
+_ROUND5_NEW: list = []
+
+#: Family-spanning regression canaries, oldest-checked first (all r01
+#: except the last four, r02); the window takes the first
+#: ``50 - 18 - len(_ROUND5_NEW)``.
+_CANARIES_R05 = [
+    "scan_filter_projection",
+    "join_left_outer",
+    "join_anti",
+    "join_semi",
+    "join_cross",
+    "join_range_nonequi",
+    "agg_cube",
+    "agg_pivot",
+    "agg_stats",
+    "agg_distinct_counts",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_ntile_percent",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sort_limit_topk",
+    "distinct_pairs",
+    "filter_null_safe",
+    "case_when_bucketing",
+    "scalar_string_fns",
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "scalar_json_fns",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_blocked",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "events_asof_last_click",
+    "approx_distinct_counts",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_items",
+    "set_except_all",
+]
+
+
+def _round5_queries():
+    """New round-5 entries; grows as the round progresses. Every key added
+    here must also be appended to ``_ROUND5_NEW``."""
+    return {}
 
 
 #: The driver checks the FIRST 50 ``queries()`` entries each round. This list
