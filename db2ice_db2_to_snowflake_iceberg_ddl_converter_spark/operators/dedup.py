@@ -762,8 +762,60 @@ ORDER BY b.source
 """
 
 
+def _semdedup_sweep_for_tests(pdf: "pd.DataFrame", threshold: float,
+                              max_cell_rows: int) -> "pd.DataFrame":
+    """One cell's greedy sweep (the ``applyInPandas`` body of
+    ``dedup_semdedup``, module-level so the pytest can force both paths
+    on a hand-built cell). Rows ≤ ``max_cell_rows`` take the dense
+    matmul; larger cells take the blocked fallback — same keep-set, peak
+    memory O(block × kept) instead of O(cell²)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    cell = pdf["cell"].to_numpy()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    M /= np.where(norms > 0, norms, 1.0)   # zero vectors stay zero
+    n = len(ids)
+    keep = np.zeros(n, dtype=bool)
+    if n <= max_cell_rows:
+        sims = M @ M.T
+        kept: list[int] = []
+        for i in range(n):
+            if not kept or sims[i, kept].max() < threshold:
+                keep[i] = True
+                kept.append(i)
+    else:
+        # Blocked fallback: never builds the n×n matrix. Each block of
+        # rows is compared against the kept-set matrix only, then swept
+        # sequentially within the block.
+        kept_rows: list = []
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            B = M[lo:hi]
+            if kept_rows:
+                K = np.vstack(kept_rows)
+                prior = (B @ K.T).max(axis=1)
+            else:
+                prior = np.full(hi - lo, -1.0)
+            new_idx: list[int] = []
+            for j in range(hi - lo):
+                s = prior[j]
+                if new_idx:
+                    s = max(s, float((B[j] @ B[new_idx].T).max()))
+                if s < threshold:
+                    keep[lo + j] = True
+                    new_idx.append(j)
+            if new_idx:
+                kept_rows.append(B[new_idx])
+    return pd.DataFrame({"vec_id": ids, "cell": cell, "keep": keep})
+
+
 def dedup_semdedup(spark: SparkSession, sf_dir: str,
-                   n_cells: int = 16, threshold: float = 0.4) -> DataFrame:
+                   n_cells: int = 16, threshold: float = 0.4,
+                   max_cell_rows: int = 4096) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with a k-means codebook, then look for
     near-duplicates ONLY within each cluster — the scale path that turns
@@ -779,10 +831,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
     is one Arrow-batched matmul scan (``ivf_assign``, no shuffle); the
     per-cell sweep is ONE ``applyInPandas`` over the cell grouping — the
     only shuffle in the plan, keyed by the k-means cell, which balances
-    under skew precisely because the codebook follows the data. At 100 TB
-    a giant cell would recurse (re-cluster within the cell) or fall back
-    to ``all_pairs_cosine_blocked`` scoped to that cell; at fixture scale
-    cells are matmul-sized.
+    under skew precisely because the codebook follows the data.
+
+    Giant-cell guard (r4 advice): a cell larger than ``max_cell_rows``
+    does NOT materialize its O(cell²) cosine matrix — the sweep switches
+    to a blocked pass (row-blocks of ≤1024 against the grown kept-set
+    only, O(block × kept) peak memory instead of O(cell²)), preserving
+    the identical greedy keep-set. Zero-norm embeddings are kept as-is
+    and excluded from similarity (a zero vector has no cosine; dividing
+    by its norm would NaN-poison the whole cell's matrix).
 
     Cluster-scoped by construction (cross-cell near-dups are missed —
     the documented SemDeDup recall trade) → rows-only driver check; the
@@ -791,8 +848,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
     fixture embeddings are near-orthogonal (max off-diagonal cosine
     ≈ 0.5), so the paper's 0.9x regime would never fire here.
     """
-    import numpy as np
-
     from .similarity import ivf_assign, ivf_centroids
 
     e = ld(spark, sf_dir, "embeddings")
@@ -800,19 +855,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
     tagged = ivf_assign(e.select("vec_id", "embedding"), C)
 
     def greedy_sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        cell = pdf["cell"].to_numpy()
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        sims = M @ M.T
-        keep = np.zeros(len(ids), dtype=bool)
-        kept: list[int] = []
-        for i in range(len(ids)):
-            if not kept or sims[i, kept].max() < threshold:
-                keep[i] = True
-                kept.append(i)
-        return pd.DataFrame({"vec_id": ids, "cell": cell, "keep": keep})
+        return _semdedup_sweep_for_tests(pdf, threshold, max_cell_rows)
 
     return (tagged.groupBy("cell")
             .applyInPandas(greedy_sweep,

@@ -514,3 +514,51 @@ class TestSemDeDup:
                     any_dropped = True
                     assert sims and max(sims) >= thr
         assert any_dropped, "fixture should contain semantic near-dups"
+
+    def test_giant_cell_blocked_fallback_matches_dense_path(
+            self, spark, sf_dir):
+        """Force every cell through the blocked giant-cell fallback
+        (max_cell_rows below any fixture cell) and require the EXACT
+        keep-set of the dense-matmul path — the fallback changes peak
+        memory (O(block × kept) vs O(cell²)), never the greedy result."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        thr = 0.4
+        dense = {(r["vec_id"], r["cell"]): r["keep"]
+                 for r in dedup.dedup_semdedup(
+                     spark, sf_dir, threshold=thr).collect()}
+        blocked = {(r["vec_id"], r["cell"]): r["keep"]
+                   for r in dedup.dedup_semdedup(
+                       spark, sf_dir, threshold=thr,
+                       max_cell_rows=4).collect()}
+        assert dense == blocked
+        assert any(dense.values()) and not all(dense.values())
+
+    def test_zero_norm_embedding_does_not_poison_the_cell(self, spark):
+        """A zero vector has no cosine direction: it must be KEPT (it
+        matches nothing) and must not NaN-poison its cell's similarity
+        matrix — np.where-guarded normalization, r4 advice."""
+        import numpy as np
+        import pandas as pd
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        vecs = [(0, [0.0, 0.0, 0.0]),          # zero-norm
+                (1, [1.0, 0.0, 0.0]),
+                (2, [1.0, 0.01, 0.0]),          # near-dup of 1
+                (3, [0.0, 1.0, 0.0])]
+        pdf = pd.DataFrame({
+            "vec_id": [v[0] for v in vecs],
+            "cell": [0] * 4,
+            "embedding": [np.array(v[1]) for v in vecs]})
+        out = dedup._semdedup_sweep_for_tests(pdf, threshold=0.9,
+                                              max_cell_rows=4096)
+        keep = dict(zip(out["vec_id"], out["keep"]))
+        assert keep == {0: True, 1: True, 2: False, 3: True}
+        out_b = dedup._semdedup_sweep_for_tests(pdf, threshold=0.9,
+                                                max_cell_rows=2)
+        assert dict(zip(out_b["vec_id"], out_b["keep"])) == keep
