@@ -641,10 +641,15 @@ def corpus_doc_lm_coverage(spark: SparkSession, sf_dir: str,
     lm = (d.select(F.explode(bigrams).alias("bigram"))
           .groupBy("bigram").agg(F.count(F.lit(1)).alias("lm_n"))
           .filter(F.col("lm_n") >= min_count))
-    doc_bigrams = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    # explode_outer (r4 advice): a document with <2 tokens has an EMPTY
+    # bigram array — a plain explode would drop the row entirely and a
+    # quality-filtering consumer could not tell "no bigrams" from "not
+    # scored". It survives here with total_bigrams = 0.
+    doc_bigrams = d.select("doc_id",
+                           F.explode_outer(bigrams).alias("bigram"))
     return (doc_bigrams.join(F.broadcast(lm), "bigram", "left")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("total_bigrams"),
+            .agg(F.count("bigram").alias("total_bigrams"),
                  F.count("lm_n").alias("matched_bigrams"),
                  F.coalesce(F.sum("lm_n"), F.lit(0)).alias("matched_mass"))
             .orderBy("doc_id"))
@@ -666,13 +671,15 @@ WITH toks AS (
   SELECT bigram, COUNT(*) AS lm_n FROM pairs
   GROUP BY bigram HAVING COUNT(*) >= 20
 )
-SELECT p.doc_id,
-       COUNT(*) AS total_bigrams,
+SELECT d.doc_id,
+       COUNT(p.bigram) AS total_bigrams,
        COUNT(lm.lm_n) AS matched_bigrams,
        CAST(COALESCE(SUM(lm.lm_n), 0) AS BIGINT) AS matched_mass
-FROM pairs p LEFT JOIN lm ON p.bigram = lm.bigram
-GROUP BY p.doc_id
-ORDER BY p.doc_id
+FROM documents d
+LEFT JOIN pairs p ON d.doc_id = p.doc_id
+LEFT JOIN lm ON p.bigram = lm.bigram
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 

@@ -297,6 +297,11 @@ def events_linear_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import load_events
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
+    # Packed tiebreak key inherited from events_locf_daily (full rationale
+    # there): the % 1e7 id slot is an explicit SCALE CEILING — collision-
+    # free up to 10M event ids; past that, two same-microsecond events
+    # could tie and Spark max_by vs DuckDB arg_max break ties differently.
+    # Deployments beyond 10M ids must widen the slot (r4 advice).
     okey = (F.unix_micros("ts") % 86400000000) * 10000000 \
         + F.col("event_id") % 10000000
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))

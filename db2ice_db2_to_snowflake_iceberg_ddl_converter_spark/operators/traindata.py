@@ -589,7 +589,14 @@ def embedding_standardize(spark: SparkSession, sf_dir: str,
                   F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
                   .alias("s2")))
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # greatest(var, 0): on a near-constant dimension the decimal-rounded
+    # sums can make s2/n - mean² a tiny NEGATIVE, and sqrt(negative) is
+    # NaN — which Spark's `NaN > 0.0` treats as TRUE (NaN sorts greatest)
+    # while DuckDB errors/NULLs, so without the clamp the guard leaks NaN
+    # scaled values on one engine only (r4 advice). Clamped identically
+    # in the oracle.
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
     scaled = F.when(std > 0.0, (F.col("x") - mean) / std)
     return (pairs.filter(F.col("vec_id") < n_vecs)
             .join(F.broadcast(stats), "dim")
@@ -612,9 +619,11 @@ WITH pairs AS (
   FROM bounded GROUP BY dim
 )
 SELECT b.vec_id, b.dim, b.x,
-       CASE WHEN sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+       CASE WHEN sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n),
+                               0.0)) > 0
             THEN (b.x - s.s1 / s.n)
-                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                 / sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n),
+                                 0.0))
        END AS scaled
 FROM bounded b JOIN stats s USING (dim)
 WHERE b.vec_id < 40
