@@ -816,3 +816,148 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
                  F.sum("n_syms").alias("n_symbols"),
                  F.sum(F.length("tok")).alias("n_chars"))
             .orderBy("doc_id"))
+
+
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str,
+                          size: int = 64, stride: int = 48,
+                          n_shards: int = 8) -> DataFrame:
+    """The END-TO-END corpus build a 100 TB training-data run executes,
+    composed as ONE Spark job with zero driver round-trips between
+    stages: language gate ∘ quality gate ∘ exact+near dedup ∘ mixture
+    downsample ∘ chunking ∘ shard assignment → per-shard export manifest.
+
+    Stage reuse (each stage is the SAME expression its standalone
+    registry entry runs, so this entry proves they compose):
+    - gates: ``textstats.predicted_lang_expr`` == 'en' and
+      ``textstats.quality_score_expr`` ≥ 60 (text_langid /
+      text_quality_score);
+    - dedup: keep min doc_id per TRIM(LOWER(text)) group
+      (corpus_curate's normalized window — exact duplicates are a subset
+      of normalized ones, so one window implements both gates);
+    - mixture: keep iff 16-bit md5('mix:'||text) bucket < source weight
+      (corpus_mixture_sample's predicate — even sources 100%, odd 25%);
+    - chunking: corpus_chunk_overlap's (size=64, stride=48) grid,
+      computed in CLOSED FORM per document (size(sequence) chunks,
+      ``aggregate`` over starts for token totals) — no explode, so
+      chunk accounting adds zero rows to the plan;
+    - sharding: export_training_shards' md5('shard:'||text) bucket % 8
+      with the md5 hex as the portable within-shard shuffle key.
+
+    Plan shape at scale: one scan (all gates are scan-level Catalyst
+    predicates after the dedup window), ONE window shuffle on the
+    normalized-text key, ONE final hash aggregation keyed by shard —
+    uniform by md5 construction, no skew. Everything between is narrow.
+    All manifest aggregates are exact integers / hex strings → the
+    DuckDB oracle hash-matches bitwise.
+
+    Oracle coupling: the defaults (size=64, stride=48, n_shards=8,
+    quality ≥ 60, even/odd mixture weights) are baked into the oracle as
+    constants — non-default values are ad-hoc only, with no parity
+    claim.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import predicted_lang_expr, quality_score_expr
+    from .traindata import _hex_bucket
+
+    d = ld(spark, sf_dir, "documents")
+    dup_w = Window.partitionBy(F.trim(F.lower("text"))).orderBy("doc_id")
+    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    weight_hi = F.when(F.pmod(src_num, F.lit(2)) == 0, F.lit(65536)) \
+        .otherwise(F.lit(16384))                       # 1.0 vs 0.25
+    mix_bucket = _hex_bucket(F.md5(F.concat(F.lit("mix:"),
+                                            F.col("text"))), 4)
+    shard_h = F.md5(F.concat(F.lit("shard:"), F.col("text")))
+
+    survivors = (d.select(
+        "doc_id", "text",
+        predicted_lang_expr().alias("predicted_lang"),
+        quality_score_expr().alias("quality_score"),
+        (mix_bucket < weight_hi).alias("mix_keep"),
+        shard_h.alias("h"),
+        F.row_number().over(dup_w).alias("dup_rank"))
+        .filter((F.col("dup_rank") == 1)
+                & (F.col("predicted_lang") == "en")
+                & (F.col("quality_score") >= 60.0)
+                & F.col("mix_keep")))
+
+    starts = F.expr(
+        f"sequence(1, greatest(size(split(text, ' ')), 1), {stride})")
+    chunk_tokens = F.expr(
+        f"aggregate(sequence(1, greatest(size(split(text, ' ')), 1), "
+        f"{stride}), 0, (acc, s) -> acc + least({size}, "
+        f"size(split(text, ' ')) - s + 1))")
+    per_doc = survivors.select(
+        F.pmod(_hex_bucket(F.col("h"), 4), F.lit(n_shards)).alias("shard"),
+        "h",
+        F.size(starts).alias("n_chunks"),
+        chunk_tokens.alias("chunk_tokens"))
+
+    return (per_doc.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chunks").cast("long").alias("n_chunks"),
+                 F.sum("chunk_tokens").cast("long")
+                 .alias("total_chunk_tokens"),
+                 F.min("h").alias("first_key"),
+                 F.max("h").alias("last_key"))
+            .orderBy("shard"))
+
+
+ORACLE_BUILD_PIPELINE = """
+WITH t AS (
+  SELECT doc_id, source, text, n_chars,
+         string_split(text, ' ') AS w,
+         list_distinct(string_split(text, ' ')) AS dw,
+         ROW_NUMBER() OVER (PARTITION BY TRIM(LOWER(text))
+                            ORDER BY doc_id) AS dup_rank
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text, w,
+         dup_rank,
+         len(list_intersect(dw, ['the','a','of','and','is'])) AS en_h,
+         len(list_intersect(dw, ['el','la','de','y','es'])) AS es_h,
+         len(list_intersect(dw, ['der','die','das','und','ist'])) AS de_h,
+         len(list_intersect(dw, ['le','la','et','est','un'])) AS fr_h,
+         (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN 40 ELSE 10 END)
+         + (len(dw)::DOUBLE / len(w)) * 30
+         + (CASE WHEN len(list_intersect(dw, ['the','a','of','and','is'])) > 0
+                 THEN 20 ELSE 0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+             / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END) AS quality_score
+  FROM t
+), survivors AS (
+  SELECT doc_id, text, len(w) AS n_tok,
+         md5('shard:' || text) AS h
+  FROM scored
+  WHERE dup_rank = 1
+    AND en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h > 0
+    AND quality_score >= 60
+    AND ((strpos('0123456789abcdef', md5('mix:' || text)[1:1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5('mix:' || text)[2:2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5('mix:' || text)[3:3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5('mix:' || text)[4:4]) - 1))
+        < (CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
+                     % 2 = 0
+                THEN 65536 ELSE 16384 END)
+), chunked AS (
+  SELECT doc_id, h,
+         ((strpos('0123456789abcdef', h[1:1]) - 1) * 4096
+          + (strpos('0123456789abcdef', h[2:2]) - 1) * 256
+          + (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+          + (strpos('0123456789abcdef', h[4:4]) - 1)) % 8 AS shard,
+         len(range(1, greatest(n_tok, 1) + 1, 48)) AS n_chunks,
+         (SELECT SUM(least(64, n_tok - s + 1))
+          FROM UNNEST(range(1, greatest(n_tok, 1) + 1, 48)) AS u(s))
+           AS chunk_tokens
+  FROM survivors
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+       MIN(h) AS first_key, MAX(h) AS last_key
+FROM chunked
+GROUP BY shard
+ORDER BY shard
+"""

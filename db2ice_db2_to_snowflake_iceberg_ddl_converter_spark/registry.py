@@ -616,7 +616,9 @@ _NEVER_CHECKED_R04 = [
 
 #: New round-5 entries — kept in sync with ``_round5_queries()`` so each
 #: earns a driver row in its debut round.
-_ROUND5_NEW: list = []
+_ROUND5_NEW: list = [
+    "corpus_build_pipeline",
+]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
 #: except the last four, r02); the window takes the first
@@ -669,7 +671,14 @@ _CANARIES_R05 = [
 def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
-    return {}
+    from .operators import corpus
+
+    return {
+        # end-to-end curation: gates ∘ dedup ∘ mixture ∘ chunk ∘ shard
+        # manifest in ONE job (r4 verdict item 9) — proves the standalone
+        # stages compose without a driver round-trip between them
+        "corpus_build_pipeline": corpus.corpus_build_pipeline,
+    }
 
 
 #: The driver checks the FIRST 50 ``queries()`` entries each round. This list
@@ -934,4 +943,6 @@ def build_oracles() -> dict[str, str]:
     oracles["source_dpp_star_join"] = ORACLE_DPP_STAR_JOIN
     oracles["events_winsorize_clip"] = analytics.ORACLE_EVENTS_WINSORIZE
     oracles["embedding_standardize"] = traindata.ORACLE_EMBEDDING_STANDARDIZE
+    # ---- new round-5 entries ----
+    oracles["corpus_build_pipeline"] = corpus.ORACLE_BUILD_PIPELINE
     return oracles

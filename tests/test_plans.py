@@ -499,3 +499,26 @@ class TestRound4PlanShapes:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound5PlanShapes:
+    def test_corpus_build_pipeline_single_window_single_agg(
+            self, spark, sf_dir):
+        """The end-to-end curation pipeline must stay ONE job with no
+        Python and exactly the shuffles its design claims: the dedup
+        window exchange, the shard aggregation exchange, and the final
+        8-row presentation sort — nothing else. The rank<=1 dedup must
+        compile to WindowGroupLimit (partial top-1 per key BEFORE the
+        exchange), or the window shuffles whole duplicate groups at
+        100 TB."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        df = corpus.corpus_build_pipeline(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert plan.count("Exchange") <= 3
+        assert "WindowGroupLimit" in plan
+        # chunk accounting is closed-form per doc — no explode/Generate
+        assert "Generate" not in plan
