@@ -961,3 +961,143 @@ FROM chunked
 GROUP BY shard
 ORDER BY shard
 """
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str,
+                         n: int = 5, bench_mod: int = 97) -> DataFrame:
+    """Benchmark decontamination — the n-gram overlap scan every serious
+    pretraining pipeline runs so evaluation results aren't inflated by
+    test data leaking into the corpus (the GPT-3 appendix-C / PaLM /
+    Llama recipe, done with 8–13-grams there; 5-grams here because the
+    fixture documents are short): documents whose text shares ANY
+    ``n``-gram with a held-out benchmark set are flagged with their
+    contamination span count.
+
+    The "benchmark" is a deterministic slice of the same table
+    (doc_id ≡ 0 mod ``bench_mod``) so the fixture needs no extra file —
+    in production it's the eval-suite corpus, which is the KEY scale
+    asymmetry this plan exploits: benchmark n-grams are a few million
+    rows however big the training corpus is, so they broadcast, and the
+    100 TB side is probed map-side with NO shuffle of corpus grams. The
+    per-doc rollup then re-aggregates rows already co-located per input
+    row (map-side partials, O(docs) shuffle). Corpus docs too short to
+    have any n-gram survive via explode_outer with n_grams = 0 — same
+    no-silent-drop rule as corpus_doc_lm_coverage.
+
+    Oracle coupling: ``n=5`` / ``bench_mod=97`` are baked into the
+    oracle as constants — non-default values are ad-hoc only.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr(f"array_distinct(transform("
+               f"sequence(1, size(split(text, ' ')) - {n - 1}), "
+               f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))")
+    ).otherwise(F.array().cast("array<string>"))
+
+    bench = (d.filter(F.col("doc_id") % bench_mod == 0)
+             .select(F.explode(grams).alias("gram"))
+             .distinct()
+             .withColumn("hit", F.lit(1)))
+    corp = (d.filter(F.col("doc_id") % bench_mod != 0)
+            .select("doc_id", F.explode_outer(grams).alias("gram")))
+    return (corp.join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("gram").alias("n_grams"),
+                 F.count("hit").alias("n_contaminated_grams"))
+            .select("doc_id", "n_grams", "n_contaminated_grams",
+                    (F.col("n_contaminated_grams") > 0)
+                    .alias("contaminated"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(w) - 4, 0) + 1)])
+           AS grams
+  FROM t
+), bench AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT d.doc_id,
+       COUNT(c.gram) AS n_grams,
+       COUNT(b.gram) AS n_contaminated_grams,
+       COUNT(b.gram) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN corp c ON d.doc_id = c.doc_id
+LEFT JOIN bench b ON c.gram = b.gram
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) —
+    the rule-based pre-filter large pipelines run BEFORE any model-based
+    scoring, adapted to the fixture's scale: word-count band, mean word
+    length band, and minimum distinct-stopword hits. Emits every rule's
+    verdict alongside the metrics so a curation review can see WHY a
+    document failed, plus the conjunction ``passes``.
+
+    Scale shape: pure per-row Catalyst arithmetic over one scan — no
+    shuffle, no Python, whole-stage codegen end-to-end; the final
+    orderBy is presentation-only. mean_word_len is one exact-integer
+    division done in the same IEEE op order in the oracle.
+
+    Fixture-adapted bands (the paper's 50–100k word band would pass
+    everything here): words ∈ [20, 200], mean word length ∈ [3, 10],
+    ≥ 2 distinct English stopwords.
+    """
+    from .textstats import LANG_MARKERS
+
+    d = ld(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    # chars excluding the n_words-1 separators, over n_words
+    mean_wl = ((F.col("n_chars") - (n_words - F.lit(1))).cast("double")
+               / n_words.cast("double"))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    r_wc = (n_words >= 20) & (n_words <= 200)
+    r_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_stop = stop_hits >= 2
+    return (d.select("doc_id",
+                     n_words.alias("n_words"),
+                     mean_wl.alias("mean_word_len"),
+                     stop_hits.alias("n_stopword_hits"),
+                     r_wc.alias("rule_word_count"),
+                     r_mwl.alias("rule_mean_word_len"),
+                     r_stop.alias("rule_stopwords"),
+                     (r_wc & r_mwl & r_stop).alias("passes"))
+            .orderBy("doc_id"))
+
+
+ORACLE_GOPHER_RULES = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (n_chars - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_word_len,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['the','a','of','and','is'])) AS n_stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, n_stopword_hits,
+       n_words >= 20 AND n_words <= 200 AS rule_word_count,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         AS rule_mean_word_len,
+       n_stopword_hits >= 2 AS rule_stopwords,
+       (n_words >= 20 AND n_words <= 200)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AND n_stopword_hits >= 2 AS passes
+FROM t
+ORDER BY doc_id
+"""

@@ -618,6 +618,9 @@ _NEVER_CHECKED_R04 = [
 #: earns a driver row in its debut round.
 _ROUND5_NEW: list = [
     "corpus_build_pipeline",
+    "corpus_decontaminate",
+    "corpus_gopher_rules",
+    "ann_pq_encode",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -671,13 +674,20 @@ _CANARIES_R05 = [
 def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
-    from .operators import corpus
+    from .operators import corpus, similarity
 
     return {
         # end-to-end curation: gates ∘ dedup ∘ mixture ∘ chunk ∘ shard
         # manifest in ONE job (r4 verdict item 9) — proves the standalone
         # stages compose without a driver round-trip between them
         "corpus_build_pipeline": corpus.corpus_build_pipeline,
+        # benchmark n-gram decontamination (broadcast eval-gram probe)
+        "corpus_decontaminate": corpus.corpus_decontaminate,
+        # Gopher-style rule-based quality pre-filter (pure scan pass)
+        "corpus_gopher_rules": corpus.corpus_gopher_rules,
+        # product-quantization encode (float k-means codebooks →
+        # rows-only; codes + errors pinned vs numpy in pytest)
+        "ann_pq_encode": similarity.pq_encode,
     }
 
 
@@ -945,4 +955,6 @@ def build_oracles() -> dict[str, str]:
     oracles["embedding_standardize"] = traindata.ORACLE_EMBEDDING_STANDARDIZE
     # ---- new round-5 entries ----
     oracles["corpus_build_pipeline"] = corpus.ORACLE_BUILD_PIPELINE
+    oracles["corpus_decontaminate"] = corpus.ORACLE_DECONTAMINATE
+    oracles["corpus_gopher_rules"] = corpus.ORACLE_GOPHER_RULES
     return oracles

@@ -599,3 +599,56 @@ class TestPillowSeam:
             pass
         with pytest.raises(ImportError, match="pip install Pillow"):
             multimodal.pillow_feature_decoder()
+
+
+class TestProductQuantization:
+    def test_codes_and_errors_match_numpy_brute_force(self, spark, sf_dir):
+        """PQ encode pinned against an independent numpy sweep: per
+        subspace, every vector's code must be the argmin-L2 centroid and
+        the reported error the exact L2 distance to its reconstruction."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        m, k = 4, 16
+        rows = similarity.pq_encode(spark, sf_dir, m=m, k=k).collect()
+        e = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+             for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+             .collect()}
+        B = similarity.pq_codebooks(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), m=m, k=k)
+        d_sub = B.shape[2]
+        assert len(rows) == len(e)
+        for r in rows[:100]:
+            x = e[r["vec_id"]]
+            err2, packed = 0.0, 0
+            for s in range(m):
+                xs = x[s * d_sub:(s + 1) * d_sub]
+                d2 = ((B[s] - xs) ** 2).sum(axis=1)
+                packed = packed * k + int(d2.argmin())
+                err2 += d2.min()
+            assert r["packed_code"] == packed
+            assert abs(r["recon_err"] - np.sqrt(err2)) < 1e-9
+
+    def test_codebook_vector_roundtrips_with_zero_error(self, spark, sf_dir):
+        """A vector that IS a concatenation of centroids must encode with
+        recon_err == 0 — the compression invariant."""
+        import numpy as np
+        import pandas as pd
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        B = similarity.pq_codebooks(e, m=4, k=16)
+        synth = np.concatenate([B[s][3] for s in range(4)])
+        # encode via the same math as the UDF body, driver-side
+        err = 0.0
+        for s in range(4):
+            xs = synth[s * B.shape[2]:(s + 1) * B.shape[2]]
+            d2 = ((B[s] - xs) ** 2).sum(axis=1)
+            err += d2.min()
+        assert err == 0.0
