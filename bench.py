@@ -22,13 +22,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The first 20 entries are the round-1 suite and the first 41 the round-3
-# suite — each accreted battery's subtotal is emitted separately
-# (r01_suite_total / r03_suite_total) so round-over-round totals compare at
-# CONSTANT membership as the headline grows. (Round 2 ran the same 20
-# queries as round 1, so it needs no separate constant.)
+# The first 20 entries are the round-1 suite, the first 41 the round-3
+# suite, and the first 49 the round-4 suite — each accreted battery's
+# subtotal is emitted separately (r01/r03/r04_suite_total) so
+# round-over-round totals compare at CONSTANT membership as the headline
+# grows. (Round 2 ran the same 20 queries as round 1, so it needs no
+# separate constant.)
 N_R01_SUITE = 20
 N_R03_SUITE = 41
+N_R04_SUITE = 49
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -86,6 +88,11 @@ HEADLINE = [
     "corpus_doc_lm_coverage",
     "dedup_semdedup",
     "bpe_encode_stats",
+    # round-5 operators
+    "corpus_build_pipeline",
+    "corpus_decontaminate",
+    "corpus_gopher_rules",
+    "ann_pq_encode",
 ]
 
 
@@ -128,6 +135,7 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     r01_total = round(sum(timings[n] for n in HEADLINE[:N_R01_SUITE]), 3)
     r03_total = round(sum(timings[n] for n in HEADLINE[:N_R03_SUITE]), 3)
+    r04_total = round(sum(timings[n] for n in HEADLINE[:N_R04_SUITE]), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -136,6 +144,7 @@ def main() -> int:
         "sf": sf_val,
         "r01_suite_total": r01_total,
         "r03_suite_total": r03_total,
+        "r04_suite_total": r04_total,
         "n_queries": len(HEADLINE),
     }))
     spark.stop()
