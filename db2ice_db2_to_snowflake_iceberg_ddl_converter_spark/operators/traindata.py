@@ -629,3 +629,85 @@ FROM bounded b JOIN stats s USING (dim)
 WHERE b.vec_id < 40
 ORDER BY b.vec_id, b.dim
 """
+
+
+def corpus_pack_global_stream(spark: SparkSession, sf_dir: str,
+                              seq_len: int = 512) -> DataFrame:
+    """Concat-and-chunk sequence packing over ONE GLOBAL stream — the
+    single-giant-stream extension ``corpus_pack_sequences``'s docstring
+    promises (that entry partitions by lang; this one has no partition
+    key at all, the case where a plain window would collapse to a single
+    partition): documents are concatenated in a deterministic global
+    order (doc_id) and the token stream is cut into fixed ``seq_len``
+    training sequences — the GPT-style packing every LLM pretraining run
+    executes after tokenization. Emits the
+    per-sequence manifest a dataloader audits: how many documents START
+    in each sequence, their id range and token mass, and how many of
+    them CROSS the right boundary (the truncation/attention-mask cases).
+
+    Scale shape: the only global state is the running token offset, and
+    it rides ``scale.global_prefix_window`` — a range shuffle + per-
+    partition window + O(#partitions) driver-side carry — NOT a single-
+    partition window (the r3-verdict lesson ABC/Pareto already ride).
+    Everything after the prefix is narrow integer arithmetic and one
+    O(sequences) hash aggregation.
+
+    All outputs are exact integers; the oracle mirrors the prefix with a
+    plain SUM OVER (ORDER BY doc_id) — the single-node formulation of
+    the same scan.
+
+    Oracle coupling: ``seq_len=512`` is baked into the oracle as a
+    constant — non-default values are ad-hoc only.
+    """
+    from .scale import global_prefix_window
+
+    d = ld(spark, sf_dir, "documents")
+    per_doc = d.select("doc_id",
+                       F.size(F.split("text", " ")).alias("n_tok"))
+    with_cum = global_prefix_window(
+        per_doc, order_exprs=[F.col("doc_id")], value_col="n_tok",
+        how="sum", inclusive=True, out_col="cum")
+    start_off = (F.col("cum") - F.col("n_tok")).alias("start_off")
+    seq_id = F.floor((F.col("cum") - F.col("n_tok")) / seq_len) \
+        .cast("long").alias("seq_id")
+    crosses = (((F.col("cum") - F.lit(1)) / seq_len).cast("long")
+               > F.floor((F.col("cum") - F.col("n_tok")) / seq_len)
+               .cast("long"))
+    return (with_cum.select("doc_id", "n_tok", start_off, seq_id,
+                            crosses.alias("crosses_boundary"))
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs_starting"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"),
+                 F.sum("n_tok").cast("long").alias("tokens_starting"),
+                 F.sum(F.col("crosses_boundary").cast("int")).cast("long")
+                 .alias("n_boundary_docs"))
+            .orderBy("seq_id"))
+
+
+ORACLE_PACK_GLOBAL_STREAM = """
+WITH per_doc AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM per_doc
+), tagged AS (
+  SELECT doc_id, n_tok,
+         CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+         ((cum - 1) // 512) > ((cum - n_tok) // 512) AS crosses_boundary
+  FROM cum
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs_starting,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_starting,
+       CAST(SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs
+FROM tagged
+GROUP BY seq_id
+ORDER BY seq_id
+"""

@@ -621,6 +621,7 @@ _ROUND5_NEW: list = [
     "corpus_decontaminate",
     "corpus_gopher_rules",
     "ann_pq_encode",
+    "corpus_pack_global_stream",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -675,6 +676,7 @@ def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
     from .operators import corpus, similarity
+    from .operators import traindata as _td5
 
     return {
         # end-to-end curation: gates ∘ dedup ∘ mixture ∘ chunk ∘ shard
@@ -688,6 +690,9 @@ def _round5_queries():
         # product-quantization encode (float k-means codebooks →
         # rows-only; codes + errors pinned vs numpy in pytest)
         "ann_pq_encode": similarity.pq_encode,
+        # global-stream concat-and-chunk packing manifest riding the
+        # scalable prefix scan (no single-partition window)
+        "corpus_pack_global_stream": _td5.corpus_pack_global_stream,
     }
 
 
@@ -957,4 +962,6 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_build_pipeline"] = corpus.ORACLE_BUILD_PIPELINE
     oracles["corpus_decontaminate"] = corpus.ORACLE_DECONTAMINATE
     oracles["corpus_gopher_rules"] = corpus.ORACLE_GOPHER_RULES
+    oracles["corpus_pack_global_stream"] = \
+        traindata.ORACLE_PACK_GLOBAL_STREAM
     return oracles

@@ -522,3 +522,19 @@ class TestRound5PlanShapes:
         assert "WindowGroupLimit" in plan
         # chunk accounting is closed-form per doc — no explode/Generate
         assert "Generate" not in plan
+
+    def test_pack_global_stream_no_single_partition_window(
+            self, spark, sf_dir):
+        """The global-stream packing manifest must ride the scalable
+        prefix scan: zero single-partition windows (the whole point vs a
+        plain SUM OVER (ORDER BY doc_id)), and no Python anywhere."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        q = traindata.corpus_pack_global_stream(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert_no_python_in_plan(q)
