@@ -591,82 +591,46 @@ def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
 
 
-def pq_codebooks(df: DataFrame, m: int = 4, k: int = 16,
-                 sample_n: int = 2048, n_iters: int = 10,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Product-quantization codebooks (Jégou et al. 2011): split the
-    vector into ``m`` contiguous subvectors and run a deterministic
-    k-means (init = first ``k`` sample subvectors, Lloyd by min L2,
-    empty cells keep their centroid) independently per subspace — the
-    same bounded driver-side sample protocol as ``ivf_centroids``.
-    Returns an (m, k, dim/m) numpy array — KB-sized, meant to broadcast.
+def pq_encode(spark, sf_dir, m: int = 8, n_cents: int = 16) -> DataFrame:
+    """PQ-encode the embedding table into the index-build manifest: each
+    vector's ``m`` nearest-centroid codes PACKED base-``n_cents`` into one
+    BIGINT (subspace 0 most significant — the compact form a real PQ
+    index persists, and a scalar the driver's canonicalizer can hash)
+    plus the exact L2 reconstruction error of the quantized unit vector —
+    the quality metric a recall-budgeted index build monitors.
 
-    PQ is the memory side of the ANN scale story the IVF entries leave
-    open: an IVF-PQ index stores ``m`` small codes per vector instead of
-    the raw floats (64-dim float64 → 4 bytes here, a 128× compression),
-    which is what makes billion-vector indexes fit a cluster's RAM.
-    """
-    import numpy as np
+    Reuses the EXISTING ``pq_codebooks`` (the same codebooks
+    ``ann_pq_topk`` searches with, L2-normalized convention), so the
+    manifest describes the real index, not a parallel one.
 
-    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample_n)
-            .collect())
-    X = np.array([r[1] for r in rows], dtype=np.float64)
-    dim = X.shape[1]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    d_sub = dim // m
-    books = np.zeros((m, k, d_sub))
-    for s in range(m):
-        Xs = X[:, s * d_sub:(s + 1) * d_sub]
-        C = Xs[:k].copy()
-        for _ in range(n_iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(k):
-                members = Xs[assign == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
-        books[s] = C
-    return books
-
-
-def pq_encode(spark, sf_dir, m: int = 4, k: int = 16) -> DataFrame:
-    """PQ-encode the embedding table: each vector becomes its ``m``
-    nearest-centroid codes (one per subspace) plus the exact L2
-    reconstruction error of the quantized vector — the quality metric a
-    recall-budgeted index build monitors.
-
-    Scale shape: the codebook array is KB-sized and ships in the UDF
-    closure (broadcast-class); encoding is ONE Arrow-batched scan — per
-    batch, ``m`` small (batch × k) distance matmuls and an argmin — with
-    no shuffle anywhere; the output orderBy is presentation-only. The
-    ``m`` codes are PACKED base-k into one BIGINT (subspace 0 most
-    significant) — the same compact form a real PQ index persists, and a
-    scalar the driver's canonicalizer can hash.
-    Codes are data-dependent on float k-means → rows-only driver check;
-    pytest pins the codes and errors against a brute-force numpy encode
-    and the compression invariant (err == 0 iff vector is a centroid
-    concatenation).
+    Scale shape: codebooks are KB-sized and ship in the UDF closure;
+    encoding is ONE Arrow-batched scan — per batch, ``m`` small
+    (batch × n_cents) distance computations and an argmin — no shuffle
+    anywhere; the output orderBy is presentation-only. Codes are
+    data-dependent on float k-means → rows-only driver check; pytest
+    pins packed codes and errors against a brute-force numpy encode.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     e = ld(spark, sf_dir, "embeddings")
-    B = pq_codebooks(e, m=m, k=k)
-    d_sub = B.shape[2]
+    B = pq_codebooks(e, m=m, n_cents=n_cents)
+    sub = B.shape[2]
 
     @pandas_udf("struct<packed_code: long, recon_err: double>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         M = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        M /= np.where(norms > 0, norms, 1.0)
         n = len(M)
         packed = np.zeros(n, dtype=np.int64)
         err = np.zeros(n)
         for s in range(m):
-            Xs = M[:, s * d_sub:(s + 1) * d_sub]
-            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 (argmin skips ||x||^2)
-            d2 = (-2.0 * Xs @ B[s].T) + (B[s] ** 2).sum(axis=1)[None, :]
+            Xs = M[:, s * sub:(s + 1) * sub]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
             codes = d2.argmin(axis=1)
-            packed = packed * k + codes
-            err += ((Xs - B[s][codes]) ** 2).sum(axis=1)
+            packed = packed * n_cents + codes
+            err += d2[np.arange(n), codes]
         return pd.DataFrame({"packed_code": packed,
                              "recon_err": np.sqrt(err)})
 

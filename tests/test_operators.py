@@ -612,22 +612,25 @@ class TestProductQuantization:
             similarity,
         )
 
-        m, k = 4, 16
-        rows = similarity.pq_encode(spark, sf_dir, m=m, k=k).collect()
+        m, n_cents = 8, 16
+        rows = similarity.pq_encode(spark, sf_dir,
+                                    m=m, n_cents=n_cents).collect()
         e = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
              for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
              .collect()}
         B = similarity.pq_codebooks(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), m=m, k=k)
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            m=m, n_cents=n_cents)
         d_sub = B.shape[2]
         assert len(rows) == len(e)
         for r in rows[:100]:
             x = e[r["vec_id"]]
+            x = x / np.linalg.norm(x)   # the codebooks' L2-norm convention
             err2, packed = 0.0, 0
             for s in range(m):
                 xs = x[s * d_sub:(s + 1) * d_sub]
                 d2 = ((B[s] - xs) ** 2).sum(axis=1)
-                packed = packed * k + int(d2.argmin())
+                packed = packed * n_cents + int(d2.argmin())
                 err2 += d2.min()
             assert r["packed_code"] == packed
             assert abs(r["recon_err"] - np.sqrt(err2)) < 1e-9
@@ -636,18 +639,17 @@ class TestProductQuantization:
         """A vector that IS a concatenation of centroids must encode with
         recon_err == 0 — the compression invariant."""
         import numpy as np
-        import pandas as pd
 
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
             similarity,
         )
 
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        B = similarity.pq_codebooks(e, m=4, k=16)
-        synth = np.concatenate([B[s][3] for s in range(4)])
+        B = similarity.pq_codebooks(e, m=8, n_cents=16)
+        synth = np.concatenate([B[s][3] for s in range(8)])
         # encode via the same math as the UDF body, driver-side
         err = 0.0
-        for s in range(4):
+        for s in range(8):
             xs = synth[s * B.shape[2]:(s + 1) * B.shape[2]]
             d2 = ((B[s] - xs) ** 2).sum(axis=1)
             err += d2.min()
