@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_decontaminate",
     "corpus_gopher_rules",
     "ann_pq_encode",
+    "corpus_pack_global_stream",
 ]
 
 

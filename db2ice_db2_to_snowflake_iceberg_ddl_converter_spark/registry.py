@@ -343,6 +343,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_exact_docs, agg_pivot), filling to exactly 50; keep everything
     r04-green past the cap. Verify with
     ``python tools/check_oracle_parity.py --first 50`` before committing.
+
+    ROUND-6 ROTATION PLAN: after r5's window lands, EVERY registry entry
+    has at least one driver CORRECTNESS row — cumulative coverage is
+    complete, so the window's job shifts from debuts to regression
+    rotation. Build ``_window_r06()`` as (1) any entry whose r5 row came
+    back red/error (fix first, re-window), (2) new round-6 entries,
+    (3) canaries rotating oldest-checked-first (after r5, that's the
+    r02-checked block ``_CANARIES_R05`` did not reach — q-series
+    q2/q4/q7/q8/q11..q22, scalar_array_fns, set_intersect_all,
+    text_normalize/quality/token_stats, events_tumbling_hourly,
+    streaming_interval_join, migrate_customer_cast, multimodal_metadata,
+    source_roundtrip_formats, corpus_token_histogram — then r03). Same
+    verification command before committing.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
