@@ -965,13 +965,16 @@ ORDER BY shard
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str,
                          n: int = 5, bench_mod: int = 97) -> DataFrame:
-    """Benchmark decontamination — the n-gram overlap scan every serious
-    pretraining pipeline runs so evaluation results aren't inflated by
-    test data leaking into the corpus (the GPT-3 appendix-C / PaLM /
-    Llama recipe, done with 8–13-grams there; 5-grams here because the
-    fixture documents are short): documents whose text shares ANY
-    ``n``-gram with a held-out benchmark set are flagged with their
-    contamination span count.
+    """Benchmark decontamination DECISION pass — the per-document
+    keep/drop manifest over the WHOLE corpus (every doc appears, with
+    ``contaminated`` false and n_grams possibly 0), i.e. the filter a
+    pipeline actually applies. Complements
+    ``traindata.contamination_ngram_overlap``, which is the pair-level
+    AUDIT of the same hygiene problem (which train doc collided with
+    which eval doc, contaminated pairs only) — different output
+    contract, same broadcast-probe plan family. The recipe is the GPT-3
+    appendix-C / PaLM / Llama n-gram overlap scan (8–13-grams there;
+    5-grams here because the fixture documents are short).
 
     The "benchmark" is a deterministic slice of the same table
     (doc_id ≡ 0 mod ``bench_mod``) so the fixture needs no extra file —

@@ -186,11 +186,14 @@ FROM e ORDER BY vec_id, dim
 
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str,
                                 n: int = 5) -> DataFrame:
-    """Benchmark-contamination scan: which training documents share a
+    """Benchmark-contamination AUDIT: which training documents share a
     5-gram with a held-out evaluation set (here: every doc whose content
-    hash falls in the ``data_split_assign`` test bucket). The standard
+    hash falls in the ``data_split_assign`` test bucket), at (train doc,
+    eval doc) pair granularity — contaminated pairs only. The standard
     pre-training hygiene pass: n-gram collisions between train and eval
-    inflate benchmark scores.
+    inflate benchmark scores. The per-document keep/drop DECISION form
+    of the same scan (every corpus doc, zero-hit docs included) is
+    ``corpus.corpus_decontaminate``.
 
     Plan: eval docs are a small fraction by construction → their exploded
     n-gram set broadcasts; the train side streams through one scan +
