@@ -235,16 +235,119 @@ FROM h
 """
 
 
+def validate_star_expectations(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-table expectation suite over the order star — the
+    deequ/dbt-tests class of checks ``validate_table`` (single-table,
+    DDL-derived) cannot express: referential integrity (orders →
+    customer, lineitem → orders orphan counts), accepted values
+    (o_orderstatus domain), a positive-range rule (o_totalprice > 0),
+    a unit-interval rule (l_discount ∈ [0, 1]), and a cross-TABLE
+    temporal rule (no lineitem ships before its order's date).
+    Long-form (check_name, n_violations) so it unions with the
+    conformance audit into one quality dashboard.
+
+    Scale shape: each FK check is ONE left-anti join counted by a 1-row
+    aggregate — keyed shuffles that AQE sizes (broadcast when the parent
+    fits, shuffle-hash otherwise; no hint pinned precisely so the 100 TB
+    plan can differ from the fixture plan). The per-table rules ride one
+    aggregation per table. The fixture passes five of the six checks
+    with 0; the temporal rule legitimately FIRES on it (the synthetic
+    generator draws l_shipdate independently of o_orderdate) — a real
+    data finding the oracle mirrors exactly. The pytest additionally
+    corrupts rows through ``star_expectations`` to prove every check
+    counts (the validate_customer pattern).
+    """
+    return star_expectations(ld(spark, sf_dir, "orders"),
+                             ld(spark, sf_dir, "lineitem"),
+                             ld(spark, sf_dir, "customer"))
+
+
+def star_expectations(o: DataFrame, li: DataFrame,
+                      c: DataFrame) -> DataFrame:
+    """Check logic of ``validate_star_expectations`` over caller-supplied
+    frames — the seam the corruption pytest injects through."""
+    fk_cust = (o.select("o_custkey")
+               .join(c.select(F.col("c_custkey").alias("o_custkey")),
+                     "o_custkey", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n")))
+    fk_ord = (li.select("l_orderkey")
+              .join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey", "left_anti")
+              .agg(F.count(F.lit(1)).alias("n")))
+    o_rules = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+              .cast("long")).alias("domain"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("range"))
+    l_rules = li.agg(
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+              .cast("long")).alias("discount"))
+    ship_rule = (li.select("l_orderkey", "l_shipdate")
+                 .join(o.select(F.col("o_orderkey").alias("l_orderkey"),
+                                "o_orderdate"), "l_orderkey")
+                 .agg(F.sum((F.col("l_shipdate") < F.col("o_orderdate"))
+                            .cast("long")).alias("shiporder")))
+
+    def tag(df, col, name):
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col(col).cast("long").alias("n_violations"))
+
+    return (tag(fk_cust, "n", "fk:orders.o_custkey->customer")
+            .unionAll(tag(fk_ord, "n", "fk:lineitem.l_orderkey->orders"))
+            .unionAll(tag(o_rules.select("domain"), "domain",
+                          "accepted_values:o_orderstatus"))
+            .unionAll(tag(o_rules.select("range"), "range",
+                          "range:o_totalprice>0"))
+            .unionAll(tag(l_rules, "discount",
+                          "unit_interval:l_discount"))
+            .unionAll(tag(ship_rule, "shiporder",
+                          "temporal:l_shipdate>=o_orderdate"))
+            .orderBy("check_name"))
+
+
+ORACLE_STAR_EXPECTATIONS = """
+SELECT check_name, CAST(n AS BIGINT) AS n_violations FROM (
+  SELECT 'fk:orders.o_custkey->customer' AS check_name, COUNT(*) AS n
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'fk:lineitem.l_orderkey->orders', COUNT(*)
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus',
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'range:o_totalprice>0',
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'unit_interval:l_discount',
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'temporal:l_shipdate>=o_orderdate',
+         SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+ORDER BY check_name
+"""
+
+
 QUERIES = {
     "validate_customer_constraints": validate_customer_constraints,
     "snapshot_diff_customers": snapshot_diff_customers,
     "migrate_reconcile_customers": migrate_reconcile_customers,
+    "validate_star_expectations": validate_star_expectations,
 }
 
 ORACLES = {
     "validate_customer_constraints": ORACLE_VALIDATE_CUSTOMER,
     "snapshot_diff_customers": ORACLE_SNAPSHOT_DIFF,
     "migrate_reconcile_customers": ORACLE_RECONCILE,
+    "validate_star_expectations": ORACLE_STAR_EXPECTATIONS,
 }
 
 

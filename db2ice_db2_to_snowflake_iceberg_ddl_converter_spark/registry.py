@@ -635,6 +635,9 @@ _ROUND5_NEW: list = [
     "corpus_gopher_rules",
     "ann_pq_encode",
     "corpus_pack_global_stream",
+    # registered via validate.QUERIES (round-3 layout position); listed
+    # here so its debut lands inside the round-5 window
+    "validate_star_expectations",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01

@@ -562,3 +562,52 @@ class TestSemDeDup:
         out_b = dedup._semdedup_sweep_for_tests(pdf, threshold=0.9,
                                                 max_cell_rows=2)
         assert dict(zip(out_b["vec_id"], out_b["keep"])) == keep
+
+
+class TestStarExpectations:
+    def test_fixture_is_clean_and_violations_count(self, spark, sf_dir):
+        """The fixture must pass every expectation (all-zero, oracle-
+        proven); corrupted frames must trip each check exactly once."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            validate,
+        )
+
+        clean = {r.check_name: r.n_violations
+                 for r in validate.validate_star_expectations(
+                     spark, sf_dir).collect()}
+        assert len(clean) == 6
+        # the synthetic generator enforces FK/domain/range rules but NOT
+        # ship-after-order — the temporal expectation legitimately fires
+        # on the fixture (a real data finding, oracle-mirrored); the
+        # other five checks must be clean
+        temporal = clean.pop("temporal:l_shipdate>=o_orderdate")
+        assert temporal > 0
+        assert set(clean.values()) == {0}
+
+        o = spark.createDataFrame(
+            [(1, 10, "O", 5.0, "2024-01-10"),
+             (2, 99, "O", 5.0, "2024-01-10"),    # orphan custkey
+             (3, 10, "X", 5.0, "2024-01-10"),    # bad status
+             (4, 10, "F", -1.0, "2024-01-10")],  # non-positive price
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string") \
+            .withColumn("o_orderdate", F.to_date("o_orderdate"))
+        li = spark.createDataFrame(
+            [(1, 0.05, "2024-01-15"),
+             (77, 0.05, "2024-01-15"),           # orphan orderkey
+             (3, 1.5, "2024-01-15"),             # discount out of [0,1]
+             (4, 0.05, "2024-01-05")],           # ships before order
+            "l_orderkey long, l_discount double, l_shipdate string") \
+            .withColumn("l_shipdate", F.to_date("l_shipdate"))
+        c = spark.createDataFrame([(10,)], "c_custkey long")
+
+        got = {r.check_name: r.n_violations
+               for r in validate.star_expectations(o, li, c).collect()}
+        assert got == {
+            "fk:orders.o_custkey->customer": 1,
+            "fk:lineitem.l_orderkey->orders": 1,
+            "accepted_values:o_orderstatus": 1,
+            "range:o_totalprice>0": 1,
+            "unit_interval:l_discount": 1,
+            "temporal:l_shipdate>=o_orderdate": 1,
+        }
