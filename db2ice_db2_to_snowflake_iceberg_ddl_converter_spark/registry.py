@@ -638,6 +638,7 @@ _ROUND5_NEW: list = [
     # registered via validate.QUERIES (round-3 layout position); listed
     # here so its debut lands inside the round-5 window
     "validate_star_expectations",
+    "source_bloom_runtime_filter",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -693,6 +694,7 @@ def _round5_queries():
     here must also be appended to ``_ROUND5_NEW``."""
     from .operators import corpus, similarity
     from .operators import traindata as _td5
+    from .sources.registry import source_bloom_runtime_filter as _bloom_rt
 
     return {
         # end-to-end curation: gates ∘ dedup ∘ mixture ∘ chunk ∘ shard
@@ -709,6 +711,8 @@ def _round5_queries():
         # global-stream concat-and-chunk packing manifest riding the
         # scalable prefix scan (no single-partition window)
         "corpus_pack_global_stream": _td5.corpus_pack_global_stream,
+        # runtime bloom-filter join (row-level complement to DPP)
+        "source_bloom_runtime_filter": _bloom_rt,
     }
 
 
@@ -980,4 +984,6 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_gopher_rules"] = corpus.ORACLE_GOPHER_RULES
     oracles["corpus_pack_global_stream"] = \
         traindata.ORACLE_PACK_GLOBAL_STREAM
+    from .sources.registry import ORACLE_BLOOM_RUNTIME_FILTER
+    oracles["source_bloom_runtime_filter"] = ORACLE_BLOOM_RUNTIME_FILTER
     return oracles

@@ -451,3 +451,53 @@ WHERE dayofweek(CAST(ts AS DATE)) = 1
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def source_bloom_runtime_filter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Selective fact–dim join shaped for Spark's RUNTIME BLOOM FILTER
+    injection — the row-level complement to ``source_dpp_star_join``'s
+    partition-level pruning: the selective predicate lives on the orders
+    side ('P' status ≈ a few % of rows), so at 100 TB the optimizer's
+    InjectRuntimeFilter rule builds a bloom filter from the filtered
+    creation side and pushes ``might_contain(xxhash64(l_orderkey))``
+    into the lineitem scan — most fact rows die at the scan instead of
+    crossing the shuffle.
+
+    No session conf is touched here: with DEFAULT thresholds the rule
+    engages exactly when it should — creation side under 10 MB,
+    application-side scan over 10 GB, i.e. the 100 TB deployment, not
+    the KB-scale fixture. The pytest scales the thresholds to fixture
+    size (the AQE-skew-test pattern) and pins ``might_contain`` in the
+    executed plan, so the injection path itself is regression-guarded.
+
+    The merge hint forces the shuffle-join shape the rule targets (a
+    broadcast dim already row-filters by virtue of the hash probe).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import DEC, ld
+
+    li = ld(spark, sf_dir, "lineitem", fanout=False).select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    o = (ld(spark, sf_dir, "orders", fanout=False)
+         .filter(F.col("o_orderstatus") == "P")
+         .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (li.join(o.hint("merge"), "l_orderkey")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                 .alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                 .alias("sum_price")))
+
+
+ORACLE_BLOOM_RUNTIME_FILTER = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'P'
+"""

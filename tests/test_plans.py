@@ -538,3 +538,36 @@ class TestRound5PlanShapes:
         q = traindata.corpus_pack_global_stream(spark, sf_dir)
         assert single_partition_windows(q) == 0
         assert_no_python_in_plan(q)
+
+    def test_runtime_bloom_filter_reaches_fact_scan(self, spark, sf_dir):
+        """With thresholds scaled to fixture size (the AQE-skew-test
+        pattern — defaults engage only past 10 GB scans, i.e. the
+        100 TB deployment), InjectRuntimeFilter must build a bloom
+        filter from the selective orders side and push might_contain
+        into the lineitem side of source_bloom_runtime_filter's plan."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            source_bloom_runtime_filter,
+        )
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            q = source_bloom_runtime_filter(spark, sf_dir)
+            q.collect()
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan.lower()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
