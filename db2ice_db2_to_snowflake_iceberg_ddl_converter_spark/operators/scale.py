@@ -401,3 +401,58 @@ FROM s4
 ORDER BY zv, l_orderkey, l_linenumber
 LIMIT 200
 """
+
+
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str,
+                             n_buckets: int = 8) -> DataFrame:
+    """Equi-DEPTH histogram of order totals — the rank-partitioned
+    companion to ``analytics.agg_histogram_equi_width``: every bucket
+    holds (almost) the same ROW COUNT, so the bucket EDGES are the data
+    summary (this is the histogram a cost-based optimizer or a data
+    profiler keeps; equi-width tells you shape, equi-depth tells you
+    quantiles).
+
+    Exact, not approximate: buckets come from ``ntile_expr`` over the
+    ``global_ranks`` total order (o_totalprice, o_orderkey tie-break) —
+    ANSI NTILE semantics on a range shuffle, no single-partition window,
+    no approx_percentile sketch. One O(buckets) aggregation emits
+    per-bucket count and exact [min, max] edges; the decimal money
+    values ride the repo's exact-sum protocol.
+
+    Oracle: the same NTILE over the same total order — DuckDB's window
+    is the single-node formulation of the identical rank math.
+    """
+    from .relational import DEC, ld
+
+    o = ld(spark, sf_dir, "orders")
+    ranked, n = global_ranks(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        num_partitions=8)
+    return (ranked.select(
+        ntile_expr(F.col("global_rn"), n, n_buckets).alias("bucket"),
+        "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min(F.col("o_totalprice").cast(DEC)).cast("double")
+             .alias("bucket_lo"),
+             F.max(F.col("o_totalprice").cast(DEC)).cast("double")
+             .alias("bucket_hi"))
+        .orderBy("bucket"))
+
+
+ORACLE_HISTOGRAM_EQUI_DEPTH = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS bucket_lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS bucket_hi
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+"""

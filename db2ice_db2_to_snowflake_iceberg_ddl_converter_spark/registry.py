@@ -639,6 +639,7 @@ _ROUND5_NEW: list = [
     # here so its debut lands inside the round-5 window
     "validate_star_expectations",
     "source_bloom_runtime_filter",
+    "agg_histogram_equi_depth",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -693,6 +694,7 @@ def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
     from .operators import corpus, similarity
+    from .operators import scale as _sc5
     from .operators import traindata as _td5
     from .sources.registry import source_bloom_runtime_filter as _bloom_rt
 
@@ -713,6 +715,8 @@ def _round5_queries():
         "corpus_pack_global_stream": _td5.corpus_pack_global_stream,
         # runtime bloom-filter join (row-level complement to DPP)
         "source_bloom_runtime_filter": _bloom_rt,
+        # exact equi-depth histogram on the scalable global rank
+        "agg_histogram_equi_depth": _sc5.agg_histogram_equi_depth,
     }
 
 
@@ -986,4 +990,6 @@ def build_oracles() -> dict[str, str]:
         traindata.ORACLE_PACK_GLOBAL_STREAM
     from .sources.registry import ORACLE_BLOOM_RUNTIME_FILTER
     oracles["source_bloom_runtime_filter"] = ORACLE_BLOOM_RUNTIME_FILTER
+    from .operators.scale import ORACLE_HISTOGRAM_EQUI_DEPTH
+    oracles["agg_histogram_equi_depth"] = ORACLE_HISTOGRAM_EQUI_DEPTH
     return oracles

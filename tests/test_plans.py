@@ -571,3 +571,19 @@ class TestRound5PlanShapes:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+    def test_equi_depth_histogram_no_single_partition_window(
+            self, spark, sf_dir):
+        """Exact NTILE buckets must come from global_ranks (range
+        shuffle + id arithmetic), never a single-partition NTILE
+        window."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            scale,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        q = scale.agg_histogram_equi_depth(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert_no_python_in_plan(q)
