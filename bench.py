@@ -94,6 +94,9 @@ HEADLINE = [
     "corpus_gopher_rules",
     "ann_pq_encode",
     "corpus_pack_global_stream",
+    "validate_star_expectations",
+    "source_bloom_runtime_filter",
+    "agg_histogram_equi_depth",
 ]
 
 
