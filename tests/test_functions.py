@@ -204,3 +204,72 @@ class TestBpeEncodeStats:
         assert all(r["n_tokens"] <= r["n_symbols"] <= r["n_chars"]
                    for r in rows)
         assert any(r["n_symbols"] < r["n_chars"] for r in rows)
+
+
+class TestBpeSafeBatchProperty:
+    """Spark-free property test of ``corpus._bpe_safe_batch``'s claim:
+    batched census merging emits EXACTLY the sequence one-at-a-time
+    training would. Random vocabularies over a 3-letter alphabet stress
+    the hard cases on purpose — heavy symbol sharing (early dirty stops)
+    and merged-string collisions with existing census symbols (the
+    2·w_stop escalation path)."""
+
+    @staticmethod
+    def _batched_bpe(vocab, n_merges, scan):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            _bpe_safe_batch,
+        )
+
+        ref = TestBpeTrainMerges._ref_bpe
+        merges = []
+        while len(merges) < n_merges:
+            stats = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + f
+            if not stats:
+                break
+            ranked = sorted(stats.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            top = [(a, b, w) for (a, b), w in ranked[:scan + 1]]
+            batch = _bpe_safe_batch(
+                top, scanned_all=len(ranked) <= scan,
+                known_merged={m[3] for m in merges})
+            batch = batch[:n_merges - len(merges)]
+            assert batch, "safe batch must always progress"
+            for a, b, w in batch:
+                merges.append((len(merges) + 1, a, b, a + b, w))
+                new = {}
+                for syms, f in vocab.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    key = tuple(out)
+                    new[key] = new.get(key, 0) + f
+                vocab = new
+        return merges
+
+    def test_batched_equals_sequential_on_random_vocabs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tokens = st.text(alphabet="abc", min_size=1, max_size=6)
+        vocab_st = st.dictionaries(tokens, st.integers(1, 50),
+                                   min_size=1, max_size=20)
+
+        @given(vocab=vocab_st, scan=st.integers(1, 8))
+        @settings(max_examples=300, deadline=None)
+        def check(vocab, scan):
+            v = {tuple(t): f for t, f in vocab.items()}
+            want = TestBpeTrainMerges._ref_bpe(dict(v), 12)
+            got = self._batched_bpe(dict(v), 12, scan)
+            assert got == want
+
+        check()
