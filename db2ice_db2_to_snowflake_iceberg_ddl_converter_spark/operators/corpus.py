@@ -989,8 +989,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str,
 
     Oracle coupling: ``n=5`` / ``bench_mod=97`` are baked into the
     oracle as constants — non-default values are ad-hoc only.
+
+    Loaded via ``ld_py`` for the same reason as
+    ``contamination_ngram_overlap``: the gram transform + distinct +
+    explode is heavy JVM row work feeding a broadcast probe with no key
+    exchange to parallelize it — the fan-out is the only source of
+    parallelism on single-row-group fixtures (measured there:
+    2.31 s → 0.96 s at sf0.1; ~1.6 s → ~0.9 s here).
     """
-    d = ld(spark, sf_dir, "documents")
+    from .relational import ld_py
+
+    d = ld_py(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams = F.when(
         F.size(toks) >= n,
