@@ -97,6 +97,7 @@ HEADLINE = [
     "validate_star_expectations",
     "source_bloom_runtime_filter",
     "agg_histogram_equi_depth",
+    "events_cusum_drift",
 ]
 
 

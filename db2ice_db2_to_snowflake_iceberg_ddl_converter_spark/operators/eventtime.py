@@ -535,3 +535,77 @@ SELECT user_id, CAST(len AS BIGINT) AS best_streak_days,
 FROM best WHERE rk = 1 AND len >= 3
 ORDER BY user_id
 """
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str,
+                       k_slack: float = 0.25,
+                       h_threshold: float = 4.0) -> DataFrame:
+    """Two-sided CUSUM drift detection per event type — the classic
+    change-point monitor a training-data ingestion pipeline runs on its
+    quality/value metrics (Page 1954): S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − k),
+    S⁻ᵢ = max(0, S⁻ᵢ₋₁ − zᵢ − k) over the type's standardized value
+    stream, alarm when either side exceeds ``h_threshold``. Emits per
+    type: alarm counts per side, peak statistics, and the ordinal of the
+    first alarm — the summary a drift dashboard keys on.
+
+    The max(0, ...) clamp makes this a RECURRENCE no fixed-frame window
+    can express (unlike plain cumsum, which rides
+    ``scale.global_prefix_window``) — so like ``events_ema`` it runs as
+    grouped ``applyInPandas``: one shuffle on event_type, each key's
+    inherently-serial recurrence vectorized inside its own task, state
+    bounded by the largest key. z-scores use the type's own
+    population mean/std computed INSIDE the same group pass (one frame
+    visit, no second aggregation job).
+
+    Iterative float recurrence → rows-only driver check;
+    tests/test_eventtime.py pins alarms against an explicit numpy loop
+    and the no-drift/step-change identities on synthetic series.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value")
+
+    def cusum_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        mu = x.mean()
+        sd = x.std()                     # population std, ddof=0
+        z = (x - mu) / sd if sd > 0 else np.zeros_like(x)
+        sp = sm = 0.0
+        n_hi = n_lo = 0
+        peak_hi = peak_lo = 0.0
+        first_alarm = -1
+        for i, zi in enumerate(z):
+            sp = max(0.0, sp + zi - k_slack)
+            sm = max(0.0, sm - zi - k_slack)
+            peak_hi = max(peak_hi, sp)
+            peak_lo = max(peak_lo, sm)
+            alarmed = False
+            if sp > h_threshold:
+                n_hi += 1
+                alarmed = True
+                sp = 0.0                 # restart after alarm
+            if sm > h_threshold:
+                n_lo += 1
+                alarmed = True
+                sm = 0.0
+            if alarmed and first_alarm < 0:
+                first_alarm = i + 1      # 1-based ordinal
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [len(x)],
+            "n_alarms_high": [n_hi],
+            "n_alarms_low": [n_lo],
+            "peak_stat_high": [float(peak_hi)],
+            "peak_stat_low": [float(peak_lo)],
+            "first_alarm_ordinal": [first_alarm]})
+
+    return (e.groupBy("event_type")
+            .applyInPandas(
+                cusum_fn,
+                "event_type string, n_events long, n_alarms_high long,"
+                " n_alarms_low long, peak_stat_high double,"
+                " peak_stat_low double, first_alarm_ordinal long")
+            .orderBy("event_type"))

@@ -640,6 +640,7 @@ _ROUND5_NEW: list = [
     "validate_star_expectations",
     "source_bloom_runtime_filter",
     "agg_histogram_equi_depth",
+    "events_cusum_drift",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -694,6 +695,7 @@ def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
     from .operators import corpus, similarity
+    from .operators import eventtime as _ev5
     from .operators import scale as _sc5
     from .operators import traindata as _td5
     from .sources.registry import source_bloom_runtime_filter as _bloom_rt
@@ -717,6 +719,9 @@ def _round5_queries():
         "source_bloom_runtime_filter": _bloom_rt,
         # exact equi-depth histogram on the scalable global rank
         "agg_histogram_equi_depth": _sc5.agg_histogram_equi_depth,
+        # CUSUM change-point monitor (max-clamp recurrence → grouped
+        # applyInPandas like events_ema; rows-only, numpy-pinned)
+        "events_cusum_drift": _ev5.events_cusum_drift,
     }
 
 

@@ -806,3 +806,67 @@ class TestCountMin:
             assert est >= exact[tok], (tok, est, exact[tok])
             assert est - exact[tok] <= 2 * n_total / width, \
                 (tok, est, exact[tok], n_total)
+
+
+class TestCusumDrift:
+    @staticmethod
+    def _ref_cusum(values, k=0.25, h=4.0):
+        import numpy as np
+
+        x = np.asarray(values, dtype=np.float64)
+        mu, sd = x.mean(), x.std()
+        z = (x - mu) / sd if sd > 0 else np.zeros_like(x)
+        sp = sm = 0.0
+        n_hi = n_lo = 0
+        peak_hi = peak_lo = 0.0
+        first = -1
+        for i, zi in enumerate(z):
+            sp = max(0.0, sp + zi - k)
+            sm = max(0.0, sm - zi - k)
+            peak_hi, peak_lo = max(peak_hi, sp), max(peak_lo, sm)
+            alarmed = False
+            if sp > h:
+                n_hi += 1; alarmed = True; sp = 0.0
+            if sm > h:
+                n_lo += 1; alarmed = True; sm = 0.0
+            if alarmed and first < 0:
+                first = i + 1
+        return n_hi, n_lo, peak_hi, peak_lo, first
+
+    def test_matches_numpy_loop_on_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            eventtime,
+        )
+
+        got = {r.event_type: r for r in
+               eventtime.events_cusum_drift(spark, sf_dir).collect()}
+        series: dict = {}
+        for et, v in duckdb.sql(
+                f"SELECT event_type, value FROM "
+                f"'{sf_dir}/events.parquet' "
+                f"ORDER BY ts, event_id").fetchall():
+            series.setdefault(et, []).append(v)
+        assert set(got) == set(series)
+        for et, vals in series.items():
+            n_hi, n_lo, p_hi, p_lo, first = self._ref_cusum(vals)
+            r = got[et]
+            assert r.n_events == len(vals)
+            assert (r.n_alarms_high, r.n_alarms_low) == (n_hi, n_lo)
+            assert abs(r.peak_stat_high - p_hi) < 1e-9
+            assert abs(r.peak_stat_low - p_lo) < 1e-9
+            assert r.first_alarm_ordinal == first
+
+    def test_no_drift_and_step_change_identities(self):
+        """A constant series never alarms (z ≡ 0). A hard step change
+        alarms on BOTH sides when standardized by the global mean — the
+        pre-step half sits below it (low drift), the post-step half
+        above (high drift) — and the first HIGH-side excursion only
+        accumulates after the step."""
+        flat = self._ref_cusum([5.0] * 100)
+        assert flat == (0, 0, 0.0, 0.0, -1)
+        stepped = [0.0] * 50 + [10.0] * 50
+        n_hi, n_lo, p_hi, p_lo, first = self._ref_cusum(stepped)
+        assert n_hi >= 1 and n_lo >= 1 and first > 0
+        assert p_hi > 4.0 and p_lo > 4.0
