@@ -98,6 +98,7 @@ HEADLINE = [
     "source_bloom_runtime_filter",
     "agg_histogram_equi_depth",
     "events_cusum_drift",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -188,17 +188,14 @@ def minhash_signatures(shingled: DataFrame,
     return ex.groupBy("doc_id").agg(*sig_aggs)
 
 
-def minhash_lsh_candidates(signatures: DataFrame,
-                           bands: int = LSH_BANDS,
-                           rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """Band the signature, equi-join on (band_idx, band_hash).
-
-    Each band hash covers ``rows_per_band`` minhashes; docs agreeing on any
-    band become candidates. The join key is (band_idx, band_hash) so bucket
-    sizes stay tiny and the shuffle is uniform — this is what makes near-dup
-    search linear-ish at 100 TB instead of quadratic.
-    """
-    band_rows = signatures.select(
+def minhash_band_rows(signatures: DataFrame,
+                      bands: int = LSH_BANDS,
+                      rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows — each band hash covers
+    ``rows_per_band`` minhashes. Shared by the corpus self-join
+    (``minhash_lsh_candidates``) and the incremental batch-vs-corpus
+    probe (``dedup_incremental_minhash``)."""
+    return signatures.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
@@ -208,6 +205,19 @@ def minhash_lsh_candidates(signatures: DataFrame,
             for b in range(bands)
         ])).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(signatures: DataFrame,
+                           bands: int = LSH_BANDS,
+                           rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_hash).
+
+    Docs agreeing on any band become candidates. The join key is
+    (band_idx, band_hash) so bucket sizes stay tiny and the shuffle is
+    uniform — this is what makes near-dup search linear-ish at 100 TB
+    instead of quadratic.
+    """
+    band_rows = minhash_band_rows(signatures, bands, rows_per_band)
     a = band_rows.select(F.col("doc_id").alias("id1"), "band_idx", "band_hash")
     b = band_rows.select(F.col("doc_id").alias("id2"), "band_idx", "band_hash")
     return (a.join(b, ["band_idx", "band_hash"])
@@ -861,3 +871,74 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
             .applyInPandas(greedy_sweep,
                            schema="vec_id long, cell int, keep boolean")
             .orderBy("vec_id"))
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
+                              new_source: str = "src19",
+                              threshold: float = 0.5) -> DataFrame:
+    """Incremental NEAR-dup ingest — the MinHash-LSH companion to
+    ``traindata.dedup_incremental_exact``: which documents of an
+    arriving batch (``source == new_source``) are ≥``threshold``-Jaccard
+    near-duplicates of the EXISTING corpus. This is the steady-state
+    shape of production near-dedup: the corpus's band index is built
+    once (at 100 TB it is a persisted, bucketed table) and each new
+    batch probes it — batch × corpus through tiny LSH buckets, never
+    corpus × corpus again.
+
+    Plan: one shingling pass over the whole table (checkpointed — the
+    signature build and both verify sides reuse it), one signature
+    aggregation, band rows via the shared ``minhash_band_rows``, then an
+    ASYMMETRIC band join (batch side × corpus side — no self-join, no
+    id1<id2 dance), exact-Jaccard verification on the candidates only,
+    and a deterministic best-match pick (highest Jaccard, ties to the
+    lowest corpus doc_id). Batch docs with no near-dup survive via the
+    final LEFT join with is_neardup = false — decision-pass contract,
+    like corpus_decontaminate.
+
+    xxhash64 signatures have no DuckDB twin → rows-only driver check;
+    the pytest pins the flagged set against brute-force exact Jaccard
+    between batch and corpus on the fixture.
+    """
+    from pyspark.sql import Window
+
+    d = ld_py(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", "source",
+                   _shingle_udf(3)("text").alias("shingles"))
+          .localCheckpoint())
+    sigs = minhash_signatures(sh)
+    br = minhash_band_rows(sigs).join(
+        sh.select("doc_id", "source"), "doc_id")
+    bband = (br.filter(F.col("source") == new_source)
+             .select(F.col("doc_id").alias("new_doc"),
+                     "band_idx", "band_hash"))
+    cband = (br.filter(F.col("source") != new_source)
+             .select(F.col("doc_id").alias("cand"),
+                     "band_idx", "band_hash"))
+    cands = (bband.join(cband, ["band_idx", "band_hash"])
+             .select("new_doc", "cand").distinct())
+
+    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
+    verified = (cands
+                .join(sized.select(F.col("doc_id").alias("new_doc"),
+                                   F.col("shingles").alias("sh1"),
+                                   F.col("ns").alias("n1")), "new_doc")
+                .join(sized.select(F.col("doc_id").alias("cand"),
+                                   F.col("shingles").alias("sh2"),
+                                   F.col("ns").alias("n2")), "cand"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
+    scored = (verified.select("new_doc", "cand", jac.alias("jaccard"))
+              .filter(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("new_doc").orderBy(F.desc("jaccard"), "cand")
+    best = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("new_doc", F.col("cand").alias("neardup_of"),
+                    "jaccard"))
+
+    batch_docs = (d.filter(F.col("source") == new_source)
+                  .select(F.col("doc_id").alias("new_doc")))
+    return (batch_docs.join(best, "new_doc", "left")
+            .select("new_doc", "neardup_of",
+                    F.round("jaccard", 9).alias("jaccard"),
+                    F.col("neardup_of").isNotNull().alias("is_neardup"))
+            .orderBy("new_doc"))

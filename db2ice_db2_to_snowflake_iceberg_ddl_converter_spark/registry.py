@@ -641,6 +641,7 @@ _ROUND5_NEW: list = [
     "source_bloom_runtime_filter",
     "agg_histogram_equi_depth",
     "events_cusum_drift",
+    "dedup_incremental_minhash",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -695,6 +696,7 @@ def _round5_queries():
     """New round-5 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND5_NEW``."""
     from .operators import corpus, similarity
+    from .operators import dedup as _dd5
     from .operators import eventtime as _ev5
     from .operators import scale as _sc5
     from .operators import traindata as _td5
@@ -722,6 +724,9 @@ def _round5_queries():
         # CUSUM change-point monitor (max-clamp recurrence → grouped
         # applyInPandas like events_ema; rows-only, numpy-pinned)
         "events_cusum_drift": _ev5.events_cusum_drift,
+        # incremental batch-vs-corpus near-dup via the shared LSH bands
+        # (xxhash64 → rows-only; pytest pins vs brute-force Jaccard)
+        "dedup_incremental_minhash": _dd5.dedup_incremental_minhash,
     }
 
 

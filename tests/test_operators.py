@@ -654,3 +654,51 @@ class TestProductQuantization:
             d2 = ((B[s] - xs) ** 2).sum(axis=1)
             err += d2.min()
         assert err == 0.0
+
+
+class TestIncrementalMinhash:
+    def test_flags_match_brute_force_jaccard(self, spark, sf_dir):
+        """The incremental batch-vs-corpus near-dup decision must agree
+        with brute-force exact 3-gram Jaccard: every flagged new doc has
+        a corpus near-dup at >= 0.5 (with the reported best match's
+        Jaccard correct), every unflagged one has none (LSH recall on
+        the fixture is exact — same property dedup_minhash_lsh pins for
+        the self-join form)."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        got = {r.new_doc: r for r in
+               dedup.dedup_incremental_minhash(spark, sf_dir).collect()}
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, source, text FROM "
+            f"'{sf_dir}/documents.parquet'").fetchall()
+
+        def sh(t):
+            w = t.split(" ")
+            return set(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+
+        batch = [(i, sh(t)) for i, s, t in docs if s == "src19"]
+        corpus = [(i, sh(t)) for i, s, t in docs if s != "src19"]
+        assert set(got) == {i for i, _ in batch}
+        for new_doc, s1 in batch:
+            best = None
+            for cand, s2 in corpus:
+                if not s1 or not s2:
+                    continue
+                inter = len(s1 & s2)
+                j = inter / (len(s1) + len(s2) - inter)
+                if j >= 0.5 and (best is None or (j, -cand) > best[:2]):
+                    best = (j, -cand, cand)
+            r = got[new_doc]
+            if best is None:
+                assert not r.is_neardup and r.neardup_of is None
+            else:
+                assert r.is_neardup
+                assert r.neardup_of == best[2]
+                assert abs(r.jaccard - round(best[0], 9)) < 1e-12
+        assert any(r.is_neardup for r in got.values()), \
+            "fixture should contain cross-source near-dups"
