@@ -99,6 +99,7 @@ HEADLINE = [
     "agg_histogram_equi_depth",
     "events_cusum_drift",
     "dedup_incremental_minhash",
+    "streaming_cusum_alerts",
 ]
 
 

@@ -233,6 +233,20 @@ def _streaming_queries():
         return (drained.withColumn("rn", w).filter(F.col("rn") == 1)
                 .select("user_id", "n_events"))
 
+    def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stateful two-sided CUSUM drift alarms (online Welford
+        standardization carried in the state store — deliberately NOT the
+        batch entry's retrospective standardization; see
+        streaming/events.py). Iterative float recurrence → rows-only;
+        the pytest pins the drained rows against a pure-Python replay of
+        the same online semantics."""
+        drained = _drain(spark, ev.cusum_drift_alerts(
+            ev.read_events_stream(spark, sf_dir)), "s_cusum",
+            mode="append")
+        return (drained.select("event_type", "ordinal", "side",
+                               F.round("stat", 9).alias("stat"))
+                .orderBy("event_type", "ordinal", "side"))
+
     return {"streaming_interval_join": streaming_interval_join,
             "streaming_left_outer_join": streaming_left_outer_join,
             "streaming_zscore_alerts": streaming_zscore_alerts,
@@ -241,7 +255,8 @@ def _streaming_queries():
             "streaming_dedup": streaming_dedup,
             "streaming_sliding_rollup": streaming_sliding_rollup,
             "streaming_user_stats": streaming_user_stats,
-            "streaming_user_stats_v2": streaming_user_stats_v2}
+            "streaming_user_stats_v2": streaming_user_stats_v2,
+            "streaming_cusum_alerts": streaming_cusum_alerts}
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +657,9 @@ _ROUND5_NEW: list = [
     "agg_histogram_equi_depth",
     "events_cusum_drift",
     "dedup_incremental_minhash",
+    # registered via _streaming_queries (round-1 layout position); listed
+    # here so its debut lands inside the round-5 window
+    "streaming_cusum_alerts",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01

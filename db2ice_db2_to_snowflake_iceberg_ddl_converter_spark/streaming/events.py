@@ -565,3 +565,72 @@ FROM (
 ) WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def cusum_drift_alerts(events: DataFrame, k_slack: float = 0.25,
+                       h_threshold: float = 4.0, warmup: int = 30,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``operators.eventtime.events_cusum_drift``:
+    two-sided CUSUM drift alarms per event type, maintained across
+    micro-batches in the state store via ``applyInPandasWithState``.
+
+    The streaming formulation standardizes ONLINE (Welford running
+    mean/std carried in state, each point scored against the statistics
+    of everything BEFORE it, after a ``warmup`` count) — deliberately
+    different from the batch entry's retrospective whole-series
+    standardization, because a stream cannot see its future; the pytest
+    pins the drained output against a pure-Python replay of exactly
+    these online semantics. State per key is seven scalars; alarms
+    RESET their side, so state stays O(1) forever — runnable on an
+    unbounded stream.
+
+    Emits one row per alarm: (event_type, ordinal, side, stat) where
+    ordinal is the per-key 1-based event count at the alarm.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (n, mean, m2, sp, sm) = state.get if state.exists \
+            else (0, 0.0, 0.0, 0.0, 0.0)
+        out = {"event_type": [], "ordinal": [], "side": [], "stat": []}
+        frames = [pdf for pdf in pdf_iter]
+        pdf = (pd.concat(frames).sort_values(["ts", "event_id"])
+               if frames else None)
+        if pdf is not None:
+            for x in pdf["value"].astype(float):
+                if n >= warmup and m2 > 0:
+                    std = (m2 / n) ** 0.5
+                    z = (x - mean) / std
+                    sp = max(0.0, sp + z - k_slack)
+                    sm = max(0.0, sm - z - k_slack)
+                    if sp > h_threshold:
+                        out["event_type"].append(key[0])
+                        out["ordinal"].append(n + 1)
+                        out["side"].append("high")
+                        out["stat"].append(sp)
+                        sp = 0.0
+                    if sm > h_threshold:
+                        out["event_type"].append(key[0])
+                        out["ordinal"].append(n + 1)
+                        out["side"].append("low")
+                        out["stat"].append(sm)
+                        sm = 0.0
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+        state.update((n, mean, m2, sp, sm))
+        yield pd.DataFrame(out)
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, ordinal long, "
+                                 "side string, stat double",
+                stateStructType="n long, mean double, m2 double, "
+                                "sp double, sm double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

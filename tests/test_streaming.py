@@ -350,3 +350,49 @@ class TestCdcUpsertStream:
             .collect())
         assert got == want
         assert len(got) > 0
+
+
+class TestStreamingCusum:
+    def test_alerts_match_online_python_replay(self, spark, sf_dir):
+        """The drained CUSUM alarms must equal a pure-Python replay of
+        the SAME online semantics (Welford pre-update standardization
+        after a 30-event warmup, alarm resets its side) over the events
+        in (ts, event_id) order."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            build_queries,
+        )
+
+        got = [(r.event_type, r.ordinal, r.side, r.stat) for r in
+               build_queries()["streaming_cusum_alerts"](
+                   spark, sf_dir).collect()]
+
+        series: dict = {}
+        for et, v in duckdb.sql(
+                f"SELECT event_type, value FROM '{sf_dir}/events.parquet' "
+                f"ORDER BY ts, event_id").fetchall():
+            series.setdefault(et, []).append(float(v))
+
+        k, h, warmup = 0.25, 4.0, 30
+        want = []
+        for et in sorted(series):
+            n, mean, m2, sp, sm = 0, 0.0, 0.0, 0.0, 0.0
+            for x in series[et]:
+                if n >= warmup and m2 > 0:
+                    std = (m2 / n) ** 0.5
+                    z = (x - mean) / std
+                    sp = max(0.0, sp + z - k)
+                    sm = max(0.0, sm - z - k)
+                    if sp > h:
+                        want.append((et, n + 1, "high", round(sp, 9)))
+                        sp = 0.0
+                    if sm > h:
+                        want.append((et, n + 1, "low", round(sm, 9)))
+                        sm = 0.0
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+        want.sort()
+        assert got == want
