@@ -100,6 +100,7 @@ HEADLINE = [
     "events_cusum_drift",
     "dedup_incremental_minhash",
     "streaming_cusum_alerts",
+    "gdpr_delete_cascade",
 ]
 
 

@@ -402,3 +402,104 @@ SELECT COUNT(*) AS n_rows,
        MAX(event_id) AS max_event_id
 FROM events
 """
+
+
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str,
+                        victim_mod: int = 131) -> DataFrame:
+    """Right-to-be-forgotten impact plan over the order star — the
+    compliance pass a lakehouse runs BEFORE executing deletes: given a
+    deletion-request set of customers (deterministic fixture slice:
+    c_custkey ≡ 0 mod ``victim_mod``; in production, the DSR queue),
+    resolve the full FK cascade (customer → orders → lineitem), and emit
+    per table the rows the delete will remove, the rows that survive,
+    and the orphans that would REMAIN if the cascade executed — which
+    must be zero, the check that makes the plan auditable.
+
+    Scale shape: the victim set is request-queue-sized → broadcast-class
+    semi/anti joins down the cascade; orders' doomed keys then drive the
+    lineitem semi join (keyed shuffle AQE sizes). Counting survivors
+    uses the SAME anti-join frames the delete would write, so the audit
+    counts exactly what an Iceberg/Delta DELETE would commit. Exact
+    integers → bitwise oracle.
+    """
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    li = ld(spark, sf_dir, "lineitem")
+
+    victims = (c.filter(F.col("c_custkey") % victim_mod == 0)
+               .select("c_custkey"))
+    o_doomed = o.join(victims.select(F.col("c_custkey")
+                                     .alias("o_custkey")),
+                      "o_custkey", "left_semi")
+    li_doomed = li.join(o_doomed.select(F.col("o_orderkey")
+                                        .alias("l_orderkey")),
+                        "l_orderkey", "left_semi")
+
+    c_after = c.join(victims, "c_custkey", "left_anti")
+    o_after = o.join(victims.select(F.col("c_custkey").alias("o_custkey")),
+                     "o_custkey", "left_anti")
+    li_after = li.join(o_doomed.select(F.col("o_orderkey")
+                                       .alias("l_orderkey")),
+                       "l_orderkey", "left_anti")
+    # residual orphans after the cascade (must be 0 for an auditable plan)
+    o_orphans = o_after.join(c_after.select(F.col("c_custkey")
+                                            .alias("o_custkey")),
+                             "o_custkey", "left_anti")
+    li_orphans = li_after.join(o_after.select(F.col("o_orderkey")
+                                              .alias("l_orderkey")),
+                               "l_orderkey", "left_anti")
+
+    def row(name, doomed, after, orphans):
+        return (doomed.agg(F.count(F.lit(1)).alias("n_delete"))
+                .crossJoin(after.agg(F.count(F.lit(1)).alias("n_keep")))
+                .crossJoin(orphans.agg(F.count(F.lit(1))
+                                       .alias("n_orphans_after")))
+                .select(F.lit(name).alias("table_name"),
+                        "n_delete", "n_keep", "n_orphans_after"))
+
+    empty = spark.range(0)
+    return (row("customer", victims, c_after, empty)
+            .unionAll(row("orders", o_doomed, o_after, o_orphans))
+            .unionAll(row("lineitem", li_doomed, li_after, li_orphans))
+            .orderBy("table_name"))
+
+
+ORACLE_GDPR_CASCADE = """
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 131 = 0
+), o_doomed AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)
+), li_doomed AS (
+  SELECT 1 AS x FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM o_doomed)
+), counts AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM victims) AS n_delete,
+         (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM victims)
+           AS n_keep,
+         0 AS n_orphans_after
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM o_doomed),
+         (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM o_doomed),
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM victims)
+            AND o.o_custkey NOT IN
+                (SELECT c_custkey FROM customer
+                 WHERE c_custkey % 131 <> 0))
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM li_doomed),
+         (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM li_doomed),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM o_doomed)
+            AND l.l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)))
+)
+SELECT table_name, CAST(n_delete AS BIGINT) AS n_delete,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_orphans_after AS BIGINT) AS n_orphans_after
+FROM counts ORDER BY table_name
+"""

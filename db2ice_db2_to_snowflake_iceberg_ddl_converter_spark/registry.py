@@ -660,6 +660,7 @@ _ROUND5_NEW: list = [
     # registered via _streaming_queries (round-1 layout position); listed
     # here so its debut lands inside the round-5 window
     "streaming_cusum_alerts",
+    "gdpr_delete_cascade",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -716,6 +717,7 @@ def _round5_queries():
     from .operators import corpus, similarity
     from .operators import dedup as _dd5
     from .operators import eventtime as _ev5
+    from .operators import validate as _vl5
     from .operators import scale as _sc5
     from .operators import traindata as _td5
     from .sources.registry import source_bloom_runtime_filter as _bloom_rt
@@ -745,6 +747,9 @@ def _round5_queries():
         # incremental batch-vs-corpus near-dup via the shared LSH bands
         # (xxhash64 → rows-only; pytest pins vs brute-force Jaccard)
         "dedup_incremental_minhash": _dd5.dedup_incremental_minhash,
+        # right-to-be-forgotten cascade impact plan (FK-driven semi/anti
+        # joins + zero-orphan audit)
+        "gdpr_delete_cascade": _vl5.gdpr_delete_cascade,
     }
 
 
@@ -1020,4 +1025,6 @@ def build_oracles() -> dict[str, str]:
     oracles["source_bloom_runtime_filter"] = ORACLE_BLOOM_RUNTIME_FILTER
     from .operators.scale import ORACLE_HISTOGRAM_EQUI_DEPTH
     oracles["agg_histogram_equi_depth"] = ORACLE_HISTOGRAM_EQUI_DEPTH
+    from .operators.validate import ORACLE_GDPR_CASCADE
+    oracles["gdpr_delete_cascade"] = ORACLE_GDPR_CASCADE
     return oracles
