@@ -587,3 +587,37 @@ class TestRound5PlanShapes:
         q = scale.agg_histogram_equi_depth(spark, sf_dir)
         assert single_partition_windows(q) == 0
         assert_no_python_in_plan(q)
+
+    def test_gdpr_cascade_is_semi_anti_joins(self, spark, sf_dir):
+        """The cascade must resolve through semi/anti joins (the shapes
+        an Iceberg DELETE plans), with no cartesian product anywhere."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            validate,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan, plan_profile,
+        )
+
+        q = validate.gdpr_delete_cascade(spark, sf_dir)
+        plan = executed_plan(q)
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert plan_profile(q)["cartesian_products"] == 0
+
+    def test_incremental_minhash_no_python_no_cartesian_downstream(
+            self, spark, sf_dir):
+        """Downstream of the checkpointed shingle frame (whose Arrow-only
+        shingling is pinned by test_python_paths_are_arrow_batched), the
+        band probe + verify must carry NO Python at all and the
+        asymmetric band join must stay an equi-join."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan, plan_profile,
+        )
+
+        q = dedup.dedup_incremental_minhash(spark, sf_dir)
+        plan = executed_plan(q)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan   # shingles pre-materialized
+        assert plan_profile(q)["cartesian_products"] == 0
