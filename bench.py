@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "streaming_cusum_alerts",
     "gdpr_delete_cascade",
+    "corpus_lang_drift_chi2",
 ]
 
 

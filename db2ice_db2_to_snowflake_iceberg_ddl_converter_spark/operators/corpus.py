@@ -1113,3 +1113,80 @@ SELECT doc_id, n_words, mean_word_len, n_stopword_hits,
 FROM t
 ORDER BY doc_id
 """
+
+
+def corpus_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distribution drift between two corpus slices — the
+    chi-square homogeneity check a curation pipeline runs between
+    ingests to catch a source silently changing its language mix (the
+    fixture slices deterministically: even doc_ids = "old" snapshot,
+    odd = "new"). Emits per language both slice counts and the
+    chi-square contribution Σ (o−e)²/e over its two cells, plus the
+    share-of-corpus delta; the consumer sums contributions and compares
+    against the χ² critical value driver-side.
+
+    Chi-square instead of KL divergence BY DESIGN: KL needs log, and
+    Spark (Java Math.log) vs DuckDB (libm) differ by 1 ulp on some
+    inputs — measured on this repo, see corpus_tfidf_top_terms — while
+    (o−e)²/e is plain IEEE +,−,×,÷ on exact-integer-derived operands,
+    bitwise identical in both engines when the op order is pinned (it
+    is: e = (row·col)/grand, each term divided before summing).
+
+    Scale shape: one hash aggregation keyed by language (map-side
+    partials → O(languages) shuffle), a 1-row totals aggregate broadcast
+    back by cross join, then narrow arithmetic. Language-cardinality
+    output however big the corpus.
+    """
+    d = ld(spark, sf_dir, "documents")
+    counts = (d.groupBy("lang")
+              .agg(F.sum((F.col("doc_id") % 2 == 0).cast("long"))
+                   .alias("n_old"),
+                   F.sum((F.col("doc_id") % 2 == 1).cast("long"))
+                   .alias("n_new")))
+    totals = counts.agg(F.sum("n_old").alias("tot_old"),
+                        F.sum("n_new").alias("tot_new"))
+    row_tot = F.col("n_old") + F.col("n_new")
+    grand = F.col("tot_old") + F.col("tot_new")
+    e_old = (row_tot * F.col("tot_old")).cast("double") \
+        / grand.cast("double")
+    e_new = (row_tot * F.col("tot_new")).cast("double") \
+        / grand.cast("double")
+    chi2 = ((F.col("n_old") - e_old) * (F.col("n_old") - e_old) / e_old
+            + (F.col("n_new") - e_new) * (F.col("n_new") - e_new) / e_new)
+    share_delta = (F.col("n_new").cast("double")
+                   / F.col("tot_new").cast("double")
+                   - F.col("n_old").cast("double")
+                   / F.col("tot_old").cast("double"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("lang", "n_old", "n_new",
+                    chi2.alias("chi2_contrib"),
+                    share_delta.alias("share_delta"))
+            .orderBy("lang"))
+
+
+ORACLE_LANG_DRIFT_CHI2 = """
+WITH counts AS (
+  SELECT lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+  FROM documents GROUP BY lang
+), totals AS (
+  SELECT SUM(n_old) AS tot_old, SUM(n_new) AS tot_new FROM counts
+)
+SELECT lang, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+       (n_old - ((n_old + n_new) * tot_old)::DOUBLE
+                / (tot_old + tot_new)::DOUBLE)
+       * (n_old - ((n_old + n_new) * tot_old)::DOUBLE
+                  / (tot_old + tot_new)::DOUBLE)
+       / (((n_old + n_new) * tot_old)::DOUBLE / (tot_old + tot_new)::DOUBLE)
+       + (n_new - ((n_old + n_new) * tot_new)::DOUBLE
+                  / (tot_old + tot_new)::DOUBLE)
+       * (n_new - ((n_old + n_new) * tot_new)::DOUBLE
+                  / (tot_old + tot_new)::DOUBLE)
+       / (((n_old + n_new) * tot_new)::DOUBLE / (tot_old + tot_new)::DOUBLE)
+         AS chi2_contrib,
+       n_new::DOUBLE / tot_new::DOUBLE - n_old::DOUBLE / tot_old::DOUBLE
+         AS share_delta
+FROM counts, totals
+ORDER BY lang
+"""

@@ -661,6 +661,7 @@ _ROUND5_NEW: list = [
     # here so its debut lands inside the round-5 window
     "streaming_cusum_alerts",
     "gdpr_delete_cascade",
+    "corpus_lang_drift_chi2",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -750,6 +751,9 @@ def _round5_queries():
         # right-to-be-forgotten cascade impact plan (FK-driven semi/anti
         # joins + zero-orphan audit)
         "gdpr_delete_cascade": _vl5.gdpr_delete_cascade,
+        # snapshot-over-snapshot language drift (exact chi-square — no
+        # log, so bitwise-portable unlike KL)
+        "corpus_lang_drift_chi2": corpus.corpus_lang_drift_chi2,
     }
 
 
@@ -1027,4 +1031,5 @@ def build_oracles() -> dict[str, str]:
     oracles["agg_histogram_equi_depth"] = ORACLE_HISTOGRAM_EQUI_DEPTH
     from .operators.validate import ORACLE_GDPR_CASCADE
     oracles["gdpr_delete_cascade"] = ORACLE_GDPR_CASCADE
+    oracles["corpus_lang_drift_chi2"] = corpus.ORACLE_LANG_DRIFT_CHI2
     return oracles
