@@ -628,6 +628,21 @@ def _bpe_safe_batch(top: list, scanned_all: bool,
     dirty: set = set()
     w_stop = None
     for a, b, w in top:
+        if a == b:
+            # SELF-PAIR stop (found by the hypothesis property test): an
+            # a==b merge mints new pairs out of its OWN overlapping
+            # occurrences — "ccc" under (c,c) folds to [cc, c], creating
+            # a (cc, c) adjacency with no other c-containing census pair
+            # around to trigger the dirty stop — so a mid-batch
+            # self-pair cannot be proven safe. Treat it exactly like a
+            # dirty pair (stop BEFORE it, its weight bounds everything
+            # ranked at or after it); as the global max it is
+            # unconditionally what sequential training picks, so it
+            # forms a batch of one.
+            if not accepted:
+                return [(a, b, w)]
+            w_stop = w
+            break
         if a in dirty or b in dirty:
             w_stop = w
             break
