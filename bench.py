@@ -102,6 +102,9 @@ HEADLINE = [
     "streaming_cusum_alerts",
     "gdpr_delete_cascade",
     "corpus_lang_drift_chi2",
+    "classifier_quality_linear",
+    "classifier_gains_deciles",
+    "corpus_source_ks_drift",
 ]
 
 

@@ -1205,3 +1205,115 @@ SELECT lang, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
 FROM counts, totals
 ORDER BY lang
 """
+
+
+def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per source: for each
+    ingest source, the KS statistic between its document-length
+    (``n_chars``) distribution and the rest of the corpus — the numeric
+    complement to ``corpus_lang_drift_chi2`` (a source whose scraper
+    started truncating or concatenating pages shifts its length CDF long
+    before its language mix moves).
+
+    Exact, not sampled, yet scale-safe: the corpus is first COMPACTED to
+    (source, n_chars) → count (one hash aggregate, map-side partials, so
+    the shuffle is O(sources × distinct lengths), corpus-size-independent).
+    Every later step — the sources × lengths grid (a cross join of two
+    already-aggregated frames), the per-source cumulative window
+    (partitioned by source, never global), and the rest-CDF derived as
+    Σ_s cum_s(x) − cum_s — runs on that compacted frame. At 100 TB you
+    would bin lengths first; the pipeline is unchanged.
+
+    Float protocol: all cumulative counts are exact integers; each CDF is
+    ONE double division and the KS contribution one subtraction, pinned in
+    the same order in the oracle. The significance flag avoids sqrt by
+    squaring the classic α=0.05 threshold 1.358·√((m+n)/(m·n)):
+    ks² · m·n > 1.358² · (m+n), all rational.
+
+    ``ks_at`` is the smallest length attaining the maximum (deterministic
+    argmax; both engines filter on bitwise-equal doubles).
+    """
+    from pyspark.sql import Window
+
+    d = ld(spark, sf_dir, "documents", fanout=False)
+    c = (d.groupBy("source", F.col("n_chars").alias("x"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    srcs = c.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    xs = c.select("x").distinct()
+    grid = (srcs.crossJoin(xs)
+            .join(c, ["source", "x"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    w = (Window.partitionBy("source").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.withColumn("cum_s", F.sum("cnt").over(w))
+    g = cum.groupBy("x").agg(F.sum("cum_s").alias("cum_g"))
+    tot = srcs.agg(F.sum("n_src").alias("n_total"))
+    k = (cum.join(g, "x").crossJoin(F.broadcast(tot))
+         .withColumn("n_rest", F.col("n_total") - F.col("n_src"))
+         .withColumn(
+             "ks", F.abs(
+                 F.col("cum_s").cast("double") / F.col("n_src").cast("double")
+                 - (F.col("cum_g") - F.col("cum_s")).cast("double")
+                 / F.col("n_rest").cast("double"))))
+    per = (k.groupBy("source", "n_src", "n_rest")
+           .agg(F.max("ks").alias("ks_stat")))
+    at = (k.select("source", "x", "ks")
+          .join(per, ["source"])
+          .filter(F.col("ks") == F.col("ks_stat"))
+          .groupBy("source")
+          .agg(F.min("x").alias("ks_at")))
+    flag = (F.col("ks_stat") * F.col("ks_stat")
+            * (F.col("n_src") * F.col("n_rest")).cast("double")
+            > 1.844164 * (F.col("n_src") + F.col("n_rest")).cast("double"))
+    return (per.join(at, "source")
+            .select("source", F.col("n_src").cast("long").alias("n_src"),
+                    "ks_stat", F.col("ks_at").cast("long").alias("ks_at"),
+                    flag.alias("drift_flag"))
+            .orderBy("source"))
+
+
+ORACLE_SOURCE_KS_DRIFT = """
+WITH c AS (
+  SELECT source, n_chars AS x, COUNT(*) AS cnt
+  FROM documents GROUP BY source, n_chars
+), srcs AS (
+  SELECT source, SUM(cnt) AS n_src FROM c GROUP BY source
+), xs AS (
+  SELECT DISTINCT x FROM c
+), grid AS (
+  SELECT s.source, s.n_src, xs.x, COALESCE(c.cnt, 0) AS cnt
+  FROM srcs s CROSS JOIN xs
+  LEFT JOIN c ON c.source = s.source AND c.x = xs.x
+), cum AS (
+  SELECT source, n_src, x, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_s
+  FROM grid
+), g AS (
+  SELECT x, SUM(cum_s) AS cum_g FROM cum GROUP BY x
+), tot AS (
+  SELECT SUM(n_src) AS n_total FROM srcs
+), k AS (
+  SELECT cum.source, cum.n_src, cum.x,
+         tot.n_total - cum.n_src AS n_rest,
+         ABS(CAST(cum.cum_s AS DOUBLE) / CAST(cum.n_src AS DOUBLE)
+             - CAST(g.cum_g - cum.cum_s AS DOUBLE)
+               / CAST(tot.n_total - cum.n_src AS DOUBLE)) AS ks
+  FROM cum JOIN g ON g.x = cum.x CROSS JOIN tot
+), per AS (
+  SELECT source, n_src, n_rest, MAX(ks) AS ks_stat
+  FROM k GROUP BY source, n_src, n_rest
+), at AS (
+  SELECT k.source, MIN(k.x) AS ks_at
+  FROM k JOIN per ON per.source = k.source AND k.ks = per.ks_stat
+  GROUP BY k.source
+)
+SELECT per.source, CAST(per.n_src AS BIGINT) AS n_src, per.ks_stat,
+       CAST(at.ks_at AS BIGINT) AS ks_at,
+       per.ks_stat * per.ks_stat
+         * CAST(per.n_src * per.n_rest AS DOUBLE)
+         > 1.844164 * CAST(per.n_src + per.n_rest AS DOUBLE) AS drift_flag
+FROM per JOIN at ON at.source = per.source
+ORDER BY per.source
+"""

@@ -532,3 +532,218 @@ SELECT language, tp, fp, fn,
 FROM j
 ORDER BY language
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed linear quality classifier (fastText-style scale shape)
+# ---------------------------------------------------------------------------
+
+#: Feature-hash width. 64 buckets keeps the fixture's weight table readable;
+#: a production classifier uses 2^20+ buckets — the plan shape (broadcast
+#: weight dim + one hash agg) is identical at any width.
+HASH_BUCKETS = 64
+
+#: Knuth multiplicative constant: deterministic pseudo-random weights per
+#: bucket, identical in any engine with 64-bit integer arithmetic.
+_WEIGHT_MIX = 2654435761
+
+
+def _token_bucket(tok) -> F.Column:
+    """Cross-engine feature hash: (37·len + 17·first_cp + last_cp) mod 64.
+
+    Uses only length/ascii/substring so DuckDB computes bit-identical
+    buckets (verified on the zh/es/de/fr fixture text — Spark's ``ascii``
+    and DuckDB's both return the Unicode code point of the first char).
+    A production pipeline would swap in ``xxhash64(tok) % width``
+    Spark-side — kept arithmetic here so the oracle can replay it.
+    """
+    c = F.col(tok) if isinstance(tok, str) else tok
+    return (37 * F.length(c)
+            + 17 * F.ascii(F.substring(c, 1, 1))
+            + F.ascii(F.substring(c, -1, 1))) % HASH_BUCKETS
+
+
+def hashed_weight_table(spark: SparkSession) -> DataFrame:
+    """The model: one integer milli-weight per hash bucket, generated from
+    the bucket id by a Knuth multiplicative mix (wt ∈ [-1000, 1000]).
+    Integer weights BY DESIGN: per-doc scores sum exactly long-side and
+    divide once at the end, so float addition order — which differs
+    between Spark partial aggregation and DuckDB's scan order — never
+    touches the result (the determinism protocol, relational.py).
+
+    In production this frame is the trained model loaded from storage;
+    either way it is O(buckets) rows and broadcast, never shuffled.
+    """
+    return spark.range(HASH_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * _WEIGHT_MIX) % 2001 - 1000).alias("wt_milli"))
+
+
+def _hashed_linear_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, lang, n_tokens, sum_wt_milli, quality_score for every doc.
+
+    Plan: explode tokens (narrow) → broadcast-hash-join the 64-row weight
+    dim (no shuffle) → one hash aggregate keyed by doc_id. All explode
+    output for a doc stays in its scan partition, so map-side partial
+    aggregation collapses to one row per doc before the exchange — the
+    shuffle is O(documents), not O(tokens). This is the fastText-style
+    scorer shape that survives 100 TB: no Python in the row path, one
+    integer-weighted sum per doc.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", "lang",
+                     F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    w = hashed_weight_table(spark)
+    scored = (toks.withColumn("bucket", _token_bucket("tok"))
+              .join(F.broadcast(w), "bucket")
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("wt_milli").alias("sum_wt_milli")))
+    score = (F.col("sum_wt_milli").cast("double")
+             / (F.col("n_tokens") * 1000).cast("double"))
+    return scored.withColumn("quality_score", score)
+
+
+def classifier_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from a feature-hashed linear model — the
+    Spark half of the fastText-style quality classifier every corpus
+    curation pipeline runs before mixing (token → hash bucket →
+    broadcast weight lookup → mean weight per doc → threshold gate).
+
+    The score is the exact rational mean of integer milli-weights
+    (ONE double division per doc), so the oracle hash-matches bitwise.
+    """
+    s = _hashed_linear_scored(spark, sf_dir)
+    return (s.select("doc_id", "n_tokens",
+                     F.col("sum_wt_milli").cast("long").alias("sum_wt_milli"),
+                     "quality_score",
+                     (F.col("quality_score") > 0.0).alias("passes"))
+            .orderBy("doc_id"))
+
+
+ORACLE_CLASSIFIER_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), weights AS (
+  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS wt_milli
+  FROM range(64)
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt_milli) AS sum_wt_milli
+  FROM toks JOIN weights
+    ON (37 * length(tok) + 17 * ascii(substr(tok, 1, 1))
+        + ascii(substr(tok, length(tok), 1))) % 64 = bucket
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, CAST(sum_wt_milli AS BIGINT) AS sum_wt_milli,
+       CAST(sum_wt_milli AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)
+         AS quality_score,
+       CAST(sum_wt_milli AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) > 0.0
+         AS passes
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def classifier_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the hashed linear score against a gold
+    label (``lang = 'en'``) — the calibration readout that decides
+    whether a quality classifier is worth gating a 100 TB mixture on
+    (top-decile lift ≫ 1 → the score concentrates the target class).
+
+    Scale shape: scoring reuses the broadcast-join aggregate above;
+    decile assignment rides ``scale.global_ranks`` + ``ntile_expr``
+    (range shuffle, NO single-partition window — the exact ANSI NTILE
+    semantics are reproduced arithmetically from the gap-free rank, so
+    the oracle's ``NTILE(10) OVER (ORDER BY ...)`` matches row-for-row).
+    The cumulative pass runs on the 10-row decile frame via a tiny
+    triangular self-join — nothing global touches full data.
+
+    Lift arithmetic: cumulative response over deciles 1..d divided by the
+    base rate, evaluated as (cum_pos/cum_docs) / (tot_pos/total) — two
+    exact integer divisions then one double division, pinned in the same
+    order in the oracle (bitwise-portable; avoids the cross-product
+    overflow a single-fraction form would hit at 10^12 docs).
+    """
+    from .scale import global_ranks, ntile_expr
+
+    s = _hashed_linear_scored(spark, sf_dir).withColumn(
+        "is_pos", (F.col("lang") == "en").cast("long"))
+    order = [F.desc("quality_score"), F.asc("doc_id")]
+    ranked, n = global_ranks(s, order, num_partitions=8)
+    per = (ranked.select(ntile_expr(F.col("global_rn"), n, 10)
+                         .alias("decile"), "is_pos")
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("is_pos").alias("n_pos")))
+    a, b = per.alias("a"), per.alias("b")
+    cum = (a.join(b, F.col("b.decile") <= F.col("a.decile"))
+           .groupBy("a.decile", "a.n_docs", "a.n_pos")
+           .agg(F.sum("b.n_docs").alias("cum_docs"),
+                F.sum("b.n_pos").alias("cum_pos")))
+    tot = per.agg(F.sum("n_docs").alias("total"),
+                  F.sum("n_pos").alias("tot_pos"))
+    lift = ((F.col("cum_pos").cast("double") / F.col("cum_docs"))
+            / (F.col("tot_pos").cast("double") / F.col("total")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select(F.col("decile").cast("int").alias("decile"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    (F.col("n_pos").cast("double") / F.col("n_docs"))
+                    .alias("response_rate"),
+                    F.col("cum_docs").cast("long").alias("cum_docs"),
+                    F.col("cum_pos").cast("long").alias("cum_pos"),
+                    lift.alias("cum_lift"))
+            .orderBy("decile"))
+
+
+ORACLE_CLASSIFIER_GAINS = """
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), weights AS (
+  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS wt_milli
+  FROM range(64)
+), scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         SUM(wt_milli) AS sum_wt_milli
+  FROM toks JOIN weights
+    ON (37 * length(tok) + 17 * ascii(substr(tok, 1, 1))
+        + ascii(substr(tok, length(tok), 1))) % 64 = bucket
+  GROUP BY doc_id, lang
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(sum_wt_milli AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)
+           AS quality_score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM scored
+), tiled AS (
+  SELECT is_pos,
+         NTILE(10) OVER (ORDER BY quality_score DESC, doc_id) AS decile
+  FROM ranked
+), per AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(is_pos) AS n_pos
+  FROM tiled GROUP BY decile
+), cum AS (
+  SELECT a.decile, a.n_docs, a.n_pos,
+         SUM(b.n_docs) AS cum_docs, SUM(b.n_pos) AS cum_pos
+  FROM per a JOIN per b ON b.decile <= a.decile
+  GROUP BY a.decile, a.n_docs, a.n_pos
+), tot AS (
+  SELECT SUM(n_docs) AS total, SUM(n_pos) AS tot_pos FROM per
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_pos AS DOUBLE) / n_docs AS response_rate,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       (CAST(cum_pos AS DOUBLE) / cum_docs)
+         / (CAST(tot_pos AS DOUBLE) / total) AS cum_lift
+FROM cum, tot
+ORDER BY decile
+"""

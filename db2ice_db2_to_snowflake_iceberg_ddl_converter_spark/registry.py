@@ -662,6 +662,9 @@ _ROUND5_NEW: list = [
     "streaming_cusum_alerts",
     "gdpr_delete_cascade",
     "corpus_lang_drift_chi2",
+    "classifier_quality_linear",
+    "classifier_gains_deciles",
+    "corpus_source_ks_drift",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -754,6 +757,15 @@ def _round5_queries():
         # snapshot-over-snapshot language drift (exact chi-square — no
         # log, so bitwise-portable unlike KL)
         "corpus_lang_drift_chi2": corpus.corpus_lang_drift_chi2,
+        # feature-hashed linear quality classifier (fastText scale shape:
+        # broadcast weight dim + one integer-weighted hash agg per doc)
+        "classifier_quality_linear": textstats.classifier_quality_linear,
+        # decile gains/lift calibration of that score vs the lang gold
+        # label, riding scale.global_ranks (no single-partition window)
+        "classifier_gains_deciles": textstats.classifier_gains_deciles,
+        # exact two-sample KS length-drift per source on the compacted
+        # (source, n_chars) frame — numeric twin of the chi2 lang drift
+        "corpus_source_ks_drift": corpus.corpus_source_ks_drift,
     }
 
 
@@ -1032,4 +1044,7 @@ def build_oracles() -> dict[str, str]:
     from .operators.validate import ORACLE_GDPR_CASCADE
     oracles["gdpr_delete_cascade"] = ORACLE_GDPR_CASCADE
     oracles["corpus_lang_drift_chi2"] = corpus.ORACLE_LANG_DRIFT_CHI2
+    oracles["classifier_quality_linear"] = textstats.ORACLE_CLASSIFIER_QUALITY
+    oracles["classifier_gains_deciles"] = textstats.ORACLE_CLASSIFIER_GAINS
+    oracles["corpus_source_ks_drift"] = corpus.ORACLE_SOURCE_KS_DRIFT
     return oracles

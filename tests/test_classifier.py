@@ -1,0 +1,127 @@
+"""Tests for the feature-hashed linear quality classifier, its decile
+gains/lift calibration, and the per-source KS length-drift check. The
+oracle parity sweep pins cross-engine equality; these tests pin what
+parity can't see: agreement with independent pure-Python references,
+ANSI NTILE balance, lift identities, and plan shape (broadcast weight
+join, no Python in the row path, no single-partition window)."""
+
+import bisect
+
+import pytest
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+    corpus,
+    textstats,
+)
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+    assert_no_python_in_plan,
+)
+
+
+def _ref_score(text):
+    """Pure-Python twin of the hashed linear scorer."""
+    toks = [t for t in text.split(" ") if t]
+    s = 0
+    for t in toks:
+        b = (37 * len(t) + 17 * ord(t[0]) + ord(t[-1])) % 64
+        s += (b * 2654435761) % 2001 - 1000
+    return len(toks), s
+
+
+class TestClassifierQualityLinear:
+    def test_matches_pure_python(self, spark, sf_dir):
+        docs = {r.doc_id: r.text for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()}
+        rows = textstats.classifier_quality_linear(spark, sf_dir).collect()
+        assert len(rows) == len(docs)
+        for r in rows:
+            n, s = _ref_score(docs[r.doc_id])
+            assert (r.n_tokens, r.sum_wt_milli) == (n, s)
+            assert r.quality_score == s / (n * 1000)
+            assert r.passes == (r.quality_score > 0.0)
+
+    def test_plan_broadcasts_weights_no_python(self, spark, sf_dir):
+        df = textstats.classifier_quality_linear(spark, sf_dir)
+        assert_no_python_in_plan(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, \
+            "64-row weight dim must broadcast"
+        assert "SortMergeJoin" not in plan, \
+            "weight lookup must never shuffle the token stream"
+
+
+class TestClassifierGainsDeciles:
+    def test_ntile_balance_and_lift_identities(self, spark, sf_dir):
+        rows = textstats.classifier_gains_deciles(spark, sf_dir).collect()
+        assert [r.decile for r in rows] == list(range(1, 11))
+        sizes = [r.n_docs for r in rows]
+        assert max(sizes) - min(sizes) <= 1          # ANSI NTILE balance
+        total = sum(sizes)
+        tot_pos = sum(r.n_pos for r in rows)
+        cum_d = cum_p = 0
+        for r in rows:
+            cum_d += r.n_docs
+            cum_p += r.n_pos
+            assert (r.cum_docs, r.cum_pos) == (cum_d, cum_p)
+            assert r.response_rate == r.n_pos / r.n_docs
+            assert r.cum_lift == (cum_p / cum_d) / (tot_pos / total)
+        assert rows[-1].cum_lift == 1.0              # full-corpus lift ≡ 1
+
+    def test_deciles_follow_score_order(self, spark, sf_dir):
+        """Decile 1 must hold the top-scored docs: recompute the exact
+        per-decile positive counts from the pure-Python scores."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text", "lang").collect()
+        scored = sorted(
+            ((-s / (n * 1000), r.doc_id, r.lang == "en")
+             for r in d for n, s in [_ref_score(r.text)]))
+        n = len(scored)
+        base, rem = divmod(n, 10)
+        expected, i = [], 0
+        for dec in range(10):
+            size = base + (1 if dec < rem else 0)
+            expected.append(sum(1 for _, _, p in scored[i:i + size] if p))
+            i += size
+        rows = textstats.classifier_gains_deciles(spark, sf_dir).collect()
+        assert [r.n_pos for r in rows] == expected
+
+
+def _ref_ks(src_vals, rest_vals):
+    src, rest = sorted(src_vals), sorted(rest_vals)
+    best, best_x = 0.0, None
+    for x in sorted(set(src) | set(rest)):
+        fs = bisect.bisect_right(src, x) / len(src)
+        fr = bisect.bisect_right(rest, x) / len(rest)
+        d = abs(fs - fr)
+        if d > best:
+            best, best_x = d, x
+    return best, best_x
+
+
+class TestCorpusSourceKsDrift:
+    def test_matches_pure_python_ks(self, spark, sf_dir):
+        lens = [(r.source, r.n_chars) for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("source",
+                                                  "n_chars").collect()]
+        rows = corpus.corpus_source_ks_drift(spark, sf_dir).collect()
+        assert len(rows) == len({s for s, _ in lens})
+        for r in rows:
+            src = [x for s, x in lens if s == r.source]
+            rest = [x for s, x in lens if s != r.source]
+            ks, _ = _ref_ks(src, rest)
+            assert r.n_src == len(src)
+            assert r.ks_stat == pytest.approx(ks, abs=1e-12)
+            assert 0.0 <= r.ks_stat <= 1.0
+            # ks_at is the smallest length attaining the max, so the ref
+            # first-crossing point matches exactly
+            assert r.ks_at == _ref_ks(src, rest)[1]
+
+    def test_no_python_no_global_window(self, spark, sf_dir):
+        df = corpus.corpus_source_ks_drift(spark, sf_dir)
+        assert_no_python_in_plan(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every Window in the plan is partitioned by source — nothing
+        # funnels the compacted frame through one task
+        for frag in plan.split("Window ")[1:]:
+            head = frag.split("\n", 1)[0]
+            assert "source" in head, f"unpartitioned window: {head}"
