@@ -105,6 +105,7 @@ HEADLINE = [
     "classifier_quality_linear",
     "classifier_gains_deciles",
     "corpus_source_ks_drift",
+    "split_leakage_safe",
 ]
 
 

@@ -714,3 +714,102 @@ FROM tagged
 GROUP BY seq_id
 ORDER BY seq_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dup-cluster-aware assignment)
+# ---------------------------------------------------------------------------
+
+def _leakage_safe_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document frame behind ``split_leakage_safe``: doc_id,
+    cluster_id, the naive content-hash split the doc would get on its own,
+    and the cluster split it actually gets (the split of its cluster
+    REPRESENTATIVE's content — min-doc_id member, same md5→bucket rule as
+    ``data_split_assign``)."""
+    from .dedup import dedup_clusters
+
+    d = ld(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+
+    def _split(bucket: F.Column) -> F.Column:
+        return (F.when(bucket < 230, "train")
+                .when(bucket < 243, "val")
+                .otherwise("test"))
+
+    docs = (d.select("doc_id",
+                     _split(_hex_bucket(F.md5("text"), 2))
+                     .alias("naive_split"))
+            .join(labels, "doc_id"))
+    reps = d.select(F.col("doc_id").alias("cluster_id"),
+                    _split(_hex_bucket(F.md5("text"), 2)).alias("split"))
+    return docs.join(reps, "cluster_id")
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: every document inherits the split of its near-dup cluster
+    representative (connected components over the exact 3-gram-Jaccard
+    ≥ 0.5 graph, ``dedup_clusters``), so a test document can never have a
+    paraphrase in train — the contamination channel a naive per-doc
+    content-hash split (``data_split_assign``) leaves open. Reports, per
+    split: docs, distinct clusters, and how many docs the cluster rule
+    MOVED relative to the naive rule (the leakage prevented).
+
+    Scale shape: the cluster pass is the existing pruned inverted-index +
+    pointer-doubling components stack (never all-pairs); the rest is two
+    hash joins keyed on doc_id/cluster_id (AQE-sized) and one grouped
+    aggregate with an exact distinct — no windows, no driver state. All
+    outputs are exact integers.
+    """
+    j = _leakage_safe_assignments(spark, sf_dir)
+    return (j.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"),
+                 F.sum((F.col("naive_split") != F.col("split"))
+                       .cast("long")).alias("n_docs_moved"))
+            .orderBy("split"))
+
+
+ORACLE_SPLIT_LEAKAGE_SAFE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+), prs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+  HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM prs
+  UNION ALL SELECT id2, id1 FROM prs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+), labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+), buck AS (
+  SELECT doc_id,
+         CASE WHEN (strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16
+                   + (strpos('0123456789abcdef', md5(text)[2:2]) - 1) < 230
+              THEN 'train'
+              WHEN (strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16
+                   + (strpos('0123456789abcdef', md5(text)[2:2]) - 1) < 243
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), j AS (
+  SELECT l.cluster_id, nb.split AS naive_split, rb.split AS split
+  FROM labels l
+  JOIN buck nb ON nb.doc_id = l.doc_id
+  JOIN buck rb ON rb.doc_id = l.cluster_id
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_moved
+FROM j GROUP BY split ORDER BY split
+"""

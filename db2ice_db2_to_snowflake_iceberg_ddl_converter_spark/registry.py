@@ -665,6 +665,7 @@ _ROUND5_NEW: list = [
     "classifier_quality_linear",
     "classifier_gains_deciles",
     "corpus_source_ks_drift",
+    "split_leakage_safe",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -766,6 +767,10 @@ def _round5_queries():
         # exact two-sample KS length-drift per source on the compacted
         # (source, n_chars) frame — numeric twin of the chi2 lang drift
         "corpus_source_ks_drift": corpus.corpus_source_ks_drift,
+        # near-dup-cluster-aware train/val/test split: docs inherit their
+        # cluster representative's split, closing the paraphrase-leakage
+        # channel a per-doc content-hash split leaves open
+        "split_leakage_safe": _td5.split_leakage_safe,
     }
 
 
@@ -1047,4 +1052,6 @@ def build_oracles() -> dict[str, str]:
     oracles["classifier_quality_linear"] = textstats.ORACLE_CLASSIFIER_QUALITY
     oracles["classifier_gains_deciles"] = textstats.ORACLE_CLASSIFIER_GAINS
     oracles["corpus_source_ks_drift"] = corpus.ORACLE_SOURCE_KS_DRIFT
+    from .operators.traindata import ORACLE_SPLIT_LEAKAGE_SAFE
+    oracles["split_leakage_safe"] = ORACLE_SPLIT_LEAKAGE_SAFE
     return oracles

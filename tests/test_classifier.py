@@ -125,3 +125,34 @@ class TestCorpusSourceKsDrift:
         for frag in plan.split("Window ")[1:]:
             head = frag.split("\n", 1)[0]
             assert "source" in head, f"unpartitioned window: {head}"
+
+
+class TestSplitLeakageSafe:
+    def test_cluster_split_invariants(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        per_doc = traindata._leakage_safe_assignments(spark,
+                                                      sf_dir).collect()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(per_doc) == n_docs
+        # the defining invariant: one split per cluster — no near-dup pair
+        # can straddle train/test
+        by_cluster = {}
+        for r in per_doc:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the representative keeps its own naive split (it IS the rep)
+        for r in per_doc:
+            if r.doc_id == r.cluster_id:
+                assert r.naive_split == r.split
+        # summary ties out against the per-doc frame
+        rows = traindata.split_leakage_safe(spark, sf_dir).collect()
+        assert sum(r.n_docs for r in rows) == n_docs
+        for r in rows:
+            docs = [d for d in per_doc if d.split == r.split]
+            assert r.n_docs == len(docs)
+            assert r.n_clusters == len({d.cluster_id for d in docs})
+            assert r.n_docs_moved == sum(
+                1 for d in docs if d.naive_split != d.split)
