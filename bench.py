@@ -106,6 +106,7 @@ HEADLINE = [
     "classifier_gains_deciles",
     "corpus_source_ks_drift",
     "split_leakage_safe",
+    "corpus_source_similarity",
 ]
 
 

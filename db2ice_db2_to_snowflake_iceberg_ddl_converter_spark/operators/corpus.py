@@ -1317,3 +1317,100 @@ SELECT per.source, CAST(per.n_src AS BIGINT) AS n_src, per.ks_stat,
 FROM per JOIN at ON at.source = per.source
 ORDER BY per.source
 """
+
+
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level content overlap: for every pair of ingest
+    sources, the Jaccard similarity and containment of their DISTINCT
+    word-trigram sets — the redundancy map a mixture designer consults
+    before weighting sources (two mirrors of the same crawl → near-1
+    Jaccard → downweight one; containment ≫ Jaccard exposes a subset
+    mirror). Source-level twin of the doc-level dedup_ngram_jaccard.
+
+    Scale shape: the corpus collapses FIRST to distinct (source, trigram)
+    — one hash aggregate, map-side partials, O(sources × gram-vocab)
+    survivors regardless of corpus size. The pair intersection is a
+    self-join on trigram over that compacted frame; each gram shared by k
+    sources emits C(k,2) ≤ C(|sources|,2) pair rows, so the join output
+    is bounded by vocab × pairs, never corpus². The full pair grid (cross
+    join of two O(sources) frames) keeps zero-overlap pairs visible.
+
+    Trigrams via native slice/zip_with (JVM codegen, no Python), with
+    greatest(n-2, 0) guarding short docs — Spark's sequence() descends
+    when stop < start, so the slice form is the safe empty-array path.
+    Jaccard and containment are each ONE double division of exact ints,
+    pinned identically in the oracle.
+    """
+    d = ld(spark, sf_dir, "documents", fanout=False)
+    tri = F.expr(
+        "zip_with(zip_with(slice(w, 1, greatest(size(w) - 2, 0)),"
+        "                  slice(w, 2, greatest(size(w) - 2, 0)),"
+        "                  (x, y) -> concat(x, ' ', y)),"
+        "         slice(w, 3, greatest(size(w) - 2, 0)),"
+        "         (x, y) -> concat(x, ' ', y))")
+    g = (d.select("source", F.split("text", " ").alias("w"))
+         .select("source", F.explode(tri).alias("gram"))
+         .distinct())
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (g.alias("a").join(
+                 g.alias("b"),
+                 (F.col("a.gram") == F.col("b.gram"))
+                 & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_grams").alias("n_grams_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_grams").alias("n_grams_b"))
+    grid = (sa.crossJoin(sb)
+            .filter(F.col("source_a") < F.col("source_b"))
+            .join(inter, ["source_a", "source_b"], "left")
+            .withColumn("n_common", F.coalesce(F.col("n_common"),
+                                               F.lit(0))))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_grams_a") + F.col("n_grams_b")
+              - F.col("n_common")).cast("double"))
+    cont = (F.col("n_common").cast("double")
+            / F.least("n_grams_a", "n_grams_b").cast("double"))
+    return (grid.select("source_a", "source_b",
+                        F.col("n_grams_a").cast("long").alias("n_grams_a"),
+                        F.col("n_grams_b").cast("long").alias("n_grams_b"),
+                        F.col("n_common").cast("long").alias("n_common"),
+                        jac.alias("jaccard"),
+                        cont.alias("containment"))
+            .orderBy("source_a", "source_b"))
+
+
+ORACLE_SOURCE_SIMILARITY = """
+WITH g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           UNNEST([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                   FOR i IN range(1, len(wl) - 1)]) AS gram
+    FROM (SELECT source, string_split(text, ' ') AS wl FROM documents)
+  )
+), sizes AS (
+  SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+), grid AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+         COALESCE(i.n_common, 0) AS n_common
+  FROM sizes sa CROSS JOIN sizes sb
+  LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+  WHERE sa.source < sb.source
+)
+SELECT source_a, source_b,
+       CAST(n_grams_a AS BIGINT) AS n_grams_a,
+       CAST(n_grams_b AS BIGINT) AS n_grams_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(n_grams_a + n_grams_b - n_common AS DOUBLE) AS jaccard,
+       CAST(n_common AS DOUBLE)
+         / CAST(LEAST(n_grams_a, n_grams_b) AS DOUBLE) AS containment
+FROM grid ORDER BY source_a, source_b
+"""

@@ -666,6 +666,7 @@ _ROUND5_NEW: list = [
     "classifier_gains_deciles",
     "corpus_source_ks_drift",
     "split_leakage_safe",
+    "corpus_source_similarity",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -771,6 +772,10 @@ def _round5_queries():
         # cluster representative's split, closing the paraphrase-leakage
         # channel a per-doc content-hash split leaves open
         "split_leakage_safe": _td5.split_leakage_safe,
+        # pairwise source-level trigram Jaccard/containment matrix on the
+        # distinct (source, gram) compaction — the redundancy map mixture
+        # weighting consults (source-level twin of dedup_ngram_jaccard)
+        "corpus_source_similarity": corpus.corpus_source_similarity,
     }
 
 
@@ -1054,4 +1059,5 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_source_ks_drift"] = corpus.ORACLE_SOURCE_KS_DRIFT
     from .operators.traindata import ORACLE_SPLIT_LEAKAGE_SAFE
     oracles["split_leakage_safe"] = ORACLE_SPLIT_LEAKAGE_SAFE
+    oracles["corpus_source_similarity"] = corpus.ORACLE_SOURCE_SIMILARITY
     return oracles

@@ -156,3 +156,29 @@ class TestSplitLeakageSafe:
             assert r.n_clusters == len({d.cluster_id for d in docs})
             assert r.n_docs_moved == sum(
                 1 for d in docs if d.naive_split != d.split)
+
+
+class TestCorpusSourceSimilarity:
+    def test_matches_pure_python(self, spark, sf_dir):
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("source", "text").collect()
+        grams = {}
+        for r in rows:
+            w = r.text.split(" ")
+            grams.setdefault(r.source, set()).update(
+                " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+        out = corpus.corpus_source_similarity(spark, sf_dir).collect()
+        srcs = sorted(grams)
+        assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+        for r in out:
+            a, b = grams[r.source_a], grams[r.source_b]
+            inter = len(a & b)
+            assert r.source_a < r.source_b
+            assert (r.n_grams_a, r.n_grams_b, r.n_common) == \
+                (len(a), len(b), inter)
+            assert r.jaccard == inter / (len(a) + len(b) - inter)
+            assert r.containment == inter / min(len(a), len(b))
+
+    def test_native_trigrams_no_python(self, spark, sf_dir):
+        df = corpus.corpus_source_similarity(spark, sf_dir)
+        assert_no_python_in_plan(df)
