@@ -1236,8 +1236,13 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = ld(spark, sf_dir, "documents", fanout=False)
+    # the compaction is referenced by every later frame (srcs/xs/grid →
+    # cum → g and k → per and at); localCheckpoint pins it so the corpus
+    # is scanned and aggregated ONCE — without it the final plan re-derives
+    # the compaction per reference (42 parquet scans at sf0.001, measured)
     c = (d.groupBy("source", F.col("n_chars").alias("x"))
-         .agg(F.count(F.lit(1)).alias("cnt")))
+         .agg(F.count(F.lit(1)).alias("cnt"))
+         .localCheckpoint())
     srcs = c.groupBy("source").agg(F.sum("cnt").alias("n_src"))
     xs = c.select("x").distinct()
     grid = (srcs.crossJoin(xs)
@@ -1245,7 +1250,7 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     w = (Window.partitionBy("source").orderBy("x")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = grid.withColumn("cum_s", F.sum("cnt").over(w))
+    cum = grid.withColumn("cum_s", F.sum("cnt").over(w)).localCheckpoint()
     g = cum.groupBy("x").agg(F.sum("cum_s").alias("cum_g"))
     tot = srcs.agg(F.sum("n_src").alias("n_total"))
     k = (cum.join(g, "x").crossJoin(F.broadcast(tot))
@@ -1254,7 +1259,8 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              "ks", F.abs(
                  F.col("cum_s").cast("double") / F.col("n_src").cast("double")
                  - (F.col("cum_g") - F.col("cum_s")).cast("double")
-                 / F.col("n_rest").cast("double"))))
+                 / F.col("n_rest").cast("double")))
+         .localCheckpoint())
     per = (k.groupBy("source", "n_src", "n_rest")
            .agg(F.max("ks").alias("ks_stat")))
     at = (k.select("source", "x", "ks")
@@ -1348,9 +1354,12 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                  (x, y) -> concat(x, ' ', y)),"
         "         slice(w, 3, greatest(size(w) - 2, 0)),"
         "         (x, y) -> concat(x, ' ', y))")
+    # three consumers (sizes, both join sides) — pin the distinct pass so
+    # the corpus explode+dedup runs once, not per reference
     g = (d.select("source", F.split("text", " ").alias("w"))
          .select("source", F.explode(tri).alias("gram"))
-         .distinct())
+         .distinct()
+         .localCheckpoint())
     sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (g.alias("a").join(
                  g.alias("b"),
