@@ -107,6 +107,7 @@ HEADLINE = [
     "corpus_source_ks_drift",
     "split_leakage_safe",
     "corpus_source_similarity",
+    "embedding_pca_project",
 ]
 
 

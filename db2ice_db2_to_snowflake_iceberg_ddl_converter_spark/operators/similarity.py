@@ -638,3 +638,92 @@ def pq_encode(spark, sf_dir, m: int = 8, n_cents: int = 16) -> DataFrame:
             .select("vec_id", F.col("pq.packed_code").alias("packed_code"),
                     F.col("pq.recon_err").alias("recon_err"))
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — the dimensionality-reduction stage before ANN indexing
+# ---------------------------------------------------------------------------
+
+def pca_components(e: DataFrame, vec_col: str = "embedding", k: int = 4):
+    """Top-k principal components of an embedding column, computed the way
+    a 100 TB table forces: ONE Arrow pass emits per-partition sufficient
+    statistics (n, Σx, XᵀX — each partition one row holding a d and d²
+    vector, BLAS-accumulated), the driver combines the ≤ num_partitions
+    partials and eigendecomposes the d×d covariance (d=64 here; driver
+    work is O(d²·partitions + d³), corpus-size-independent — the same
+    bounded-collect contract as ``ivf_centroids``/``pq_codebooks``).
+
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive, so the basis is deterministic across runs (eigh sign
+    is otherwise arbitrary). Returns (components (k,d) row-major,
+    explained variance ratios (k,), mean (d,)).
+    """
+    import numpy as np
+
+    def partials(batches):
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if m.size:
+                n += m.shape[0]
+                s = m.sum(0) if s is None else s + m.sum(0)
+                xtx = m.T @ m if xtx is None else xtx + m.T @ m
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "xtx": [xtx.ravel().tolist()]})
+
+    rows = e.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, xtx array<double>"
+    ).collect()                       # bounded: ≤ one row per partition
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    d = s.shape[0]
+    xtx = np.sum([np.array(r.xtx).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, idx].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = evals[idx] / np.trace(cov)
+    return comps, explained, mean
+
+
+def embedding_pca_project(spark, sf_dir, k: int = 4) -> DataFrame:
+    """Per-vector projection onto the corpus's top-k principal components
+    — the whitening/reduction step an embedding pipeline runs before IVF
+    or PQ indexing (most of this fixture's variance concentrates in a few
+    directions, so 4 PCs carry the ANN-relevant geometry at 1/16 the
+    width). Two passes total: the sufficient-statistics pass in
+    ``pca_components`` and one broadcast-matmul Arrow pass for the
+    projections; nothing corpus-sized ever reaches the driver.
+
+    Iterative eigendecomposition + BLAS float math → rows-only driver
+    check; the pytest pins projections, orthonormality, and explained
+    ratios against a full-batch numpy PCA.
+    """
+    import numpy as np
+
+    e = ld(spark, sf_dir, "embeddings")
+    comps, _, mean = pca_components(e, k=k)
+    bc = spark.sparkContext.broadcast((comps, mean))
+
+    def project(batches):
+        comp, mu = bc.value
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(),
+                         dtype=np.float64) - mu
+            proj = m @ comp.T
+            out = {"vec_id": pdf["vec_id"].values}
+            for i in range(comp.shape[0]):
+                out[f"pc{i + 1}"] = proj[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{i + 1} double" for i in range(k))
+    return (e.select("vec_id", "embedding")
+            .mapInPandas(project, schema=schema)
+            .orderBy("vec_id"))

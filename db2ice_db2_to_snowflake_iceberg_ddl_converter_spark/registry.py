@@ -667,6 +667,7 @@ _ROUND5_NEW: list = [
     "corpus_source_ks_drift",
     "split_leakage_safe",
     "corpus_source_similarity",
+    "embedding_pca_project",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01
@@ -776,6 +777,11 @@ def _round5_queries():
         # distinct (source, gram) compaction — the redundancy map mixture
         # weighting consults (source-level twin of dedup_ngram_jaccard)
         "corpus_source_similarity": corpus.corpus_source_similarity,
+        # top-k PCA projection: per-partition sufficient-stat partials →
+        # driver d×d eigh (bounded-collect contract) → broadcast-matmul
+        # Arrow projection; eigendecomposition is iterative float math →
+        # rows-only, pytest-pinned vs full-batch numpy PCA
+        "embedding_pca_project": similarity.embedding_pca_project,
     }
 
 

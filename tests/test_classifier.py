@@ -182,3 +182,45 @@ class TestCorpusSourceSimilarity:
     def test_native_trigrams_no_python(self, spark, sf_dir):
         df = corpus.corpus_source_similarity(spark, sf_dir)
         assert_no_python_in_plan(df)
+
+
+class TestEmbeddingPcaProject:
+    def test_matches_full_batch_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        x = np.array([r.embedding for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, x = ids[order], x[order]
+        mu = x.mean(0)
+        cov = np.cov(x, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        idx = np.argsort(evals)[::-1][:4]
+        comps = evecs[:, idx].T.copy()
+        for i in range(4):                     # same sign convention
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        expected = (x - mu) @ comps.T
+
+        out = similarity.embedding_pca_project(spark, sf_dir).collect()
+        assert [r.vec_id for r in out] == ids.tolist()
+        got = np.array([[r.pc1, r.pc2, r.pc3, r.pc4] for r in out])
+        # partial-sum reassociation → tiny float slack vs full-batch
+        assert np.allclose(got, expected, atol=1e-8)
+
+        # distributed components are orthonormal and explain the same
+        # variance ratios as the full-batch decomposition
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dcomps, dexpl, dmean = similarity.pca_components(e, k=4)
+        assert np.allclose(dcomps @ dcomps.T, np.eye(4), atol=1e-9)
+        assert np.allclose(dmean, mu, atol=1e-9)
+        assert np.allclose(dexpl, evals[idx] / np.trace(cov), atol=1e-9)
+        # variance captured decreases down the component list
+        assert all(dexpl[i] >= dexpl[i + 1] - 1e-12 for i in range(3))
