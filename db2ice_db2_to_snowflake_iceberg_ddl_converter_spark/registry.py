@@ -369,8 +369,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q2/q4/q7/q8/q11..q22, scalar_array_fns, set_intersect_all,
     text_normalize/quality/token_stats, events_tumbling_hourly,
     streaming_interval_join, migrate_customer_cast, multimodal_metadata,
-    source_roundtrip_formats, corpus_token_histogram — then r03). Same
-    verification command before committing.
+    source_roundtrip_formats, corpus_token_histogram — then r03; note
+    the six late-r5 additions shrank the r5 canary fill to 13, so
+    window_running_sum, window_ntile_percent, set_except, set_intersect,
+    set_union_all, and sort_limit_topk also rotated out and stay due).
+    Same verification command before committing.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
