@@ -224,3 +224,26 @@ class TestEmbeddingPcaProject:
         assert np.allclose(dexpl, evals[idx] / np.trace(cov), atol=1e-9)
         # variance captured decreases down the component list
         assert all(dexpl[i] >= dexpl[i + 1] - 1e-12 for i in range(3))
+
+
+class TestCheckpointPlanPins:
+    """The compacted-frame localCheckpoint pins (KS drift, source
+    similarity, gains deciles): every downstream reference must read the
+    materialized compaction, never re-derive it — the final plan then
+    contains ZERO parquet scans (pre-fix: 42 scans in the KS plan)."""
+
+    def _scan_count(self, df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return p.count("FileScan") + p.count("Scan parquet")
+
+    def test_ks_drift_single_corpus_pass(self, spark, sf_dir):
+        assert self._scan_count(
+            corpus.corpus_source_ks_drift(spark, sf_dir)) == 0
+
+    def test_source_similarity_single_corpus_pass(self, spark, sf_dir):
+        assert self._scan_count(
+            corpus.corpus_source_similarity(spark, sf_dir)) == 0
+
+    def test_gains_deciles_single_corpus_pass(self, spark, sf_dir):
+        assert self._scan_count(
+            textstats.classifier_gains_deciles(spark, sf_dir)) == 0
