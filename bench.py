@@ -108,6 +108,7 @@ HEADLINE = [
     "split_leakage_safe",
     "corpus_source_similarity",
     "embedding_pca_project",
+    "streaming_heavy_hitters",
 ]
 
 

@@ -247,6 +247,18 @@ def _streaming_queries():
                                F.round("stat", 9).alias("stat"))
                 .orderBy("event_type", "ordinal", "side"))
 
+    def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Misra-Gries heavy-hitter users per event type, maintained in
+        O(k) state per key (streaming twin of the batch MG sketch).
+        Sketch admission is arrival-order-dependent by construction →
+        rows-only; the pytest pins the drained snapshot against a
+        pure-Python MG replay and the n/(k+1) survival guarantee."""
+        drained = _drain(spark, ev.heavy_hitter_users(
+            ev.read_events_stream(spark, sf_dir)), "s_mg",
+            mode="update")
+        return (drained.select("event_type", "user_id", "mg_count")
+                .orderBy("event_type", "user_id"))
+
     return {"streaming_interval_join": streaming_interval_join,
             "streaming_left_outer_join": streaming_left_outer_join,
             "streaming_zscore_alerts": streaming_zscore_alerts,
@@ -256,7 +268,8 @@ def _streaming_queries():
             "streaming_sliding_rollup": streaming_sliding_rollup,
             "streaming_user_stats": streaming_user_stats,
             "streaming_user_stats_v2": streaming_user_stats_v2,
-            "streaming_cusum_alerts": streaming_cusum_alerts}
+            "streaming_cusum_alerts": streaming_cusum_alerts,
+            "streaming_heavy_hitters": streaming_heavy_hitters}
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +684,9 @@ _ROUND5_NEW: list = [
     "split_leakage_safe",
     "corpus_source_similarity",
     "embedding_pca_project",
+    # registered via _streaming_queries (round-1 layout position); listed
+    # here so its debut lands inside the round-5 window
+    "streaming_heavy_hitters",
 ]
 
 #: Family-spanning regression canaries, oldest-checked first (all r01

@@ -634,3 +634,58 @@ def cusum_drift_alerts(events: DataFrame, k_slack: float = 0.25,
                                 "sp double, sm double",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def heavy_hitter_users(events: DataFrame, k: int = 8,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per event type, the ≤ k users
+    dominating the stream, maintained across micro-batches in the state
+    store — the streaming twin of the batch sketch entry
+    (``operators.approx.token_counts_mg`` family). A 100 TB event firehose
+    cannot keep exact per-user counts per type; MG state is ≤ k (user,
+    counter) pairs per key FOREVER, while guaranteeing every user with
+    true frequency > n/(k+1) survives and every kept counter
+    undercounts by at most the total decrement debt.
+
+    Per-batch rows are processed in (ts, event_id) order (same
+    determinism pin as ``cusum_drift_alerts``), so the drained snapshot
+    is replay-stable. Each micro-batch emits the refreshed counter set
+    for the keys it touched (update mode); with an AvailableNow drain
+    the memory table holds the final sketch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, cnts = state.get
+            counters = dict(zip(ids, cnts))
+        else:
+            counters = {}
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            for u in pdf["user_id"].astype(int):
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:           # decrement-all: the MG admission charge
+                    counters = {a: c - 1 for a, c in counters.items()
+                                if c > 1}
+        ids = list(counters)
+        state.update((ids, [counters[i] for i in ids]))
+        yield pd.DataFrame({"event_type": [key[0]] * len(ids),
+                            "user_id": ids,
+                            "mg_count": [counters[i] for i in ids]})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, user_id long, "
+                                 "mg_count long",
+                stateStructType="ids array<long>, cnts array<long>",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

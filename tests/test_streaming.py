@@ -396,3 +396,51 @@ class TestStreamingCusum:
                 m2 += d * (x - mean)
         want.sort()
         assert got == want
+
+
+class TestStreamingHeavyHitters:
+    def test_sketch_matches_python_mg_replay(self, spark, sf_dir):
+        """The drained Misra-Gries snapshot must equal a pure-Python MG
+        replay (k=8, decrement-all admission) over the events in
+        (ts, event_id) order, and honor the n/(k+1) survival guarantee
+        plus the undercount bound vs exact counts."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            build_queries,
+        )
+
+        got = {}
+        for r in build_queries()["streaming_heavy_hitters"](
+                spark, sf_dir).collect():
+            got.setdefault(r.event_type, {})[r.user_id] = r.mg_count
+
+        series: dict = {}
+        for et, u in duckdb.sql(
+                f"SELECT event_type, user_id FROM '{sf_dir}/events.parquet' "
+                f"ORDER BY ts, event_id").fetchall():
+            series.setdefault(et, []).append(int(u))
+
+        k = 8
+        for et, users in series.items():
+            counters: dict = {}
+            exact: dict = {}
+            for u in users:
+                exact[u] = exact.get(u, 0) + 1
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:
+                    counters = {a: c - 1 for a, c in counters.items()
+                                if c > 1}
+            assert got.get(et, {}) == counters
+            n = len(users)
+            for u, c in exact.items():
+                # MG guarantee: frequency > n/(k+1) must survive
+                if c > n / (k + 1):
+                    assert u in counters
+            for u, c in counters.items():
+                # kept counters never overcount, undercount <= n/(k+1)
+                assert c <= exact[u]
+                assert exact[u] - c <= n / (k + 1)
