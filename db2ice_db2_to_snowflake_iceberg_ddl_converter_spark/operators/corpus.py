@@ -553,7 +553,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
              .localCheckpoint())
 
     merges: list = []
-    census_round = 0
+    folds_since_ckpt = 0
     while len(merges) < n_merges:
         pairs = vocab.select(
             "freq",
@@ -578,11 +578,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
             vocab = vocab.select("tok",
                                  _bpe_merge_fold(a, b).alias("syms"),
                                  "freq")
-        census_round += 1
-        # lineage cap: a checkpoint is a blocking job, so take one only
-        # every other census round (≤ ~6 stacked folds of analyzed plan —
-        # codegen-sized) and always before returning.
-        if census_round % 2 == 0 or len(merges) >= n_merges:
+            folds_since_ckpt += 1
+            # lineage cap: a checkpoint is a blocking job, so take one
+            # per 8 APPLIED folds (one census can accept up to _BPE_SCAN
+            # merges, so a per-census cadence would let ~2·_BPE_SCAN
+            # folds of analyzed plan stack up) and always before
+            # returning — ≤ 8 stacked folds of plan, codegen-sized.
+            if folds_since_ckpt >= 8:
+                vocab = vocab.localCheckpoint()
+                folds_since_ckpt = 0
+        if len(merges) >= n_merges and folds_since_ckpt:
             vocab = vocab.localCheckpoint()
     return merges, vocab
 

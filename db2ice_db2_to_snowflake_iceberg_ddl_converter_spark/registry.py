@@ -252,11 +252,21 @@ def _streaming_queries():
         O(k) state per key (streaming twin of the batch MG sketch).
         Sketch admission is arrival-order-dependent by construction →
         rows-only; the pytest pins the drained snapshot against a
-        pure-Python MG replay and the n/(k+1) survival guarantee."""
+        pure-Python MG replay and the n/(k+1) survival guarantee.
+
+        The update-mode memory sink APPENDS each micro-batch's emitted
+        counter set, so a multi-batch drain leaves stale (possibly
+        since-evicted) rows from earlier snapshots in the table; keep
+        only the max-``snap`` snapshot per event_type (the per-key
+        ordinal the operator stamps each emission with)."""
         drained = _drain(spark, ev.heavy_hitter_users(
             ev.read_events_stream(spark, sf_dir)), "s_mg",
             mode="update")
-        return (drained.select("event_type", "user_id", "mg_count")
+        from pyspark.sql import Window
+        last = F.max("snap").over(Window.partitionBy("event_type"))
+        return (drained.withColumn("last_snap", last)
+                .filter(F.col("snap") == F.col("last_snap"))
+                .select("event_type", "user_id", "mg_count")
                 .orderBy("event_type", "user_id"))
 
     return {"streaming_interval_join": streaming_interval_join,
@@ -383,10 +393,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_normalize/quality/token_stats, events_tumbling_hourly,
     streaming_interval_join, migrate_customer_cast, multimodal_metadata,
     source_roundtrip_formats, corpus_token_histogram — then r03; note
-    the six late-r5 additions shrank the r5 canary fill to 13, so
-    window_running_sum, window_ntile_percent, set_except, set_intersect,
-    set_union_all, and sort_limit_topk also rotated out and stay due).
-    Same verification command before committing.
+    the six late-r5 additions shrank the r5 canary fill to 12
+    (50 - 18 never-checked - 20 round-5 entries), so
+    window_topk_per_group, window_running_sum, window_ntile_percent,
+    set_except, set_intersect, set_union_all, and sort_limit_topk also
+    rotated out and stay due). Same verification command before
+    committing.
+
+    ROUND-6 ROTATION (executes the plan above, per the r5 verdict): no
+    r5 entry came back red, so ``_window_r06()`` is (1) every new
+    round-6 entry (``_ROUND6_NEW``), then (2) the 71 entries last
+    driver-checked in r01/r02 rotating oldest-checked-first
+    (``_CANARIES_R06``: the 25 r01-checked entries, then r02-checked)
+    filling to 50. The stale tail that misses this window stays due
+    for round 7, again oldest-first.
     """
     q = {}
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----

@@ -580,7 +580,7 @@ def cusum_drift_alerts(events: DataFrame, k_slack: float = 0.25,
     different from the batch entry's retrospective whole-series
     standardization, because a stream cannot see its future; the pytest
     pins the drained output against a pure-Python replay of exactly
-    these online semantics. State per key is seven scalars; alarms
+    these online semantics. State per key is five scalars; alarms
     RESET their side, so state stays O(1) forever — runnable on an
     unbounded stream.
 
@@ -650,18 +650,21 @@ def heavy_hitter_users(events: DataFrame, k: int = 8,
     Per-batch rows are processed in (ts, event_id) order (same
     determinism pin as ``cusum_drift_alerts``), so the drained snapshot
     is replay-stable. Each micro-batch emits the refreshed counter set
-    for the keys it touched (update mode); with an AvailableNow drain
-    the memory table holds the final sketch.
+    for the keys it touched (update mode) stamped with a per-key
+    snapshot ordinal ``snap``; the memory sink APPENDS every emission,
+    so a multi-batch drain leaves earlier (possibly since-evicted)
+    counter sets in the table — consumers must keep only the rows with
+    the max ``snap`` per key (the registry entry does exactly that).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
-            ids, cnts = state.get
+            ids, cnts, snap = state.get
             counters = dict(zip(ids, cnts))
         else:
-            counters = {}
+            counters, snap = {}, 0
         frames = [pdf for pdf in pdf_iter]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
@@ -674,10 +677,12 @@ def heavy_hitter_users(events: DataFrame, k: int = 8,
                     counters = {a: c - 1 for a, c in counters.items()
                                 if c > 1}
         ids = list(counters)
-        state.update((ids, [counters[i] for i in ids]))
+        snap += 1
+        state.update((ids, [counters[i] for i in ids], snap))
         yield pd.DataFrame({"event_type": [key[0]] * len(ids),
                             "user_id": ids,
-                            "mg_count": [counters[i] for i in ids]})
+                            "mg_count": [counters[i] for i in ids],
+                            "snap": [snap] * len(ids)})
 
     return (events
             .withWatermark("ts", watermark)
@@ -685,7 +690,8 @@ def heavy_hitter_users(events: DataFrame, k: int = 8,
             .applyInPandasWithState(
                 update,
                 outputStructType="event_type string, user_id long, "
-                                 "mg_count long",
-                stateStructType="ids array<long>, cnts array<long>",
+                                 "mg_count long, snap long",
+                stateStructType="ids array<long>, cnts array<long>, "
+                                "snap long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
