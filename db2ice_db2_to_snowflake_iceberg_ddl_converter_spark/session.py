@@ -51,5 +51,9 @@ def get_spark(app_name: str = "db2ice-spark", master: str | None = None,
         # so 32 concurrent tasks don't trigger multi-second GC stalls.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr machine-readable: harness output (bench.py's
+        # JSON line, the parity checker) is parsed from a captured tail,
+        # and stage progress bars corrupt it.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
