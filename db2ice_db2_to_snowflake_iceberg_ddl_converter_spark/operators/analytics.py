@@ -28,7 +28,7 @@ operators a 100 TB training-data pipeline needs, built Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import DEC, ld
@@ -1224,4 +1224,124 @@ SELECT e.event_type,
 FROM events e JOIN cuts c USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention grid (round 6)
+# ---------------------------------------------------------------------------
+
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition-cohort retention: customers bucketed by their
+    first-order month, then distinct-active counts per (cohort_month,
+    months_since_acquisition) cell with retention vs the cohort's month-0
+    size — the standard growth-analytics triangle.
+
+    Shape: one keyed agg for the cohort map, one join back on
+    ``o_custkey`` (both sides hash-partitioned on the same key), one
+    distinct-count agg on the derived 2-key cell, and a per-cohort
+    window (partitioned on cohort_month — never a global single
+    partition) for the month-0 denominator. All counts are integers;
+    retention is one integer-over-integer IEEE divide → bitwise-portable.
+    """
+    o = ld(spark, sf_dir, "orders", fanout=False)
+    cohort = (o.groupBy("o_custkey")
+              .agg(F.date_trunc("month", F.min("o_orderdate"))
+                   .alias("cohort_ts")))
+    cells = (o.join(cohort, "o_custkey")
+             .select("o_custkey", "cohort_ts",
+                     F.date_trunc("month", "o_orderdate").alias("m_ts"))
+             .groupBy(F.col("cohort_ts").cast("date").alias("cohort_month"),
+                      F.months_between("m_ts", "cohort_ts").cast("int")
+                      .alias("months_since"))
+             .agg(F.countDistinct("o_custkey").alias("n_active")))
+    w = (Window.partitionBy("cohort_month").orderBy("months_since")
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    first_cell = F.max(
+        F.when(F.col("months_since") == 0, F.col("n_active"))).over(w)
+    return (cells
+            .withColumn("retention",
+                        F.col("n_active").cast("double")
+                        / first_cell.cast("double"))
+            .orderBy("cohort_month", "months_since"))
+
+
+ORACLE_ORDERS_COHORT_RETENTION = """
+WITH cohort AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_ts
+  FROM orders GROUP BY o_custkey),
+cells AS (
+  SELECT CAST(c.cohort_ts AS DATE) AS cohort_month,
+         CAST(date_diff('month', c.cohort_ts,
+                        date_trunc('month', o.o_orderdate)) AS INT)
+           AS months_since,
+         COUNT(DISTINCT o.o_custkey) AS n_active
+  FROM orders o JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT cohort_month, months_since, n_active,
+       CAST(n_active AS DOUBLE) /
+       CAST(MAX(CASE WHEN months_since = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_month) AS DOUBLE) AS retention
+FROM cells ORDER BY cohort_month, months_since
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily growth accounting: new / retained / resurrected (round 6)
+# ---------------------------------------------------------------------------
+
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day growth accounting over the event stream: each active
+    (user, day) is NEW (first day ever), RETAINED (also active the
+    previous calendar day), or RESURRECTED (seen before, but skipped at
+    least one day) — the standard DAU decomposition.
+
+    Shape: collapse the stream to distinct (user_id, day) — the ONLY
+    pass over raw events, map-side combined — then one per-user window
+    (lag) on the compacted frame (≤ users × days rows) and one final
+    per-day agg. Nothing is user-count-sized on the driver and no
+    single-partition window exists anywhere.
+    """
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    days = (e.select("user_id",
+                     F.date_trunc("day", "ts").cast("date").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn("prev_day", F.lag("day").over(w))
+    status = (F.when(F.col("prev_day").isNull(), "new")
+              .when(F.date_add("prev_day", 1) == F.col("day"), "retained")
+              .otherwise("resurrected"))
+    return (tagged.groupBy("day")
+            .agg(F.sum((status == F.lit("new")).cast("long"))
+                 .alias("n_new"),
+                 F.sum((status == F.lit("retained")).cast("long"))
+                 .alias("n_retained"),
+                 F.sum((status == F.lit("resurrected")).cast("long"))
+                 .alias("n_resurrected"))
+            .orderBy("day"))
+
+
+ORACLE_EVENTS_USER_LIFECYCLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+tagged AS (
+  SELECT day,
+         CASE WHEN LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   IS NULL THEN 'new'
+              WHEN LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   + INTERVAL 1 DAY = day THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM days)
+SELECT day,
+       CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected
+FROM tagged GROUP BY day ORDER BY day
 """

@@ -1428,3 +1428,66 @@ SELECT source_a, source_b,
          / CAST(LEAST(n_grams_a, n_grams_b) AS DOUBLE) AS containment
 FROM grid ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM commonness score per document (round 6)
+# ---------------------------------------------------------------------------
+
+def corpus_doc_commonness(spark: SparkSession, sf_dir: str,
+                          rare_cut: int = 2) -> DataFrame:
+    """Per-document unigram-LM commonness: the mean corpus-relative
+    frequency of the document's tokens, plus the share of its tokens
+    whose corpus frequency is ≤ ``rare_cut`` — the cheap LM-free proxy
+    quality filters use to flag gibberish / rare-token-stuffed documents
+    (low commonness, high rare ratio) before an expensive model pass.
+
+    The mean of per-token probabilities ``avg(tf_i / total)`` is computed
+    as ``sum(tf_i) / (n_tokens · total)`` — ONE integer-exact sum then
+    ONE IEEE divide — because averaging per-token float quotients would
+    make the result shuffle-order-dependent (and engine-dependent). No
+    log for the same portability reason as the tfidf score.
+
+    Scale shape: the token frequency table is vocabulary-sized, grouped
+    with map-side partials; the join back to the exploded token stream
+    broadcasts at real vocabularies (Catalyst/AQE picks broadcast under
+    the threshold, falls back to a shuffle join over the corpus-sharded
+    token stream beyond it — never driver-sized either way).
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    return (toks.join(tf, "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("tf").alias("tf_sum"),
+                 F.sum((F.col("tf") <= rare_cut).cast("long"))
+                 .alias("n_rare"))
+            .join(F.broadcast(total))
+            .select("doc_id", "n_tokens",
+                    (F.col("tf_sum").cast("double")
+                     / (F.col("n_tokens") * F.col("total")).cast("double"))
+                    .alias("commonness"),
+                    (F.col("n_rare").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("rare_ratio"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DOC_COMMONNESS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT SUM(tf) AS total FROM tf),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(f.tf) AS tf_sum,
+         SUM(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM toks t JOIN tf f USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tf_sum AS DOUBLE) / CAST(n_tokens * total AS DOUBLE)
+         AS commonness,
+       CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio
+FROM per_doc, total ORDER BY doc_id
+"""

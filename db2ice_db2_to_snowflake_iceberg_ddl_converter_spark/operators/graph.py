@@ -204,7 +204,91 @@ ORDER BY c_custkey
 """
 
 
-QUERIES = {"graph_pagerank_top": graph_pagerank_top,
-           "graph_hierarchy_depths": graph_hierarchy_depths}
+# ---------------------------------------------------------------------------
+# Triangle census on the supplier co-part graph (round 6)
+# ---------------------------------------------------------------------------
 
-ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS}
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the supplier co-sourcing graph: an edge
+    links two suppliers whose shared distinct-part count is at least
+    1.1× the all-pairs average (the relative threshold self-scales with
+    data volume — an absolute cutoff would go dense or empty at a
+    different SF). Emits one row: edges, wedges (open two-paths),
+    triangles, and the global clustering coefficient 3·tri/wedges.
+
+    Scale shape: the pair census never materializes supplier×supplier —
+    it joins the distinct (part, supplier) projection with itself ON
+    part (bounded fan-out: suppliers per part), then aggregates. The
+    triangle join runs on the THRESHOLDED edge list oriented s1<s2 (each
+    triangle counted once); at production scale the standard refinement
+    is degree-ordering the orientation so hub nodes don't own O(deg²)
+    wedge pairs — id-ordering is the fixture-faithful variant and the
+    census/threshold stages are identical either way. The clustering
+    coefficient is an integer-over-integer IEEE divide (bitwise-portable
+    vs the oracle).
+    """
+    li = ld(spark, sf_dir, "lineitem", fanout=False)
+    ps = li.select(F.col("l_partkey").alias("p"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    pairs = (ps.alias("a").join(ps.alias("b"), "p")
+             .filter(F.col("a.s") < F.col("b.s"))
+             .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+             .agg(F.count(F.lit(1)).alias("shared")))
+    tot = pairs.agg(F.sum("shared").alias("ts"),
+                    F.count(F.lit(1)).alias("tp"))
+    edges = (pairs.join(F.broadcast(tot))
+             .filter(F.col("shared") * F.col("tp") * 10
+                     >= F.col("ts") * 11)
+             .select("s1", "s2"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+           .join(e3, (F.col("e3.s1") == F.col("e1.s1"))
+                 & (F.col("e3.s2") == F.col("e2.s2")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (edges.select(F.col("s1").alias("s"))
+           .unionAll(edges.select(F.col("s2").alias("s")))
+           .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+                     .cast("long").alias("n_wedges"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (n_edges.join(F.broadcast(tri)).join(F.broadcast(wedges))
+            .select("n_edges", "n_wedges", "n_triangles",
+                    (F.col("n_triangles").cast("double") * 3
+                     / F.col("n_wedges").cast("double"))
+                    .alias("clustering_coeff")))
+
+
+ORACLE_TRIANGLE_STATS = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+tot AS (SELECT SUM(shared) AS ts, COUNT(*) AS tp FROM pairs),
+edges AS (
+  SELECT s1, s2 FROM pairs, tot WHERE shared * tp * 10 >= ts * 11),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.s2 = e2.s1
+       JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+deg AS (
+  SELECT s, COUNT(*) AS d
+  FROM (SELECT s1 AS s FROM edges UNION ALL SELECT s2 FROM edges)
+  GROUP BY s),
+wedges AS (
+  SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       w.n_wedges,
+       t.n_triangles,
+       CAST(t.n_triangles AS DOUBLE) * 3 / CAST(w.n_wedges AS DOUBLE)
+         AS clustering_coeff
+FROM tri t, wedges w
+"""
+
+
+QUERIES = {"graph_pagerank_top": graph_pagerank_top,
+           "graph_hierarchy_depths": graph_hierarchy_depths,
+           "graph_triangle_stats": graph_triangle_stats}
+
+ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS,
+           "graph_triangle_stats": ORACLE_TRIANGLE_STATS}

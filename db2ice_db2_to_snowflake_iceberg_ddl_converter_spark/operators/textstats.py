@@ -747,3 +747,66 @@ SELECT CAST(decile AS INT) AS decile,
 FROM cum, tot
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability / lexical-complexity battery (round 6)
+# ---------------------------------------------------------------------------
+
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-complexity profile: token count, average word
+    length, vowel-group syllable proxy per word, long-word (≥ 6 chars)
+    ratio, and a Flesch-Kincaid-style grade index
+    ``0.39·avg_word_len + 11.8·syllables_per_word`` — the cheap
+    curation-time readability signal corpus filters sort on.
+
+    Pure single-scan codegen: every metric derives from ``split`` /
+    ``regexp_count`` / ``length`` on the text column — no shuffle except
+    the final order, no UDF. Ratios are integer-over-integer IEEE
+    divides and the grade index multiplies by exactly-representable-
+    parse decimal literals in the same op order as the oracle →
+    bitwise-portable (the tfidf rational-arithmetic protocol; no log,
+    whose last-ulp Spark/DuckDB disagreement is measured).
+    """
+    d = ld(spark, sf_dir, "documents", fanout=False)
+    toks = F.size(F.split("text", " "))
+    syls = F.regexp_count("text", F.lit("[aeiou]+"))
+    # chars in words = total chars − separators (tokens − 1 spaces)
+    word_chars = F.length("text") - (toks - F.lit(1))
+    long_words = F.size(F.filter(F.split("text", " "),
+                                 lambda t: F.length(t) >= 6))
+    avg_wl = word_chars.cast("double") / toks.cast("double")
+    spw = syls.cast("double") / toks.cast("double")
+    return (d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        avg_wl.alias("avg_word_len"),
+        spw.alias("syllables_per_word"),
+        (long_words.cast("double") / toks.cast("double"))
+        .alias("long_word_ratio"),
+        (F.lit(0.39) * avg_wl + F.lit(11.8) * spw).alias("grade_index"))
+        .orderBy("doc_id"))
+
+
+ORACLE_TEXT_READABILITY = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[aeiou]+')) AS syls,
+         length(text) - (len(string_split(text, ' ')) - 1) AS word_chars,
+         len(list_filter(string_split(text, ' '),
+                         t -> length(t) >= 6)) AS long_words
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS avg_word_len,
+       CAST(syls AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS syllables_per_word,
+       CAST(long_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS long_word_ratio,
+       0.39 * (CAST(word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         + 11.8 * (CAST(syls AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         AS grade_index
+FROM m ORDER BY doc_id
+"""
