@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import ArrayType, StringType
 
 from .relational import ld, ld_py
@@ -115,10 +116,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via an
     inverted-index join. Jaccard = |∩| / (|A|+|B|−|∩|) over distinct
     shingles — integer counts, so the double division is bitwise-exact."""
-    # checkpoint: the inverted index feeds both join sides — without it the
-    # shingling UDF executes twice
+    # The shingle frame feeds both join sides — without a pin the
+    # shingling UDF executes twice. persist(DISK_ONLY), not
+    # localCheckpoint: shingling is a pure per-row function of the
+    # parquet scan, so a lost partition RECOMPUTES identically from
+    # lineage (cluster-fault-safe), whereas a checkpoint pins blocks to
+    # executor storage that executor loss cannot rebuild.
     sh = (doc_shingles(spark, sf_dir)
-          .withColumn("n_shingles", F.size("shingles")).localCheckpoint())
+          .withColumn("n_shingles", F.size("shingles"))
+          .persist(StorageLevel.DISK_ONLY))
     inv = sh.select("doc_id", "n_shingles",
                     F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id1"),
@@ -232,12 +238,14 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     it recovers exactly the brute-force pair set on the fixture data).
     """
     # one shingling pass total: signatures + both verify sides reuse it
-    # (localCheckpoint — three separate lineage executions otherwise).
-    # The signatures are NOT checkpointed: the band self-join's two sides
-    # share one shuffle via ReusedExchange, so the 64-min agg already runs
-    # once — a checkpoint there only adds materialization cost (measured
-    # +0.5 s at sf0.1).
-    sh = doc_shingles(spark, sf_dir).localCheckpoint()
+    # (three separate lineage executions otherwise). persist(DISK_ONLY),
+    # not localCheckpoint: the frame is corpus-sized and per-row
+    # deterministic, so lineage recompute on executor loss is exact —
+    # see dedup_ngram_jaccard. The signatures are NOT pinned: the band
+    # self-join's two sides share one shuffle via ReusedExchange, so the
+    # 64-min agg already runs once — a pin there only adds
+    # materialization cost (measured +0.5 s at sf0.1).
+    sh = doc_shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     cands = minhash_lsh_candidates(minhash_signatures(sh))
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("ns"))
     j = (cands
@@ -294,8 +302,10 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     Non-SQL-expressible op (rows-only driver check; pytest asserts the
     pigeonhole recall property on fixtures)."""
     # both sides of the band self-join derive from the fingerprints —
-    # checkpoint so the 64-agg vote pass runs once, not once per side
-    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint()
+    # pin so the 64-agg vote pass runs once, not once per side.
+    # persist(DISK_ONLY): per-row deterministic hash votes, lineage
+    # recompute on executor loss is exact (see dedup_ngram_jaccard).
+    fp = simhash_fingerprints(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     bands = fp.select(
         "doc_id", "band0", "band1", "band2", "band3",
         F.explode(F.array(*[
@@ -477,8 +487,11 @@ def dedup_ngram_jaccard_pruned(spark, sf_dir, threshold: float = 0.5,
     overlap hides in boilerplate) for join uniformity — never precision.
     Deterministic, so the DuckDB oracle replicates the pruning exactly.
     """
+    # persist(DISK_ONLY), same contract as dedup_ngram_jaccard: corpus-
+    # sized but one deterministic hop from the scan -> recoverable.
     sh = (doc_shingles(spark, sf_dir)
-          .withColumn("n_shingles", F.size("shingles")).localCheckpoint())
+          .withColumn("n_shingles", F.size("shingles"))
+          .persist(StorageLevel.DISK_ONLY))
     n_docs = sh.count()
     inv = sh.select("doc_id", "n_shingles",
                     F.explode("shingles").alias("shingle"))
@@ -683,6 +696,11 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     """
     from .relational import ld
 
+    # localCheckpoint is deliberate here: the frame is PAIR-sized (near-
+    # dup pairs, not the corpus) and it enters the connected-components
+    # loop, which re-references its plan every iteration — truncation
+    # keeps the per-round analysis flat; at this size re-derivability
+    # is irrelevant.
     pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
     docs = ld(spark, sf_dir, "documents").select("doc_id", "source")
     p = (pairs
@@ -902,9 +920,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     d = ld_py(spark, sf_dir, "documents")
+    # persist(DISK_ONLY): corpus-sized, one deterministic hop from the
+    # scan -> executor loss recomputes exactly (see dedup_ngram_jaccard)
     sh = (d.select("doc_id", "source",
                    _shingle_udf(3)("text").alias("shingles"))
-          .localCheckpoint())
+          .persist(StorageLevel.DISK_ONLY))
     sigs = minhash_signatures(sh)
     br = minhash_band_rows(sigs).join(
         sh.select("doc_id", "source"), "doc_id")

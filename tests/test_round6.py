@@ -232,3 +232,34 @@ class TestRegistryGuard:
         for k in _ROUND6_NEW:
             assert k in q
             assert k in o or k == "ann_ivf_pq_topk"
+
+
+class TestPersistReplacesCheckpoint:
+    """Round-6 resilience pass: the five corpus-sized shingle/fingerprint
+    pins moved from localCheckpoint (executor-storage blocks, lost on
+    executor death) to persist(DISK_ONLY) (recomputable from lineage).
+    That swap is only sound if re-execution is bit-stable — these tests
+    prove it by running each op twice in the same session (the second run
+    re-materializes the persisted frame from scratch)."""
+
+    def test_shingle_frame_recompute_is_exact(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            doc_shingles,
+        )
+
+        a = {(r.doc_id, tuple(r.shingles))
+             for r in doc_shingles(spark, sf_dir).collect()}
+        b = {(r.doc_id, tuple(r.shingles))
+             for r in doc_shingles(spark, sf_dir).collect()}
+        assert a == b
+
+    def test_minhash_and_simhash_rerun_identical(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        for fn in (dedup.dedup_minhash_lsh, dedup.dedup_simhash,
+                   dedup.dedup_ngram_jaccard_pruned):
+            first = [tuple(r) for r in fn(spark, sf_dir).collect()]
+            second = [tuple(r) for r in fn(spark, sf_dir).collect()]
+            assert first == second, fn.__name__
