@@ -292,6 +292,35 @@ def bmp_resizer(target: tuple[int, int] = (64, 64)):
     return resize
 
 
+def pillow_resizer(target: tuple[int, int] = (64, 64),
+                   out_format: str = "PNG"):
+    """Factory for a Pillow-backed ``bytes → bytes`` resizer covering the
+    compressed formats (PNG/JPEG/GIF/WebP) that ``bmp_resizer`` honestly
+    refuses — the resize-seam companion to ``pillow_feature_decoder``.
+    Plugs straight into ``resize_assets(resizer=...)``; same import gate:
+    raising ImportError with the install hint IS the designed behavior in
+    a Pillow-less environment (the pytest pins both branches)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - env-dependent branch
+        raise ImportError(
+            "Pillow is not installed; `pip install Pillow` on the cluster "
+            "image, or plug another resizer into "
+            "resize_assets(resizer=...)") from exc
+
+    import io
+
+    w, h = target
+
+    def resize(payload: bytes) -> bytes:  # pragma: no cover
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        buf = io.BytesIO()
+        img.resize((w, h), Image.NEAREST).save(buf, format=out_format)
+        return buf.getvalue()
+
+    return resize
+
+
 def sample_frames(df: DataFrame, every_nth: int = 10,
                   frame_size: int = 256, sampler=None) -> DataFrame:
     """Frame-sampling plumbing for video-shaped payloads: one input row →

@@ -599,6 +599,8 @@ class TestPillowSeam:
             pass
         with pytest.raises(ImportError, match="pip install Pillow"):
             multimodal.pillow_feature_decoder()
+        with pytest.raises(ImportError, match="pip install Pillow"):
+            multimodal.pillow_resizer()
 
 
 class TestProductQuantization:

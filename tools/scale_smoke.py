@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""10× scale smoke: run the most expensive headline entries once against a
+synthetically 10×'d copy of the data-plane tables and assert the scale
+invariants the sf0.1 bench cannot see breaking.
+
+What a 10× pass proves that sf0.1 cannot: no OOM/driver blow-up as the
+dedup/graph candidate sets grow quadratically-shaped inputs, no
+single-partition window sneaking in past AQE's re-planning at the larger
+volume, and wall-clock growth that stays roughly linear for the
+linear-shaped entries (a super-linear blow-up here is the early warning
+for the 100 TB cliff).
+
+The 10× tables are built by unioning the source with id-shifted copies
+(deterministic — no RNG): documents get doc_id + k·N and a per-copy token
+prefix so near-dup semantics stay realistic (identical copies would make
+every doc an exact dup, which tests dedup's worst case but nothing else —
+the prefix keeps copies near- rather than exact-duplicates); events get
+event_id/user shifts plus a per-copy timestamp offset; embeddings get
+vec_id shifts. TPC-H tables are linked as-is (the expensive entries are
+document/event/embedding-bound; TPC-H queries have their own bench).
+
+Usage:
+    python tools/scale_smoke.py [--factor 10] [--top 10]
+Writes one JSON line per query plus a summary; exits non-zero on any
+invariant breach. Timings are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: The entries worth smoking at 10×: the most expensive data-plane ops from
+#: the round-5/6 bench, spanning the dedup index joins, the components
+#: stack, BPE encode, the source-similarity self-join, packing's prefix
+#: scan, and the curation mega-pipeline.
+DEFAULT_TOP = [
+    "split_leakage_safe",
+    "dedup_substring_spans",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "bpe_encode_stats",
+    "corpus_source_similarity",
+    "corpus_build_pipeline",
+    "dedup_ngram_jaccard_pruned",
+    "corpus_pack_global_stream",
+    "events_sessionize",
+]
+
+TENX_TABLES = ("documents", "events", "embeddings")
+LINK_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+
+
+def build_scaled_dir(spark, src_dir: str, dest_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for t in LINK_TABLES:
+        src = f"{src_dir}/{t}.parquet"
+        dst = f"{dest_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_docs = d.count()
+    copies = []
+    for k in range(factor):
+        c = (d.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+             .withColumn("text",
+                         F.concat(F.lit(f"copy{k} "), F.col("text"))
+                         if k else F.col("text"))
+             .withColumn("n_chars", F.length("text")))
+        copies.append(c)
+    _union_all(copies).write.mode("overwrite").parquet(
+        f"{dest_dir}/documents.parquet")
+
+    e = spark.read.parquet(f"{src_dir}/events.parquet")
+    n_ev = e.count()
+    n_users = e.agg(F.max("user_id")).first()[0] + 1
+    copies = []
+    for k in range(factor):
+        copies.append(
+            e.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * n_users))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} SECOND")))
+    _union_all(copies).write.mode("overwrite").parquet(
+        f"{dest_dir}/events.parquet")
+
+    v = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_vec = v.count()
+    copies = [v.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_vec))
+              for k in range(factor)]
+    _union_all(copies).write.mode("overwrite").parquet(
+        f"{dest_dir}/embeddings.parquet")
+
+
+def _union_all(frames):
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--top", type=int, default=len(DEFAULT_TOP))
+    ap.add_argument("--base", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scratch", default="/tmp/spark_graft_scale_smoke")
+    args = ap.parse_args()
+
+    from __spark_entry__ import queries
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+        single_partition_windows,
+    )
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    scaled = os.path.join(
+        args.scratch,
+        f"{os.path.basename(args.base.rstrip('/'))}_x{args.factor}")
+    marker = os.path.join(scaled, "_BUILT")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        build_scaled_dir(spark, args.base, scaled, args.factor)
+        open(marker, "w").write("ok")
+        print(json.dumps({"built": scaled,
+                          "sec": round(time.perf_counter() - t0, 1)}))
+
+    qs = queries()
+    failures = []
+    results = {}
+    for name in DEFAULT_TOP[:args.top]:
+        df = qs[name](spark, scaled)
+        t0 = time.perf_counter()
+        n = df.count()
+        secs = round(time.perf_counter() - t0, 2)
+        spw = single_partition_windows(df)
+        ok = spw == 0
+        results[name] = {"sec": secs, "rows": n,
+                         "single_partition_windows": spw}
+        if not ok:
+            failures.append(name)
+        print(json.dumps({"query": name, **results[name], "ok": ok}))
+
+    print(json.dumps({"metric": "scale_smoke_total",
+                      "factor": args.factor,
+                      "value": round(sum(r["sec"]
+                                         for r in results.values()), 2),
+                      "unit": "sec",
+                      "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
