@@ -1491,3 +1491,96 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio
 FROM per_doc, total ORDER BY doc_id
 """
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str,
+                           target_source: str = "src0") -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed n-gram
+    features are under a TARGET (in-domain) distribution than under the
+    general corpus, then keep/resample the high-ratio tail. Here the
+    target distribution is estimated from one source's documents
+    (``target_source``) and the general distribution from every other
+    source — the exact setup of "select web data that looks like my
+    curated set".
+
+    Portability: DSIR's score is a log-likelihood ratio Σ log(p_t/p_c);
+    log is not exactly rounded, so cross-engine bitwise parity would be
+    hostage to libm. This implementation ranks by the MONOTONE-equivalent
+    ratio of per-document feature-mass sums: importance =
+    ((Σ tf_target + 1) · (T_corpus + 1)) / ((Σ tf_corpus + 1) · (T_target
+    + 1)) — two integer-exact sums per document, add-one smoothing, then
+    ONE double multiply/divide chain (IEEE *,/ are exactly rounded, so
+    DuckDB hash-matches bitwise). Features are word bigrams, the cheapest
+    n-gram with usable domain signal.
+
+    Scale shape: both frequency tables are vocabulary-sized with map-side
+    partial aggregation; the join back onto the exploded bigram stream is
+    AQE-broadcast at real vocabularies and degrades to a shuffled hash
+    join beyond the threshold — never an all-pairs or driver-sized
+    structure. Docs with <2 tokens have no bigram features and are
+    excluded (no domain evidence either way).
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y))
+    bg = d.select("doc_id", "source", F.explode(bigrams).alias("bigram"))
+    tf_t = (bg.filter(F.col("source") == target_source)
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("tf_t")))
+    tf_c = (bg.filter(F.col("source") != target_source)
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("tf_c")))
+    tot_t = tf_t.agg(F.sum("tf_t").alias("total_t"))
+    tot_c = tf_c.agg(F.sum("tf_c").alias("total_c"))
+    per_doc = (bg.join(tf_t, "bigram", "left")
+               .join(tf_c, "bigram", "left")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum(F.coalesce("tf_t", F.lit(0))).alias("sum_t"),
+                    F.sum(F.coalesce("tf_c", F.lit(0))).alias("sum_c")))
+    imp = ((F.col("sum_t") + 1).cast("double")
+           * (F.col("total_c") + 1).cast("double")
+           / ((F.col("sum_c") + 1).cast("double")
+              * (F.col("total_t") + 1).cast("double")))
+    return (per_doc.join(F.broadcast(tot_t)).join(F.broadcast(tot_c))
+            .select("doc_id", "source", "n_bigrams",
+                    imp.alias("importance"),
+                    (imp >= 1.0).alias("in_domain_leaning"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DSIR_IMPORTANCE = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents
+), bg AS (
+  SELECT doc_id, source, UNNEST([wl[i] || ' ' || wl[i+1]
+                                 FOR i IN range(1, len(wl))]) AS bigram
+  FROM w
+), tf_t AS (
+  SELECT bigram, COUNT(*) AS tf_t FROM bg WHERE source = 'src0'
+  GROUP BY bigram
+), tf_c AS (
+  SELECT bigram, COUNT(*) AS tf_c FROM bg WHERE source <> 'src0'
+  GROUP BY bigram
+), tot_t AS (SELECT CAST(SUM(tf_t) AS BIGINT) AS total_t FROM tf_t),
+tot_c AS (SELECT CAST(SUM(tf_c) AS BIGINT) AS total_c FROM tf_c),
+per_doc AS (
+  SELECT b.doc_id, b.source, COUNT(*) AS n_bigrams,
+         CAST(SUM(COALESCE(t.tf_t, 0)) AS BIGINT) AS sum_t,
+         CAST(SUM(COALESCE(c.tf_c, 0)) AS BIGINT) AS sum_c
+  FROM bg b LEFT JOIN tf_t t USING (bigram)
+            LEFT JOIN tf_c c USING (bigram)
+  GROUP BY b.doc_id, b.source
+)
+SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(sum_t + 1 AS DOUBLE) * CAST(total_c + 1 AS DOUBLE)
+         / (CAST(sum_c + 1 AS DOUBLE) * CAST(total_t + 1 AS DOUBLE))
+         AS importance,
+       CAST(sum_t + 1 AS DOUBLE) * CAST(total_c + 1 AS DOUBLE)
+         / (CAST(sum_c + 1 AS DOUBLE) * CAST(total_t + 1 AS DOUBLE))
+         >= 1.0 AS in_domain_leaning
+FROM per_doc, tot_t, tot_c ORDER BY doc_id
+"""

@@ -167,6 +167,73 @@ HAVING COUNT(*)::DOUBLE / (a.ns + b.ns - COUNT(*)) >= 0.5
 """
 
 
+def dedup_containment(spark, sf_dir, threshold: float = 0.8):
+    """Directional containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    distinct word 3-grams, pairs with C ≥ 0.8. The asymmetric twin of
+    ``dedup_ngram_jaccard``: a short document quoted inside a much longer
+    one has high containment but low Jaccard (the union is dominated by
+    the long doc), so Jaccard-only dedup misses exactly the
+    quote-expansion / boilerplate-wrapping duplicates that training-data
+    curation most wants caught (reference query surface: app.py's
+    dedup-adjacent assessment paths size tables, not content — the data
+    plane generalizes them).
+
+    Shape: same pruned inverted-index join as the Jaccard family — the
+    shared-shingle count is computed ONCE per candidate pair off the
+    shingle index, never an all-pairs scan. The containment-specific
+    pushdown: C ≥ t and |∩| ≤ min(n1, n2) ⇒ n2 ≥ |∩| ≥ t·n1, so pairs
+    with n2 < t·n1 are pruned AT THE JOIN PROBE before aggregation.
+    Integer |∩| and |A| make the double division bitwise-exact, so the
+    DuckDB oracle hash-matches.
+
+    Emits the directional pair (id1 contained-in id2, id1 ≠ id2, both
+    directions possible) — downstream the containment graph feeds the
+    same connected-components representative pick as the other families.
+    """
+    sh = (doc_shingles(spark, sf_dir)
+          .withColumn("n_shingles", F.size("shingles"))
+          .persist(StorageLevel.DISK_ONLY))
+    inv = sh.select("doc_id", "n_shingles",
+                    F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id1"),
+                   F.col("n_shingles").alias("n1"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id2"),
+                   F.col("n_shingles").alias("n2"), "shingle")
+    pairs = (a.join(b, (a.shingle == b.shingle)
+                    & (F.col("id1") != F.col("id2"))
+                    # containment bound: |∩| ≥ t·n1 and |∩| ≤ n2
+                    & (F.col("n2").cast("double")
+                       >= F.lit(threshold) * F.col("n1")))
+             .groupBy("id1", "id2", "n1")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    cont = F.col("inter").cast("double") / F.col("n1").cast("double")
+    return (pairs.filter(cont >= threshold)
+            .select("id1", "id2", cont.alias("containment"))
+            .orderBy("id1", "id2"))
+
+
+ORACLE_DEDUP_CONTAINMENT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                        FOR i IN range(1, len(wl) - 1)]) AS s
+  FROM w
+), inv AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       COUNT(*)::DOUBLE / a.ns::DOUBLE AS containment
+FROM inv a JOIN inv b
+  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  AND b.ns::DOUBLE >= 0.8 * a.ns
+GROUP BY a.doc_id, b.doc_id, a.ns
+HAVING COUNT(*)::DOUBLE / a.ns::DOUBLE >= 0.8
+ORDER BY id1, id2
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB path)
 # ---------------------------------------------------------------------------

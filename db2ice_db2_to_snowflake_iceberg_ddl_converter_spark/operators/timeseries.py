@@ -214,14 +214,16 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
     # last observation per (user, day): deterministic pick via the
-    # packed (within-day offset, event_id) ordering key. The offset stays
-    # < 8.64e10, so offset * 1e7 < 8.64e17 cannot overflow a BIGINT (full
-    # epoch micros would), and the 1e7 id slot keeps the pack collision-
-    # free up to 10M event ids (~sf1000 fixture growth) — a % 1e5 slot
-    # wraps at sf1 and would let two same-microsecond events tie, where
-    # Spark max_by and DuckDB arg_max break ties differently.
-    okey = (F.unix_micros("ts") % 86400000000) * 10000000 \
-        + F.col("event_id") % 10000000
+    # packed (within-day offset, event_id) ordering key, widened past
+    # BIGINT so it carries the FULL event_id (no modulus ceiling): the
+    # key is DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB
+    # oracle — offset < 8.64e10 times the 1e12 id slot tops out at
+    # ~8.64e22, far inside both 38-digit decimal and int128, and the
+    # slot stays collision-free up to 10^12 event ids. Both engines
+    # order these integer keys exactly, so max_by/arg_max tiebreaks
+    # agree bit-for-bit.
+    okey = ((F.unix_micros("ts") % 86400000000).cast("decimal(38,0)")
+            * F.lit(1000000000000) + F.col("event_id"))
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
              .agg(F.max_by("value", okey).alias("day_value")))
     spans = (daily.groupBy("user_id")
@@ -244,8 +246,8 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_LOCF = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         arg_max(value, (epoch_us(ts) % 86400000000) * 10000000
-                        + event_id % 10000000)
+         arg_max(value, (epoch_us(ts) % 86400000000)::HUGEINT
+                        * 1000000000000 + event_id)
            AS day_value
   FROM events WHERE user_id < 15
   GROUP BY user_id, CAST(ts AS DATE)
@@ -298,12 +300,12 @@ def events_linear_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 15)
     # Packed tiebreak key inherited from events_locf_daily (full rationale
-    # there): the % 1e7 id slot is an explicit SCALE CEILING — collision-
-    # free up to 10M event ids; past that, two same-microsecond events
-    # could tie and Spark max_by vs DuckDB arg_max break ties differently.
-    # Deployments beyond 10M ids must widen the slot (r4 advice).
-    okey = (F.unix_micros("ts") % 86400000000) * 10000000 \
-        + F.col("event_id") % 10000000
+    # there): DECIMAL(38,0) Spark-side / HUGEINT oracle-side, so the FULL
+    # event_id rides in a 1e12 slot with no modulus ceiling (r4 advice
+    # resolved: the old % 1e7 slot capped deterministic tiebreaks at 10M
+    # ids; the widened key is collision-free to 10^12).
+    okey = ((F.unix_micros("ts") % 86400000000).cast("decimal(38,0)")
+            * F.lit(1000000000000) + F.col("event_id"))
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
              .agg(F.max_by("value", okey).alias("day_value")))
     spans = (daily.groupBy("user_id")
@@ -339,8 +341,8 @@ def events_linear_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_LINEAR_INTERP = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         arg_max(value, (epoch_us(ts) % 86400000000) * 10000000
-                        + event_id % 10000000)
+         arg_max(value, (epoch_us(ts) % 86400000000)::HUGEINT
+                        * 1000000000000 + event_id)
            AS day_value
   FROM events WHERE user_id < 15
   GROUP BY user_id, CAST(ts AS DATE)

@@ -87,6 +87,35 @@ def plan_profile(df: DataFrame) -> dict[str, int]:
     }
 
 
+def uncached_plan(df: DataFrame) -> str:
+    """Executed-plan text with every ``InMemoryRelation`` build subtree
+    removed — i.e. only the operators that run DOWNSTREAM of persisted
+    pins. The plan string prints a cached relation's full build plan
+    beneath it, so asserting "no Python downstream of the pin" on the raw
+    text would false-positive on the (legitimately Python) build side.
+    Subtree extent is determined by indentation depth, matching how
+    ``TreeNode.toString`` renders children."""
+
+    def _indent(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else 0
+
+    lines = executed_plan(df).splitlines()
+    out: list[str] = []
+    skip_deeper_than = None
+    for line in lines:
+        ind = _indent(line)
+        if skip_deeper_than is not None:
+            if ind > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = ind
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def single_partition_windows(df: DataFrame) -> int:
     """Count WindowExec nodes fed by an ``Exchange SinglePartition`` — the
     unpartitioned ``Window.orderBy(...)`` anti-pattern where one task sorts

@@ -704,6 +704,8 @@ _ROUND6_NEW: list = [
     # IVFPQ composes two float-k-means codebooks -> rows-only; pytest
     # pins recall@k vs the exact brute force
     "ann_ivf_pq_topk",
+    "dedup_containment",
+    "corpus_dsir_importance",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -807,6 +809,10 @@ def _round6_queries():
         "corpus_doc_commonness": _co6.corpus_doc_commonness,
         # FAISS-style IVFPQ: probe cells, ADC-score codes, exact re-rank
         "ann_ivf_pq_topk": _si6.ann_ivf_pq_topk,
+        # directional containment pairs — the asymmetric twin of Jaccard
+        "dedup_containment": dedup.dedup_containment,
+        # DSIR-style importance weights: target-vs-corpus bigram mass ratio
+        "corpus_dsir_importance": _co6.corpus_dsir_importance,
     }
 
 
@@ -1271,4 +1277,7 @@ def build_oracles() -> dict[str, str]:
     oracles["graph_triangle_stats"] = ORACLE_TRIANGLE_STATS
     oracles["text_readability_scores"] = textstats.ORACLE_TEXT_READABILITY
     oracles["corpus_doc_commonness"] = corpus.ORACLE_DOC_COMMONNESS
+    from .operators.dedup import ORACLE_DEDUP_CONTAINMENT
+    oracles["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
+    oracles["corpus_dsir_importance"] = corpus.ORACLE_DSIR_IMPORTANCE
     return oracles

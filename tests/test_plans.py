@@ -3,6 +3,8 @@ survives a 100× scale-up — filters pushed to the scan, columns pruned,
 small dimensions broadcast, partial aggregation, fused top-k, and no Python
 on JVM-only paths. A silent regression here is a 100 TB incident later."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
@@ -17,6 +19,17 @@ from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
 )
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan-shape assertions must not depend on suite order: dedup ops
+    persist(DISK_ONLY) their shingle frames, and Spark's CacheManager
+    substitutes InMemoryRelation into ANY later query with a matching
+    plan fragment — so a dedup test running earlier would silently
+    reshape the plans counted here. Start each plan test cache-clean."""
+    spark.catalog.clearCache()
+    yield
 
 
 class TestPushdownAndPruning:
@@ -605,19 +618,26 @@ class TestRound5PlanShapes:
 
     def test_incremental_minhash_no_python_no_cartesian_downstream(
             self, spark, sf_dir):
-        """Downstream of the checkpointed shingle frame (whose Arrow-only
+        """Downstream of the persisted shingle frame (whose Arrow-only
         shingling is pinned by test_python_paths_are_arrow_batched), the
         band probe + verify must carry NO Python at all and the
-        asymmetric band join must stay an equi-join."""
+        asymmetric band join must stay an equi-join. The shingle pin is
+        persist(DISK_ONLY), which keeps the (Python) build lineage in the
+        plan text for recoverability — so the no-Python assertion runs on
+        ``uncached_plan``, the executed operators OUTSIDE the pin."""
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
             dedup,
         )
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
-            executed_plan, plan_profile,
+            executed_plan, plan_profile, uncached_plan,
         )
 
         q = dedup.dedup_incremental_minhash(spark, sf_dir)
         plan = executed_plan(q)
         assert "BatchEvalPython" not in plan
-        assert "ArrowEvalPython" not in plan   # shingles pre-materialized
+        downstream = uncached_plan(q)
+        # the pin is active (cache scan present) and everything running
+        # outside it is JVM-only
+        assert "InMemoryTableScan" in plan
+        assert "ArrowEvalPython" not in downstream
         assert plan_profile(q)["cartesian_products"] == 0
