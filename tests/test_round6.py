@@ -263,3 +263,109 @@ class TestPersistReplacesCheckpoint:
             first = [tuple(r) for r in fn(spark, sf_dir).collect()]
             second = [tuple(r) for r in fn(spark, sf_dir).collect()]
             assert first == second, fn.__name__
+
+
+class TestContainment:
+    def test_matches_pure_python_on_low_ids(self, spark, sf_dir):
+        """Exact cross-check: every directional pair among doc_id < 60
+        must match a brute-force python computation of |A∩B|/|A| over
+        distinct word trigrams."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        sets = {}
+        for doc_id, text in duckdb.sql(
+                "SELECT doc_id, text FROM "
+                f"'{sf_dir}/documents.parquet' WHERE doc_id < 60").fetchall():
+            w = text.split(" ")
+            sets[doc_id] = {" ".join(w[i:i + 3])
+                            for i in range(len(w) - 2)}
+        expected = {}
+        for a in sets:
+            for b in sets:
+                if a == b or not sets[a]:
+                    continue
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                if c >= 0.8:
+                    expected[(a, b)] = c
+        got = {(r.id1, r.id2): r.containment
+               for r in dedup.dedup_containment(spark, sf_dir).collect()
+               if r.id1 < 60 and r.id2 < 60}
+        assert got == expected and expected, "containment pairs diverge"
+
+    def test_asymmetry_catches_quote_expansion(self, spark, tmp_path):
+        """A short doc fully quoted inside a long one: containment 1.0 in
+        the short→long direction, below threshold the other way, and the
+        pair is invisible to Jaccard at 0.5 — the exact case this
+        operator exists for."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        quote = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(0, quote, "en", "s", len(quote)),
+             (1, quote + " " + filler, "en", "s", 100)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        got = {(r.id1, r.id2): r.containment
+               for r in dedup.dedup_containment(spark, sf).collect()}
+        assert got[(0, 1)] == 1.0
+        assert (1, 0) not in got
+        jac = {(r.id1, r.id2)
+               for r in dedup.dedup_ngram_jaccard(spark, sf).collect()}
+        assert (0, 1) not in jac and (1, 0) not in jac
+
+
+class TestDsirImportance:
+    def test_hand_checkable_two_source_corpus(self, spark, tmp_path):
+        """Three docs, target source 'src0': the ratio is fully
+        hand-computable (bigram masses and totals are single digits)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c", "en", "src0", 5),     # target: bigrams ab, bc
+             (1, "a b x", "en", "src1", 5),     # corpus: ab, bx
+             (2, "y z", "en", "src1", 3)],      # corpus: yz
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        out = {r.doc_id: r for r in
+               corpus.corpus_dsir_importance(spark, sf).collect()}
+        # target tf: {ab:1, bc:1} total_t=2; corpus tf: {ab:1, bx:1, yz:1}
+        # total_c=3
+        # doc0: sum_t=2 sum_c=1  -> (3*4)/(2*3) = 2.0
+        # doc1: sum_t=1 sum_c=2  -> (2*4)/(3*3) = 8/9
+        # doc2: sum_t=0 sum_c=1  -> (1*4)/(2*3) = 2/3
+        assert out[0].importance == (2 + 1) * (3 + 1) / ((1 + 1) * (2 + 1))
+        assert out[1].importance == (1 + 1) * (3 + 1) / ((2 + 1) * (2 + 1))
+        assert out[2].importance == (0 + 1) * (3 + 1) / ((1 + 1) * (2 + 1))
+        assert out[0].in_domain_leaning
+        assert not out[1].in_domain_leaning
+        assert out[0].n_bigrams == 2 and out[2].n_bigrams == 1
+
+    def test_target_source_leans_in_domain_on_fixture(self, spark):
+        """Every importance is positive, the flag mirrors the >= 1
+        threshold, and the target source's mean importance exceeds the
+        rest's (its bigrams ARE the target distribution)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.corpus_dsir_importance(spark, SF_MED).collect()
+        assert rows
+        for r in rows:
+            assert r.importance > 0.0
+            assert r.in_domain_leaning == (r.importance >= 1.0)
+        tgt = [r.importance for r in rows if r.source == "src0"]
+        rest = [r.importance for r in rows if r.source != "src0"]
+        assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
