@@ -813,3 +813,82 @@ SELECT split, COUNT(*) AS n_docs,
          AS n_docs_moved
 FROM j GROUP BY split ORDER BY split
 """
+
+
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str,
+                             n_phases: int = 4) -> DataFrame:
+    """Curriculum ordering for training: documents ranked easy→hard by
+    the shared composite quality score (high quality first — the clean,
+    well-formed text a curriculum schedule feeds early) and cut into
+    ``n_phases`` contiguous phases with an explicit within-phase
+    position, so a data loader can stream phase 1 → N without any
+    further sort. The standard curriculum-learning data prep
+    (Bengio et al. 2009) expressed as one engine query.
+
+    Scale shape: the global order comes from ``scale.global_ranks``
+    (range shuffle + prefix-sum offsets) — NO un-partitioned window, the
+    plan-test-banned shape a naive ``ntile() over (order by ...)`` would
+    emit. Phase and within-phase position are then pure integer
+    arithmetic on the gap-free rank (``ntile_expr`` semantics), not a
+    second window: a per-phase window would partition the corpus into
+    only ``n_phases`` tasks — itself a skew cliff at 100 TB. Ties are
+    broken by doc_id, so the order is total and the DuckDB oracle
+    hash-matches exactly.
+    """
+    from .scale import _idiv, global_ranks, ntile_expr
+    from .textstats import quality_score_expr
+
+    d = ld(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        quality_score_expr().cast("double").alias("quality_score"))
+    ranked, n = global_ranks(
+        scored, [F.desc("quality_score"), F.asc("doc_id")],
+        num_partitions=8)
+    rn = F.col("global_rn")
+    base, rem = divmod(n, n_phases)
+    cut = rem * (base + 1)
+    # position inside the tile, from the same integer arithmetic that
+    # defines the tile boundaries — no per-phase window needed
+    if base == 0:
+        pos = F.pmod(rn - 1, F.lit(base + 1)) + 1
+    else:
+        pos = (F.when(rn <= cut, F.pmod(rn - 1, F.lit(base + 1)))
+               .otherwise(F.pmod(rn - 1 - cut, F.lit(base))) + 1)
+    return (ranked.select(
+        "doc_id",
+        ntile_expr(rn, n, n_phases).alias("phase"),
+        pos.cast("long").alias("phase_pos"),
+        "quality_score", "n_tokens")
+        .orderBy("phase", "phase_pos"))
+
+
+ORACLE_CURRICULUM_PHASES = """
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CAST((CASE WHEN n_chars >= 100 AND n_chars <= 5000
+                    THEN 40 ELSE 10 END)
+         + (len(list_distinct(w))::DOUBLE / len(w)) * 30
+         + (CASE WHEN len(list_intersect(list_distinct(w),
+                    ['the','a','of','and','is'])) > 0 THEN 20 ELSE 0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(
+             replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))
+             ::DOUBLE / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END) AS DOUBLE)
+           AS quality_score
+  FROM t
+), ranked AS (
+  SELECT doc_id, n_tokens, quality_score,
+         CAST(NTILE(4) OVER (ORDER BY quality_score DESC, doc_id) AS INT)
+           AS phase
+  FROM scored
+)
+SELECT doc_id, phase,
+       ROW_NUMBER() OVER (PARTITION BY phase
+                          ORDER BY quality_score DESC, doc_id) AS phase_pos,
+       quality_score, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked ORDER BY phase, phase_pos
+"""

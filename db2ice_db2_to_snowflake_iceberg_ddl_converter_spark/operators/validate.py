@@ -503,3 +503,56 @@ SELECT table_name, CAST(n_delete AS BIGINT) AS n_delete,
        CAST(n_orphans_after AS BIGINT) AS n_orphans_after
 FROM counts ORDER BY table_name
 """
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str,
+                        k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the governance check a
+    privacy review runs before releasing a table: any combination of
+    quasi-identifying attributes shared by fewer than ``k`` rows can
+    single out individuals (Sweeney 2002). Quasi-identifier here:
+    (nation, market segment, account-balance kilobucket) on ``customer``
+    — the classic "not identifiers individually, identifying jointly"
+    triple.
+
+    Emits one row per market segment with the re-identification surface:
+    number of quasi-identifier groups, groups below k, rows inside those
+    at-risk groups, and the segment's k-anonymity level (its minimum
+    group size — the k the release actually achieves). Reporting at the
+    segment level keeps the output O(segments) while the group-size
+    aggregation underneath is the same map-side-partial groupBy that
+    scales to any row count; the bucket floor is double arithmetic both
+    engines round identically.
+    """
+    from .relational import ld
+
+    c = ld(spark, sf_dir, "customer")
+    groups = (c.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    return (groups.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum((F.col("cnt") < k).cast("long"))
+                 .alias("n_at_risk_groups"),
+                 F.sum(F.when(F.col("cnt") < k, F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("rows_at_risk"),
+                 F.min("cnt").alias("k_anonymity_level"))
+            .orderBy("segment"))
+
+
+ORACLE_K_ANONYMITY = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         FLOOR(c_acctbal / 1000.0) AS bal_bucket, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment AS segment, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk_groups,
+       CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(cnt) AS BIGINT) AS k_anonymity_level
+FROM groups GROUP BY c_mktsegment ORDER BY segment
+"""

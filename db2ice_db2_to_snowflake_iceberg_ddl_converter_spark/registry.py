@@ -706,6 +706,8 @@ _ROUND6_NEW: list = [
     "ann_ivf_pq_topk",
     "dedup_containment",
     "corpus_dsir_importance",
+    "corpus_curriculum_phases",
+    "privacy_k_anonymity",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -794,6 +796,8 @@ def _round6_queries():
     from .operators import corpus as _co6
     from .operators import graph as _gr6
     from .operators import similarity as _si6
+    from .operators import traindata as _td6
+    from .operators import validate as _vd6
 
     return {
         # monthly acquisition-cohort retention triangle
@@ -813,6 +817,10 @@ def _round6_queries():
         "dedup_containment": dedup.dedup_containment,
         # DSIR-style importance weights: target-vs-corpus bigram mass ratio
         "corpus_dsir_importance": _co6.corpus_dsir_importance,
+        # curriculum phases via global_ranks — no un-partitioned window
+        "corpus_curriculum_phases": _td6.corpus_curriculum_phases,
+        # k-anonymity governance audit over quasi-identifiers
+        "privacy_k_anonymity": _vd6.privacy_k_anonymity,
     }
 
 
@@ -1280,4 +1288,8 @@ def build_oracles() -> dict[str, str]:
     from .operators.dedup import ORACLE_DEDUP_CONTAINMENT
     oracles["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
     oracles["corpus_dsir_importance"] = corpus.ORACLE_DSIR_IMPORTANCE
+    from .operators.traindata import ORACLE_CURRICULUM_PHASES
+    oracles["corpus_curriculum_phases"] = ORACLE_CURRICULUM_PHASES
+    from .operators.validate import ORACLE_K_ANONYMITY
+    oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     return oracles

@@ -369,3 +369,91 @@ class TestDsirImportance:
         tgt = [r.importance for r in rows if r.source == "src0"]
         rest = [r.importance for r in rows if r.source != "src0"]
         assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+class TestCurriculumPhases:
+    def test_phases_are_contiguous_quality_bands(self, spark):
+        """Phases must cut the quality-DESC order into contiguous bands
+        with NTILE sizes, positions gap-free from 1 within each phase,
+        and every phase-1 doc at least as high-quality as every phase-N
+        doc."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        rows = traindata.corpus_curriculum_phases(spark, SF_MED).collect()
+        n = len(rows)
+        assert n == 500
+        sizes = {}
+        for r in rows:
+            sizes[r.phase] = sizes.get(r.phase, 0) + 1
+        base, rem = divmod(n, 4)
+        assert sorted(sizes) == [1, 2, 3, 4]
+        for ph, sz in sizes.items():
+            assert sz == base + (1 if ph <= rem else 0)
+        by_phase = {}
+        for r in rows:
+            by_phase.setdefault(r.phase, []).append(r)
+        for ph, rs in by_phase.items():
+            assert sorted(x.phase_pos for x in rs) == \
+                list(range(1, len(rs) + 1))
+        # band ordering: min quality of phase p >= max quality of p+1
+        # (ties broken by doc_id may straddle, so compare with >=)
+        for ph in (1, 2, 3):
+            assert min(r.quality_score for r in by_phase[ph]) >= \
+                max(r.quality_score for r in by_phase[ph + 1])
+
+    def test_no_single_partition_window(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        q = traindata.corpus_curriculum_phases(spark, SF_MED)
+        assert single_partition_windows(q) == 0
+
+
+class TestKAnonymity:
+    def test_matches_brute_force(self, spark, sf_dir):
+        import collections
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            validate,
+        )
+
+        cnt = collections.Counter()
+        for nat, seg, bal in duckdb.sql(
+                "SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+                f"'{sf_dir}/customer.parquet'").fetchall():
+            import math
+            cnt[(nat, seg, math.floor(bal / 1000.0))] += 1
+        per_seg = {}
+        for (nat, seg, b), c in cnt.items():
+            g = per_seg.setdefault(seg, [0, 0, 0, None])
+            g[0] += 1
+            if c < 5:
+                g[1] += 1
+                g[2] += c
+            g[3] = c if g[3] is None else min(g[3], c)
+        got = {r.segment: (r.n_groups, r.n_at_risk_groups, r.rows_at_risk,
+                           r.k_anonymity_level)
+               for r in validate.privacy_k_anonymity(spark, sf_dir)
+               .collect()}
+        assert got == {s: tuple(v) for s, v in per_seg.items()}
+
+    def test_higher_k_flags_more(self, spark, sf_dir):
+        """Monotonicity in k: raising k can only grow the at-risk set."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            validate,
+        )
+
+        k5 = {r.segment: r.rows_at_risk for r in
+              validate.privacy_k_anonymity(spark, sf_dir, k=5).collect()}
+        k10 = {r.segment: r.rows_at_risk for r in
+               validate.privacy_k_anonymity(spark, sf_dir, k=10).collect()}
+        for seg in k5:
+            assert k10[seg] >= k5[seg]
