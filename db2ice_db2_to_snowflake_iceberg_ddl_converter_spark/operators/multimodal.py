@@ -17,6 +17,8 @@ vector per asset).
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints must resolve at def time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -365,3 +367,100 @@ def multimodal_features(spark, sf_dir) -> DataFrame:
         F.transform("features", lambda x: x * x), F.lit(0.0),
         lambda acc, v: acc + v))
     return feats.select("doc_id", norm.alias("feature_norm")).orderBy("doc_id")
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Inverse of :func:`decode_wav_pcm16` — mono/stereo 16-bit PCM
+    RIFF/WAVE from an int16 ndarray ``[n, channels]``."""
+    import struct
+
+    channels = samples.shape[1] if samples.ndim == 2 else 1
+    data = samples.astype("<i2").tobytes()
+    block = channels * 2
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * block, block, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def synth_pcm_from_text(text: str, samples_per_char: int = 16,
+                        max_chars: int = 128):
+    """Deterministic PCM synthesizer: each character becomes a constant
+    amplitude burst (spaces → silence), so every doc yields a unique,
+    reproducible waveform with KNOWN silence structure — the stand-in
+    for real recordings that keeps the audio plumbing testable without a
+    media library (same honesty contract as the BMP/WAV codecs above)."""
+    import numpy as np
+
+    t = text[:max_chars]
+    amps = np.array([0 if c == " " else (ord(c) % 64) * 512 - 16000
+                     for c in t], dtype=np.int16)
+    return np.repeat(amps, samples_per_char).reshape(-1, 1)
+
+
+def attach_audio_payload(spark, sf_dir) -> DataFrame:
+    """documents → (doc_id, payload) with a REAL RIFF/WAVE byte payload
+    per doc (synthesized deterministically from the text). Arrow-batched:
+    one pandas UDF, no shuffle — the same single-scan shape an ingest of
+    actual recordings would use."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav_pcm16(synth_pcm_from_text(t)))
+
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", to_wav("text").alias("payload"))
+
+
+def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
+                            silence_rms: float = 1.0) -> DataFrame:
+    """Per-asset audio energy profile over the binary WAV column: frame
+    RMS energy, silence ratio, peak level, and voice-activity segment
+    count — the triage features an audio-corpus curation pass computes
+    before any expensive ASR/embedding step (drop silent/clipped files,
+    route the rest).
+
+    Spark shape: decode + frame analysis run in ONE ``mapInPandas`` pass
+    (Arrow batches of real RIFF bytes → numpy frame matrix per asset) —
+    embarrassingly parallel, no shuffle until the final tiny sort. Every
+    per-asset number is a pure function of that asset's own bytes
+    computed in fixed numpy evaluation order, so results are bit-stable
+    across partitionings and re-runs (pytest pins a pure-python replay);
+    rows-only driver check (binary decode is not SQL-expressible).
+    """
+    import numpy as np
+
+    assets = attach_audio_payload(spark, sf_dir)
+
+    def analyze(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "n_frames": [], "silence_ratio": [], "peak_rms": [],
+                   "n_active_segments": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav_pcm16(bytes(payload))
+                mono = samples[:, 0].astype(np.float64)
+                n = len(mono) - len(mono) % frame
+                frames = mono[:n].reshape(-1, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                active = rms >= silence_rms
+                segs = int(np.count_nonzero(
+                    active[1:] & ~active[:-1])) + int(bool(active[:1].any()))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(mono))
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(rms))
+                out["silence_ratio"].append(
+                    float((~active).sum() / len(rms)) if len(rms) else 1.0)
+                out["peak_rms"].append(float(rms.max()) if len(rms) else 0.0)
+                out["n_active_segments"].append(segs)
+            yield pd.DataFrame(out)
+
+    return (assets.mapInPandas(
+        analyze,
+        schema="doc_id long, n_samples long, sample_rate int, "
+               "n_frames long, silence_ratio double, peak_rms double, "
+               "n_active_segments int")
+        .orderBy("doc_id"))

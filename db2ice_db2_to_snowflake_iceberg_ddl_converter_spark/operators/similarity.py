@@ -820,3 +820,90 @@ def ann_ivf_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
             .withColumn("nn_rank", F.row_number().over(w2))
             .filter(F.col("nn_rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
+
+
+def kmeans_fit_distributed(df: DataFrame, k: int = 8, n_iters: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over the FULL table — the exact
+    counterpart of ``ivf_centroids``' bounded-sample trainer, and the
+    shape a 100 TB fit must take (Spark MLlib's KMeans runs the same
+    loop): per iteration ONE Arrow-batched assignment scan (centroids
+    ship in the task closure, KB-sized) and ONE (cluster, dim)-keyed
+    aggregation whose result is k·d rows — the only thing the driver
+    ever holds. No corpus-sized collect anywhere.
+
+    Plain L2 k-means on raw vectors (IVF's trainer is spherical/cosine —
+    different geometry, deliberately not shared). Deterministic init:
+    the k lowest-id vectors. Empty clusters keep their centroid.
+    Returns the (k × dim) numpy centroid array.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = embedding_dim(df, vec_col)
+    init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    C = np.array([r[1] for r in init], dtype=np.float64)
+    for _ in range(n_iters):
+        Cb = C  # rebind for closure capture of this iteration's centroids
+
+        @pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            M = np.array(vecs.tolist(), dtype=np.float64)
+            d2 = ((M[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        assigned = df.select(nearest(F.col(vec_col)).alias("cluster"),
+                             vec_col)
+        sums = (assigned.select(
+            "cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect())
+        C = C.copy()
+        acc = np.zeros((k, dim)), np.zeros((k, dim))
+        for r in sums:
+            acc[0][r.cluster, r.pos] += r.s
+            acc[1][r.cluster, r.pos] += r.n
+        mask = acc[1][:, 0] > 0
+        C[mask] = acc[0][mask] / acc[1][mask]
+    return C
+
+
+def embedding_kmeans_clusters(spark, sf_dir, k: int = 8,
+                              n_iters: int = 5) -> DataFrame:
+    """Cluster profile of a distributed k-means fit over the embedding
+    table: per cluster its size, inertia (sum of squared distances to
+    the centroid), and mean distance — the clustering diagnostic every
+    embedding-space curation pass (SemDeDup cells, IVF list balance,
+    topic discovery) starts from.
+
+    Non-SQL-expressible (iterative float fit) → rows-only driver check;
+    pytest pins the fit against an identically-initialized numpy Lloyd
+    and the partition/inertia invariants. Scale shape: see
+    ``kmeans_fit_distributed``; the final profile is one more assignment
+    scan + an O(k) aggregation.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    e = ld(spark, sf_dir, "embeddings")
+    C = kmeans_fit_distributed(e, k=k, n_iters=n_iters)
+
+    @pandas_udf("struct<cluster: int, d2: double>")
+    def assign_d2(vecs: pd.Series) -> pd.DataFrame:
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "cluster": best.astype("int32"),
+            "d2": d2[np.arange(len(best)), best]})
+
+    return (e.select(assign_d2("embedding").alias("a"))
+            .select("a.cluster", "a.d2")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("size"),
+                 F.sum("d2").alias("inertia"))
+            .select("cluster", "size", "inertia",
+                    (F.col("inertia") / F.col("size")).alias("mean_d2"))
+            .orderBy("cluster"))

@@ -708,6 +708,10 @@ _ROUND6_NEW: list = [
     "corpus_dsir_importance",
     "corpus_curriculum_phases",
     "privacy_k_anonymity",
+    # distributed-Lloyd fit + WAV energy triage: iterative float fit /
+    # binary decode -> rows-only; pytests pin numpy/pure-python replays
+    "embedding_kmeans_clusters",
+    "multimodal_audio_energy",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -795,6 +799,7 @@ def _round6_queries():
     here must also be appended to ``_ROUND6_NEW``."""
     from .operators import corpus as _co6
     from .operators import graph as _gr6
+    from .operators import multimodal as _mm6
     from .operators import similarity as _si6
     from .operators import traindata as _td6
     from .operators import validate as _vd6
@@ -821,6 +826,10 @@ def _round6_queries():
         "corpus_curriculum_phases": _td6.corpus_curriculum_phases,
         # k-anonymity governance audit over quasi-identifiers
         "privacy_k_anonymity": _vd6.privacy_k_anonymity,
+        # distributed Lloyd over the full embedding table (MLlib shape)
+        "embedding_kmeans_clusters": _si6.embedding_kmeans_clusters,
+        # WAV frame-RMS / silence / VAD-segment triage via mapInPandas
+        "multimodal_audio_energy": _mm6.multimodal_audio_energy,
     }
 
 

@@ -226,12 +226,15 @@ class TestRegistryGuard:
         assert len(w) == 50
         assert len(set(w)) == 50
         # every canary exists and no round-6 debut is missing an oracle
-        # unless deliberately rows-only (ann_ivf_pq_topk)
+        # unless deliberately rows-only (IVFPQ + the float-iterative /
+        # binary-decode pair)
+        rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
+                     "multimodal_audio_energy"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:
             assert k in q
-            assert k in o or k == "ann_ivf_pq_topk"
+            assert k in o or k in rows_only
 
 
 class TestPersistReplacesCheckpoint:
@@ -457,3 +460,129 @@ class TestKAnonymity:
                validate.privacy_k_anonymity(spark, sf_dir, k=10).collect()}
         for seg in k5:
             assert k10[seg] >= k5[seg]
+
+
+class TestDistributedKmeans:
+    def test_matches_numpy_lloyd(self, spark, sf_dir):
+        """Same init (k lowest-id vectors), same iteration count: the
+        distributed fit must land on the numpy fit up to float-sum
+        reassociation (Spark's partial aggregation reorders the adds)."""
+        import numpy as np
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        k, iters = 8, 5
+        rows = duckdb.sql(
+            "SELECT vec_id, embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                if (a == j).any():
+                    C[j] = X[a == j].mean(axis=0)
+        got = similarity.kmeans_fit_distributed(
+            ld(spark, sf_dir, "embeddings"), k=k, n_iters=iters)
+        assert np.allclose(got, C, rtol=1e-9, atol=1e-12)
+
+        # profile invariants: sizes partition the table, inertia matches
+        # the numpy assignment's within-cluster SSE
+        prof = {r.cluster: r for r in
+                similarity.embedding_kmeans_clusters(
+                    spark, sf_dir, k=k, n_iters=iters).collect()}
+        assert sum(r.size for r in prof.values()) == len(X)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j, r in prof.items():
+            assert r.size == int((a == j).sum())
+            assert np.isclose(r.inertia, d2[a == j, j].sum(), rtol=1e-9)
+            assert r.mean_d2 == r.inertia / r.size
+
+    def test_no_corpus_sized_collect(self, spark, sf_dir):
+        """The per-iteration driver exchange is k·d rows, never the
+        table: proven by fitting on a frame whose collect would raise."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        e = ld(spark, sf_dir, "embeddings")
+        C = similarity.kmeans_fit_distributed(e, k=4, n_iters=2)
+        assert C.shape[0] == 4 and C.shape[1] == len(
+            e.first()["embedding"])
+
+
+class TestAudioEnergy:
+    def test_wav_roundtrip(self, spark):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        pcm = multimodal.synth_pcm_from_text("ab c d")
+        payload = multimodal.encode_wav_pcm16(pcm, rate=8000)
+        back, rate = multimodal.decode_wav_pcm16(payload)
+        assert rate == 8000
+        assert np.array_equal(back, pcm)
+
+    def test_matches_pure_python_replay(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        got = {r.doc_id: r for r in
+               multimodal.multimodal_audio_energy(spark, sf_dir).collect()}
+        texts = duckdb.sql(
+            "SELECT doc_id, text FROM "
+            f"'{sf_dir}/documents.parquet' WHERE doc_id < 25").fetchall()
+        assert texts
+        frame = 64
+        for doc_id, text in texts:
+            mono = multimodal.synth_pcm_from_text(text)[:, 0] \
+                .astype(np.float64)
+            n = len(mono) - len(mono) % frame
+            frames = mono[:n].reshape(-1, frame)
+            rms = np.sqrt((frames * frames).mean(axis=1))
+            active = rms >= 1.0
+            r = got[doc_id]
+            assert r.n_samples == len(mono)
+            assert r.sample_rate == 8000
+            assert r.n_frames == len(rms)
+            assert r.silence_ratio == float((~active).sum() / len(rms))
+            assert r.peak_rms == float(rms.max())
+            segs = int(np.count_nonzero(active[1:] & ~active[:-1])) \
+                + int(bool(active[:1].any()))
+            assert r.n_active_segments == segs
+
+    def test_silence_structure_is_detected(self, spark, tmp_path):
+        """Hand-built doc: four space-chars in a row = one silent frame;
+        two active bursts around it = two VAD segments."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "aaaa    bbbb", "en", "s", 12)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        r = multimodal.multimodal_audio_energy(spark, sf).first()
+        assert r.n_frames == 3
+        assert r.silence_ratio == 1.0 / 3.0
+        assert r.n_active_segments == 2
