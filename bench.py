@@ -116,6 +116,22 @@ HEADLINE = [
     "corpus_source_similarity",
     "embedding_pca_project",
     "streaming_heavy_hitters",
+    # round-6 operators
+    "orders_cohort_retention",
+    "events_user_lifecycle",
+    "graph_triangle_stats",
+    "text_readability_scores",
+    "corpus_doc_commonness",
+    "ann_ivf_pq_topk",
+    "dedup_containment",
+    "corpus_dsir_importance",
+    "corpus_curriculum_phases",
+    "privacy_k_anonymity",
+    "embedding_kmeans_clusters",
+    "multimodal_audio_energy",
+    "corpus_temperature_mixture",
+    "vocab_kmv_distinct",
+    "corpus_ngram_novelty",
 ]
 
 

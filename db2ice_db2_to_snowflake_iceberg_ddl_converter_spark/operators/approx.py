@@ -191,3 +191,52 @@ def token_counts_countmin(spark: SparkSession, sf_dir: str,
             .groupBy("tok")
             .agg(F.min("cnt").alias("est_count"))
             .orderBy("tok"))
+
+
+def vocab_kmv_distinct(spark: SparkSession, sf_dir: str,
+                       k: int = 64) -> DataFrame:
+    """Per-source vocabulary cardinality via a KMV (k-minimum-values)
+    sketch — the fifth mergeable-sketch class beside HLL++/GK/Misra-
+    Gries/Count-Min, and the one whose sketches also support set-size
+    ALGEBRA (union/intersection estimates from merged minima), which HLL
+    alone cannot give. Estimator: (k−1) / u_(k) where u_(k) is the k-th
+    smallest hash mapped into (0,1) (Bar-Yossef et al. 2002).
+
+    Spark shape: the token stream collapses FIRST to distinct
+    (source, hash) — vocabulary-bounded, with map-side partial distinct —
+    then a per-source window keeps the k smallest hashes (sources are the
+    partition key; the frame entering the window is vocab-sized, never
+    corpus-sized). Emits estimate vs exact distinct and the relative
+    error so the bound is auditable; pytest pins |rel_err| ≲ 3/√k.
+    xxhash64 has no DuckDB twin → rows-only driver check.
+    """
+    from pyspark.sql import Window
+
+    from .relational import ld
+
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select("source",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    hashed = (toks.select("source", F.xxhash64("tok").alias("h"))
+              .distinct())
+    w = Window.partitionBy("source").orderBy("h")
+    # map the signed 64-bit hash into (0,1): u = (h + 2^63 + 1) / 2^64 —
+    # monotone, never 0 (min long maps to 2^-64)
+    u = ((F.col("h").cast("double") + F.lit(2.0 ** 63) + F.lit(1.0))
+         / F.lit(2.0 ** 64))
+    kth = (hashed.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == k)
+           .select("source", u.alias("u_k")))
+    exact = (hashed.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("exact_distinct")))
+    est = F.lit(float(k - 1)) / F.col("u_k")
+    return (exact.join(kth, "source", "left")
+            .select("source", "exact_distinct",
+                    F.when(F.col("u_k").isNull(),
+                           F.col("exact_distinct").cast("double"))
+                    .otherwise(est).alias("kmv_estimate"))
+            .withColumn("rel_err",
+                        (F.col("kmv_estimate")
+                         - F.col("exact_distinct").cast("double"))
+                        / F.col("exact_distinct").cast("double"))
+            .orderBy("source"))

@@ -1584,3 +1584,59 @@ SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          >= 1.0 AS in_domain_leaning
 FROM per_doc, tot_t, tot_c ORDER BY doc_id
 """
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word bigrams whose FIRST occurrence in corpus order (min doc_id) is
+    this document — the cheap duplication/diversity readout used to spot
+    boilerplate-heavy tails (novelty → 0) and to estimate how much truly
+    new text each ingest slice adds (the aggregate novelty curve is the
+    classic diminishing-returns plot in every dataset paper).
+
+    Exact and portable: "first occurrence" is ``min(doc_id)`` per gram —
+    integer, total-ordered, engine-independent — and the ratio is one
+    double division of exact integer counts. Scale shape: the gram →
+    min(doc_id) table is vocabulary-sized (map-side partial MIN); the
+    probe back onto the per-doc distinct gram stream is AQE-broadcast at
+    real vocabularies. Nothing is pairwise, nothing is driver-sized.
+    """
+    d = ld(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y)))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    first = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    return (bg.join(first, "bigram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_grams").cast("double"))
+                    .alias("novelty_ratio"))
+            .orderBy("doc_id"))
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id, bigram FROM (
+    SELECT doc_id, UNNEST([wl[i] || ' ' || wl[i+1]
+                           FOR i IN range(1, len(wl))]) AS bigram
+    FROM w)
+), first AS (
+  SELECT bigram, MIN(doc_id) AS first_doc FROM bg GROUP BY bigram
+)
+SELECT b.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM bg b JOIN first f USING (bigram)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""

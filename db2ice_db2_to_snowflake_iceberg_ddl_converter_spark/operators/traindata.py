@@ -892,3 +892,72 @@ SELECT doc_id, phase,
        quality_score, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM ranked ORDER BY phase, phase_pos
 """
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-corpus
+    standard from mBERT/mT5: sample source i with probability
+    p_i^(1/T) / Σ p_j^(1/T), T>1 flattening the head so low-resource
+    sources are not drowned) at T=2 — the companion of
+    ``corpus_mix_weights``' uniform-target census for the case where the
+    target is a REBALANCED version of the natural distribution rather
+    than uniform.
+
+    Portability: T=2 is chosen because p^(1/2) is ``sqrt`` — the ONE
+    power IEEE 754 requires exactly rounded (general ``pow`` differs by
+    ulps across libms and would break the oracle hash). The normalizer
+    Σ sqrt(n_j) is a float sum whose ORDER is pinned on both engines:
+    fold over the SORTED array of per-source values (Spark
+    ``aggregate(array_sort(collect_list(...)))`` / DuckDB ``list_reduce
+    (list_sort(...))`` — the text_fingerprint idiom), and the 0.0 init
+    is exact (x + 0.0 never rounds), so both engines add the same
+    doubles in the same sequence. Normalizing by Σ sqrt(n_j) instead of
+    Σ sqrt(p_j) is the same distribution: the sqrt(total) factor
+    cancels.
+
+    Scale: per-source token counts are one map-side-partial agg; the
+    sort/fold runs over an O(sources) array on one row — never data-
+    sized. Output is O(sources).
+    """
+    d = ld(spark, sf_dir, "documents")
+    per_src = (d.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens")))
+    norm = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.sqrt(F.col("n_tokens").cast("double")))),
+            F.lit(0.0), lambda acc, v: acc + v).alias("sqrt_norm"))
+    raw = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    temp = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sqrt_norm")
+    return (per_src.crossJoin(F.broadcast(norm))
+            .select("source", "n_docs", "n_tokens",
+                    raw.alias("raw_share"),
+                    temp.alias("temp_share"),
+                    (temp / raw).alias("boost"))
+            .orderBy("source"))
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), norm AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         list_reduce(
+           list_prepend(0.0, list_sort(list(sqrt(n_tokens::DOUBLE)))),
+           (acc, v) -> acc + v) AS sqrt_norm
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens::DOUBLE / total_tokens AS raw_share,
+       sqrt(n_tokens::DOUBLE) / sqrt_norm AS temp_share,
+       (sqrt(n_tokens::DOUBLE) / sqrt_norm)
+         / (n_tokens::DOUBLE / total_tokens) AS boost
+FROM per_src CROSS JOIN norm
+ORDER BY source
+"""

@@ -712,6 +712,11 @@ _ROUND6_NEW: list = [
     # binary decode -> rows-only; pytests pin numpy/pure-python replays
     "embedding_kmeans_clusters",
     "multimodal_audio_energy",
+    "corpus_temperature_mixture",
+    # KMV = 5th mergeable-sketch class; xxhash64 has no DuckDB twin ->
+    # rows-only, pytest pins the (k-1)/u_k error bound
+    "vocab_kmv_distinct",
+    "corpus_ngram_novelty",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -830,6 +835,12 @@ def _round6_queries():
         "embedding_kmeans_clusters": _si6.embedding_kmeans_clusters,
         # WAV frame-RMS / silence / VAD-segment triage via mapInPandas
         "multimodal_audio_energy": _mm6.multimodal_audio_energy,
+        # mT5-style T=2 sampling mixture (sqrt is the one portable power)
+        "corpus_temperature_mixture": _td6.corpus_temperature_mixture,
+        # KMV distinct sketch per source with auditable error
+        "vocab_kmv_distinct": approx.vocab_kmv_distinct,
+        # first-occurrence bigram novelty — the diminishing-returns curve
+        "corpus_ngram_novelty": _co6.corpus_ngram_novelty,
     }
 
 
@@ -1297,8 +1308,13 @@ def build_oracles() -> dict[str, str]:
     from .operators.dedup import ORACLE_DEDUP_CONTAINMENT
     oracles["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
     oracles["corpus_dsir_importance"] = corpus.ORACLE_DSIR_IMPORTANCE
-    from .operators.traindata import ORACLE_CURRICULUM_PHASES
+    from .operators.traindata import (
+        ORACLE_CURRICULUM_PHASES,
+        ORACLE_TEMPERATURE_MIXTURE,
+    )
     oracles["corpus_curriculum_phases"] = ORACLE_CURRICULUM_PHASES
+    oracles["corpus_temperature_mixture"] = ORACLE_TEMPERATURE_MIXTURE
+    oracles["corpus_ngram_novelty"] = corpus.ORACLE_NGRAM_NOVELTY
     from .operators.validate import ORACLE_K_ANONYMITY
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     return oracles

@@ -229,7 +229,7 @@ class TestRegistryGuard:
         # unless deliberately rows-only (IVFPQ + the float-iterative /
         # binary-decode pair)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
-                     "multimodal_audio_energy"}
+                     "multimodal_audio_energy", "vocab_kmv_distinct"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:
@@ -586,3 +586,142 @@ class TestAudioEnergy:
         assert r.n_frames == 3
         assert r.silence_ratio == 1.0 / 3.0
         assert r.n_active_segments == 2
+
+
+class TestTemperatureMixture:
+    def test_hand_checkable_and_flattening(self, spark, tmp_path):
+        """Two sources with a 9:1 token split: T=2 shares are
+        3/(3+1), 1/(3+1) (sqrt of 9:1), strictly flatter than raw."""
+        import math
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        df = spark.createDataFrame(
+            [(0, " ".join(["w"] * 9), "en", "big", 17),
+             (1, "w", "en", "small", 1)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        sf = str(tmp_path)
+        df.write.parquet(f"{sf}/documents.parquet")
+        out = {r.source: r for r in
+               traindata.corpus_temperature_mixture(spark, sf).collect()}
+        denom = math.sqrt(9.0) + math.sqrt(1.0)
+        assert out["big"].raw_share == 0.9
+        assert out["big"].temp_share == math.sqrt(9.0) / denom
+        assert out["small"].temp_share == math.sqrt(1.0) / denom
+        assert out["small"].boost > 1.0 > out["big"].boost
+
+    def test_shares_sum_to_one_and_flatten(self, spark):
+        import math
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        rows = traindata.corpus_temperature_mixture(spark, SF_MED).collect()
+        assert len(rows) >= 2
+        assert math.isclose(sum(r.raw_share for r in rows), 1.0,
+                            rel_tol=1e-12)
+        assert math.isclose(sum(r.temp_share for r in rows), 1.0,
+                            rel_tol=1e-12)
+        # flattening: temperature shrinks the spread
+        raw = [r.raw_share for r in rows]
+        tmp = [r.temp_share for r in rows]
+        assert max(tmp) - min(tmp) <= max(raw) - min(raw)
+
+
+class TestKmvDistinct:
+    def test_error_bound_and_exact_fallback(self, spark, sf_dir):
+        """KMV's standard deviation is ~1/sqrt(k-2); assert every source
+        lands within 4 sigma, and a source with fewer than k distinct
+        tokens reports exactly (the sketch holds the whole set)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        k = 64
+        rows = approx.vocab_kmv_distinct(spark, sf_dir, k=k).collect()
+        assert rows
+        bound = 4.0 / (k - 2) ** 0.5
+        for r in rows:
+            if r.exact_distinct < k:
+                assert r.kmv_estimate == float(r.exact_distinct)
+                assert r.rel_err == 0.0
+            else:
+                assert abs(r.rel_err) <= bound, (r.source, r.rel_err)
+
+    def test_matches_pure_python_sketch(self, spark, sf_dir):
+        """Replay the estimator in python on the same xxhash64 values
+        (fetched from Spark so the hash family is identical)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from pyspark.sql import functions as F
+
+        k = 64
+        hashed = (ld(spark, sf_dir, "documents")
+                  .select("source",
+                          F.explode(F.split("text", " ")).alias("tok"))
+                  .select("source", F.xxhash64("tok").alias("h"))
+                  .distinct().collect())
+        per_src = {}
+        for r in hashed:
+            per_src.setdefault(r.source, []).append(r.h)
+        got = {r.source: r for r in
+               approx.vocab_kmv_distinct(spark, sf_dir, k=k).collect()}
+        for src, hs in per_src.items():
+            hs.sort()
+            if len(hs) >= k:
+                u_k = (float(hs[k - 1]) + 2.0 ** 63 + 1.0) / 2.0 ** 64
+                expect = (k - 1) / u_k
+            else:
+                expect = float(len(hs))
+            assert got[src].kmv_estimate == expect
+            assert got[src].exact_distinct == len(hs)
+
+
+class TestNgramNovelty:
+    def test_matches_pure_python_first_seen(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        first_doc = {}
+        doc_grams = {}
+        for doc_id, text in sorted(duckdb.sql(
+                "SELECT doc_id, text FROM "
+                f"'{sf_dir}/documents.parquet'").fetchall()):
+            w = text.split(" ")
+            grams = {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+            doc_grams[doc_id] = grams
+            for g in grams:
+                first_doc.setdefault(g, doc_id)
+        got = {r.doc_id: r for r in
+               corpus.corpus_ngram_novelty(spark, sf_dir).collect()}
+        for doc_id, grams in doc_grams.items():
+            if not grams:
+                assert doc_id not in got
+                continue
+            novel = sum(1 for g in grams if first_doc[g] == doc_id)
+            r = got[doc_id]
+            assert r.n_grams == len(grams)
+            assert r.n_novel == novel
+            assert r.novelty_ratio == novel / len(grams)
+
+    def test_first_doc_is_fully_novel(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.corpus_ngram_novelty(spark, sf_dir).collect()
+        assert rows[0].novelty_ratio == 1.0   # lowest doc_id sees all-new
+        for r in rows:
+            assert 0.0 <= r.novelty_ratio <= 1.0
+            assert r.n_novel <= r.n_grams
