@@ -641,3 +641,61 @@ class TestRound5PlanShapes:
         assert "InMemoryTableScan" in plan
         assert "ArrowEvalPython" not in downstream
         assert plan_profile(q)["cartesian_products"] == 0
+
+
+class TestRound6PlanShapes:
+    """Scale-shape pins for the round-6 oracle entries: no cartesian
+    products, no Python on JVM-only paths, no single-partition windows."""
+
+    def test_dsir_and_novelty_stay_jvm_side_no_cartesian(self, spark,
+                                                         sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        for q in (corpus.corpus_dsir_importance(spark, sf_dir),
+                  corpus.corpus_ngram_novelty(spark, sf_dir)):
+            assert_no_python_in_plan(q)
+            assert plan_profile(q)["cartesian_products"] == 0
+
+    def test_containment_no_python_downstream(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            uncached_plan,
+        )
+
+        q = dedup.dedup_containment(spark, sf_dir)
+        prof = plan_profile(q)
+        assert prof["cartesian_products"] == 0
+        # shingling UDF lives only inside the persisted pin's build plan
+        assert "ArrowEvalPython" not in uncached_plan(q)
+
+    def test_temperature_and_kanonymity_tiny_shuffles(self, spark, sf_dir):
+        """Both collapse to O(sources)/O(segments) aggregates: the plan
+        must be pure hash-agg + (broadcast) joins — no sort-merge join,
+        no cartesian, no Python."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata, validate,
+        )
+
+        for q in (traindata.corpus_temperature_mixture(spark, sf_dir),
+                  validate.privacy_k_anonymity(spark, sf_dir)):
+            assert_no_python_in_plan(q)
+            prof = plan_profile(q)
+            assert prof["cartesian_products"] == 0
+            assert prof["sort_merge_joins"] == 0
+
+    def test_curriculum_and_kmv_no_single_partition_window(self, spark,
+                                                           sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx, traindata,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            traindata.corpus_curriculum_phases(spark, sf_dir)) == 0
+        # KMV's window partitions by source — fine; what must not exist
+        # is a global (un-partitioned) window
+        assert single_partition_windows(
+            approx.vocab_kmv_distinct(spark, sf_dir)) == 0
