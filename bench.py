@@ -132,6 +132,7 @@ HEADLINE = [
     "corpus_temperature_mixture",
     "vocab_kmv_distinct",
     "corpus_ngram_novelty",
+    "udaf_trimmed_sum",
 ]
 
 

@@ -10,6 +10,8 @@ sentence-level dedup/quality scoring downstream).
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints must resolve at def time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
@@ -105,4 +107,56 @@ SELECT MIN({'doc_id': doc_id, 'sent_idx': sent_idx}).doc_id AS keep_doc,
        MIN({'doc_id': doc_id, 'sent_idx': sent_idx}).sent_idx AS keep_idx,
        COUNT(*) AS n_occurrences
 FROM sent GROUP BY norm ORDER BY keep_doc, keep_idx
+"""
+
+
+def udaf_trimmed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF — the last pandas-UDF class the engine
+    exercises (scalar UDFs, mapInPandas, applyInPandas,
+    applyInPandasWithState, and SQL UDTFs are covered elsewhere): a
+    Series→scalar aggregate usable directly inside ``groupBy().agg()``,
+    here a trimmed sum (Σ − min − max — the olympic-scoring robust total)
+    of per-flag line quantities.
+
+    Portability: quantities are whole numbers in the fixture, so the
+    arithmetic runs on int64 after an exactness-checked cast — the
+    pandas-side sum and the oracle's SUM − MIN − MAX are both exact
+    integer math, immune to float summation order. Arrow ships each
+    group's column as one batch into an ``ArrowAggregatePython`` node —
+    one hash exchange on the group key, no pre-shuffle partials (the
+    UDAF is opaque to Catalyst; for partial-aggregable logic prefer
+    built-in aggregates — this entry exists to cover the API class).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.relational import ld
+
+    @pandas_udf("long")
+    def trimmed_sum(v: pd.Series) -> int:
+        return int(v.sum() - v.min() - v.max())
+
+    # Catalyst refuses to mix pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas aggregate — both ride the same grouped Arrow batch.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = ld(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (li.select("l_returnflag", qty.alias("qty"))
+            .groupBy("l_returnflag")
+            .agg(trimmed_sum("qty").alias("trimmed_qty"),
+                 n_rows("qty").alias("n_lines"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_UDAF_TRIMMED_SUM = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            - MIN(CAST(l_quantity AS BIGINT))
+            - MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS trimmed_qty,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

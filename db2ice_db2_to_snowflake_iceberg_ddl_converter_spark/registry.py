@@ -433,6 +433,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``_CANARIES_R06``: the 25 r01-checked entries, then r02-checked)
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
+
+    ROUND-7 ROTATION PLAN: the 15 round-6 debuts left a 35-canary fill,
+    so 35 of ``_CANARIES_R06`` missed this window and are first in line
+    for round 7 (in list order): join_inner_broadcast,
+    q10_returned_items, q12_priority_by_status, q13_customer_distribution,
+    q14_promo_revenue, q15_top_supplier, q20_part_share_suppliers,
+    q3_shipping_priority, q5_nation_revenue, q6_forecast_revenue,
+    set_except_all, streaming_interval_join, text_langid,
+    text_quality_score, text_token_stats, window_ntile_scalable,
+    window_range_frame, corpus_token_histogram, events_tumbling_hourly,
+    migrate_customer_cast, multimodal_metadata, q11_important_stock,
+    q16_supplier_variety, q17_small_quantity_revenue,
+    q19_disjunctive_predicates, q21_waiting_suppliers,
+    q22_dormant_customers, q2_min_cost_supplier, q4_order_priority,
+    q7_volume_shipping, q8_market_share, scalar_array_fns,
+    set_intersect_all, source_roundtrip_formats, text_normalize. Build
+    ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
+    round-7 entries, (3) these 35, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 35 were judged green locally this
+    round (full 236/236 sf0.01 sweep + the r5 judge's 22-entry sample),
+    so the displacement is a scheduling note, not a coverage gap. Same
+    verification command before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -717,6 +739,7 @@ _ROUND6_NEW: list = [
     # rows-only, pytest pins the (k-1)/u_k error bound
     "vocab_kmv_distinct",
     "corpus_ngram_novelty",
+    "udaf_trimmed_sum",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -802,6 +825,7 @@ _CANARIES_R06 = [
 def _round6_queries():
     """New round-6 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND6_NEW``."""
+    from .functions import tablefns as _fn6
     from .operators import corpus as _co6
     from .operators import graph as _gr6
     from .operators import multimodal as _mm6
@@ -841,6 +865,8 @@ def _round6_queries():
         "vocab_kmv_distinct": approx.vocab_kmv_distinct,
         # first-occurrence bigram novelty — the diminishing-returns curve
         "corpus_ngram_novelty": _co6.corpus_ngram_novelty,
+        # pandas GROUPED_AGG UDAF — the last uncovered pandas-UDF class
+        "udaf_trimmed_sum": _fn6.udaf_trimmed_sum,
     }
 
 
@@ -1315,6 +1341,8 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_curriculum_phases"] = ORACLE_CURRICULUM_PHASES
     oracles["corpus_temperature_mixture"] = ORACLE_TEMPERATURE_MIXTURE
     oracles["corpus_ngram_novelty"] = corpus.ORACLE_NGRAM_NOVELTY
+    from .functions.tablefns import ORACLE_UDAF_TRIMMED_SUM
+    oracles["udaf_trimmed_sum"] = ORACLE_UDAF_TRIMMED_SUM
     from .operators.validate import ORACLE_K_ANONYMITY
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     return oracles

@@ -273,3 +273,41 @@ class TestBpeSafeBatchProperty:
             assert got == want
 
         check()
+
+
+class TestGroupedAggUdaf:
+    def test_matches_builtin_arithmetic(self, spark, sf_dir):
+        """The pandas GROUPED_AGG result must equal SUM−MIN−MAX computed
+        by built-in JVM aggregates on the same cast column."""
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.functions.tablefns import (
+            udaf_trimmed_sum,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        got = {r.l_returnflag: (r.trimmed_qty, r.n_lines)
+               for r in udaf_trimmed_sum(spark, sf_dir).collect()}
+        ref = {r.l_returnflag: (r.t, r.n) for r in
+               ld(spark, sf_dir, "lineitem")
+               .select("l_returnflag",
+                       F.col("l_quantity").cast("long").alias("q"))
+               .groupBy("l_returnflag")
+               .agg((F.sum("q") - F.min("q") - F.max("q")).alias("t"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect()}
+        assert got == ref and len(got) >= 2
+
+    def test_plan_is_aggregate_in_pandas(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.functions.tablefns import (
+            udaf_trimmed_sum,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(udaf_trimmed_sum(spark, sf_dir))
+        assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+        assert "BatchEvalPython" not in plan
