@@ -133,6 +133,7 @@ HEADLINE = [
     "vocab_kmv_distinct",
     "corpus_ngram_novelty",
     "udaf_trimmed_sum",
+    "streaming_static_enrich",
 ]
 
 

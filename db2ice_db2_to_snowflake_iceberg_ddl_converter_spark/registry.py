@@ -125,6 +125,17 @@ def _streaming_queries():
             .alias("hour_start"),
             "event_type", "n_events", "total_value")
 
+    def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Oracle-checkable: stateless stream-static join + O(segments)
+        complete-mode agg — the drain equals the batch LEFT JOIN +
+        GROUP BY (decimal-protocol sums, arrival-order independent)."""
+        from .operators.relational import ld as _ld
+
+        out = _drain(spark, ev.enriched_segment_rollup(
+            ev.read_events_stream(spark, sf_dir),
+            _ld(spark, sf_dir, "customer")), "s_enrich")
+        return out.orderBy("segment")
+
     def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Oracle-checkable: the lag/cumsum SQL twin reproduces
         session_window's (first event, last event + gap) boundaries."""
@@ -279,7 +290,8 @@ def _streaming_queries():
             "streaming_user_stats": streaming_user_stats,
             "streaming_user_stats_v2": streaming_user_stats_v2,
             "streaming_cusum_alerts": streaming_cusum_alerts,
-            "streaming_heavy_hitters": streaming_heavy_hitters}
+            "streaming_heavy_hitters": streaming_heavy_hitters,
+            "streaming_static_enrich": streaming_static_enrich}
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,6 +752,7 @@ _ROUND6_NEW: list = [
     "vocab_kmv_distinct",
     "corpus_ngram_novelty",
     "udaf_trimmed_sum",
+    "streaming_static_enrich",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1343,6 +1356,8 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_ngram_novelty"] = corpus.ORACLE_NGRAM_NOVELTY
     from .functions.tablefns import ORACLE_UDAF_TRIMMED_SUM
     oracles["udaf_trimmed_sum"] = ORACLE_UDAF_TRIMMED_SUM
+    from .streaming.events import ORACLE_STREAMING_STATIC_ENRICH
+    oracles["streaming_static_enrich"] = ORACLE_STREAMING_STATIC_ENRICH
     from .operators.validate import ORACLE_K_ANONYMITY
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     return oracles

@@ -367,6 +367,34 @@ def enrich_with_customer_segment(events_stream: DataFrame,
     return events_stream.join(dim, "user_id", "left")
 
 
+def enriched_segment_rollup(events_stream: DataFrame,
+                            customers: DataFrame) -> DataFrame:
+    """Stream-static enrich → rollup: the canonical ingest-time pipeline
+    (attach the broadcast dimension, then aggregate on the enriched key).
+    Per customer segment (NULL segment = events from users outside the
+    customer dimension — kept visible, an enrichment-coverage signal):
+    event count and the determinism-protocol value sum, so the drained
+    stream is oracle-checkable against the batch LEFT JOIN + GROUP BY.
+
+    Stateless join + complete-mode agg: the only streaming state is the
+    O(segments) aggregation — watermark-free, the dimension re-broadcast
+    per micro-batch (see enrich_with_customer_segment).
+    """
+    enriched = enrich_with_customer_segment(events_stream, customers)
+    return (enriched.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(28,6)"))
+                 .cast("double").alias("total_value")))
+
+
+ORACLE_STREAMING_STATIC_ENRICH = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY segment
+"""
+
+
 def supports_transform_with_state() -> bool:
     """Spark 4's transformWithStateInPandas drives its state protocol over
     protobuf; without a working ``google.protobuf`` the streaming Python

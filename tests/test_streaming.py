@@ -444,3 +444,33 @@ class TestStreamingHeavyHitters:
                 # kept counters never overcount, undercount <= n/(k+1)
                 assert c <= exact[u]
                 assert exact[u] - c <= n / (k + 1)
+
+
+def test_enriched_segment_rollup_drain_equals_batch(spark, sf_dir, tmp_path):
+    """The registry's streaming_static_enrich drain must equal the batch
+    LEFT JOIN + GROUP BY bit-for-bit (decimal-protocol sums), including
+    the NULL-segment row for users outside the customer dimension."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import ld
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import events as ev
+
+    stream = ev.enriched_segment_rollup(
+        ev.read_events_stream(spark, sf_dir), ld(spark, sf_dir, "customer"))
+    q = ev.run_available_now(stream, "t_seg_rollup",
+                             tempfile.mkdtemp(prefix="ckpt_segroll_"),
+                             mode="complete")
+    q.stop()
+    got = {r.segment: (r.n_events, r.total_value)
+           for r in spark.table("t_seg_rollup").collect()}
+    batch = ev.enrich_with_customer_segment(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        ld(spark, sf_dir, "customer"))
+    ref = {r.segment: (r.n_events, r.total_value) for r in
+           batch.groupBy("segment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double").alias("total_value")).collect()}
+    assert got == ref and len(got) >= 1
