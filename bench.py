@@ -134,6 +134,7 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "udaf_trimmed_sum",
     "streaming_static_enrich",
+    "multimodal_image_stats",
 ]
 
 

@@ -464,3 +464,74 @@ def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
                "n_frames long, silence_ratio double, peak_rms double, "
                "n_active_segments int")
         .orderBy("doc_id"))
+
+
+def synth_bmp_from_text(text: str, width: int = 16, height: int = 8):
+    """Deterministic 24-bit image synthesizer: text bytes tile the pixel
+    grid (R = byte, G = byte of the reversed text, B = position mix), so
+    every doc yields a unique, reproducible image — the image-side
+    analogue of :func:`synth_pcm_from_text`, keeping the REAL BMP codec
+    exercised end-to-end without a media library."""
+    import numpy as np
+
+    b = (text or " ").encode("utf-8", "replace")
+    n = width * height
+    fwd = np.frombuffer((b * (n // len(b) + 1))[:n], dtype=np.uint8)
+    rev = np.frombuffer((b[::-1] * (n // len(b) + 1))[:n], dtype=np.uint8)
+    pos = (np.arange(n, dtype=np.uint32) * 37 % 251).astype(np.uint8)
+    img = np.stack([fwd, rev, pos], axis=1).reshape(height, width, 3)
+    return img
+
+
+def attach_image_payload(spark, sf_dir) -> DataFrame:
+    """documents → (doc_id, payload) with a REAL 24-bit BMP byte payload
+    per doc. Same single-scan Arrow shape as the audio twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_bmp(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_bmp(synth_bmp_from_text(t)))
+
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", to_bmp("text").alias("payload"))
+
+
+def multimodal_image_stats(spark, sf_dir) -> DataFrame:
+    """Per-asset image statistics over the binary BMP column: dimensions,
+    per-channel means, global contrast (luma max − min) — the triage
+    features an image-corpus curation pass computes before any model
+    step (drop blank/low-contrast assets, balance by brightness).
+
+    One ``mapInPandas`` pass decodes REAL BMP bytes (``decode_bmp`` —
+    the honest-codec contract: uncompressed formats for real, compressed
+    formats via the pluggable decoder seam) and reduces each image with
+    fixed-order numpy ops, so every number is a bit-stable pure function
+    of the asset's bytes. Rows-only driver check; pytest replays the
+    synth+decode+stats chain in pure python/numpy.
+    """
+    import numpy as np
+
+    assets = attach_image_payload(spark, sf_dir)
+
+    def analyze(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [],
+                   "contrast": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.float64)
+                luma = img.mean(axis=2)
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_r"].append(float(img[:, :, 0].mean()))
+                out["mean_g"].append(float(img[:, :, 1].mean()))
+                out["mean_b"].append(float(img[:, :, 2].mean()))
+                out["contrast"].append(float(luma.max() - luma.min()))
+            yield pd.DataFrame(out)
+
+    return (assets.mapInPandas(
+        analyze,
+        schema="doc_id long, width int, height int, mean_r double, "
+               "mean_g double, mean_b double, contrast double")
+        .orderBy("doc_id"))

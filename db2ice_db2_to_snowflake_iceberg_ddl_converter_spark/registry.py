@@ -753,6 +753,9 @@ _ROUND6_NEW: list = [
     "corpus_ngram_novelty",
     "udaf_trimmed_sum",
     "streaming_static_enrich",
+    # real-BMP decode triage (image twin of multimodal_audio_energy);
+    # binary decode -> rows-only, pure-numpy replay pytest
+    "multimodal_image_stats",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -880,6 +883,8 @@ def _round6_queries():
         "corpus_ngram_novelty": _co6.corpus_ngram_novelty,
         # pandas GROUPED_AGG UDAF — the last uncovered pandas-UDF class
         "udaf_trimmed_sum": _fn6.udaf_trimmed_sum,
+        # real-BMP decode stats — image twin of the audio energy triage
+        "multimodal_image_stats": _mm6.multimodal_image_stats,
     }
 
 

@@ -229,7 +229,8 @@ class TestRegistryGuard:
         # unless deliberately rows-only (IVFPQ + the float-iterative /
         # binary-decode pair)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
-                     "multimodal_audio_energy", "vocab_kmv_distinct"}
+                     "multimodal_audio_energy", "vocab_kmv_distinct",
+                     "multimodal_image_stats"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:
@@ -725,3 +726,41 @@ class TestNgramNovelty:
         for r in rows:
             assert 0.0 <= r.novelty_ratio <= 1.0
             assert r.n_novel <= r.n_grams
+
+
+class TestImageStats:
+    def test_matches_pure_numpy_replay(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        got = {r.doc_id: r for r in
+               multimodal.multimodal_image_stats(spark, sf_dir).collect()}
+        texts = duckdb.sql(
+            "SELECT doc_id, text FROM "
+            f"'{sf_dir}/documents.parquet' WHERE doc_id < 25").fetchall()
+        assert texts
+        for doc_id, text in texts:
+            img = multimodal.synth_bmp_from_text(text).astype(np.float64)
+            r = got[doc_id]
+            assert (r.width, r.height) == (img.shape[1], img.shape[0])
+            assert r.mean_r == float(img[:, :, 0].mean())
+            assert r.mean_g == float(img[:, :, 1].mean())
+            assert r.mean_b == float(img[:, :, 2].mean())
+            luma = img.mean(axis=2)
+            assert r.contrast == float(luma.max() - luma.min())
+
+    def test_codec_roundtrip_on_synth_images(self, spark):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        for text in ("hello world", "x", "a b c d e f g"):
+            img = multimodal.synth_bmp_from_text(text)
+            back = multimodal.decode_bmp(multimodal.encode_bmp(img))
+            assert np.array_equal(back, img)
