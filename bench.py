@@ -135,6 +135,7 @@ HEADLINE = [
     "udaf_trimmed_sum",
     "streaming_static_enrich",
     "multimodal_image_stats",
+    "graph_kcore",
 ]
 
 

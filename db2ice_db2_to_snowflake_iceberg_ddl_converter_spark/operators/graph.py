@@ -227,19 +227,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient is an integer-over-integer IEEE divide (bitwise-portable
     vs the oracle).
     """
-    li = ld(spark, sf_dir, "lineitem", fanout=False)
-    ps = li.select(F.col("l_partkey").alias("p"),
-                   F.col("l_suppkey").alias("s")).distinct()
-    pairs = (ps.alias("a").join(ps.alias("b"), "p")
-             .filter(F.col("a.s") < F.col("b.s"))
-             .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-             .agg(F.count(F.lit(1)).alias("shared")))
-    tot = pairs.agg(F.sum("shared").alias("ts"),
-                    F.count(F.lit(1)).alias("tp"))
-    edges = (pairs.join(F.broadcast(tot))
-             .filter(F.col("shared") * F.col("tp") * 10
-                     >= F.col("ts") * 11)
-             .select("s1", "s2"))
+    edges = supplier_coproduct_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
            .join(e3, (F.col("e3.s1") == F.col("e1.s1"))
@@ -286,9 +274,72 @@ FROM tri t, wedges w
 """
 
 
+def supplier_coproduct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded supplier co-sourcing edge list (s1 < s2) shared by
+    the triangle census and the k-core peel — see
+    :func:`graph_triangle_stats` for the census/threshold rationale."""
+    li = ld(spark, sf_dir, "lineitem", fanout=False)
+    ps = li.select(F.col("l_partkey").alias("p"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    pairs = (ps.alias("a").join(ps.alias("b"), "p")
+             .filter(F.col("a.s") < F.col("b.s"))
+             .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+             .agg(F.count(F.lit(1)).alias("shared")))
+    tot = pairs.agg(F.sum("shared").alias("ts"),
+                    F.count(F.lit(1)).alias("tp"))
+    return (pairs.join(F.broadcast(tot))
+            .filter(F.col("shared") * F.col("tp") * 10
+                    >= F.col("ts") * 11)
+            .select("s1", "s2"))
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
+                max_rounds: int = 20) -> DataFrame:
+    """k-core of the supplier co-sourcing graph: the maximal subgraph in
+    which every node keeps degree ≥ k — the standard peel for isolating
+    the densely-interconnected supplier cluster (and, on document/user
+    graphs, for community seeding and spam-ring detection).
+
+    Iterative peeling, each round ONE degree aggregation + ONE semi-join
+    restriction — O(peel-depth) shuffles, no all-pairs work beyond the
+    shared thresholded edge census. The surviving edge frame is
+    ``localCheckpoint``-ed per round (deliberate, the iterative-loop
+    contract from :func:`pagerank`/:func:`transitive_roots`: the loop
+    re-references its own output, so without truncation the analyzed
+    plan doubles each round); the frame is edge-census-sized, not
+    corpus-sized. One count per round drives the fixpoint exit — a
+    bounded scalar job, same tradeoff the hierarchy walk documents.
+
+    Output: surviving (node, core_degree), integers, rows-only (the
+    fixpoint loop has no SQL twin; pytest replays the peel in pure
+    python and pins the degree-≥-k invariant).
+    """
+    edges = (supplier_coproduct_edges(spark, sf_dir)
+             .select("s1", "s2").localCheckpoint())
+    n_prev = edges.count()
+    for _ in range(max_rounds):
+        deg = (edges.select(F.col("s1").alias("s"))
+               .unionAll(edges.select(F.col("s2").alias("s")))
+               .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("s")
+        edges = (edges
+                 .join(keep.withColumnRenamed("s", "s1"), "s1", "semi")
+                 .join(keep.withColumnRenamed("s", "s2"), "s2", "semi")
+                 .select("s1", "s2").localCheckpoint())
+        n = edges.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    deg = (edges.select(F.col("s1").alias("node"))
+           .unionAll(edges.select(F.col("s2").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))
+    return deg.orderBy("node")
+
+
 QUERIES = {"graph_pagerank_top": graph_pagerank_top,
            "graph_hierarchy_depths": graph_hierarchy_depths,
-           "graph_triangle_stats": graph_triangle_stats}
+           "graph_triangle_stats": graph_triangle_stats,
+           "graph_kcore": graph_kcore}
 
 ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS,
            "graph_triangle_stats": ORACLE_TRIANGLE_STATS}

@@ -446,9 +446,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 15 round-6 debuts left a 35-canary fill,
-    so 35 of ``_CANARIES_R06`` missed this window and are first in line
-    for round 7 (in list order): join_inner_broadcast,
+    ROUND-7 ROTATION PLAN: the 18 round-6 debuts left a 32-canary fill,
+    so 38 of ``_CANARIES_R06`` missed this window and are first in line
+    for round 7 (in list order): embedding_covariance,
+    events_sessionize, having_global_share, join_inner_broadcast,
     q10_returned_items, q12_priority_by_status, q13_customer_distribution,
     q14_promo_revenue, q15_top_supplier, q20_part_share_suppliers,
     q3_shipping_priority, q5_nation_revenue, q6_forecast_revenue,
@@ -462,10 +463,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q7_volume_shipping, q8_market_share, scalar_array_fns,
     set_intersect_all, source_roundtrip_formats, text_normalize. Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 35, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 35 were judged green locally this
-    round (full 236/236 sf0.01 sweep + the r5 judge's 22-entry sample),
-    so the displacement is a scheduling note, not a coverage gap. Same
+    round-7 entries, (3) these 38, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 38 were judged green locally this
+    round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
+    displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
     """
     q = _ShadowGuardDict()
@@ -756,6 +757,8 @@ _ROUND6_NEW: list = [
     # real-BMP decode triage (image twin of multimodal_audio_energy);
     # binary decode -> rows-only, pure-numpy replay pytest
     "multimodal_image_stats",
+    # iterative peel fixpoint -> rows-only, pure-python replay pytest
+    "graph_kcore",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -885,6 +888,8 @@ def _round6_queries():
         "udaf_trimmed_sum": _fn6.udaf_trimmed_sum,
         # real-BMP decode stats — image twin of the audio energy triage
         "multimodal_image_stats": _mm6.multimodal_image_stats,
+        # k-core peel over the shared supplier co-sourcing edge list
+        "graph_kcore": _gr6.QUERIES["graph_kcore"],
     }
 
 

@@ -230,7 +230,7 @@ class TestRegistryGuard:
         # binary-decode pair)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
                      "multimodal_audio_energy", "vocab_kmv_distinct",
-                     "multimodal_image_stats"}
+                     "multimodal_image_stats", "graph_kcore"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:
@@ -764,3 +764,37 @@ class TestImageStats:
             img = multimodal.synth_bmp_from_text(text)
             back = multimodal.decode_bmp(multimodal.encode_bmp(img))
             assert np.array_equal(back, img)
+
+
+class TestKcore:
+    def test_matches_pure_python_peel(self, spark):
+        """Replay the peel on the same edge list: membership and in-core
+        degrees must match exactly, and every survivor keeps degree >= k."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+
+        k = 3
+        edges = [(r.s1, r.s2) for r in
+                 graph.supplier_coproduct_edges(spark, SF_MED).collect()]
+        assert edges
+        cur = set(edges)
+        while True:
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        expect = {}
+        for a, b in cur:
+            expect[a] = expect.get(a, 0) + 1
+            expect[b] = expect.get(b, 0) + 1
+        got = {r.node: r.core_degree for r in
+               graph.QUERIES["graph_kcore"](spark, SF_MED).collect()}
+        assert got == expect
+        for d in got.values():
+            assert d >= k
