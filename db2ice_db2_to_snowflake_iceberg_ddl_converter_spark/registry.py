@@ -446,9 +446,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 18 round-6 debuts left a 32-canary fill,
-    so 38 of ``_CANARIES_R06`` missed this window and are first in line
-    for round 7 (in list order): embedding_covariance,
+    ROUND-7 ROTATION PLAN: the 19 round-6 debuts left a 31-canary fill,
+    so 39 of ``_CANARIES_R06`` missed this window and are first in line
+    for round 7 (in list order): dedup_ngram_jaccard_pruned,
+    embedding_covariance,
     events_sessionize, having_global_share, join_inner_broadcast,
     q10_returned_items, q12_priority_by_status, q13_customer_distribution,
     q14_promo_revenue, q15_top_supplier, q20_part_share_suppliers,
@@ -463,8 +464,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q7_volume_shipping, q8_market_share, scalar_array_fns,
     set_intersect_all, source_roundtrip_formats, text_normalize. Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 38, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 38 were judged green locally this
+    round-7 entries, (3) these 39, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 39 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
