@@ -136,6 +136,8 @@ HEADLINE = [
     "streaming_static_enrich",
     "multimodal_image_stats",
     "graph_kcore",
+    "sql_recursive_hierarchy",
+    "sink_pydatasource_roundtrip",
 ]
 
 

@@ -370,10 +370,53 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     return deg.orderBy("node")
 
 
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer hierarchy walk of :func:`graph_hierarchy_depths`
+    expressed as a NATIVE Spark 4 recursive CTE (``WITH RECURSIVE``) —
+    the engine runs the recursion itself, one join per LEVEL, plus an
+    ancestor-chain id sum the accumulating recursion carries for free.
+
+    This is the third formulation of the same semantics in the repo, and
+    the trade-off is the point: native recursion is O(depth) iterations
+    (right for shallow walks and by far the clearest code — the SQL is
+    character-for-character the oracle's, modulo DuckDB spelling ``//``
+    for DIV); pointer doubling (:func:`transitive_roots`) is O(log depth)
+    shuffles (right when depth is large or unknown). Exact integer
+    arithmetic throughout — hash-portable without any rounding protocol.
+    """
+    c = ld(spark, sf_dir, "customer", fanout=False)
+    c.select("c_custkey").createOrReplaceTempView("sql_rec_cust_v")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth,
+                 CAST(c_custkey AS BIGINT) AS path_sum
+          FROM sql_rec_cust_v
+          UNION ALL
+          SELECT node, anc DIV 2, depth + 1, path_sum + (anc DIV 2)
+          FROM walk WHERE anc > 0)
+        SELECT node AS c_custkey, anc AS root, depth, path_sum
+        FROM walk WHERE anc = 0 ORDER BY c_custkey""")
+
+
+ORACLE_SQL_RECURSIVE = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth,
+         CAST(c_custkey AS BIGINT) AS path_sum
+  FROM customer
+  UNION ALL
+  SELECT node, anc // 2, depth + 1, path_sum + (anc // 2)
+  FROM walk WHERE anc > 0)
+SELECT node AS c_custkey, anc AS root, depth, path_sum
+FROM walk WHERE anc = 0 ORDER BY c_custkey
+"""
+
+
 QUERIES = {"graph_pagerank_top": graph_pagerank_top,
            "graph_hierarchy_depths": graph_hierarchy_depths,
            "graph_triangle_stats": graph_triangle_stats,
-           "graph_kcore": graph_kcore}
+           "graph_kcore": graph_kcore,
+           "sql_recursive_hierarchy": sql_recursive_hierarchy}
 
 ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS,
-           "graph_triangle_stats": ORACLE_TRIANGLE_STATS}
+           "graph_triangle_stats": ORACLE_TRIANGLE_STATS,
+           "sql_recursive_hierarchy": ORACLE_SQL_RECURSIVE}

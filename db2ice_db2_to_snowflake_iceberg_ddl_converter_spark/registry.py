@@ -446,9 +446,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 19 round-6 debuts left a 31-canary fill,
-    so 39 of ``_CANARIES_R06`` missed this window and are first in line
-    for round 7 (in list order): dedup_ngram_jaccard_pruned,
+    ROUND-7 ROTATION PLAN: the 21 round-6 debuts left a 29-canary fill,
+    so 41 of ``_CANARIES_R06`` missed this window and are first in line
+    for round 7 (in list order): dedup_embedding_cosine,
+    dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
     events_sessionize, having_global_share, join_inner_broadcast,
     q10_returned_items, q12_priority_by_status, q13_customer_distribution,
@@ -464,8 +465,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q7_volume_shipping, q8_market_share, scalar_array_fns,
     set_intersect_all, source_roundtrip_formats, text_normalize. Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 39, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 39 were judged green locally this
+    round-7 entries, (3) these 41, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 41 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -760,6 +761,8 @@ _ROUND6_NEW: list = [
     "multimodal_image_stats",
     # iterative peel fixpoint -> rows-only, pure-python replay pytest
     "graph_kcore",
+    "sql_recursive_hierarchy",
+    "sink_pydatasource_roundtrip",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -847,6 +850,7 @@ def _round6_queries():
     here must also be appended to ``_ROUND6_NEW``."""
     from .functions import tablefns as _fn6
     from .operators import corpus as _co6
+    from .sources import pydatasource as _pds6
     from .operators import graph as _gr6
     from .operators import multimodal as _mm6
     from .operators import similarity as _si6
@@ -891,6 +895,12 @@ def _round6_queries():
         "multimodal_image_stats": _mm6.multimodal_image_stats,
         # k-core peel over the shared supplier co-sourcing edge list
         "graph_kcore": _gr6.QUERIES["graph_kcore"],
+        # native Spark 4 WITH RECURSIVE — engine-level recursion, the
+        # O(depth) twin of the pointer-doubling hierarchy walk
+        "sql_recursive_hierarchy": _gr6.QUERIES["sql_recursive_hierarchy"],
+        # Python DataSource WRITE path: task-commit/manifest protocol,
+        # loss-free kvlines round trip proven against the parquet oracle
+        "sink_pydatasource_roundtrip": _pds6.sink_pydatasource_roundtrip,
     }
 
 
@@ -1371,4 +1381,8 @@ def build_oracles() -> dict[str, str]:
     oracles["streaming_static_enrich"] = ORACLE_STREAMING_STATIC_ENRICH
     from .operators.validate import ORACLE_K_ANONYMITY
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
+    from .operators.graph import ORACLE_SQL_RECURSIVE
+    oracles["sql_recursive_hierarchy"] = ORACLE_SQL_RECURSIVE
+    from .sources.pydatasource import ORACLE_SINK_PYDATASOURCE
+    oracles["sink_pydatasource_roundtrip"] = ORACLE_SINK_PYDATASOURCE
     return oracles

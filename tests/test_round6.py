@@ -798,3 +798,96 @@ class TestKcore:
         assert got == expect
         for d in got.values():
             assert d >= k
+
+
+class TestSqlRecursiveHierarchy:
+    def test_matches_pointer_doubling(self, spark):
+        """The native WITH RECURSIVE walk and the O(log depth) pointer
+        doubling are two formulations of the same closure: root and depth
+        must agree node-for-node."""
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        native = {r.c_custkey: (r.root, r.depth) for r in
+                  graph.sql_recursive_hierarchy(spark, SF_MED).collect()}
+        c = ld(spark, SF_MED, "customer", fanout=False)
+        parents = c.select(
+            F.col("c_custkey").alias("node"),
+            F.when(F.col("c_custkey") > 0,
+                   F.expr("c_custkey div 2")).otherwise(F.lit(0))
+            .alias("parent"))
+        doubled = {r.node: (r.root, r.depth) for r in
+                   graph.transitive_roots(parents, n_rounds=6).collect()}
+        assert native == doubled
+
+    def test_path_sum_closed_form(self, spark):
+        """path_sum is the sum of the halving chain k, k//2, ..., 0 —
+        check the accumulating recursion against a python replay."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            graph,
+        )
+
+        rows = graph.sql_recursive_hierarchy(spark, SF_MED).collect()
+        assert rows
+        for r in rows[:50] + rows[-50:]:
+            k, total = r.c_custkey, 0
+            while True:
+                total += k
+                if k == 0:
+                    break
+                k //= 2
+            assert r.path_sum == total
+
+
+class TestKvLinesSink:
+    def test_roundtrip_values_and_manifest(self, spark, tmp_path):
+        """Write a frame with nulls, negatives and floats through the
+        kvlines writer; the reader must return exactly the same rows, and
+        only manifest-listed files may be visible to it."""
+        import json
+        import os
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.pydatasource import (
+            KvLinesSource,
+        )
+
+        spark.dataSource.register(KvLinesSource)
+        rows = [(1, None, -2.5), (2, 7, 0.1), (3, None, None),
+                (4, -9, 12345.678901)]
+        df = spark.createDataFrame(
+            rows, "nation_key long, n_customers long, total_acctbal double")
+        out = str(tmp_path / "kv")
+        os.makedirs(out)
+        (df.repartition(3).write.format("kvlines")
+         .option("path", out).mode("append").save())
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["n_rows"] == 4
+        assert all(f.startswith("part-") for f in manifest["files"])
+        # a stray uncommitted file must be invisible to the reader
+        with open(os.path.join(out, "part-99999.kvl"), "w") as fh:
+            fh.write("5\x015\x015.0\n")
+        back = (spark.read.format("kvlines").option("path", out).load()
+                .collect())
+        assert sorted(tuple(r) for r in back) == sorted(rows)
+
+    def test_unencodable_cell_fails_loudly(self, spark, tmp_path):
+        """A string cell carrying the separator must raise, not corrupt."""
+        import os
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.pydatasource import (
+            KvLinesSource,
+        )
+
+        spark.dataSource.register(KvLinesSource)
+        df = spark.createDataFrame([("a\x01b",)], "s string")
+        out = str(tmp_path / "bad")
+        os.makedirs(out)
+        with pytest.raises(Exception, match="cannot encode|PythonException"):
+            (df.write.format("kvlines").option("schema", "s string")
+             .option("path", out).mode("append").save())
