@@ -160,6 +160,13 @@ class KvLinesSource(DataSource):
     aborted files are invisible by construction) and yields one input
     partition per committed file, decoding by the schema passed by the
     engine (``.schema(...)`` on read, or this source's demo default).
+
+    Contract limit (documented, not hidden): each job's ``commit()``
+    REPLACES the manifest, so a second write to the same path publishes
+    only its own files — kvlines tables are write-once-per-path
+    (re-runs are idempotent replacements, which is exactly what the
+    retry-safe demo needs). A true append would version part filenames
+    per job and union manifests; out of scope here.
     """
 
     @classmethod
