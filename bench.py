@@ -138,6 +138,8 @@ HEADLINE = [
     "graph_kcore",
     "sql_recursive_hierarchy",
     "sink_pydatasource_roundtrip",
+    "retrieval_bm25_topk",
+    "diag_join_key_skew",
 ]
 
 

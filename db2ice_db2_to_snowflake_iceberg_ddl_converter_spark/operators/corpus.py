@@ -144,6 +144,104 @@ FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk
 """
 
 
+#: The fixed demo query for :func:`retrieval_bm25_topk` — terms from the
+#: fixture vocabulary so every SF has hits; the operator itself takes any
+#: term list.
+BM25_QUERY_TERMS = ["spark", "window", "hash", "vector", "merge"]
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str,
+                        k: int = 15) -> DataFrame:
+    """Query-side BM25 retrieval: score every document against a fixed
+    bag-of-terms query and return the top-k — the serving-shaped
+    retrieval twin of :func:`corpus_tfidf_top_terms` (which weights
+    terms *within* each doc; this ranks docs *for a query*, with the
+    full BM25 tf-saturation + doc-length normalization that plain tf-idf
+    lacks: k1=1.2, b=0.75).
+
+    Portability: the idf keeps the log-free rational core
+    ``(N − df + 0.5)/(df + 0.5)`` (same rationale as the tfidf entry —
+    log is engine-libm and off-limits for hashed outputs; the ratio is
+    monotone with classic idf so rankings agree). Every constant (2.2,
+    1.2, 0.25, 0.75, 0.5) is a parsed literal on BOTH sides — never
+    computed (1.2+1.0 at runtime need not equal the parsed literal
+    2.2's double). Per-(doc,term) contributions are pure IEEE double
+    chains in oracle-identical op order; the per-doc sum follows the
+    decimal protocol (cast to DECIMAL(28,6), order-independent exact
+    sum, one final cast) so Spark's unordered aggregation cannot drift
+    from DuckDB's.
+
+    Scale shape: the explode is filtered to the |Q| query terms BEFORE
+    any aggregation, so the tf shuffle is O(matching docs × |Q|), not
+    O(corpus tokens); df is a |Q|-row broadcast; N and total-token
+    count are one bounded scalar collect (the allowed class); top-k is
+    TakeOrderedAndProject — per-partition heads, no global sort. At
+    100 TB nothing here is corpus-sized except the initial scan.
+    """
+    d = ld(spark, sf_dir, "documents")
+    scal = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("ttok")).collect()[0]
+    n_docs = scal["n"]
+    avgdl = scal["ttok"] / n_docs  # exact ints -> one IEEE divide
+    hits = (d.select("doc_id",
+                     F.size(F.split("text", " ")).alias("dl"),
+                     F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term").isin(BM25_QUERY_TERMS)))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    df_tbl = (hits.select("term", "doc_id").distinct()
+              .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    idf = ((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (F.lit(0.25)
+                                + F.lit(0.75) * F.col("dl").cast("double")
+                                / F.lit(avgdl))
+    contrib = idf * (tfd * F.lit(2.2)) / denom
+    return (tf.join(F.broadcast(df_tbl), "term")
+            .select("doc_id", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c").cast(DEC)).cast("double").alias("bm25"),
+                 F.count(F.lit(1)).alias("n_query_terms_hit"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(k))
+
+
+ORACLE_BM25_TOPK = """
+WITH scal AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+           AS avgdl
+  FROM documents),
+hits AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         UNNEST(string_split(text, ' ')) AS term
+  FROM documents),
+fh AS (
+  SELECT * FROM hits
+  WHERE term IN ('spark', 'window', 'hash', 'vector', 'merge')),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM fh GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM fh GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ((scal.nd - df.df + 0.5) / (df.df + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / scal.avgdl))
+           AS c
+  FROM tf JOIN df USING (term), scal)
+SELECT doc_id,
+       CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+       COUNT(*) AS n_query_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str,
                          dims: int = 6) -> DataFrame:
     """Population covariance of the first ``dims`` embedding dimensions in
@@ -1639,4 +1737,77 @@ SELECT b.doc_id, COUNT(*) AS n_grams,
             AS DOUBLE) / COUNT(*) AS novelty_ratio
 FROM bg b JOIN first f USING (bigram)
 GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+def corpus_token_cooccurrence(spark: SparkSession, sf_dir: str,
+                              vocab_k: int = 100, top_pairs: int = 50
+                              ) -> DataFrame:
+    """Document-level co-occurrence lift between the top-``vocab_k``
+    tokens: for each token pair (a < b), in how many documents do both
+    appear, and how does that compare to independence — the phrase /
+    topic-coupling signal a corpus audit reads before n-gram merging or
+    contamination triage (lift >> 1 = the pair travels together;
+    ~1 = independent; << 1 = complementary distribution).
+
+    Portability: lift keeps the log-free rational form
+    ``(c_ab · N) / (df_a · df_b)`` — exact integer numerator and
+    denominator, ONE IEEE divide (the PMI log is monotone in it, so
+    rankings agree with textbook PMI). Vocabulary selection is
+    deterministic: doc-frequency desc, then token asc.
+
+    Scale shape: doc-frequency census (one shuffle, O(vocab) output) →
+    TakeOrdered top-k vocab → BROADCAST semi-join pins the per-doc hit
+    lists to ≤ vocab_k entries → per-doc pair explosion is ≤
+    C(vocab_k, 2) bounded, grouped map-side-partial → marginals join is
+    a broadcast of vocab_k rows. The corpus-sized token stream is
+    touched exactly once; nothing all-pairs ever forms.
+    """
+    d = ld(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar (allowed class)
+    hits = (d.select("doc_id",
+                     F.explode(F.array_distinct(F.split("text", " ")))
+                     .alias("term")))
+    df_tbl = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_tbl.orderBy(F.desc("df"), "term").limit(vocab_k)
+    vhits = hits.join(F.broadcast(vocab), "term")
+    pairs = (vhits.alias("a")
+             .join(vhits.alias("b"), on=[
+                 F.col("a.doc_id") == F.col("b.doc_id"),
+                 F.col("a.term") < F.col("b.term")])
+             .groupBy(F.col("a.term").alias("t1"),
+                      F.col("b.term").alias("t2"))
+             .agg(F.count(F.lit(1)).alias("c_ab"),
+                  F.max(F.col("a.df")).alias("df_a"),
+                  F.max(F.col("b.df")).alias("df_b")))
+    return (pairs.select(
+        "t1", "t2", "c_ab", "df_a", "df_b",
+        ((F.col("c_ab") * F.lit(n_docs)).cast("double")
+         / (F.col("df_a") * F.col("df_b"))).alias("lift"))
+        .orderBy(F.desc("c_ab"), "t1", "t2")
+        .limit(top_pairs))
+
+
+ORACLE_TOKEN_COOCCURRENCE = """
+WITH hits AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+    FROM documents)),
+df_tbl AS (
+  SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+vocab AS (
+  SELECT term, df FROM df_tbl ORDER BY df DESC, term LIMIT 100),
+vhits AS (
+  SELECT h.doc_id, h.term, v.df FROM hits h JOIN vocab v USING (term)),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c_ab,
+         MAX(a.df) AS df_a, MAX(b.df) AS df_b
+  FROM vhits a JOIN vhits b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT t1, t2, c_ab, df_a, df_b,
+       CAST(c_ab * n_docs AS DOUBLE) / (df_a * df_b) AS lift
+FROM pairs, n
+ORDER BY c_ab DESC, t1, t2 LIMIT 50
 """

@@ -456,3 +456,114 @@ FROM ranked
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def diag_join_key_skew(spark: SparkSession, sf_dir: str,
+                       k: int = 10) -> DataFrame:
+    """Hot-key diagnostic for a prospective join/aggregation key: per-key
+    row counts, each key's share of the table, and its skew factor vs
+    the per-key average — the pre-flight census a 100 TB pipeline runs
+    BEFORE picking a join strategy (plain shuffle vs AQE skew split vs
+    an explicit salt). It profiles the same synthesized ~30%%-hot key
+    as :func:`join_salted_hot_key`, so the pair reads as diagnosis →
+    remediation: this entry surfaces key 0 at share ≈ 0.3 and a
+    four-digit skew factor, which is exactly the shape where the salted
+    rewrite (or AQE's skew splitter) is mandatory.
+
+    Scale shape: one hash aggregation with map-side partials (shuffle is
+    O(distinct keys), never O(rows)), a 1-row broadcast of the totals,
+    and TakeOrderedAndProject for the top-k — per-partition heads, no
+    global sort. Arithmetic is exact-integer until two single IEEE
+    divides (share, skew_vs_avg), hash-portable by the module protocol.
+    """
+    from .relational import ld
+
+    l = ld(spark, sf_dir, "lineitem", fanout=False)
+    hk = F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)) \
+        .otherwise(F.col("l_orderkey")).alias("hk")
+    per_key = (l.select(hk).groupBy("hk")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = per_key.agg(F.sum("cnt").alias("total"),
+                      F.count(F.lit(1)).alias("n_keys"))
+    return (per_key.join(F.broadcast(tot))
+            .select("hk", "cnt",
+                    (F.col("cnt").cast("double") / F.col("total"))
+                    .alias("share"),
+                    ((F.col("cnt") * F.col("n_keys")).cast("double")
+                     / F.col("total")).alias("skew_vs_avg"))
+            .orderBy(F.desc("cnt"), "hk")
+            .limit(k))
+
+
+ORACLE_DIAG_JOIN_KEY_SKEW = """
+WITH pk AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS hk,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY hk),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM pk)
+SELECT hk, cnt,
+       CAST(cnt AS DOUBLE) / total AS share,
+       CAST(cnt * n_keys AS DOUBLE) / total AS skew_vs_avg
+FROM pk, tot
+ORDER BY cnt DESC, hk LIMIT 10
+"""
+
+
+def diag_blocking_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight cardinality forecast for a key-blocked self-join — the
+    census a dedup pipeline runs BEFORE launching pairwise comparison to
+    know exactly how many candidate pairs a proposed blocking key will
+    generate (and whether one giant block will dominate the stage). The
+    blocking key here is the realistic near-dup one: (lang, token-count
+    bucket of 16) over documents — near-dups share a language and have
+    similar length.
+
+    Per (lang, bucket) block of size c the pairwise stage does
+    c·(c−1)/2 comparisons; this computes the per-key counts (shuffle is
+    O(distinct blocks), never O(rows²)), then folds them into ONE row:
+    total rows/blocks, the exact unordered-pair total, the largest
+    block, and two skew ratios. Exact integer arithmetic end-to-end with
+    two single IEEE divides — the forecast costs one aggregation but
+    prices the whole O(Σc²) stage.
+    """
+    from .relational import ld
+
+    d = ld(spark, sf_dir, "documents")
+    # `div` / `//` = integer floor division on BOTH sides — exact bigint
+    # end-to-end (a double `/` then cast would truncate in Spark but
+    # round in DuckDB)
+    blocks = (d.select(
+        "lang",
+        F.expr("size(split(text, ' ')) div 16").alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("c")))
+    pairs = F.expr("(c * (c - 1)) div 2")
+    return (blocks.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(pairs).alias("candidate_pairs"),
+        F.max("c").alias("max_block"),
+        (F.max(pairs).cast("double") / F.sum(pairs))
+        .alias("max_block_pair_share"),
+        (F.sum(pairs).cast("double") / F.sum("c"))
+        .alias("pairs_per_row")))
+
+
+ORACLE_DIAG_BLOCKING_PAIRS = """
+WITH blocks AS (
+  SELECT lang,
+         len(string_split(text, ' ')) // 16 AS len_bucket,
+         COUNT(*) AS c
+  FROM documents GROUP BY lang, len_bucket)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_blocks,
+       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs,
+       MAX(c) AS max_block,
+       CAST(MAX((c * (c - 1)) // 2) AS DOUBLE)
+         / CAST(SUM((c * (c - 1)) // 2) AS BIGINT)
+         AS max_block_pair_share,
+       CAST(SUM((c * (c - 1)) // 2) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+         AS pairs_per_row
+FROM blocks
+"""

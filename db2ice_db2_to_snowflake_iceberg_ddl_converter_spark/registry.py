@@ -446,8 +446,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 21 round-6 debuts left a 29-canary fill,
-    so 41 of ``_CANARIES_R06`` missed this window and are first in line
+    ROUND-7 ROTATION PLAN: the 23 round-6 debuts left a 27-canary fill,
+    so 43 of ``_CANARIES_R06`` missed this window and are first in line
     for round 7 (in list order): dedup_embedding_cosine,
     dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
@@ -463,10 +463,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q19_disjunctive_predicates, q21_waiting_suppliers,
     q22_dormant_customers, q2_min_cost_supplier, q4_order_priority,
     q7_volume_shipping, q8_market_share, scalar_array_fns,
-    set_intersect_all, source_roundtrip_formats, text_normalize. Build
+    set_intersect_all, source_roundtrip_formats, text_normalize,
+    corpus_curate, corr_above_nation_avg (the last two displaced when
+    the late debuts retrieval_bm25_topk / diag_join_key_skew shrank the
+    fill 29→27). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 41, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 41 were judged green locally this
+    round-7 entries, (3) these 43, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 43 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -763,6 +766,8 @@ _ROUND6_NEW: list = [
     "graph_kcore",
     "sql_recursive_hierarchy",
     "sink_pydatasource_roundtrip",
+    "retrieval_bm25_topk",
+    "diag_join_key_skew",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -850,6 +855,7 @@ def _round6_queries():
     here must also be appended to ``_ROUND6_NEW``."""
     from .functions import tablefns as _fn6
     from .operators import corpus as _co6
+    from .operators import scale as _sc6
     from .sources import pydatasource as _pds6
     from .operators import graph as _gr6
     from .operators import multimodal as _mm6
@@ -901,6 +907,12 @@ def _round6_queries():
         # Python DataSource WRITE path: task-commit/manifest protocol,
         # loss-free kvlines round trip proven against the parquet oracle
         "sink_pydatasource_roundtrip": _pds6.sink_pydatasource_roundtrip,
+        # query-side BM25 top-k: tf-saturation + length normalization,
+        # log-free rational idf, decimal-protocol per-doc sum
+        "retrieval_bm25_topk": _co6.retrieval_bm25_topk,
+        # hot-key census: the diagnosis whose remediation is
+        # join_salted_hot_key (same synthesized ~30% hot key)
+        "diag_join_key_skew": _sc6.diag_join_key_skew,
     }
 
 
@@ -1385,4 +1397,7 @@ def build_oracles() -> dict[str, str]:
     oracles["sql_recursive_hierarchy"] = ORACLE_SQL_RECURSIVE
     from .sources.pydatasource import ORACLE_SINK_PYDATASOURCE
     oracles["sink_pydatasource_roundtrip"] = ORACLE_SINK_PYDATASOURCE
+    oracles["retrieval_bm25_topk"] = corpus.ORACLE_BM25_TOPK
+    from .operators.scale import ORACLE_DIAG_JOIN_KEY_SKEW
+    oracles["diag_join_key_skew"] = ORACLE_DIAG_JOIN_KEY_SKEW
     return oracles

@@ -891,3 +891,101 @@ class TestKvLinesSink:
         with pytest.raises(Exception, match="cannot encode|PythonException"):
             (df.write.format("kvlines").option("schema", "s string")
              .option("path", out).mode("append").save())
+
+
+class TestBm25Retrieval:
+    def test_scores_match_pure_python_bm25(self, spark, sf_dir):
+        """Independent check: recompute BM25 for the fixed query in plain
+        Python (same k1=1.2, b=0.75, rational idf) over the collected
+        corpus and demand the same ranking and scores."""
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            BM25_QUERY_TERMS,
+            retrieval_bm25_topk,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        docs = {r.doc_id: r.text.split(" ")
+                for r in ld(spark, sf_dir, "documents").collect()}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df_ = Counter(t for toks in docs.values()
+                      for t in set(toks) if t in BM25_QUERY_TERMS)
+        expected = {}
+        for doc_id, toks in docs.items():
+            tf = Counter(t for t in toks if t in BM25_QUERY_TERMS)
+            if not tf:
+                continue
+            s = 0.0
+            for term, f in tf.items():
+                idf = (n - df_[term] + 0.5) / (df_[term] + 0.5)
+                s += idf * (f * 2.2) / (
+                    f + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            expected[doc_id] = (s, len(tf))
+        top = sorted(expected.items(),
+                     key=lambda kv: (-kv[1][0], kv[0]))[:15]
+        got = retrieval_bm25_topk(spark, sf_dir).collect()
+        assert [r.doc_id for r in got] == [d for d, _ in top]
+        for r, (_, (s, nt)) in zip(got, top):
+            # the DECIMAL(28,6) portability sum rounds each of the <=5
+            # per-term contributions to 1e-6 before adding
+            assert r.bm25 == pytest.approx(s, abs=3e-6)
+            assert r.n_query_terms_hit == nt
+
+    def test_plan_broadcasts_df_and_fuses_topk(self, spark, sf_dir):
+        """df join must be broadcast (|Q|-row side) and the top-k must be
+        TakeOrderedAndProject, never a global sort."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            retrieval_bm25_topk,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(retrieval_bm25_topk(spark, sf_dir))
+        assert p["broadcast_hash_joins"] >= 1
+        assert p["sort_merge_joins"] == 0
+        assert p["top_k_sorts"] == 1
+
+
+class TestJoinKeySkewDiag:
+    def test_hot_key_share_and_skew_factor(self, spark, sf_dir):
+        """The synthesized hot key 0 absorbs orderkeys with last digit
+        0-2 (~30% of lineitem); the diagnostic must rank it first with
+        share ~= 0.3 and skew_vs_avg = share * n_keys exactly."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_join_key_skew,
+        )
+
+        rows = diag_join_key_skew(spark, sf_dir).collect()
+        total = ld(spark, sf_dir, "lineitem", fanout=False).count()
+        n_keys = len({0 if r.l_orderkey % 10 < 3 else r.l_orderkey
+                      for r in ld(spark, sf_dir, "lineitem", fanout=False)
+                      .select("l_orderkey").collect()})
+        assert rows[0].hk == 0
+        assert rows[0].share == pytest.approx(0.3, abs=0.05)
+        assert rows[0].share == rows[0].cnt / total
+        for r in rows:
+            assert r.skew_vs_avg == pytest.approx(
+                r.share * n_keys, rel=1e-12)
+        # the hot key dwarfs the runner-up — the shape AQE's skew
+        # splitter / the salted rewrite exists for
+        assert rows[0].cnt > 10 * rows[1].cnt
+
+    def test_topk_is_take_ordered(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_join_key_skew,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(diag_join_key_skew(spark, sf_dir))
+        assert p["top_k_sorts"] == 1
+        assert p["sort_merge_joins"] == 0
