@@ -140,6 +140,10 @@ HEADLINE = [
     "sink_pydatasource_roundtrip",
     "retrieval_bm25_topk",
     "diag_join_key_skew",
+    "events_acf_daily",
+    "events_interarrival_stats",
+    "diag_blocking_pair_census",
+    "corpus_token_cooccurrence",
 ]
 
 

@@ -609,3 +609,76 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str,
                 " n_alarms_low long, peak_stat_high double,"
                 " peak_stat_low double, first_alarm_ordinal long")
             .orderBy("event_type"))
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap profile per event type: count, mean / std /
+    coefficient-of-variation, and min/max of the whole-second gaps
+    between consecutive events — the burstiness diagnostic that sizes
+    streaming micro-batches and rate-anomaly thresholds (CV >> 1 means
+    bursty arrivals; ~1 is Poisson-like; << 1 is a steady clock).
+
+    Determinism: consecutive order is (epoch_us, event_id) — the module
+    tiebreak protocol — and tie gaps are 0 regardless of tie order, so
+    the gap multiset is reproducible. Gaps are floor-divided to whole
+    seconds as exact integers (``div`` ↔ ``//``); sums and sums of
+    squares ride the decimal protocol; variance is the clamped
+    ``greatest(E[g²] − mean², 0)`` with oracle-identical op order, std
+    is a single sqrt (portable), CV one more divide.
+
+    Scale shape: one shuffle keyed by event_type for the lag window
+    (PARTITION BY keeps sort runs inside their partition), then a
+    map-side-partial aggregation to O(types) rows. No driver math.
+    """
+    e = load_events(spark, sf_dir).select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (e.select("event_type",
+                     (F.col("us") - F.lag("us").over(w)).alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull())
+            .select("event_type",
+                    F.expr("gap_us div 1000000").alias("gap_s")))
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast(DEC)).alias("s2"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"))
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    msq = F.col("s2").cast("double") / F.col("n_gaps")
+    var = F.greatest(msq - mean * mean, F.lit(0.0))
+    return (agg.select(
+        "event_type", "n_gaps",
+        mean.alias("mean_gap_s"),
+        F.sqrt(var).alias("std_gap_s"),
+        (F.sqrt(var) / mean).alias("cv"),
+        "min_gap_s", "max_gap_s")
+        .orderBy("event_type"))
+
+
+ORACLE_EVENTS_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+  FROM events),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         SUM(CAST(gap_s * gap_s AS DECIMAL(28,6))) AS s2,
+         MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_gaps,
+       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+       SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                     - (CAST(s1 AS DOUBLE) / n_gaps)
+                       * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+         AS std_gap_s,
+       SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                     - (CAST(s1 AS DOUBLE) / n_gaps)
+                       * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+         / (CAST(s1 AS DOUBLE) / n_gaps) AS cv,
+       min_gap_s, max_gap_s
+FROM agg ORDER BY event_type
+"""

@@ -385,3 +385,117 @@ SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
 FROM filled
 ORDER BY user_id, day
 """
+
+
+def events_acf_daily(spark: SparkSession, sf_dir: str,
+                     max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation of each event type's DAILY event count at
+    lags 1..max_lag — the seasonality/persistence diagnostic a
+    forecasting or anomaly pipeline runs before picking a model (a
+    weekly cycle shows as a lag-7 peak, heavy persistence as slow lag-1
+    decay). The series is densified first (zero-count days exist) over
+    each type's own [min_day, max_day] span, so the lag join is over a
+    gap-free grid; classic estimator: numerator over the n-k overlapping
+    pairs, denominator = the full-series centered sum of squares.
+
+    Portability: day arithmetic is exact integer day numbers
+    (``datediff`` from the epoch ↔ DuckDB ``date_diff('day', ...)``),
+    counts are exact ints, the mean is one IEEE divide of exact values,
+    each centered product is an oracle-identical double chain rounded to
+    DECIMAL(28,6) before the order-independent sum, and acf is one final
+    divide. No log/exp anywhere.
+
+    Scale shape: ONE corpus-sized shuffle (the daily count aggregation,
+    O(types × days) output); everything after — span, dense grid via
+    ``sequence()``, the lag-k self-join, per-(type,lag) sums — runs on
+    the days-sized frame. No single-partition window (the lag is an
+    equi-join on day_num + k, not an ordered window), no driver loop.
+    """
+    from .relational import DEC, load_events
+
+    e = load_events(spark, sf_dir)
+    daily = (e.select(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                      .alias("day_num"), "event_type")
+             .groupBy("event_type", "day_num")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    span = daily.groupBy("event_type").agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    dense = (span.select("event_type",
+                         F.explode(F.expr("sequence(d0, d1)"))
+                         .alias("day_num"))
+             .join(daily, ["event_type", "day_num"], "left")
+             .select("event_type", "day_num",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        .alias("mean_cnt"))
+    centered = (dense.join(F.broadcast(stats), "event_type")
+                .select("event_type", "day_num", "n_days", "mean_cnt",
+                        (F.col("cnt").cast("double") - F.col("mean_cnt"))
+                        .alias("dev")))
+    den = centered.groupBy("event_type").agg(
+        F.sum((F.col("dev") * F.col("dev")).cast(DEC)).cast("double")
+        .alias("css"))
+    # emit each day's dev at address day_num - lag so the equi-join below
+    # pairs dev_t with dev_{t+lag} without any ordered window
+    lagged = (centered.select("event_type", "day_num", "dev")
+              .withColumn("lag", F.explode(F.expr(f"sequence(1, {max_lag})")))
+              .select("event_type", (F.col("day_num") - F.col("lag"))
+                      .alias("day_num"), "lag",
+                      F.col("dev").alias("dev_lag")))
+    num = (centered.join(lagged, ["event_type", "day_num"])
+           .groupBy("event_type", "lag")
+           .agg(F.sum((F.col("dev") * F.col("dev_lag")).cast(DEC))
+                .cast("double").alias("cprod")))
+    return (num.join(F.broadcast(den), "event_type")
+            .join(F.broadcast(stats.select("event_type", "n_days")),
+                  "event_type")
+            .select("event_type", "lag", "n_days",
+                    (F.col("cprod") / F.col("css")).alias("acf"))
+            .orderBy("event_type", "lag"))
+
+
+ORACLE_EVENTS_ACF = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day_num),
+span AS (
+  SELECT event_type, MIN(day_num) AS d0, MAX(day_num) AS d1
+  FROM daily GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, g.day_num
+  FROM span s,
+       LATERAL (SELECT UNNEST(generate_series(s.d0, s.d1)) AS day_num) g),
+dense AS (
+  SELECT g.event_type, g.day_num, COALESCE(d.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day_num = g.day_num),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_cnt
+  FROM dense GROUP BY event_type),
+centered AS (
+  SELECT d.event_type, d.day_num, s.n_days,
+         CAST(d.cnt AS DOUBLE) - s.mean_cnt AS dev
+  FROM dense d JOIN stats s USING (event_type)),
+den AS (
+  SELECT event_type,
+         CAST(SUM(CAST(dev * dev AS DECIMAL(28,6))) AS DOUBLE) AS css
+  FROM centered GROUP BY event_type),
+lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+num AS (
+  SELECT a.event_type, l.lag,
+         CAST(SUM(CAST(a.dev * b.dev AS DECIMAL(28,6))) AS DOUBLE)
+           AS cprod
+  FROM centered a
+  JOIN lags l ON TRUE
+  JOIN centered b
+    ON b.event_type = a.event_type AND b.day_num = a.day_num + l.lag
+  GROUP BY a.event_type, l.lag)
+SELECT n.event_type, n.lag, s.n_days, n.cprod / d.css AS acf
+FROM num n JOIN den d USING (event_type) JOIN stats s USING (event_type)
+ORDER BY event_type, lag
+"""

@@ -446,8 +446,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 23 round-6 debuts left a 27-canary fill,
-    so 43 of ``_CANARIES_R06`` missed this window and are first in line
+    ROUND-7 ROTATION PLAN: the 27 round-6 debuts left a 23-canary fill,
+    so 47 of ``_CANARIES_R06`` missed this window and are first in line
     for round 7 (in list order): dedup_embedding_cosine,
     dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
@@ -464,12 +464,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q22_dormant_customers, q2_min_cost_supplier, q4_order_priority,
     q7_volume_shipping, q8_market_share, scalar_array_fns,
     set_intersect_all, source_roundtrip_formats, text_normalize,
-    corpus_curate, corr_above_nation_avg (the last two displaced when
-    the late debuts retrieval_bm25_topk / diag_join_key_skew shrank the
-    fill 29→27). Build
+    corpus_curate, corr_above_nation_avg, sort_limit_topk,
+    window_running_sum, agg_corr_regr, agg_percentiles (the last six
+    displaced when the late debuts — retrieval_bm25_topk,
+    diag_join_key_skew, events_acf_daily, events_interarrival_stats,
+    diag_blocking_pair_census, corpus_token_cooccurrence — shrank the
+    fill 29→23). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 43, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 43 were judged green locally this
+    round-7 entries, (3) these 47, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 47 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -768,6 +771,10 @@ _ROUND6_NEW: list = [
     "sink_pydatasource_roundtrip",
     "retrieval_bm25_topk",
     "diag_join_key_skew",
+    "events_acf_daily",
+    "events_interarrival_stats",
+    "diag_blocking_pair_census",
+    "corpus_token_cooccurrence",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -855,7 +862,9 @@ def _round6_queries():
     here must also be appended to ``_ROUND6_NEW``."""
     from .functions import tablefns as _fn6
     from .operators import corpus as _co6
+    from .operators import eventtime as _et6
     from .operators import scale as _sc6
+    from .operators import timeseries as _ts6
     from .sources import pydatasource as _pds6
     from .operators import graph as _gr6
     from .operators import multimodal as _mm6
@@ -913,6 +922,20 @@ def _round6_queries():
         # hot-key census: the diagnosis whose remediation is
         # join_salted_hot_key (same synthesized ~30% hot key)
         "diag_join_key_skew": _sc6.diag_join_key_skew,
+        # sample autocorrelation of the densified daily series, lags
+        # 1..7 — the lag is an equi-join on day_num + k, no ordered
+        # window; seasonality shows as the lag-7 peak
+        "events_acf_daily": _ts6.events_acf_daily,
+        # inter-arrival burstiness profile (mean/std/CV of whole-second
+        # gaps) — micro-batch sizing + rate-anomaly thresholds
+        "events_interarrival_stats": _et6.events_interarrival_stats,
+        # pre-flight candidate-pair forecast for a (lang, length-bucket)
+        # blocked dedup self-join — prices the O(sum c^2) stage with one
+        # O(blocks) aggregation
+        "diag_blocking_pair_census": _sc6.diag_blocking_pair_census,
+        # doc-level co-occurrence lift over the top-100 vocabulary,
+        # log-free rational PMI core, broadcast-pinned vocab
+        "corpus_token_cooccurrence": _co6.corpus_token_cooccurrence,
     }
 
 
@@ -1398,6 +1421,15 @@ def build_oracles() -> dict[str, str]:
     from .sources.pydatasource import ORACLE_SINK_PYDATASOURCE
     oracles["sink_pydatasource_roundtrip"] = ORACLE_SINK_PYDATASOURCE
     oracles["retrieval_bm25_topk"] = corpus.ORACLE_BM25_TOPK
-    from .operators.scale import ORACLE_DIAG_JOIN_KEY_SKEW
+    from .operators.scale import (
+        ORACLE_DIAG_BLOCKING_PAIRS,
+        ORACLE_DIAG_JOIN_KEY_SKEW,
+    )
     oracles["diag_join_key_skew"] = ORACLE_DIAG_JOIN_KEY_SKEW
+    oracles["diag_blocking_pair_census"] = ORACLE_DIAG_BLOCKING_PAIRS
+    from .operators.timeseries import ORACLE_EVENTS_ACF
+    oracles["events_acf_daily"] = ORACLE_EVENTS_ACF
+    from .operators.eventtime import ORACLE_EVENTS_INTERARRIVAL
+    oracles["events_interarrival_stats"] = ORACLE_EVENTS_INTERARRIVAL
+    oracles["corpus_token_cooccurrence"] = corpus.ORACLE_TOKEN_COOCCURRENCE
     return oracles

@@ -989,3 +989,151 @@ class TestJoinKeySkewDiag:
         p = plan_profile(diag_join_key_skew(spark, sf_dir))
         assert p["top_k_sorts"] == 1
         assert p["sort_merge_joins"] == 0
+
+
+class TestAcfDaily:
+    def test_matches_numpy_acf(self, spark, sf_dir):
+        """Recompute the classic sample ACF with numpy from the same dense
+        daily series and demand agreement (decimal-protocol rounding of
+        each product term is the only divergence, bounded by n·5e-7/css)."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.timeseries import (
+            events_acf_daily,
+        )
+        from pyspark.sql import functions as F
+
+        rows = (load_events(spark, sf_dir)
+                .select(F.to_date("ts").alias("day"), "event_type")
+                .groupBy("event_type", "day").count().collect())
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, {})[r.day] = r["count"]
+        got = events_acf_daily(spark, sf_dir).collect()
+        assert got, "no ACF rows"
+        for r in got:
+            days = by_type[r.event_type]
+            lo, hi = min(days), max(days)
+            n = (hi - lo).days + 1
+            x = np.zeros(n)
+            for d, c in days.items():
+                x[(d - lo).days] = c
+            assert r.n_days == n
+            dev = x - x.mean()
+            expected = float(
+                (dev[:-r.lag] * dev[r.lag:]).sum() / (dev * dev).sum())
+            assert r.acf == pytest.approx(expected, abs=1e-4)
+            assert -1.000001 <= r.acf <= 1.000001
+
+    def test_no_single_partition_window(self, spark, sf_dir):
+        """The lag pairing is an equi-join on day_num + k — there must be
+        no ordered window at all, let alone a single-partition one."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.timeseries import (
+            events_acf_daily,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(events_acf_daily(spark, sf_dir)) == 0
+
+
+class TestInterarrivalStats:
+    def test_matches_pure_python(self, spark, sf_dir):
+        import math
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_interarrival_stats,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("event_type", "event_id",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_type = {}
+        for r in ev:
+            by_type.setdefault(r.event_type, []).append((r.us, r.event_id))
+        for r in events_interarrival_stats(spark, sf_dir).collect():
+            seq = sorted(by_type[r.event_type])
+            gaps = [(b[0] - a[0]) // 1_000_000
+                    for a, b in zip(seq, seq[1:])]
+            assert r.n_gaps == len(gaps)
+            assert r.min_gap_s == min(gaps)
+            assert r.max_gap_s == max(gaps)
+            mean = sum(gaps) / len(gaps)
+            var = max(sum(g * g for g in gaps) / len(gaps) - mean * mean, 0)
+            assert r.mean_gap_s == pytest.approx(mean, rel=1e-12)
+            assert r.std_gap_s == pytest.approx(math.sqrt(var), rel=1e-9)
+            assert r.cv == pytest.approx(math.sqrt(var) / mean, rel=1e-9)
+
+
+class TestBlockingPairCensus:
+    def test_exact_python_recount(self, spark, sf_dir):
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_blocking_pair_census,
+        )
+
+        docs = ld(spark, sf_dir, "documents").collect()
+        blocks = Counter((r.lang, len(r.text.split(" ")) // 16)
+                         for r in docs)
+        pair_tot = sum(c * (c - 1) // 2 for c in blocks.values())
+        row = diag_blocking_pair_census(spark, sf_dir).collect()[0]
+        assert row.n_rows == len(docs)
+        assert row.n_blocks == len(blocks)
+        assert row.candidate_pairs == pair_tot
+        assert row.max_block == max(blocks.values())
+        mx = max(c * (c - 1) // 2 for c in blocks.values())
+        assert row.max_block_pair_share == pytest.approx(
+            mx / pair_tot, rel=1e-12)
+        assert row.pairs_per_row == pytest.approx(
+            pair_tot / len(docs), rel=1e-12)
+
+
+class TestTokenCooccurrence:
+    def test_lift_spot_check_and_bounds(self, spark, sf_dir):
+        """Recompute every returned pair's doc-cooccurrence count and lift
+        from the raw corpus in Python."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_token_cooccurrence,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        docs = {r.doc_id: set(r.text.split(" "))
+                for r in ld(spark, sf_dir, "documents").collect()}
+        n = len(docs)
+        out = corpus_token_cooccurrence(spark, sf_dir).collect()
+        assert out
+        for r in out:
+            assert r.t1 < r.t2
+            c_ab = sum(1 for toks in docs.values()
+                       if r.t1 in toks and r.t2 in toks)
+            df_a = sum(1 for toks in docs.values() if r.t1 in toks)
+            df_b = sum(1 for toks in docs.values() if r.t2 in toks)
+            assert (r.c_ab, r.df_a, r.df_b) == (c_ab, df_a, df_b)
+            assert r.lift == pytest.approx(
+                c_ab * n / (df_a * df_b), rel=1e-12)
+
+    def test_vocab_joins_are_broadcast(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_token_cooccurrence,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(corpus_token_cooccurrence(spark, sf_dir))
+        assert p["broadcast_hash_joins"] >= 2
+        assert p["top_k_sorts"] >= 1
