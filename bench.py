@@ -144,6 +144,9 @@ HEADLINE = [
     "events_interarrival_stats",
     "diag_blocking_pair_census",
     "corpus_token_cooccurrence",
+    "forecast_seasonal_naive_eval",
+    "quality_quantile_calibrate",
+    "events_trigram_journeys",
 ]
 
 

@@ -332,3 +332,58 @@ JOIN sizes za ON za.event_type = s.seg_a
 JOIN sizes zb ON zb.event_type = s.seg_b
 ORDER BY seg_a, seg_b
 """
+
+
+def events_trigram_journeys(spark: SparkSession, sf_dir: str,
+                            k: int = 25) -> DataFrame:
+    """Top-k three-step user journeys: the most frequent consecutive
+    (step1 → step2 → step3) event-type sequences across all users, with
+    each journey's share of all trigrams — the classic product-analytics
+    path-mining readout (which three-step flows dominate?), and the
+    order-2 sequence census one step beyond
+    :func:`events_transition_matrix`'s order-1 transitions.
+
+    Determinism: per-user order is (ts, event_id) — the module tiebreak
+    protocol; share is an exact integer count over the exact total, one
+    IEEE divide. Scale shape: one user-keyed window shuffle (two leads
+    ride a single sort run), a map-side-partial count to the
+    types³-bounded journey table, a 1-row total broadcast, and
+    TakeOrderedAndProject for the top-k — no global sort.
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (e.select(
+        "user_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"))
+        .filter(F.col("step3").isNotNull()))
+    counted = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = counted.agg(F.sum("n").alias("total"))
+    return (counted.join(F.broadcast(tot))
+            .select("step1", "step2", "step3", "n",
+                    (F.col("n").cast("double") / F.col("total"))
+                    .alias("share"))
+            .orderBy(F.desc("n"), "step1", "step2", "step3")
+            .limit(k))
+
+
+ORACLE_TRIGRAM_JOURNEYS = """
+WITH tri AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS step2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS step3
+  FROM events),
+counted AS (
+  SELECT step1, step2, step3, COUNT(*) AS n
+  FROM tri WHERE step3 IS NOT NULL
+  GROUP BY step1, step2, step3),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counted)
+SELECT step1, step2, step3, n,
+       CAST(n AS DOUBLE) / total AS share
+FROM counted, tot
+ORDER BY n DESC, step1, step2, step3 LIMIT 25
+"""

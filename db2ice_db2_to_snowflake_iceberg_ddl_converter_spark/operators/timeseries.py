@@ -387,6 +387,33 @@ ORDER BY user_id, day
 """
 
 
+def _dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free (event_type, day_num, cnt) daily series over each type's
+    own [min_day, max_day] span — zero-count days materialized. Shared
+    by :func:`events_acf_daily` and
+    :func:`forecast_seasonal_naive_eval`: both are lag-k statistics
+    whose k must mean CALENDAR days, not observation index. day_num is
+    an exact integer day count from 1970-01-01 (``datediff`` ↔ DuckDB
+    ``date_diff('day', ...)``). One corpus-sized shuffle (the daily
+    aggregation); the grid explode and left join run on the days-sized
+    frame."""
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    daily = (e.select(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                      .alias("day_num"), "event_type")
+             .groupBy("event_type", "day_num")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    span = daily.groupBy("event_type").agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    return (span.select("event_type",
+                        F.explode(F.expr("sequence(d0, d1)"))
+                        .alias("day_num"))
+            .join(daily, ["event_type", "day_num"], "left")
+            .select("event_type", "day_num",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt")))
+
+
 def events_acf_daily(spark: SparkSession, sf_dir: str,
                      max_lag: int = 7) -> DataFrame:
     """Sample autocorrelation of each event type's DAILY event count at
@@ -411,21 +438,9 @@ def events_acf_daily(spark: SparkSession, sf_dir: str,
     the days-sized frame. No single-partition window (the lag is an
     equi-join on day_num + k, not an ordered window), no driver loop.
     """
-    from .relational import DEC, load_events
+    from .relational import DEC
 
-    e = load_events(spark, sf_dir)
-    daily = (e.select(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-                      .alias("day_num"), "event_type")
-             .groupBy("event_type", "day_num")
-             .agg(F.count(F.lit(1)).alias("cnt")))
-    span = daily.groupBy("event_type").agg(
-        F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
-    dense = (span.select("event_type",
-                         F.explode(F.expr("sequence(d0, d1)"))
-                         .alias("day_num"))
-             .join(daily, ["event_type", "day_num"], "left")
-             .select("event_type", "day_num",
-                     F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    dense = _dense_daily_counts(spark, sf_dir)
     stats = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         (F.sum("cnt").cast("double") / F.count(F.lit(1)))
@@ -498,4 +513,84 @@ num AS (
 SELECT n.event_type, n.lag, s.n_days, n.cprod / d.css AS acf
 FROM num n JOIN den d USING (event_type) JOIN stats s USING (event_type)
 ORDER BY event_type, lag
+"""
+
+
+def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str,
+                                 season: int = 7) -> DataFrame:
+    """Backtest of the two zero-parameter forecasting baselines every
+    model must beat — seasonal-naive (ŷ_d = y_{d−7}) and naive-1
+    (ŷ_d = y_{d−1}) — over each type's dense daily count series, with
+    the MASE-style ratio mae_seasonal / mae_naive1 (< 1 ⇒ the weekly
+    cycle carries real signal; this is the go/no-go readout before
+    spending on a trained forecaster). Both forecasts are scored on the
+    SAME eval days (those with a full ``season``-day history) so the
+    ratio compares like with like.
+
+    Portability: the forecast lookups are equi-joins on day_num − k over
+    the shared :func:`_dense_daily_counts` integer grid — no ordered
+    window; absolute errors are exact integers, their sums exact
+    bigints, and the three MAEs / the ratio are single IEEE divides of
+    exactly-represented values. Scale shape: one corpus-sized shuffle
+    (the daily agg inside the helper), then days-sized joins and an
+    O(types) rollup.
+    """
+    dense = _dense_daily_counts(spark, sf_dir)
+    c7 = dense.select("event_type",
+                      (F.col("day_num") + F.lit(season)).alias("day_num"),
+                      F.col("cnt").alias("cnt_s"))
+    c1 = dense.select("event_type",
+                      (F.col("day_num") + F.lit(1)).alias("day_num"),
+                      F.col("cnt").alias("cnt_1"))
+    joined = dense.join(c7, ["event_type", "day_num"]) \
+                  .join(c1, ["event_type", "day_num"])
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.sum(F.abs(F.col("cnt") - F.col("cnt_s"))).alias("ae_s"),
+        F.sum(F.abs(F.col("cnt") - F.col("cnt_1"))).alias("ae_1"))
+    mae_s = F.col("ae_s").cast("double") / F.col("n_eval_days")
+    mae_1 = F.col("ae_1").cast("double") / F.col("n_eval_days")
+    return (agg.select(
+        "event_type", "n_eval_days",
+        mae_s.alias("mae_seasonal"),
+        mae_1.alias("mae_naive1"),
+        (mae_s / mae_1).alias("mase"))
+        .orderBy("event_type"))
+
+
+ORACLE_FORECAST_SEASONAL_NAIVE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day_num),
+span AS (
+  SELECT event_type, MIN(day_num) AS d0, MAX(day_num) AS d1
+  FROM daily GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, g.day_num
+  FROM span s,
+       LATERAL (SELECT UNNEST(generate_series(s.d0, s.d1)) AS day_num) g),
+dense AS (
+  SELECT g.event_type, g.day_num, COALESCE(d.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day_num = g.day_num),
+joined AS (
+  SELECT a.event_type, a.cnt, s.cnt AS cnt_s, o.cnt AS cnt_1
+  FROM dense a
+  JOIN dense s ON s.event_type = a.event_type
+              AND s.day_num = a.day_num - 7
+  JOIN dense o ON o.event_type = a.event_type
+              AND o.day_num = a.day_num - 1),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_eval_days,
+         CAST(SUM(ABS(cnt - cnt_s)) AS BIGINT) AS ae_s,
+         CAST(SUM(ABS(cnt - cnt_1)) AS BIGINT) AS ae_1
+  FROM joined GROUP BY event_type)
+SELECT event_type, n_eval_days,
+       CAST(ae_s AS DOUBLE) / n_eval_days AS mae_seasonal,
+       CAST(ae_1 AS DOUBLE) / n_eval_days AS mae_naive1,
+       (CAST(ae_s AS DOUBLE) / n_eval_days)
+         / (CAST(ae_1 AS DOUBLE) / n_eval_days) AS mase
+FROM agg ORDER BY event_type
 """

@@ -961,3 +961,82 @@ SELECT source, n_docs, n_tokens,
 FROM per_src CROSS JOIN norm
 ORDER BY source
 """
+
+
+def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Cross-source quantile normalization of the shared composite
+    quality score: each document's score is replaced by the GLOBAL
+    score at its within-source quantile — the calibration a mixture
+    policy needs before thresholding heterogeneous sources against one
+    bar (a web crawl's "good" and a curated corpus's "good" sit at
+    different raw scores; after mapping, the p-th percentile of every
+    source lands on the same value, so a single cutoff keeps the same
+    fraction of each source).
+
+    Mapping is the rank rule (no interpolation — bitwise-portable order
+    statistics, same rationale as agg_percentiles/events_mad_outliers):
+    within-source rank r of n_s rows maps to the global order statistic
+    at ordinal ceil(r·N/n_s), computed as exact integer
+    ``(r·N + n_s − 1) div n_s``. The per-source rank is a PARTITIONed
+    window (source-keyed, scales out); the global order comes from
+    ``scale.global_ranks`` — range shuffle + prefix offsets, never a
+    single-partition window; the lookup is one equi-join on the
+    ordinal. The normalized value is a score DuckDB computed through
+    the identical expression, so the hash comparison is exact.
+    """
+    from .scale import global_ranks
+    from .textstats import quality_score_expr
+
+    d = ld(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source",
+                      quality_score_expr().cast("double").alias("raw_score"))
+    ranked, n = global_ranks(
+        scored, [F.asc("raw_score"), F.asc("doc_id")], num_partitions=8)
+    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    ws = Window.partitionBy("source")
+    src = ranked.select(
+        "doc_id", "source", "raw_score",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(ws).alias("n_s"))
+    lookup = ranked.select(F.col("global_rn").alias("g"),
+                           F.col("raw_score").alias("norm_score"))
+    return (src.withColumn(
+        "g", F.expr(f"(r * {n}L + n_s - 1) div n_s"))
+        .join(lookup, "g")
+        .select("doc_id", "source", "raw_score", "norm_score")
+        .orderBy("doc_id"))
+
+
+ORACLE_QUANTILE_CALIBRATE = """
+WITH t AS (
+  SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CAST((CASE WHEN n_chars >= 100 AND n_chars <= 5000
+                    THEN 40 ELSE 10 END)
+         + (len(list_distinct(w))::DOUBLE / len(w)) * 30
+         + (CASE WHEN len(list_intersect(list_distinct(w),
+                    ['the','a','of','and','is'])) > 0 THEN 20 ELSE 0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(replace(replace(replace(
+             replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))
+             ::DOUBLE / LENGTH(text) <= 0.1 THEN 10 ELSE 0 END) AS DOUBLE)
+           AS raw_score
+  FROM t
+), ranked AS (
+  SELECT doc_id, source, raw_score,
+         ROW_NUMBER() OVER (ORDER BY raw_score, doc_id) AS g
+  FROM scored
+), src AS (
+  SELECT doc_id, source, raw_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY raw_score, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s,
+         (SELECT COUNT(*) FROM scored) AS n
+  FROM scored)
+SELECT s.doc_id, s.source, s.raw_score, l.raw_score AS norm_score
+FROM src s JOIN ranked l ON l.g = (s.r * s.n + s.n_s - 1) // s.n_s
+ORDER BY s.doc_id
+"""

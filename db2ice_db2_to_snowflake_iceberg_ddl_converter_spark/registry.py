@@ -446,8 +446,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 27 round-6 debuts left a 23-canary fill,
-    so 47 of ``_CANARIES_R06`` missed this window and are first in line
+    ROUND-7 ROTATION PLAN: the 30 round-6 debuts left a 20-canary fill,
+    so 50 of ``_CANARIES_R06`` missed this window and are first in line
     for round 7 (in list order): dedup_embedding_cosine,
     dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
@@ -465,14 +465,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q7_volume_shipping, q8_market_share, scalar_array_fns,
     set_intersect_all, source_roundtrip_formats, text_normalize,
     corpus_curate, corr_above_nation_avg, sort_limit_topk,
-    window_running_sum, agg_corr_regr, agg_percentiles (the last six
-    displaced when the late debuts — retrieval_bm25_topk,
+    window_running_sum, agg_corr_regr, agg_percentiles,
+    window_topk_per_group, ann_brute_force_topk, dedup_minhash_lsh
+    (the last nine displaced when the late debuts — retrieval_bm25_topk,
     diag_join_key_skew, events_acf_daily, events_interarrival_stats,
-    diag_blocking_pair_census, corpus_token_cooccurrence — shrank the
-    fill 29→23). Build
+    diag_blocking_pair_census, corpus_token_cooccurrence,
+    forecast_seasonal_naive_eval, quality_quantile_calibrate,
+    events_trigram_journeys — shrank the fill 29→20). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 47, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 47 were judged green locally this
+    round-7 entries, (3) these 50, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 50 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -775,6 +777,9 @@ _ROUND6_NEW: list = [
     "events_interarrival_stats",
     "diag_blocking_pair_census",
     "corpus_token_cooccurrence",
+    "forecast_seasonal_naive_eval",
+    "quality_quantile_calibrate",
+    "events_trigram_journeys",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -861,10 +866,12 @@ def _round6_queries():
     """New round-6 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND6_NEW``."""
     from .functions import tablefns as _fn6
+    from .operators import behavior as _bh6
     from .operators import corpus as _co6
     from .operators import eventtime as _et6
     from .operators import scale as _sc6
     from .operators import timeseries as _ts6
+    from .operators import traindata as _td6
     from .sources import pydatasource as _pds6
     from .operators import graph as _gr6
     from .operators import multimodal as _mm6
@@ -936,6 +943,15 @@ def _round6_queries():
         # doc-level co-occurrence lift over the top-100 vocabulary,
         # log-free rational PMI core, broadcast-pinned vocab
         "corpus_token_cooccurrence": _co6.corpus_token_cooccurrence,
+        # seasonal-naive vs naive-1 backtest (MASE ratio) on the shared
+        # dense daily grid — forecast go/no-go readout
+        "forecast_seasonal_naive_eval": _ts6.forecast_seasonal_naive_eval,
+        # cross-source quantile normalization of the composite quality
+        # score via scale.global_ranks — one bar for every source
+        "quality_quantile_calibrate": _td6.quality_quantile_calibrate,
+        # top three-step user journeys with exact shares — order-2
+        # sequence census beyond the transition matrix
+        "events_trigram_journeys": _bh6.events_trigram_journeys,
     }
 
 
@@ -1432,4 +1448,10 @@ def build_oracles() -> dict[str, str]:
     from .operators.eventtime import ORACLE_EVENTS_INTERARRIVAL
     oracles["events_interarrival_stats"] = ORACLE_EVENTS_INTERARRIVAL
     oracles["corpus_token_cooccurrence"] = corpus.ORACLE_TOKEN_COOCCURRENCE
+    from .operators.timeseries import ORACLE_FORECAST_SEASONAL_NAIVE
+    oracles["forecast_seasonal_naive_eval"] = ORACLE_FORECAST_SEASONAL_NAIVE
+    from .operators.traindata import ORACLE_QUANTILE_CALIBRATE
+    oracles["quality_quantile_calibrate"] = ORACLE_QUANTILE_CALIBRATE
+    from .operators.behavior import ORACLE_TRIGRAM_JOURNEYS
+    oracles["events_trigram_journeys"] = ORACLE_TRIGRAM_JOURNEYS
     return oracles

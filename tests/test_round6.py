@@ -1137,3 +1137,109 @@ class TestTokenCooccurrence:
         p = plan_profile(corpus_token_cooccurrence(spark, sf_dir))
         assert p["broadcast_hash_joins"] >= 2
         assert p["top_k_sorts"] >= 1
+
+
+class TestSeasonalNaiveEval:
+    def test_matches_pure_python(self, spark, sf_dir):
+        """Recompute both baselines' MAEs from the dense grid in Python."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.timeseries import (
+            _dense_daily_counts,
+            forecast_seasonal_naive_eval,
+        )
+
+        series = {}
+        for r in _dense_daily_counts(spark, sf_dir).collect():
+            series.setdefault(r.event_type, {})[r.day_num] = r.cnt
+        out = forecast_seasonal_naive_eval(spark, sf_dir).collect()
+        assert out
+        for r in out:
+            s = series[r.event_type]
+            days = sorted(s)
+            ev = [d for d in days if d - 7 >= days[0]]
+            assert r.n_eval_days == len(ev)
+            ae_s = sum(abs(s[d] - s[d - 7]) for d in ev)
+            ae_1 = sum(abs(s[d] - s[d - 1]) for d in ev)
+            assert r.mae_seasonal == pytest.approx(ae_s / len(ev),
+                                                   rel=1e-12)
+            assert r.mae_naive1 == pytest.approx(ae_1 / len(ev), rel=1e-12)
+            assert r.mase == pytest.approx(
+                (ae_s / len(ev)) / (ae_1 / len(ev)), rel=1e-12)
+
+
+class TestQuantileCalibrate:
+    def test_mapping_properties(self, spark, sf_dir):
+        """The rank rule's contract: per source, normalized scores are a
+        monotone function of raw scores; the per-source max maps to the
+        global max; every normalized value is an existing raw score."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.traindata import (
+            quality_quantile_calibrate,
+        )
+
+        rows = quality_quantile_calibrate(spark, sf_dir).collect()
+        assert rows
+        all_raw = sorted((r.raw_score, r.doc_id) for r in rows)
+        gmax = all_raw[-1][0]
+        raw_set = {r.raw_score for r in rows}
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: (r.raw_score, r.doc_id))
+            for a, b in zip(rs, rs[1:]):
+                assert a.norm_score <= b.norm_score
+            assert rs[-1].norm_score == gmax
+            for r in rs:
+                assert r.norm_score in raw_set
+
+    def test_exact_vs_python_rank_rule(self, spark, sf_dir):
+        """Exact replay: ceil(r*N/n_s)-th global order statistic."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.traindata import (
+            quality_quantile_calibrate,
+        )
+
+        rows = quality_quantile_calibrate(spark, sf_dir).collect()
+        glob = sorted((r.raw_score, r.doc_id) for r in rows)
+        n = len(glob)
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: (r.raw_score, r.doc_id))
+            n_s = len(rs)
+            for i, r in enumerate(rs, start=1):
+                g = (i * n + n_s - 1) // n_s
+                assert r.norm_score == glob[g - 1][0]
+
+
+class TestTrigramJourneys:
+    def test_counts_match_python_replay(self, spark, sf_dir):
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_trigram_journeys,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("user_id", "event_type", "event_id",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append(
+                (r.us, r.event_id, r.event_type))
+        tri = Counter()
+        for seq in by_user.values():
+            seq.sort()
+            types = [t for _, _, t in seq]
+            for i in range(len(types) - 2):
+                tri[tuple(types[i:i + 3])] += 1
+        total = sum(tri.values())
+        out = events_trigram_journeys(spark, sf_dir).collect()
+        expected = sorted(tri.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:25]
+        assert [((r.step1, r.step2, r.step3), r.n) for r in out] == expected
+        for r in out:
+            assert r.share == pytest.approx(r.n / total, rel=1e-12)

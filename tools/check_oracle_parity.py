@@ -101,10 +101,18 @@ def duckdb_result(con, sql):
 def main() -> int:
     filters = sys.argv[1:]
     first_n = None
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if filters and filters[0] == "--first":       # replicate driver window
         first_n = int(filters[1])
         filters = filters[2:]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if filters and filters[0] == "--sf-dir":      # else it's a name filter!
+        sf_dir = filters[1]
+        filters = filters[2:]
+    unmatched = [f for f in filters if f.startswith("--")]
+    if unmatched:
+        print(f"unknown flag(s) {unmatched} — would be treated as name "
+              "filters; aborting")
+        return 2
 
     import duckdb
 
