@@ -147,6 +147,9 @@ HEADLINE = [
     "forecast_seasonal_naive_eval",
     "quality_quantile_calibrate",
     "events_trigram_journeys",
+    "diag_layout_zonemap",
+    "assoc_cramers_v",
+    "events_holt_linear",
 ]
 
 

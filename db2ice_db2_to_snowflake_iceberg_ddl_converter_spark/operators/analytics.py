@@ -1345,3 +1345,83 @@ SELECT day,
             AS BIGINT) AS n_resurrected
 FROM tagged GROUP BY day ORDER BY day
 """
+
+
+def assoc_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between two categorical columns — nation ×
+    market segment on customers — as the chi-square independence test
+    plus Cramér's V effect size: the readout that tells a feature
+    pipeline whether two categoricals are redundant (V→1) or independent
+    (V→0) before one-hot blowup, and a mixture audit whether segment
+    composition is nation-skewed. The full r×c grid is materialized
+    (zero cells contribute their expected count), mirroring the textbook
+    statistic exactly.
+
+    Portability: observed/marginal counts are exact ints; each expected
+    count is ONE IEEE divide of exact products; the (o−e)²/e
+    contributions are oracle-identical double chains summed under the
+    decimal protocol; V is one divide + the single exactly-rounded sqrt
+    (the chi²-over-log-likelihood choice is deliberate — same rationale
+    as the χ² drift entry: log differs by 1 ulp between engines, (o−e)²/e
+    does not). Scale shape: one O(r×c)-output aggregation with map-side
+    partials; marginals derive from the grid (no second scan); the grid
+    cross join is r×c ≤ dimension-sized. Output: one row.
+    """
+    from .relational import DEC, ld
+
+    c = ld(spark, sf_dir, "customer")
+    obs = (c.groupBy(F.col("c_nationkey").alias("rk"),
+                     F.col("c_mktsegment").alias("ck"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    rm = obs.groupBy("rk").agg(F.sum("o").alias("rc"))
+    cm = obs.groupBy("ck").agg(F.sum("o").alias("cc"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (rm.crossJoin(cm)
+            .join(obs, ["rk", "ck"], "left")
+            .select("rk", "ck", "rc", "cc",
+                    F.coalesce("o", F.lit(0)).alias("o"))
+            .join(F.broadcast(tot)))
+    e = (F.col("rc") * F.col("cc")).cast("double") / F.col("n")
+    od = F.col("o").cast("double")
+    contrib = (od - e) * (od - e) / e
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("rk").alias("r"),
+        F.countDistinct("ck").alias("c"),
+        F.sum(contrib.cast(DEC)).cast("double").alias("chi2"))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    mind = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        "n", "r", "c", F.col("n_cells"),
+        dof.alias("dof"), "chi2",
+        F.sqrt(F.col("chi2") / (F.col("n") * mind).cast("double"))
+        .alias("cramers_v"))
+
+
+ORACLE_CRAMERS_V = """
+WITH obs AS (
+  SELECT c_nationkey AS rk, c_mktsegment AS ck, COUNT(*) AS o
+  FROM customer GROUP BY rk, ck),
+rm AS (SELECT rk, CAST(SUM(o) AS BIGINT) AS rc FROM obs GROUP BY rk),
+cm AS (SELECT ck, CAST(SUM(o) AS BIGINT) AS cc FROM obs GROUP BY ck),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+grid AS (
+  SELECT rm.rk, cm.ck, rm.rc, cm.cc, COALESCE(obs.o, 0) AS o, tot.n
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.rk = rm.rk AND obs.ck = cm.ck
+  CROSS JOIN tot),
+agg AS (
+  SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+         COUNT(DISTINCT rk) AS r, COUNT(DISTINCT ck) AS c,
+         CAST(SUM(CAST(
+           (CAST(o AS DOUBLE) - CAST(rc * cc AS DOUBLE) / n)
+           * (CAST(o AS DOUBLE) - CAST(rc * cc AS DOUBLE) / n)
+           / (CAST(rc * cc AS DOUBLE) / n)
+           AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+  FROM grid)
+SELECT n, r, c, n_cells,
+       (r - 1) * (c - 1) AS dof, chi2,
+       SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+FROM agg
+"""

@@ -682,3 +682,58 @@ SELECT event_type, n_gaps,
        min_gap_s, max_gap_s
 FROM agg ORDER BY event_type
 """
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str,
+                       alpha: float = 0.3, beta: float = 0.1) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of each event
+    type's dense daily count series — the next rung above
+    :func:`events_ema` on the forecasting ladder (EMA tracks level only
+    and lags any trend; Holt carries an explicit trend term), and the
+    model :func:`~..timeseries.forecast_seasonal_naive_eval`'s baselines
+    gate. Emits per type the final level/trend, the one-step-ahead
+    forecast level + trend·1, and the in-sample one-step MAE.
+
+    Recurrence (classic): l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, seeded l_1 = y_1,
+    b_1 = y_2 − y_1. Inherently serial per key → grouped
+    ``applyInPandas`` (the events_ema contract: one event_type shuffle,
+    each group's loop vectorized in its own task, state bounded by the
+    longest single series — days, not events). Iterative float
+    recurrence → rows-only driver check; pytest replays the loop in
+    pure Python and pins the α/β=1 degenerate identities.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .timeseries import _dense_daily_counts
+
+    dense = _dense_daily_counts(spark, sf_dir)
+
+    def holt_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_num")
+        y = pdf["cnt"].to_numpy(dtype=np.float64)
+        lvl, trend = y[0], (y[1] - y[0] if len(y) > 1 else 0.0)
+        abs_err = 0.0
+        for t in range(1, len(y)):
+            pred = lvl + trend
+            abs_err += abs(y[t] - pred)
+            new_lvl = alpha * y[t] + (1 - alpha) * (lvl + trend)
+            trend = beta * (new_lvl - lvl) + (1 - beta) * trend
+            lvl = new_lvl
+        n = len(y)
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "level": [float(lvl)],
+            "trend": [float(trend)],
+            "forecast_next": [float(lvl + trend)],
+            "one_step_mae": [float(abs_err / (n - 1)) if n > 1 else 0.0],
+        })
+
+    return (dense.groupBy("event_type")
+            .applyInPandas(
+                holt_fn,
+                "event_type string, n_days long, level double,"
+                " trend double, forecast_next double, one_step_mae double")
+            .orderBy("event_type"))

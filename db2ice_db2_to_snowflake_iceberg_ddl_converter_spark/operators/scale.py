@@ -567,3 +567,100 @@ SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
          AS pairs_per_row
 FROM blocks
 """
+
+
+def diag_layout_zonemap(spark: SparkSession, sf_dir: str,
+                        n_files: int = 16) -> DataFrame:
+    """Data-layout quality audit: per-file zone-map (min/max) ranges of
+    the clustering column under two write layouts — ingest/arrival order
+    vs range-sorted — and how many file-pair ranges overlap in each.
+    This is the before/after evidence for "sort before write": zone maps
+    (parquet row-group stats, Iceberg file metrics) only prune scans
+    when file key ranges are DISJOINT; an arrival-order layout gives
+    every file ≈ the full key span (overlap_pairs ≈ C(F,2), a point
+    predicate still scans every file), the sorted layout collapses each
+    file to a narrow slice (overlap only at shared boundary keys).
+
+    File assignment replicates a fixed-file-count writer exactly:
+    global rank r → file (r−1)·F div N, both ranks via
+    :func:`global_ranks` (range shuffle + prefix offsets — no
+    single-partition window); keys are exact integer day numbers, the
+    per-file min/max aggregation is O(rows) with map-side partials, and
+    the overlap join runs on the 2F-row summary. All-integer output —
+    no float protocol needed.
+    """
+    from .relational import ld
+
+    li = (ld(spark, sf_dir, "lineitem", fanout=False)
+          .select(F.datediff(F.col("l_shipdate").cast("date"),
+                             F.lit("1970-01-01")).alias("key"),
+                  "l_orderkey", "l_linenumber"))
+    arr, n = global_ranks(
+        li, [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        num_partitions=8)
+    srt, _ = global_ranks(
+        li, [F.asc("key"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        num_partitions=8)
+
+    def _files(ranked, layout):
+        return (ranked.select(
+            F.lit(layout).alias("layout"), "key",
+            F.expr(f"((global_rn - 1) * {n_files}) div {n}L").alias("f"))
+            .groupBy("layout", "f")
+            .agg(F.min("key").alias("mn"), F.max("key").alias("mx")))
+
+    files = _files(arr, "arrival").unionAll(_files(srt, "sorted"))
+    ov = (files.alias("a").join(
+        files.alias("b"),
+        on=[F.col("a.layout") == F.col("b.layout"),
+            F.col("a.f") < F.col("b.f"),
+            F.col("a.mn") <= F.col("b.mx"),
+            F.col("b.mn") <= F.col("a.mx")])
+        .groupBy(F.col("a.layout").alias("layout"))
+        .agg(F.count(F.lit(1)).alias("overlap_pairs")))
+    return (files.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(F.col("mx") - F.col("mn") + 1)
+                 .alias("total_width_days"))
+            .join(ov, "layout", "left")
+            .select("layout", "n_files", "total_width_days",
+                    F.coalesce("overlap_pairs", F.lit(0))
+                    .alias("overlap_pairs"))
+            .orderBy("layout"))
+
+
+ORACLE_DIAG_LAYOUT_ZONEMAP = """
+WITH base AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS key,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+n AS (SELECT COUNT(*) AS c FROM base),
+arr AS (
+  SELECT key,
+         ((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+          * 16) // c AS f
+  FROM base, n),
+srt AS (
+  SELECT key,
+         ((ROW_NUMBER() OVER (ORDER BY key, l_orderkey, l_linenumber)
+           - 1) * 16) // c AS f
+  FROM base, n),
+files AS (
+  SELECT 'arrival' AS layout, f, MIN(key) AS mn, MAX(key) AS mx
+  FROM arr GROUP BY f
+  UNION ALL
+  SELECT 'sorted', f, MIN(key), MAX(key) FROM srt GROUP BY f),
+ov AS (
+  SELECT a.layout, COUNT(*) AS overlap_pairs
+  FROM files a JOIN files b
+    ON a.layout = b.layout AND a.f < b.f
+   AND a.mn <= b.mx AND b.mn <= a.mx
+  GROUP BY a.layout)
+SELECT f.layout, COUNT(*) AS n_files,
+       CAST(SUM(mx - mn + 1) AS BIGINT) AS total_width_days,
+       COALESCE(ANY_VALUE(o.overlap_pairs), 0) AS overlap_pairs
+FROM files f LEFT JOIN ov o ON f.layout = o.layout
+GROUP BY f.layout
+ORDER BY f.layout
+"""

@@ -446,8 +446,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 30 round-6 debuts left a 20-canary fill,
-    so 50 of ``_CANARIES_R06`` missed this window and are first in line
+    ROUND-7 ROTATION PLAN: the 33 round-6 debuts left a 17-canary fill,
+    so 53 of ``_CANARIES_R06`` missed this window and are first in line
     for round 7 (in list order): dedup_embedding_cosine,
     dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
@@ -466,15 +466,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     set_intersect_all, source_roundtrip_formats, text_normalize,
     corpus_curate, corr_above_nation_avg, sort_limit_topk,
     window_running_sum, agg_corr_regr, agg_percentiles,
-    window_topk_per_group, ann_brute_force_topk, dedup_minhash_lsh
-    (the last nine displaced when the late debuts — retrieval_bm25_topk,
+    window_topk_per_group, ann_brute_force_topk, dedup_minhash_lsh,
+    set_intersect, set_union_all, window_ntile_percent
+    (the last twelve — window_topk_per_group onward — displaced as the
+    late debuts — retrieval_bm25_topk,
     diag_join_key_skew, events_acf_daily, events_interarrival_stats,
     diag_blocking_pair_census, corpus_token_cooccurrence,
     forecast_seasonal_naive_eval, quality_quantile_calibrate,
-    events_trigram_journeys — shrank the fill 29→20). Build
+    events_trigram_journeys, diag_layout_zonemap, assoc_cramers_v,
+    events_holt_linear — shrank the fill 29→17). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 50, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 50 were judged green locally this
+    round-7 entries, (3) these 53, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 53 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -780,6 +783,9 @@ _ROUND6_NEW: list = [
     "forecast_seasonal_naive_eval",
     "quality_quantile_calibrate",
     "events_trigram_journeys",
+    "diag_layout_zonemap",
+    "assoc_cramers_v",
+    "events_holt_linear",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -866,6 +872,7 @@ def _round6_queries():
     """New round-6 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND6_NEW``."""
     from .functions import tablefns as _fn6
+    from .operators import analytics as _an6
     from .operators import behavior as _bh6
     from .operators import corpus as _co6
     from .operators import eventtime as _et6
@@ -952,6 +959,15 @@ def _round6_queries():
         # top three-step user journeys with exact shares — order-2
         # sequence census beyond the transition matrix
         "events_trigram_journeys": _bh6.events_trigram_journeys,
+        # per-file zone-map ranges under arrival vs sorted layout —
+        # the before/after evidence for "sort before write"
+        "diag_layout_zonemap": _sc6.diag_layout_zonemap,
+        # chi-square independence + Cramér's V on nation × segment —
+        # categorical-redundancy readout before one-hot blowup
+        "assoc_cramers_v": _an6.assoc_cramers_v,
+        # Holt level+trend smoothing per event type (iterative float
+        # recurrence → rows-only; pytest replays the loop in Python)
+        "events_holt_linear": _et6.events_holt_linear,
     }
 
 
@@ -1454,4 +1470,9 @@ def build_oracles() -> dict[str, str]:
     oracles["quality_quantile_calibrate"] = ORACLE_QUANTILE_CALIBRATE
     from .operators.behavior import ORACLE_TRIGRAM_JOURNEYS
     oracles["events_trigram_journeys"] = ORACLE_TRIGRAM_JOURNEYS
+    from .operators.scale import ORACLE_DIAG_LAYOUT_ZONEMAP
+    oracles["diag_layout_zonemap"] = ORACLE_DIAG_LAYOUT_ZONEMAP
+    from .operators.analytics import ORACLE_CRAMERS_V
+    oracles["assoc_cramers_v"] = ORACLE_CRAMERS_V
+    # events_holt_linear: iterative float recurrence → rows-only
     return oracles

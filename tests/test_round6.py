@@ -230,7 +230,8 @@ class TestRegistryGuard:
         # binary-decode pair)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
                      "multimodal_audio_energy", "vocab_kmv_distinct",
-                     "multimodal_image_stats", "graph_kcore"}
+                     "multimodal_image_stats", "graph_kcore",
+                     "events_holt_linear"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:
@@ -1243,3 +1244,157 @@ class TestTrigramJourneys:
         assert [((r.step1, r.step2, r.step3), r.n) for r in out] == expected
         for r in out:
             assert r.share == pytest.approx(r.n / total, rel=1e-12)
+
+
+class TestLayoutZonemap:
+    def test_exact_python_replay(self, spark, sf_dir):
+        """Replicate the fixed-file-count writer and the overlap census
+        in pure Python from the raw lineitem rows."""
+        from datetime import date
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_layout_zonemap,
+        )
+
+        rows = (ld(spark, sf_dir, "lineitem")
+                .select("l_shipdate", "l_orderkey", "l_linenumber")
+                .collect())
+        epoch = date(1970, 1, 1)
+        base = [((r.l_shipdate.toordinal() - epoch.toordinal())
+                 if not isinstance(r.l_shipdate, str)
+                 else (date.fromisoformat(r.l_shipdate).toordinal()
+                       - epoch.toordinal()),
+                 r.l_orderkey, r.l_linenumber) for r in rows]
+        n = len(base)
+
+        def layout(order_key):
+            srt = sorted(base, key=order_key)
+            files = {}
+            for i, (key, _, _) in enumerate(srt):
+                f = (i * 16) // n
+                mn, mx = files.get(f, (key, key))
+                files[f] = (min(mn, key), max(mx, key))
+            fs = sorted(files.items())
+            overlap = sum(
+                1
+                for i, (_, (amn, amx)) in enumerate(fs)
+                for (_, (bmn, bmx)) in fs[i + 1:]
+                if amn <= bmx and bmn <= amx)
+            width = sum(mx - mn + 1 for _, (mn, mx) in fs)
+            return len(fs), width, overlap
+
+        expect = {
+            "arrival": layout(lambda t: (t[1], t[2])),
+            "sorted": layout(lambda t: (t[0], t[1], t[2])),
+        }
+        out = {r.layout: (r.n_files, r.total_width_days, r.overlap_pairs)
+               for r in diag_layout_zonemap(spark, sf_dir).collect()}
+        assert out == expect
+
+    def test_sorting_shrinks_ranges(self, spark, sf_dir):
+        """The point of the diagnostic: the sorted layout must have no
+        more overlapping file pairs and no wider total key span than
+        arrival order."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_layout_zonemap,
+        )
+
+        out = {r.layout: r for r in
+               diag_layout_zonemap(spark, sf_dir).collect()}
+        assert out["sorted"].overlap_pairs <= out["arrival"].overlap_pairs
+        assert (out["sorted"].total_width_days
+                <= out["arrival"].total_width_days)
+
+
+class TestCramersV:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            assoc_cramers_v,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            ld,
+        )
+
+        rows = ld(spark, sf_dir, "customer").select(
+            "c_nationkey", "c_mktsegment").collect()
+        obs = Counter((r.c_nationkey, r.c_mktsegment) for r in rows)
+        rm = Counter(r.c_nationkey for r in rows)
+        cm = Counter(r.c_mktsegment for r in rows)
+        n = len(rows)
+        chi2 = sum(
+            (obs.get((rk, ck), 0) - rm[rk] * cm[ck] / n) ** 2
+            / (rm[rk] * cm[ck] / n)
+            for rk in rm for ck in cm)
+        out = assoc_cramers_v(spark, sf_dir).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n == n
+        assert r.r == len(rm) and r.c == len(cm)
+        assert r.n_cells == len(rm) * len(cm)
+        assert r.dof == (len(rm) - 1) * (len(cm) - 1)
+        # the engine sums per-cell contributions under the DECIMAL(28,6)
+        # portability protocol → each of the r*c cells may deviate by up
+        # to 5e-7 from the full-double replay
+        assert r.chi2 == pytest.approx(chi2, abs=5e-7 * r.n_cells)
+        v = (chi2 / (n * min(len(rm) - 1, len(cm) - 1))) ** 0.5
+        assert r.cramers_v == pytest.approx(v, rel=1e-6)
+        assert 0.0 <= r.cramers_v <= 1.0
+
+
+class TestHoltLinear:
+    @staticmethod
+    def _series(spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.timeseries import (
+            _dense_daily_counts,
+        )
+
+        series = {}
+        for r in _dense_daily_counts(spark, sf_dir).collect():
+            series.setdefault(r.event_type, []).append((r.day_num, r.cnt))
+        return {k: [c for _, c in sorted(v)] for k, v in series.items()}
+
+    def test_matches_pure_python_replay(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_holt_linear,
+        )
+
+        series = self._series(spark, sf_dir)
+        out = events_holt_linear(spark, sf_dir).collect()
+        assert sorted(r.event_type for r in out) == sorted(series)
+        a, b = 0.3, 0.1
+        for r in out:
+            y = [float(c) for c in series[r.event_type]]
+            lvl, trend = y[0], (y[1] - y[0] if len(y) > 1 else 0.0)
+            abs_err = 0.0
+            for t in range(1, len(y)):
+                abs_err += abs(y[t] - (lvl + trend))
+                new_lvl = a * y[t] + (1 - a) * (lvl + trend)
+                trend = b * (new_lvl - lvl) + (1 - b) * trend
+                lvl = new_lvl
+            assert r.n_days == len(y)
+            assert r.level == pytest.approx(lvl, rel=1e-12)
+            assert r.trend == pytest.approx(trend, rel=1e-12, abs=1e-12)
+            assert r.forecast_next == pytest.approx(lvl + trend, rel=1e-12)
+            mae = abs_err / (len(y) - 1) if len(y) > 1 else 0.0
+            assert r.one_step_mae == pytest.approx(mae, rel=1e-12)
+
+    def test_alpha_beta_one_degenerates_to_last_step(self, spark, sf_dir):
+        """α=β=1 collapses the recurrence: level is the last observation,
+        trend the last first-difference, forecast their sum."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_holt_linear,
+        )
+
+        series = self._series(spark, sf_dir)
+        out = events_holt_linear(spark, sf_dir, alpha=1.0, beta=1.0)
+        for r in out.collect():
+            y = series[r.event_type]
+            assert r.level == pytest.approx(float(y[-1]))
+            assert r.trend == pytest.approx(float(y[-1] - y[-2]))
+            assert r.forecast_next == pytest.approx(
+                float(2 * y[-1] - y[-2]))
