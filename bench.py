@@ -150,6 +150,9 @@ HEADLINE = [
     "diag_layout_zonemap",
     "assoc_cramers_v",
     "events_holt_linear",
+    "revenue_gini_lorenz",
+    "corpus_heaps_law",
+    "events_peak_concurrency",
 ]
 
 

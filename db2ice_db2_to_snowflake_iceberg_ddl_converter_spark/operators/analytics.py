@@ -1425,3 +1425,102 @@ SELECT n, r, c, n_cells,
        SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
 FROM agg
 """
+
+
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit over purchasing customers: the exact
+    Gini coefficient plus the ten Lorenz-curve deciles (cumulative
+    revenue share of the bottom d/10 of customers) — the skew readout
+    that prices a partition strategy (how hot are the hottest customer
+    keys?) and the classic inequality census in one pass.
+
+    Gini uses the signed rank identity on ascending-sorted values
+    G = Σ((2i−n−1)·xᵢ) / (n·Σxᵢ) — no pairwise |xᵢ−xⱼ| O(n²) sweep.
+    Ranks come from :func:`~.scale.global_ranks` (range shuffle + prefix
+    offsets, never a single-partition window; the helper's
+    localCheckpoint pin makes the two consumers below see one ranking).
+    Each decile is a bucket census: row i belongs to first-decile
+    d = ceil(10·i/n) as exact integer (10·i+n−1) div n; the 10-row
+    cumulative window is driver-bounded by construction.
+
+    Portability: ALL money flows as exact integer CENTS held in
+    DECIMAL(38,0) — scale-0 on purpose: DuckDB converts DECIMAL(p,s>0)
+    to double in two roundings (int128→double, then ÷10^s) while
+    Spark/Java round once, so any hash-compared double must derive from
+    a scale-0 (single correctly-rounded conversion) value. The rank
+    products and their signed sum are exact decimals; Gini is IEEE ops
+    over exactly-converted doubles; decile shares are one divide each.
+    Output: 10 rows, all-constant gini column replicated.
+    """
+    from .scale import global_ranks
+
+    o = ld(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("decimal(38,0)")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(cents).alias("cents")))
+    ranked, n = global_ranks(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")],
+        num_partitions=8)
+    gini = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum((F.col("global_rn") * 2 - F.lit(n) - 1) * F.col("cents"))
+        .alias("num"))
+    gini = gini.select(
+        "n_customers",
+        F.col("total_cents").cast("double").alias("total_cents_d"),
+        (F.col("num").cast("double")
+         / (F.col("n_customers").cast("double")
+            * F.col("total_cents").cast("double"))).alias("gini"))
+    dec = (ranked
+           .withColumn("decile", F.expr(f"(10 * global_rn + {n}L - 1) div {n}L"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_in_decile"),
+                F.sum("cents").alias("decile_cents")))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # 10-row frame: the unpartitioned window is bounded by construction
+    return (dec
+            .withColumn("cum_customers",
+                        F.sum("n_in_decile").over(wcum))
+            .withColumn("cum_cents", F.sum("decile_cents").over(wcum))
+            .crossJoin(F.broadcast(gini))
+            .select("decile", "n_in_decile", "cum_customers",
+                    (F.col("cum_cents").cast("double")
+                     / F.col("total_cents_d")).alias("cum_rev_share"),
+                    "n_customers", "gini")
+            .orderBy("decile"))
+
+
+ORACLE_GINI_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                  AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM per_cust),
+gini AS (
+  SELECT COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS DOUBLE) AS total_cents_d,
+         CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+           AS gini
+  FROM ranked),
+dec AS (
+  SELECT (10 * i + n - 1) // n AS decile,
+         COUNT(*) AS n_in_decile, SUM(cents) AS decile_cents
+  FROM ranked GROUP BY decile)
+SELECT d.decile, d.n_in_decile,
+       CAST(SUM(d.n_in_decile) OVER w AS BIGINT) AS cum_customers,
+       CAST(SUM(d.decile_cents) OVER w AS DOUBLE) / g.total_cents_d
+         AS cum_rev_share,
+       g.n_customers, g.gini
+FROM dec d CROSS JOIN gini g
+WINDOW w AS (ORDER BY d.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY d.decile
+"""

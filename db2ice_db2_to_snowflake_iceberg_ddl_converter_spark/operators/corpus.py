@@ -18,7 +18,7 @@ double.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import DEC, ld
@@ -1810,4 +1810,86 @@ SELECT t1, t2, c_ab, df_a, df_b,
        CAST(c_ab * n_docs AS DOUBLE) / (df_a * df_b) AS lift
 FROM pairs, n
 ORDER BY c_ab DESC, t1, t2 LIMIT 50
+"""
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: streaming the corpus in
+    doc_id order, how many distinct token types have been seen after
+    each tenth of the documents — the readout that sizes tokenizer
+    vocabularies and predicts how much NEW vocabulary another 10× of
+    crawl will bring (V(N) ≈ K·N^β; a flattening new_types column says
+    the source is vocabulary-exhausted, a linear one says keep crawling).
+
+    Exact, not sampled: each token type's FIRST-appearance document
+    ordinal m (ordinals via :func:`~.scale.global_ranks` on doc_id — no
+    single-partition window; the helper's localCheckpoint pin lets the
+    doc census and the token scan share one ranking) maps to the first
+    decile where the type is visible, d = ceil(10·m/n) computed as
+    exact-integer (10·m+n−1) div n, because decile d's prefix holds the
+    first (n·d) div 10 docs. One O(corpus-tokens) explode feeding an
+    O(vocabulary) min-aggregation with map-side partials, two 10-row
+    cumulative windows (driver-bounded by construction), all-integer
+    output — no float protocol needed.
+    """
+    from .scale import global_ranks
+
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked, n = global_ranks(d, [F.asc("doc_id")], num_partitions=8)
+    dd = F.expr(f"(10 * global_rn + {n}L - 1) div {n}L")
+    docs10 = (ranked
+              .select(dd.alias("decile"),
+                      F.size(F.split("text", " ")).alias("ntok"))
+              .groupBy("decile")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("ntok").alias("n_tokens")))
+    first = (ranked
+             .select("global_rn",
+                     F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token")
+             .agg(F.min("global_rn").alias("m"))
+             .select(F.expr(f"(10 * m + {n}L - 1) div {n}L")
+                     .alias("decile"))
+             .groupBy("decile")
+             .agg(F.count(F.lit(1)).alias("new_types")))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs10.join(first, "decile", "left")
+            .select("decile", "n_docs", "n_tokens",
+                    F.coalesce("new_types", F.lit(0)).alias("new_types"))
+            .withColumn("cum_docs", F.sum("n_docs").over(wcum))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(wcum))
+            .withColumn("cum_vocab", F.sum("new_types").over(wcum))
+            .select("decile", "new_types", "cum_docs", "cum_tokens",
+                    "cum_vocab")
+            .orderBy("decile"))
+
+
+ORACLE_HEAPS_LAW = """
+WITH ranked AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS i,
+         COUNT(*) OVER () AS n
+  FROM documents),
+docs10 AS (
+  SELECT (10 * i + n - 1) // n AS decile,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM ranked GROUP BY decile),
+first AS (
+  SELECT (10 * m + n - 1) // n AS decile, COUNT(*) AS new_types
+  FROM (SELECT MIN(i) AS m, ANY_VALUE(n) AS n
+        FROM (SELECT i, n, UNNEST(string_split(text, ' ')) AS token
+              FROM ranked)
+        GROUP BY token)
+  GROUP BY decile)
+SELECT d.decile,
+       COALESCE(f.new_types, 0) AS new_types,
+       CAST(SUM(d.n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(SUM(d.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM docs10 d LEFT JOIN first f USING (decile)
+WINDOW w AS (ORDER BY d.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY d.decile
 """

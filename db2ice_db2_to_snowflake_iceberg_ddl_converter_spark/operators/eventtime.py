@@ -737,3 +737,102 @@ def events_holt_linear(spark: SparkSession, sf_dir: str,
                 "event_type string, n_days long, level double,"
                 " trend double, forecast_next double, one_step_mae double")
             .orderBy("event_type"))
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning census
+    (how many users are on at once, and when does it peak?) computed
+    exactly by a distributed sweep line: each 30-minute-gap session
+    (the events_sessionize contract) emits +1 at its start microsecond
+    and −1 one microsecond after its end (closed intervals: a session
+    ending at t and one starting at t DO overlap), and the running sum
+    of deltas over the global boundary order is the instantaneous
+    concurrency, whose per-day max is the answer.
+
+    The global running sum is :func:`~.scale.global_prefix_window` —
+    one range shuffle over the 2·sessions boundary stream plus a
+    driver-side carry of per-partition totals, never a single-partition
+    window (boundaries grow with the corpus; this is exactly the shape
+    that breaks first at 100× under ``Window.orderBy`` with no
+    PARTITION BY). Boundary order is the total order (t, delta DESC,
+    user_id, session_seq): starts sort before ends at the same instant,
+    the (user, session) pair makes it unique. Day attribution is the
+    boundary's own integer day t div 86400000000 — the step function
+    only changes at boundaries, so a day with no boundary inherits no
+    row (event-time-sampled contract, shared with the oracle).
+    All-integer output.
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    gap_us = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (e.select("user_id", "event_id", us.alias("us"),
+                     F.sum(new_session).over(wrun).alias("session_seq"))
+            .groupBy("user_id", "session_seq")
+            .agg(F.min("us").alias("start_us"),
+                 F.max("us").alias("end_us")))
+    bounds = (sess.select("user_id", "session_seq",
+                          F.col("start_us").alias("t"),
+                          F.lit(1).alias("delta"))
+              .unionAll(sess.select(
+                  "user_id", "session_seq",
+                  (F.col("end_us") + 1).alias("t"),
+                  F.lit(-1).alias("delta"))))
+    from .scale import global_prefix_window
+
+    run = global_prefix_window(
+        bounds,
+        [F.asc("t"), F.desc("delta"), F.asc("user_id"),
+         F.asc("session_seq")],
+        "delta", how="sum", out_col="concurrency")
+    return (run
+            .select(F.expr("t div 86400000000").alias("day_num"),
+                    "delta", "concurrency")
+            .groupBy("day_num")
+            .agg(F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                 .alias("n_starts"),
+                 F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+                 .alias("n_ends"),
+                 F.max("concurrency").alias("peak_concurrent"))
+            .orderBy("day_num"))
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(us) AS start_us, MAX(us) AS end_us
+  FROM numbered GROUP BY user_id, session_seq
+), bounds AS (
+  SELECT user_id, session_seq, start_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, session_seq, end_us + 1, -1 FROM sess
+), run AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrency
+  FROM bounds)
+SELECT t // 86400000000 AS day_num,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_starts,
+       CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ends,
+       CAST(MAX(concurrency) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY day_num ORDER BY day_num
+"""

@@ -1398,3 +1398,127 @@ class TestHoltLinear:
             assert r.trend == pytest.approx(float(y[-1] - y[-2]))
             assert r.forecast_next == pytest.approx(
                 float(2 * y[-1] - y[-2]))
+
+
+class TestGiniLorenz:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from decimal import Decimal
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            revenue_gini_lorenz,
+        )
+
+        per_cust = duckdb.sql(
+            "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS "
+            "DECIMAL(28,6))) * 100 AS BIGINT) AS cents FROM "
+            f"'{sf_dir}/orders.parquet' GROUP BY o_custkey").fetchall()
+        xs = sorted((c, k) for k, c in per_cust)
+        n = len(xs)
+        total = sum(c for c, _ in xs)
+        num = sum((2 * (i + 1) - n - 1) * c for i, (c, _) in enumerate(xs))
+        gini = float(num) / (float(n) * float(total))
+        out = revenue_gini_lorenz(spark, sf_dir).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r.n_customers == n
+            assert r.gini == pytest.approx(gini, rel=1e-12)
+            k = (n * r.decile) // 10
+            assert r.cum_customers == k
+            cum = sum(c for c, _ in xs[:k])
+            assert r.cum_rev_share == pytest.approx(cum / total, rel=1e-12)
+        assert out[-1].cum_rev_share == 1.0
+        # Lorenz curve is convex: increments non-decreasing
+        shares = [0.0] + [r.cum_rev_share for r in out]
+        incs = [b - a for a, b in zip(shares, shares[1:])]
+        assert all(b >= a - 1e-12 for a, b in zip(incs, incs[1:]))
+        assert 0.0 <= out[0].gini < 1.0
+
+
+class TestHeapsLaw:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_heaps_law,
+        )
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+            "ORDER BY doc_id").fetchall()
+        n = len(docs)
+        first_seen = {}
+        tok_by_ord = []
+        for i, (_, text) in enumerate(docs, start=1):
+            toks = text.split(" ")
+            tok_by_ord.append(len(toks))
+            for t in toks:
+                first_seen.setdefault(t, i)
+        out = corpus_heaps_law(spark, sf_dir).collect()
+        assert [r.decile for r in out] == list(range(1, 11))
+        for r in out:
+            k = (n * r.decile) // 10
+            assert r.cum_docs == k
+            assert r.cum_tokens == sum(tok_by_ord[:k])
+            assert r.cum_vocab == sum(1 for m in first_seen.values()
+                                      if m <= k)
+        assert out[-1].cum_vocab == len(first_seen)
+        assert sum(r.new_types for r in out) == len(first_seen)
+
+    def test_vocab_curve_monotone(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_heaps_law,
+        )
+
+        out = corpus_heaps_law(spark, sf_dir).collect()
+        for a, b in zip(out, out[1:]):
+            assert b.cum_vocab >= a.cum_vocab
+            assert b.cum_docs > a.cum_docs
+            assert b.cum_tokens > a.cum_tokens
+
+
+class TestPeakConcurrency:
+    def test_exact_python_sweep_replay(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_peak_concurrency,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append((r.us, r.event_id))
+        bounds = []
+        for uid, rows in by_user.items():
+            rows.sort()
+            seq, start, prev = 0, None, None
+            for us, _ in rows:
+                if prev is None or us - prev > 30 * 60 * 1_000_000:
+                    if start is not None:
+                        bounds += [(start, 1, uid, seq), (prev + 1, -1, uid, seq)]
+                    seq += 1
+                    start = us
+                prev = us
+            bounds += [(start, 1, uid, seq), (prev + 1, -1, uid, seq)]
+        bounds.sort(key=lambda b: (b[0], -b[1], b[2], b[3]))
+        per_day = {}
+        cur = 0
+        for t, delta, _, _ in bounds:
+            cur += delta
+            day = t // 86_400_000_000
+            st, en, pk = per_day.get(day, (0, 0, 0))
+            per_day[day] = (st + (delta == 1), en + (delta == -1),
+                            max(pk, cur))
+        out = events_peak_concurrency(spark, sf_dir).collect()
+        got = {r.day_num: (r.n_starts, r.n_ends, r.peak_concurrent)
+               for r in out}
+        assert got == per_day
+        # sweep-line sanity: concurrency never negative, starts == ends
+        assert sum(v[0] for v in per_day.values()) == \
+            sum(v[1] for v in per_day.values())
