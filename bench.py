@@ -153,6 +153,9 @@ HEADLINE = [
     "revenue_gini_lorenz",
     "corpus_heaps_law",
     "events_peak_concurrency",
+    "agg_weighted_percentiles",
+    "benford_price_audit",
+    "events_user_predictability",
 ]
 
 

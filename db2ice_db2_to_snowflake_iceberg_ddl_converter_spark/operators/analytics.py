@@ -1524,3 +1524,139 @@ WINDOW w AS (ORDER BY d.decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY d.decile
 """
+
+
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """GLOBAL weighted percentiles of unit price weighted by quantity —
+    "the price below which q% of shipped UNITS (not order lines) fall",
+    the volume-weighted twin of agg_percentiles and the exact version
+    of what approx sketches estimate. Weighted rule, no interpolation:
+    the q-percentile is the smallest price whose cumulative quantity
+    reaches ceil(q·W), computed as exact integer (p·W + 99) div 100 —
+    the same explicitly-portable rank convention as agg_percentiles
+    (native engine quantile conventions do not agree).
+
+    The cumulative weight over the GLOBAL price order rides
+    :func:`~.scale.global_prefix_window` — one range shuffle plus a
+    32-row driver carry, never a single-partition window (lineitem is
+    the biggest table; this is the canonical 100×-breaking shape).
+    Everything integer until the output prices (exact decimals).
+    """
+    from .scale import global_prefix_window
+
+    li = (ld(spark, sf_dir, "lineitem")
+          .select("l_extendedprice", "l_quantity",
+                  "l_orderkey", "l_linenumber")
+          .withColumn("qty", F.col("l_quantity").cast("bigint")))
+    cum = global_prefix_window(
+        li, [F.asc("l_extendedprice"), F.asc("l_orderkey"),
+             F.asc("l_linenumber")],
+        "qty", how="sum", out_col="cumw")
+    total = li.agg(F.sum("qty").alias("w"))
+    j = cum.crossJoin(F.broadcast(total))
+    pct = [("wp25", 25), ("wp50", 50), ("wp75", 75), ("wp95", 95)]
+    aggs = [F.min(F.when(
+        F.col("cumw") >= F.expr(f"({p} * w + 99) div 100"),
+        F.col("l_extendedprice"))).alias(name) for name, p in pct]
+    return j.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.max("w").alias("total_units"), *aggs)
+
+
+ORACLE_WEIGHTED_PERCENTILES = """
+WITH cum AS (
+  SELECT l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER () AS w
+  FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       CAST(MAX(w) AS BIGINT) AS total_units,
+       MIN(CASE WHEN cumw >= (25 * w + 99) // 100
+                THEN l_extendedprice END) AS wp25,
+       MIN(CASE WHEN cumw >= (50 * w + 99) // 100
+                THEN l_extendedprice END) AS wp50,
+       MIN(CASE WHEN cumw >= (75 * w + 99) // 100
+                THEN l_extendedprice END) AS wp75,
+       MIN(CASE WHEN cumw >= (95 * w + 99) // 100
+                THEN l_extendedprice END) AS wp95
+FROM cum
+"""
+
+
+#: Benford leading-digit expectations log10(1+1/d), d=1..9 — parsed as
+#: identical double literals by both engines (the log itself never runs;
+#: same constants-as-literals rationale as BM25's k1/b).
+_BENFORD = [
+    (1, 0.3010299956639812), (2, 0.17609125905568124),
+    (3, 0.12493873660829993), (4, 0.09691001300805642),
+    (5, 0.07918124604762482), (6, 0.06694678963061322),
+    (7, 0.05799194697768673), (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+]
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of extended prices — the classic
+    fabricated-data / corruption screen: natural multi-magnitude
+    amounts follow P(d) = log10(1+1/d); a flat or spiked digit profile
+    flags synthetic or tampered values (the fixture's uniform prices
+    are exactly such a flag). Emits per digit the observed count,
+    observed share, Benford expectation, and |deviation|.
+
+    Leading digit: prices become exact integer cents (scale-0 per the
+    decimal→double protocol; ×100 preserves the leading digit), then
+    one substring on the canonical integer string — no float log10.
+    The expectations are parsed double literals in BOTH engines (the
+    logarithm never executes at query time — same rationale as BM25's
+    k1/b constants). Shares are single IEEE divides; the deviation is
+    one subtract + abs. Shape: one map-side-partial aggregation to 9
+    rows, a 1-row total broadcast. A cross-digit chi² total is
+    deliberately NOT emitted: summing 9 doubles in group-by order is
+    partition-order-dependent; the per-digit rows are the contract.
+    """
+    li = ld(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast(DEC) * 100) \
+        .cast("decimal(38,0)")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (li.select(digit.alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).alias("n_values")))
+    tot = obs.agg(F.sum("n_values").alias("total"))
+    exp_map = F.create_map(
+        *[x for d, p in _BENFORD for x in (F.lit(d), F.lit(p))])
+    share = F.col("n_values").cast("double") / F.col("total")
+    return (obs.join(F.broadcast(tot))
+            .select("digit", "n_values",
+                    share.alias("obs_share"),
+                    exp_map[F.col("digit")].alias("benford_share"))
+            .withColumn("abs_dev",
+                        F.abs(F.col("obs_share") - F.col("benford_share")))
+            .orderBy("digit"))
+
+
+ORACLE_BENFORD = """
+WITH obs AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                             * 100 AS DECIMAL(38,0)) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         COUNT(*) AS n_values
+  FROM lineitem GROUP BY digit),
+tot AS (SELECT CAST(SUM(n_values) AS BIGINT) AS total FROM obs),
+exp AS (
+  SELECT * FROM (VALUES
+    (1, 3.010299956639812e-1), (2, 1.7609125905568124e-1),
+    (3, 1.2493873660829993e-1), (4, 9.691001300805642e-2),
+    (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+    (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+    (9, 4.575749056067514e-2)) AS t(digit, benford_share))
+SELECT o.digit, o.n_values,
+       CAST(o.n_values AS DOUBLE) / t.total AS obs_share,
+       e.benford_share,
+       ABS(CAST(o.n_values AS DOUBLE) / t.total - e.benford_share)
+         AS abs_dev
+FROM obs o CROSS JOIN tot t JOIN exp e ON e.digit = o.digit
+ORDER BY o.digit
+"""

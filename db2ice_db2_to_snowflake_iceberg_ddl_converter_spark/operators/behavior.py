@@ -387,3 +387,52 @@ SELECT step1, step2, step3, n,
 FROM counted, tot
 ORDER BY n DESC, step1, step2, step3 LIMIT 25
 """
+
+
+def events_user_predictability(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-user behavioral predictability: the Gini impurity of each
+    user's event-type mix, 1 − Σ(nₜ/n)² = (n² − Σnₜ²)/n² — 0 for a
+    user who only ever does one thing, →1−1/k for a uniform k-way mix.
+    This is the entropy readout a personalization/mixture policy wants,
+    expressed through the LOG-FREE rational impurity (ln differs by
+    ulps between engines; the squared-share form is exact integers
+    until ONE IEEE divide — same rationale as the χ² drift entries).
+    Also emits each user's modal event type (max count, type-string
+    tiebreak — deterministic).
+
+    Shape: one (user, type)-keyed count with map-side partials (output
+    bounded by users × types), one user-keyed rollup via max_by on the
+    packed (count, type) order, no window at all. Scales on user
+    cardinality.
+    """
+    e = load_events(spark, sf_dir)
+    per = (e.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_t")))
+    return (per.groupBy("user_id")
+            .agg(F.sum("n_t").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.sum(F.col("n_t") * F.col("n_t")).alias("sum_sq"),
+                 F.max(F.struct(F.col("n_t"),
+                                F.col("event_type"))).alias("top"))
+            .select("user_id", "n_events", "n_types",
+                    F.col("top.event_type").alias("top_type"),
+                    ((F.col("n_events") * F.col("n_events")
+                      - F.col("sum_sq")).cast("double")
+                     / (F.col("n_events") * F.col("n_events"))
+                     .cast("double")).alias("gini_impurity"))
+            .orderBy("user_id"))
+
+
+ORACLE_USER_PREDICTABILITY = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n_t
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(SUM(n_t) AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       FIRST(event_type ORDER BY n_t DESC, event_type DESC) AS top_type,
+       CAST(SUM(n_t) * SUM(n_t) - SUM(n_t * n_t) AS DOUBLE)
+         / CAST(SUM(n_t) * SUM(n_t) AS DOUBLE) AS gini_impurity
+FROM per GROUP BY user_id ORDER BY user_id
+"""

@@ -446,8 +446,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filling to 50. The stale tail that misses this window stays due
     for round 7, again oldest-first.
 
-    ROUND-7 ROTATION PLAN: the 36 round-6 debuts left a 14-canary fill,
-    so 56 of ``_CANARIES_R06`` missed this window and are first in line
+    ROUND-7 ROTATION PLAN: the 39 round-6 debuts left an 11-canary fill,
+    so 59 of ``_CANARIES_R06`` missed this window and are first in line
     for round 7 (in list order): dedup_embedding_cosine,
     dedup_keep_representatives, dedup_ngram_jaccard_pruned,
     embedding_covariance,
@@ -468,18 +468,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window_running_sum, agg_corr_regr, agg_percentiles,
     window_topk_per_group, ann_brute_force_topk, dedup_minhash_lsh,
     set_intersect, set_union_all, window_ntile_percent,
-    scalar_math_fns, scalar_string_fns, set_except
-    (the last fifteen — window_topk_per_group onward — displaced as the
+    scalar_math_fns, scalar_string_fns, set_except,
+    q18_large_orders, scalar_date_fns, scalar_json_fns
+    (the last eighteen — window_topk_per_group onward — displaced as the
     late debuts — retrieval_bm25_topk,
     diag_join_key_skew, events_acf_daily, events_interarrival_stats,
     diag_blocking_pair_census, corpus_token_cooccurrence,
     forecast_seasonal_naive_eval, quality_quantile_calibrate,
     events_trigram_journeys, diag_layout_zonemap, assoc_cramers_v,
     events_holt_linear, revenue_gini_lorenz, corpus_heaps_law,
-    events_peak_concurrency — shrank the fill 29→14). Build
+    events_peak_concurrency, agg_weighted_percentiles,
+    benford_price_audit, events_user_predictability — shrank the fill
+    29→11). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 56, then (4) r03-checked entries,
-    oldest-first, filling to 50. All 56 were judged green locally this
+    round-7 entries, (3) these 59, then (4) r03-checked entries,
+    oldest-first, filling to 50. All 59 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
     verification command before committing.
@@ -791,6 +794,9 @@ _ROUND6_NEW: list = [
     "revenue_gini_lorenz",
     "corpus_heaps_law",
     "events_peak_concurrency",
+    "agg_weighted_percentiles",
+    "benford_price_audit",
+    "events_user_predictability",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -982,6 +988,15 @@ def _round6_queries():
         # sweep-line peak concurrent sessions per day via the global
         # prefix sum — never a single-partition window
         "events_peak_concurrency": _et6.events_peak_concurrency,
+        # volume-weighted global percentiles riding the global prefix
+        # sum — exact ceil(q·W) rank rule, no interpolation
+        "agg_weighted_percentiles": _an6.agg_weighted_percentiles,
+        # Benford first-digit audit on price cents — expectations as
+        # parsed double literals, no query-time log10
+        "benford_price_audit": _an6.benford_price_audit,
+        # per-user Gini impurity of the event-type mix — log-free
+        # rational predictability census
+        "events_user_predictability": _bh6.events_user_predictability,
     }
 
 
@@ -1493,4 +1508,12 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_heaps_law"] = corpus.ORACLE_HEAPS_LAW
     from .operators.eventtime import ORACLE_PEAK_CONCURRENCY
     oracles["events_peak_concurrency"] = ORACLE_PEAK_CONCURRENCY
+    from .operators.analytics import (
+        ORACLE_BENFORD,
+        ORACLE_WEIGHTED_PERCENTILES,
+    )
+    oracles["agg_weighted_percentiles"] = ORACLE_WEIGHTED_PERCENTILES
+    oracles["benford_price_audit"] = ORACLE_BENFORD
+    from .operators.behavior import ORACLE_USER_PREDICTABILITY
+    oracles["events_user_predictability"] = ORACLE_USER_PREDICTABILITY
     return oracles

@@ -1522,3 +1522,112 @@ class TestPeakConcurrency:
         # sweep-line sanity: concurrency never negative, starts == ends
         assert sum(v[0] for v in per_day.values()) == \
             sum(v[1] for v in per_day.values())
+
+
+class TestWeightedPercentiles:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            agg_weighted_percentiles,
+        )
+
+        rows = duckdb.sql(
+            "SELECT l_extendedprice, CAST(l_quantity AS BIGINT), "
+            "l_orderkey, l_linenumber FROM "
+            f"'{sf_dir}/lineitem.parquet'").fetchall()
+        rows.sort(key=lambda r: (r[0], r[2], r[3]))
+        w = sum(r[1] for r in rows)
+        out = agg_weighted_percentiles(spark, sf_dir).first()
+        assert out.n_rows == len(rows)
+        assert out.total_units == w
+        for name, p in (("wp25", 25), ("wp50", 50),
+                        ("wp75", 75), ("wp95", 95)):
+            thresh = (p * w + 99) // 100
+            cum = 0
+            for price, q, *_ in rows:
+                cum += q
+                if cum >= thresh:
+                    assert float(getattr(out, name)) == float(price)
+                    break
+
+    def test_weighted_differs_from_unweighted_contract(self, spark,
+                                                       sf_dir):
+        """Percentiles are monotone and inside the price range."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            agg_weighted_percentiles,
+        )
+
+        r = agg_weighted_percentiles(spark, sf_dir).first()
+        assert r.wp25 <= r.wp50 <= r.wp75 <= r.wp95
+
+
+class TestBenfordAudit:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import math
+        from collections import Counter
+        from decimal import Decimal
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            benford_price_audit,
+        )
+
+        prices = [r[0] for r in duckdb.sql(
+            "SELECT l_extendedprice FROM "
+            f"'{sf_dir}/lineitem.parquet'").fetchall()]
+        digits = Counter(str(int(Decimal(str(p)) * 100))[0]
+                         for p in prices)
+        total = sum(digits.values())
+        out = benford_price_audit(spark, sf_dir).collect()
+        assert sum(r.n_values for r in out) == total
+        for r in out:
+            assert r.n_values == digits[str(r.digit)]
+            assert r.obs_share == pytest.approx(r.n_values / total,
+                                                rel=1e-12)
+            # expectations are the log10(1+1/d) constants (the pinned
+            # literals may differ from this libm by 1 ulp — they are
+            # the contract, not the runtime log)
+            assert r.benford_share == pytest.approx(
+                math.log10(1 + 1 / r.digit), rel=1e-15)
+            assert r.abs_dev == abs(r.obs_share - r.benford_share)
+
+    def test_expectations_sum_to_one(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            _BENFORD,
+        )
+
+        assert sum(p for _, p in _BENFORD) == pytest.approx(1.0,
+                                                            abs=1e-15)
+
+
+class TestUserPredictability:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_user_predictability,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        ev = load_events(spark, sf_dir).select(
+            "user_id", "event_type").collect()
+        mixes = {}
+        for r in ev:
+            mixes.setdefault(r.user_id, Counter())[r.event_type] += 1
+        out = events_user_predictability(spark, sf_dir).collect()
+        assert sorted(r.user_id for r in out) == sorted(mixes)
+        for r in out:
+            m = mixes[r.user_id]
+            n = sum(m.values())
+            assert r.n_events == n
+            assert r.n_types == len(m)
+            # modal type, ties broken by the LARGEST type string
+            best = max(m.items(), key=lambda kv: (kv[1], kv[0]))
+            assert r.top_type == best[0]
+            gini = (n * n - sum(c * c for c in m.values())) / (n * n)
+            assert r.gini_impurity == pytest.approx(gini, rel=1e-12)
+            assert 0.0 <= r.gini_impurity < 1.0
