@@ -156,6 +156,9 @@ HEADLINE = [
     "agg_weighted_percentiles",
     "benford_price_audit",
     "events_user_predictability",
+    "graph_degree_distribution",
+    "corpus_distinctive_terms",
+    "embedding_source_drift",
 ]
 
 

@@ -1893,3 +1893,82 @@ WINDOW w AS (ORDER BY d.decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY d.decile
 """
+
+
+def corpus_distinctive_terms(spark: SparkSession, sf_dir: str,
+                             top_n: int = 3, min_df: int = 5
+                             ) -> DataFrame:
+    """The terms that CHARACTERIZE each source — highest odds ratio of
+    in-source vs out-of-source document frequency — the log-free twin of
+    log-odds/keyness analysis and the per-source complement of
+    corpus_dsir_importance (which scores docs, not terms). Used to name
+    mixture components and spot contaminated sources (a crawl slice
+    whose distinctive terms are boilerplate is a dedup target).
+
+    Add-one (integer!) Haldane-style smoothing keeps the ratio finite
+    and exact: OR = (a+1)(B−b+1) / ((A−a+1)(b+1)) with a = in-source df,
+    b = out-source df, A/B = in/out doc counts — all exact bigint
+    products, ONE IEEE divide (the module's rational-over-log protocol:
+    ln differs by ulps across engines, integer products do not).
+    Ranking is per-source (OR DESC, token) — a source-PARTITIONed
+    window, never global. Shape: one explode → distinct (doc, token) →
+    (source, token) census bounded by sources × vocabulary; doc totals
+    broadcast; min_df floors out noise terms.
+    """
+    d = ld(spark, sf_dir, "documents")
+    doc_tok = (d.select("doc_id", "source",
+                        F.explode(F.split("text", " ")).alias("token"))
+               .dropDuplicates(["doc_id", "token"]))
+    st = (doc_tok.groupBy("source", "token")
+          .agg(F.count(F.lit(1)).alias("a")))
+    df_tot = (st.groupBy("token")
+              .agg(F.sum("a").alias("df")))
+    src_tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("a_docs"))
+    n_tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = (st.join(F.broadcast(df_tot), "token")
+         .join(F.broadcast(src_tot), "source")
+         .join(F.broadcast(n_tot))
+         .filter(F.col("df") >= min_df))
+    b = F.col("df") - F.col("a")
+    big_b = F.col("n_docs") - F.col("a_docs")
+    odds = (((F.col("a") + 1) * (big_b - b + 1)).cast("double")
+            / ((F.col("a_docs") - F.col("a") + 1) * (b + 1))
+            .cast("double"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("odds_ratio"), "token")
+    return (j.select("source", "token", "a", F.col("df").alias("df_total"),
+                     odds.alias("odds_ratio"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .orderBy("source", "rank"))
+
+
+ORACLE_DISTINCTIVE_TERMS = """
+WITH doc_tok AS (
+  SELECT DISTINCT doc_id, source, token
+  FROM (SELECT doc_id, source,
+               UNNEST(string_split(text, ' ')) AS token
+        FROM documents)),
+st AS (
+  SELECT source, token, COUNT(*) AS a FROM doc_tok GROUP BY source, token),
+df_tot AS (SELECT token, CAST(SUM(a) AS BIGINT) AS df FROM st GROUP BY token),
+src_tot AS (SELECT source, COUNT(*) AS a_docs FROM documents GROUP BY source),
+n_tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT st.source, st.token, st.a, df_tot.df AS df_total,
+         CAST((st.a + 1) * ((n_tot.n_docs - src_tot.a_docs)
+                            - (df_tot.df - st.a) + 1) AS DOUBLE)
+         / CAST((src_tot.a_docs - st.a + 1)
+                * (df_tot.df - st.a + 1) AS DOUBLE) AS odds_ratio
+  FROM st JOIN df_tot USING (token)
+       JOIN src_tot USING (source)
+       CROSS JOIN n_tot
+  WHERE df_tot.df >= 5)
+SELECT source, token, a, df_total, odds_ratio,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY odds_ratio DESC, token) AS rank
+      FROM scored)
+WHERE rank <= 3
+ORDER BY source, rank
+"""

@@ -420,3 +420,77 @@ QUERIES = {"graph_pagerank_top": graph_pagerank_top,
 ORACLES = {"graph_hierarchy_depths": ORACLE_HIERARCHY_DEPTHS,
            "graph_triangle_stats": ORACLE_TRIANGLE_STATS,
            "sql_recursive_hierarchy": ORACLE_SQL_RECURSIVE}
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Degree distribution of the supplier co-sourcing graph plus the
+    complementary cumulative tail P(deg ≥ k) — the census that tells you
+    whether the graph is hub-dominated (heavy tail ⇒ salt the hub keys
+    before any edge-keyed join/expansion) or flat, and the standard
+    power-law readout. Rides the shared thresholded edge list
+    (:func:`supplier_coproduct_edges`), ``localCheckpoint``-pinned here
+    because BOTH endpoint projections consume it (without the pin the
+    lineitem self-join underneath runs twice — the multi-consumer
+    contract from the co-sourcing census).
+
+    The tail cumsum runs over the distinct-degree census ordered by
+    degree DESC via :func:`~.scale.global_prefix_window` — distinct
+    degrees are few in practice but unbounded in principle, so no
+    single-partition window on principle. Exact integers until the two
+    share divides. Output: one row per distinct degree.
+    """
+    from .scale import global_prefix_window
+
+    edges = supplier_coproduct_edges(spark, sf_dir).localCheckpoint()
+    deg = (edges.select(F.col("s1").alias("s"))
+           .unionAll(edges.select(F.col("s2").alias("s")))
+           .groupBy("s").agg(F.count(F.lit(1)).alias("degree")))
+    census = (deg.groupBy("degree")
+              .agg(F.count(F.lit(1)).alias("n_nodes"))
+              .localCheckpoint())           # two consumers below, tiny
+    tot = census.agg(F.sum("n_nodes").alias("n"),
+                     F.sum(F.col("degree") * F.col("n_nodes"))
+                     .alias("deg_sum"))
+    tail = global_prefix_window(
+        census, [F.desc("degree")], "n_nodes", how="sum",
+        out_col="n_at_least")
+    return (tail.crossJoin(F.broadcast(tot))
+            .select("degree", "n_nodes", "n_at_least",
+                    (F.col("n_at_least").cast("double") / F.col("n"))
+                    .alias("tail_share"),
+                    "n",
+                    (F.col("deg_sum").cast("double") / F.col("n"))
+                    .alias("mean_degree"))
+            .orderBy("degree"))
+
+
+ORACLE_DEGREE_DISTRIBUTION = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+tot AS (SELECT SUM(shared) AS ts, COUNT(*) AS tp FROM pairs),
+edges AS (
+  SELECT s1, s2 FROM pairs, tot WHERE shared * tp * 10 >= ts * 11),
+deg AS (
+  SELECT s, COUNT(*) AS degree
+  FROM (SELECT s1 AS s FROM edges UNION ALL SELECT s2 FROM edges)
+  GROUP BY s),
+census AS (
+  SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree),
+n AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n,
+             CAST(SUM(degree * n_nodes) AS BIGINT) AS deg_sum
+      FROM census)
+SELECT c.degree, c.n_nodes,
+       CAST(SUM(c.n_nodes) OVER (ORDER BY c.degree DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_least,
+       CAST(SUM(c.n_nodes) OVER (ORDER BY c.degree DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / n.n AS tail_share,
+       n.n, CAST(n.deg_sum AS DOUBLE) / n.n AS mean_degree
+FROM census c CROSS JOIN n
+ORDER BY c.degree
+"""

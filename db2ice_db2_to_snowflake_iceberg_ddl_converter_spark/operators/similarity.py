@@ -907,3 +907,89 @@ def embedding_kmeans_clusters(spark, sf_dir, k: int = 8,
             .select("cluster", "size", "inertia",
                     (F.col("inertia") / F.col("size")).alias("mean_d2"))
             .orderBy("cluster"))
+
+
+def embedding_source_drift(spark, sf_dir, dims: int = 64) -> DataFrame:
+    """Embedding drift between corpus sources: pairwise cosine and L2
+    distance between per-source CENTROIDS — the representation-space
+    drift monitor (did the crawler's new slice move in embedding space?)
+    complementing the token-level chi²/KS drift entries, and the
+    between-class separation audit for the label/source mixture.
+
+    One aggregation pass computes every source's 64 per-dimension means
+    as exact decimal sums over per-row doubles (the
+    embedding_covariance portability contract: each element cast to
+    DECIMAL(28,6) rounds identically in both engines, the sums are
+    exact, means are single divides) — map-side partials, output
+    O(sources × dims) held as sources-sized WIDE rows. The pairwise
+    stage is a self-join of the ~|sources| centroid frame (bounded by
+    the source catalog, never the corpus); dot/norm/L2 are LEFT-FOLDED
+    chains of IEEE multiply-adds written in the identical association
+    order in both engines, so every intermediate double matches
+    bitwise; cosine is one divide of a product of two exactly-rounded
+    sqrts. Scale: corpus touched once; everything after is catalog-sized.
+    """
+    e = ld(spark, sf_dir, "embeddings")
+    d = ld(spark, sf_dir, "documents").select("doc_id", "source")
+    j = e.join(d, e["vec_id"] == d["doc_id"])
+
+    def x(i: int):
+        return F.element_at("embedding", i).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [(F.sum(x(i).cast("decimal(28,6)")).cast("double")
+              / F.count(F.lit(1))).alias(f"m{i}")
+             for i in range(1, dims + 1)]
+    cent = j.groupBy("source").agg(*aggs)
+
+    a, b = cent.alias("a"), cent.alias("b")
+    pair = a.join(b, F.col("a.source") < F.col("b.source"))
+
+    def fold(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dot = fold([F.col(f"a.m{i}") * F.col(f"b.m{i}")
+                for i in range(1, dims + 1)])
+    qa = fold([F.col(f"a.m{i}") * F.col(f"a.m{i}")
+               for i in range(1, dims + 1)])
+    qb = fold([F.col(f"b.m{i}") * F.col(f"b.m{i}")
+               for i in range(1, dims + 1)])
+    l2sq = fold([(F.col(f"a.m{i}") - F.col(f"b.m{i}"))
+                 * (F.col(f"a.m{i}") - F.col(f"b.m{i}"))
+                 for i in range(1, dims + 1)])
+    return (pair.select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        (dot / (F.sqrt(qa) * F.sqrt(qb))).alias("centroid_cosine"),
+        F.sqrt(l2sq).alias("centroid_l2"))
+        .orderBy("source_a", "source_b"))
+
+
+def _oracle_embedding_source_drift(dims: int = 64) -> str:
+    means = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(28,6)))"
+        f" AS DOUBLE) / COUNT(*) AS m{i}" for i in range(1, dims + 1))
+    dot = " + ".join(f"a.m{i} * b.m{i}" for i in range(1, dims + 1))
+    qa = " + ".join(f"a.m{i} * a.m{i}" for i in range(1, dims + 1))
+    qb = " + ".join(f"b.m{i} * b.m{i}" for i in range(1, dims + 1))
+    l2 = " + ".join(f"(a.m{i} - b.m{i}) * (a.m{i} - b.m{i})"
+                    for i in range(1, dims + 1))
+    return f"""
+WITH cent AS (
+  SELECT d.source, COUNT(*) AS n, {means}
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  GROUP BY d.source)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       ({dot}) / (SQRT({qa}) * SQRT({qb})) AS centroid_cosine,
+       SQRT({l2}) AS centroid_l2
+FROM cent a JOIN cent b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
+ORACLE_EMBEDDING_SOURCE_DRIFT = _oracle_embedding_source_drift()

@@ -479,9 +479,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_holt_linear, revenue_gini_lorenz, corpus_heaps_law,
     events_peak_concurrency, agg_weighted_percentiles,
     benford_price_audit, events_user_predictability — shrank the fill
-    29→11). Build
+    29→11; the debut list then FROZE at 39 — later round-6 entries go
+    to ``_ROUND6_LATE`` past the window instead of eating the last
+    canary slots). Build
     ``_window_r07()`` as (1) any red r6 entry (fix first), (2) new
-    round-7 entries, (3) these 59, then (4) r03-checked entries,
+    round-7 entries, (3) ``_ROUND6_LATE`` (never driver-checked — they
+    debut in r7), (4) these 59, then (5) r03-checked entries,
     oldest-first, filling to 50. All 59 were judged green locally this
     round (full sf0.01 sweep + the r5 judge's 22-entry sample), so the
     displacement is a scheduling note, not a coverage gap. Same
@@ -799,6 +802,19 @@ _ROUND6_NEW: list = [
     "events_user_predictability",
 ]
 
+#: Round-6 entries added AFTER the debut list froze at 39 — deliberately
+#: NOT in ``_ROUND6_NEW`` so they do not displace the last 11 canary
+#: slots (the r5 verdict's top ask was rotating the stale r01/r02 tail;
+#: late debuts had already shrunk the fill 29→11). They sit past the
+#: 50-entry window, are parity-checked at BOTH scales locally on
+#: landing, and are FIRST in line for the round-7 window ahead of the
+#: displaced canaries.
+_ROUND6_LATE: list = [
+    "graph_degree_distribution",
+    "corpus_distinctive_terms",
+    "embedding_source_drift",
+]
+
 #: Regression canaries for round 6: all 70 entries last driver-checked in
 #: r01/r02 (approx_quantiles stays parked past the cap — by-design
 #: no_oracle, its exact twin agg_percentiles IS listed). Oldest driver
@@ -885,6 +901,7 @@ def _round6_queries():
     from .functions import tablefns as _fn6
     from .operators import analytics as _an6
     from .operators import behavior as _bh6
+    from .operators import similarity as _sim6
     from .operators import corpus as _co6
     from .operators import eventtime as _et6
     from .operators import scale as _sc6
@@ -997,6 +1014,15 @@ def _round6_queries():
         # per-user Gini impurity of the event-type mix — log-free
         # rational predictability census
         "events_user_predictability": _bh6.events_user_predictability,
+        # ---- _ROUND6_LATE (past the window; r7-first, see list) ----
+        # degree census + CCDF tail of the co-sourcing graph — the
+        # hub-dominance readout that prices edge-keyed join salting
+        "graph_degree_distribution": _gr6.graph_degree_distribution,
+        # per-source keyness via exact add-one odds ratio — log-free
+        "corpus_distinctive_terms": _co6.corpus_distinctive_terms,
+        # pairwise source-centroid cosine/L2 drift in embedding space —
+        # one corpus pass, catalog-sized everything after
+        "embedding_source_drift": _sim6.embedding_source_drift,
     }
 
 
@@ -1516,4 +1542,9 @@ def build_oracles() -> dict[str, str]:
     oracles["benford_price_audit"] = ORACLE_BENFORD
     from .operators.behavior import ORACLE_USER_PREDICTABILITY
     oracles["events_user_predictability"] = ORACLE_USER_PREDICTABILITY
+    from .operators.graph import ORACLE_DEGREE_DISTRIBUTION
+    oracles["graph_degree_distribution"] = ORACLE_DEGREE_DISTRIBUTION
+    oracles["corpus_distinctive_terms"] = corpus.ORACLE_DISTINCTIVE_TERMS
+    from .operators.similarity import ORACLE_EMBEDDING_SOURCE_DRIFT
+    oracles["embedding_source_drift"] = ORACLE_EMBEDDING_SOURCE_DRIFT
     return oracles

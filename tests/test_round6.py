@@ -1631,3 +1631,111 @@ class TestUserPredictability:
             gini = (n * n - sum(c * c for c in m.values())) / (n * n)
             assert r.gini_impurity == pytest.approx(gini, rel=1e-12)
             assert 0.0 <= r.gini_impurity < 1.0
+
+
+class TestDegreeDistribution:
+    def test_exact_python_replay(self, spark):
+        from collections import Counter
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.graph import (
+            graph_degree_distribution,
+            supplier_coproduct_edges,
+        )
+
+        # sf0.001's thresholded edge list is empty (same reason the
+        # triangle census tests pin SF_MED)
+        deg = Counter()
+        for r in supplier_coproduct_edges(spark, SF_MED).collect():
+            deg[r.s1] += 1
+            deg[r.s2] += 1
+        census = Counter(deg.values())
+        n = len(deg)
+        deg_sum = sum(deg.values())
+        out = graph_degree_distribution(spark, SF_MED).collect()
+        assert sorted(r.degree for r in out) == sorted(census)
+        for r in out:
+            assert r.n_nodes == census[r.degree]
+            assert r.n_at_least == sum(c for d, c in census.items()
+                                       if d >= r.degree)
+            assert r.tail_share == pytest.approx(r.n_at_least / n,
+                                                 rel=1e-12)
+            assert r.n == n
+            assert r.mean_degree == pytest.approx(deg_sum / n, rel=1e-12)
+        # CCDF is monotone non-increasing in degree
+        srt = sorted(out, key=lambda r: r.degree)
+        for a, b in zip(srt, srt[1:]):
+            assert b.n_at_least < a.n_at_least or \
+                b.n_at_least == a.n_at_least - a.n_nodes
+        assert srt[0].n_at_least == n
+
+
+class TestDistinctiveTerms:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_distinctive_terms,
+        )
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, source, text FROM "
+            f"'{sf_dir}/documents.parquet'").fetchall()
+        n_docs = len(docs)
+        src_docs, st, df = {}, {}, {}
+        for _, src, text in docs:
+            src_docs[src] = src_docs.get(src, 0) + 1
+            for t in set(text.split(" ")):
+                st[(src, t)] = st.get((src, t), 0) + 1
+                df[t] = df.get(t, 0) + 1
+        scored = {}
+        for (src, t), a in st.items():
+            if df[t] < 5:
+                continue
+            A, b, B = src_docs[src], df[t] - a, n_docs - src_docs[src]
+            odds = ((a + 1) * (B - b + 1)) / ((A - a + 1) * (b + 1))
+            scored.setdefault(src, []).append((-odds, t, a, df[t], odds))
+        out = corpus_distinctive_terms(spark, sf_dir).collect()
+        for src, lst in scored.items():
+            lst.sort()
+            got = [r for r in out if r.source == src]
+            assert [(r.token, r.a, r.df_total, r.rank) for r in got] == \
+                [(t, a, d, i + 1) for i, (_, t, a, d, _) in
+                 enumerate(lst[:3])]
+            for r, (_, _, _, _, odds) in zip(got, lst[:3]):
+                assert r.odds_ratio == pytest.approx(odds, rel=1e-12)
+
+
+class TestEmbeddingSourceDrift:
+    def test_matches_numpy_centroids(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.similarity import (
+            embedding_source_drift,
+        )
+
+        rows = duckdb.sql(
+            "SELECT d.source, e.embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' e JOIN "
+            f"'{sf_dir}/documents.parquet' d ON e.vec_id = d.doc_id"
+        ).fetchall()
+        by_src = {}
+        for src, emb in rows:
+            by_src.setdefault(src, []).append(np.array(emb, dtype=np.float64))
+        cents = {s: np.mean(np.stack(v), axis=0)
+                 for s, v in by_src.items()}
+        out = embedding_source_drift(spark, sf_dir).collect()
+        n_src = len(by_src)
+        assert len(out) == n_src * (n_src - 1) // 2
+        for r in out:
+            assert r.source_a < r.source_b
+            a, b = cents[r.source_a], cents[r.source_b]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            l2 = float(np.linalg.norm(a - b))
+            # engine centroids use the decimal protocol (6-dp element
+            # rounding) — numpy replays the unrounded math
+            assert r.centroid_cosine == pytest.approx(cos, abs=1e-4)
+            assert r.centroid_l2 == pytest.approx(l2, rel=1e-3)
+            assert -1.0 <= r.centroid_cosine <= 1.0
+            assert r.n_a == len(by_src[r.source_a])
+            assert r.n_b == len(by_src[r.source_b])
