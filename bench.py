@@ -159,6 +159,9 @@ HEADLINE = [
     "graph_degree_distribution",
     "corpus_distinctive_terms",
     "embedding_source_drift",
+    "migrate_type_fit_audit",
+    "orders_fulfillment_latency",
+    "orders_mom_contribution",
 ]
 
 

@@ -1660,3 +1660,182 @@ SELECT o.digit, o.n_values,
 FROM obs o CROSS JOIN tot t JOIN exp e ON e.digit = o.digit
 ORDER BY o.digit
 """
+
+
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Operational latency scorecard per order month: exact rank-rule
+    percentiles (p50/p95) of the order→ship lag, the mean lag, and the
+    late-share (lines shipping more than 90 days after the order) —
+    the fulfillment-SLA readout (are we shipping slower this quarter,
+    and is the tail blowing up before the median moves?).
+
+    Lags are exact integer day differences (``datediff`` ↔ DuckDB
+    ``date_diff``); percentiles use the module's explicit "smallest
+    value whose rank ≥ ceil(q·n)" rule (engine-native interpolation is
+    not portable); means are exact integer sums over counts, one divide
+    each. Shape: one orderkey equi-join (AQE-sized), ONE month-keyed
+    window sort covering both percentiles, O(months) output — month
+    cardinality grows with history, so the window keys scale out.
+    """
+    li = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select(
+             (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+             .alias("order_month"),
+             F.datediff(F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"))
+             .alias("ship_lag"),
+             "l_orderkey", "l_linenumber"))
+    w = Window.partitionBy("order_month").orderBy(
+        "ship_lag", "l_orderkey", "l_linenumber")
+    ranked = j.select(
+        "order_month", "ship_lag",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("order_month")).alias("n"))
+    return (ranked.groupBy("order_month")
+            .agg(F.max("n").alias("n_lines"),
+                 F.min(F.when(F.col("rk") >= F.ceil(0.50 * F.col("n")),
+                              F.col("ship_lag"))).alias("p50_ship_lag"),
+                 F.min(F.when(F.col("rk") >= F.ceil(0.95 * F.col("n")),
+                              F.col("ship_lag"))).alias("p95_ship_lag"),
+                 (F.sum("ship_lag").cast("double") / F.count(F.lit(1)))
+                 .alias("mean_ship_lag"),
+                 (F.sum((F.col("ship_lag") > 90).cast("long"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("late_share"))
+            .orderBy("order_month"))
+
+
+ORACLE_FULFILLMENT_LATENCY = """
+WITH j AS (
+  SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 100
+         + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS order_month,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS ship_lag,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ranked AS (
+  SELECT order_month, ship_lag,
+         ROW_NUMBER() OVER (PARTITION BY order_month
+             ORDER BY ship_lag, l_orderkey, l_linenumber) AS rk,
+         COUNT(*) OVER (PARTITION BY order_month) AS n
+  FROM j)
+SELECT CAST(order_month AS BIGINT) AS order_month,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       MIN(CASE WHEN rk >= CEIL(0.50 * n) THEN ship_lag END)
+         AS p50_ship_lag,
+       MIN(CASE WHEN rk >= CEIL(0.95 * n) THEN ship_lag END)
+         AS p95_ship_lag,
+       CAST(SUM(ship_lag) AS DOUBLE) / COUNT(*) AS mean_ship_lag,
+       CAST(SUM(CASE WHEN ship_lag > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS late_share
+FROM ranked GROUP BY order_month ORDER BY order_month
+"""
+
+
+def orders_mom_contribution(spark: SparkSession, sf_dir: str,
+                            top_n: int = 3) -> DataFrame:
+    """Month-over-month revenue-change DECOMPOSITION: which customer
+    nations drove each month's total revenue delta — the "why did the
+    number move" contribution analysis behind every BI root-cause
+    drill-down. For every consecutive calendar-month pair, each
+    nation's Δrevenue and its share of the total Δ, top-|Δ| nations
+    per month.
+
+    Consecutive CALENDAR months, not consecutive observed months: the
+    previous month is an equi-join on month_index − 1 over the
+    (month × nation) revenue grid (missing cell ⇒ exact 0), never a
+    lag over gaps. Revenues are decimal-protocol sums; deltas exact
+    decimal subtracts; shares are one divide of exactly-derived
+    doubles (the total Δ is the decimal sum of cell Δs). Ranking
+    orders on exact decimals (|Δ| DESC, nation) — deterministic.
+    Shape: one grouped agg to the months × nations grid, self-join on
+    the tiny grid, month-PARTITIONed top-n window.
+    """
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation")
+    rev = (o.join(c, o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .groupBy((F.year("o_orderdate") * 12
+                     + (F.month("o_orderdate") - 1)).alias("mi"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")))
+    prev = rev.select((F.col("mi") + 1).alias("mi"),
+                      F.col("nation"),
+                      F.col("rev").alias("rev_prev"))
+    # full outer on the grid so appearing/disappearing nations count
+    g = (rev.join(prev, ["mi", "nation"], "full_outer")
+         .select("mi", "nation",
+                 F.coalesce("rev", F.lit(0).cast(DEC)).alias("rev_curr"),
+                 F.coalesce("rev_prev",
+                            F.lit(0).cast(DEC)).alias("rev_prev")))
+    # keep only months whose previous calendar month exists in the data
+    months = rev.select("mi").distinct()
+    g = (g.join(months.select((F.col("mi") + 1).alias("mi")).distinct(),
+                "mi")
+         .join(months, "mi"))
+    g = g.withColumn("delta", F.col("rev_curr") - F.col("rev_prev"))
+    tot = (g.groupBy("mi")
+           .agg(F.sum("delta").alias("total_delta")))
+    w = Window.partitionBy("mi").orderBy(
+        F.abs(F.col("delta")).desc(), "nation")
+    return (g.join(tot, "mi")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(
+                (F.expr("mi div 12")).alias("year"),
+                (F.col("mi") % 12 + 1).alias("month"),
+                "nation",
+                F.col("rev_prev").cast("double").alias("rev_prev"),
+                F.col("rev_curr").cast("double").alias("rev_curr"),
+                F.col("delta").cast("double").alias("delta"),
+                (F.col("delta").cast("double")
+                 / F.col("total_delta").cast("double"))
+                .alias("share_of_total_delta"),
+                "rank")
+            .orderBy("year", "month", "rank"))
+
+
+ORACLE_MOM_CONTRIBUTION = """
+WITH rev AS (
+  SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+         + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi,
+         n_name AS nation,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT COALESCE(a.mi, b.mi + 1) AS mi,
+         COALESCE(a.nation, b.nation) AS nation,
+         COALESCE(a.rev, 0) AS rev_curr,
+         COALESCE(b.rev, 0) AS rev_prev
+  FROM rev a FULL OUTER JOIN rev b
+    ON a.mi = b.mi + 1 AND a.nation = b.nation),
+g2 AS (
+  SELECT g.* FROM g
+  JOIN (SELECT DISTINCT mi + 1 AS mi FROM rev) p USING (mi)
+  JOIN (SELECT DISTINCT mi FROM rev) c USING (mi)),
+d AS (SELECT mi, nation, rev_curr, rev_prev,
+             rev_curr - rev_prev AS delta FROM g2),
+tot AS (SELECT mi, SUM(delta) AS total_delta FROM d GROUP BY mi),
+ranked AS (
+  SELECT d.*, t.total_delta,
+         ROW_NUMBER() OVER (PARTITION BY d.mi
+             ORDER BY ABS(d.delta) DESC, d.nation) AS rank
+  FROM d JOIN tot t USING (mi))
+SELECT CAST(mi // 12 AS BIGINT) AS year,
+       CAST(mi % 12 + 1 AS BIGINT) AS month, nation,
+       CAST(rev_prev AS DOUBLE) AS rev_prev,
+       CAST(rev_curr AS DOUBLE) AS rev_curr,
+       CAST(delta AS DOUBLE) AS delta,
+       CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE)
+         AS share_of_total_delta,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY year, month, rank
+"""

@@ -813,6 +813,9 @@ _ROUND6_LATE: list = [
     "graph_degree_distribution",
     "corpus_distinctive_terms",
     "embedding_source_drift",
+    "migrate_type_fit_audit",
+    "orders_fulfillment_latency",
+    "orders_mom_contribution",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -902,6 +905,7 @@ def _round6_queries():
     from .operators import analytics as _an6
     from .operators import behavior as _bh6
     from .operators import similarity as _sim6
+    from .operators import validate as _va6
     from .operators import corpus as _co6
     from .operators import eventtime as _et6
     from .operators import scale as _sc6
@@ -1023,6 +1027,15 @@ def _round6_queries():
         # pairwise source-centroid cosine/L2 drift in embedding space —
         # one corpus pass, catalog-sized everything after
         "embedding_source_drift": _sim6.embedding_source_drift,
+        # does the ACTUAL data fit the MAPPED Iceberg type — one parsed
+        # DDL drives mapping AND this audit (schema↔data plane loop)
+        "migrate_type_fit_audit": _va6.migrate_type_fit_audit,
+        # per-month fulfillment SLA: rank-rule p50/p95 ship lag, mean,
+        # late share — one month-keyed window sort
+        "orders_fulfillment_latency": _an6.orders_fulfillment_latency,
+        # month-over-month revenue-delta decomposition by nation —
+        # consecutive CALENDAR months via grid equi-join, never lag
+        "orders_mom_contribution": _an6.orders_mom_contribution,
     }
 
 
@@ -1547,4 +1560,12 @@ def build_oracles() -> dict[str, str]:
     oracles["corpus_distinctive_terms"] = corpus.ORACLE_DISTINCTIVE_TERMS
     from .operators.similarity import ORACLE_EMBEDDING_SOURCE_DRIFT
     oracles["embedding_source_drift"] = ORACLE_EMBEDDING_SOURCE_DRIFT
+    from .operators.validate import ORACLE_TYPE_FIT_AUDIT
+    oracles["migrate_type_fit_audit"] = ORACLE_TYPE_FIT_AUDIT
+    from .operators.analytics import (
+        ORACLE_FULFILLMENT_LATENCY,
+        ORACLE_MOM_CONTRIBUTION,
+    )
+    oracles["orders_fulfillment_latency"] = ORACLE_FULFILLMENT_LATENCY
+    oracles["orders_mom_contribution"] = ORACLE_MOM_CONTRIBUTION
     return oracles

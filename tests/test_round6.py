@@ -1739,3 +1739,137 @@ class TestEmbeddingSourceDrift:
             assert -1.0 <= r.centroid_cosine <= 1.0
             assert r.n_a == len(by_src[r.source_a])
             assert r.n_b == len(by_src[r.source_b])
+
+
+class TestTypeFitAudit:
+    def test_both_outcomes_exercised(self, spark, sf_dir):
+        """The fixture DDL is deliberately tight: name/acctbal overflow,
+        the integer keys and the segment fit."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.validate import (
+            migrate_type_fit_audit,
+        )
+
+        rows = {r.column: r for r in
+                migrate_type_fit_audit(spark, sf_dir).collect()}
+        assert set(rows) == {"c_custkey", "c_name", "c_nationkey",
+                             "c_acctbal", "c_mktsegment"}
+        assert rows["c_name"].fits == 0
+        assert rows["c_name"].n_overflow == rows["c_name"].n_rows
+        assert rows["c_acctbal"].fits == 0
+        assert rows["c_acctbal"].n_overflow > 0
+        assert rows["c_custkey"].fits == 1
+        assert rows["c_nationkey"].fits == 1
+        assert rows["c_mktsegment"].fits == 1
+
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.validate import (
+            migrate_type_fit_audit,
+        )
+
+        data = duckdb.sql(
+            "SELECT c_name, c_acctbal, c_mktsegment FROM "
+            f"'{sf_dir}/customer.parquet'").fetchall()
+        n_name_over = sum(1 for n, _, _ in data if len(n) > 12)
+        n_bal_over = sum(1 for _, b, _ in data if abs(b) >= 1000.0)
+        max_len = max(len(n) for n, _, _ in data)
+        rows = {r.column: r for r in
+                migrate_type_fit_audit(spark, sf_dir).collect()}
+        assert rows["c_name"].n_overflow == n_name_over
+        assert rows["c_name"].observed_max == float(max_len)
+        assert rows["c_acctbal"].n_overflow == n_bal_over
+        assert rows["c_acctbal"].observed_max == max(abs(b)
+                                                     for _, b, _ in data)
+
+    def test_mapping_drives_the_audit(self):
+        """The iceberg_type column is the real mapper's output, not a
+        hand-copied string."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.mapping import (
+            map_db2_type,
+        )
+
+        assert map_db2_type("SMALLINT").target_type == "INTEGER"
+        assert map_db2_type("DECIMAL", precision=5,
+                            scale=2).target_type == "NUMBER(5,2)"
+
+
+class TestFulfillmentLatency:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            orders_fulfillment_latency,
+        )
+
+        rows = duckdb.sql(
+            "SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))*100 "
+            "+ EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)), "
+            "date_diff('day', CAST(o_orderdate AS DATE), "
+            "CAST(l_shipdate AS DATE)) FROM "
+            f"'{sf_dir}/lineitem.parquet' l JOIN "
+            f"'{sf_dir}/orders.parquet' o ON l_orderkey = o_orderkey"
+        ).fetchall()
+        by_m = {}
+        for m, lag in rows:
+            by_m.setdefault(m, []).append(lag)
+        out = orders_fulfillment_latency(spark, sf_dir).collect()
+        assert sorted(r.order_month for r in out) == sorted(by_m)
+        import math
+
+        for r in out:
+            lags = sorted(by_m[r.order_month])
+            n = len(lags)
+            assert r.n_lines == n
+            assert r.p50_ship_lag == lags[math.ceil(0.50 * n) - 1]
+            assert r.p95_ship_lag == lags[math.ceil(0.95 * n) - 1]
+            assert r.mean_ship_lag == pytest.approx(sum(lags) / n,
+                                                    rel=1e-12)
+            late = sum(1 for x in lags if x > 90)
+            assert r.late_share == pytest.approx(late / n, rel=1e-12)
+
+
+class TestMomContribution:
+    def test_shares_and_grid_semantics(self, spark, sf_dir):
+        """Contributions per month pair: consecutive CALENDAR months
+        only, deltas recompute from a DuckDB grid replay, and the
+        top-3 are the largest |delta| cells."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            orders_mom_contribution,
+        )
+
+        rev = duckdb.sql(
+            "SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))*12 "
+            "+ EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1 AS mi, "
+            "n_name, SUM(CAST(o_totalprice AS DECIMAL(28,6))) FROM "
+            f"'{sf_dir}/orders.parquet' o JOIN "
+            f"'{sf_dir}/customer.parquet' c ON o_custkey = c_custkey "
+            f"JOIN '{sf_dir}/nation.parquet' n "
+            "ON c_nationkey = n_nationkey GROUP BY 1, 2").fetchall()
+        grid = {}
+        months = set()
+        for mi, nat, r in rev:
+            grid[(mi, nat)] = float(r)
+            months.add(mi)
+        out = orders_mom_contribution(spark, sf_dir).collect()
+        assert out
+        for r in out:
+            mi = r.year * 12 + (r.month - 1)
+            assert mi in months and (mi - 1) in months
+            key = (mi, r.nation)
+            prev = grid.get((mi - 1, r.nation), 0.0)
+            curr = grid.get(key, 0.0)
+            assert r.rev_prev == pytest.approx(prev, rel=1e-9)
+            assert r.rev_curr == pytest.approx(curr, rel=1e-9)
+            assert r.delta == pytest.approx(curr - prev, rel=1e-9)
+            assert 1 <= r.rank <= 3
+        # rank-1 cell really is the max |delta| for its month
+        nations = {nat for _, nat, _ in rev}
+        for r in (x for x in out if x.rank == 1):
+            mi = r.year * 12 + (r.month - 1)
+            best = max(abs(grid.get((mi, n2), 0.0)
+                           - grid.get((mi - 1, n2), 0.0))
+                       for n2 in nations)
+            assert abs(r.delta) == pytest.approx(best, rel=1e-9)
