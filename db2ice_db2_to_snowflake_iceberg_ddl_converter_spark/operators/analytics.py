@@ -1372,7 +1372,8 @@ def assoc_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ld(spark, sf_dir, "customer")
     obs = (c.groupBy(F.col("c_nationkey").alias("rk"),
                      F.col("c_mktsegment").alias("ck"))
-           .agg(F.count(F.lit(1)).alias("o")))
+           .agg(F.count(F.lit(1)).alias("o"))
+           .localCheckpoint())     # r×c rows, FOUR consumers — one scan
     rm = obs.groupBy("rk").agg(F.sum("o").alias("rc"))
     cm = obs.groupBy("ck").agg(F.sum("o").alias("cc"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -1553,7 +1554,9 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str
         li, [F.asc("l_extendedprice"), F.asc("l_orderkey"),
              F.asc("l_linenumber")],
         "qty", how="sum", out_col="cumw")
-    total = li.agg(F.sum("qty").alias("w"))
+    # W = the global inclusive prefix's max — read from the PINNED
+    # prefix frame instead of a second lineitem scan
+    total = cum.agg(F.max("cumw").alias("w"))
     j = cum.crossJoin(F.broadcast(total))
     pct = [("wp25", 25), ("wp50", 50), ("wp75", 75), ("wp95", 95)]
     aggs = [F.min(F.when(
@@ -1623,7 +1626,8 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     obs = (li.select(digit.alias("digit"))
            .groupBy("digit")
-           .agg(F.count(F.lit(1)).alias("n_values")))
+           .agg(F.count(F.lit(1)).alias("n_values"))
+           .localCheckpoint())     # 9 rows, two consumers — one scan
     tot = obs.agg(F.sum("n_values").alias("total"))
     exp_map = F.create_map(
         *[x for d, p in _BENFORD for x in (F.lit(d), F.lit(p))])
@@ -1763,7 +1767,8 @@ def orders_mom_contribution(spark: SparkSession, sf_dir: str,
            .groupBy((F.year("o_orderdate") * 12
                      + (F.month("o_orderdate") - 1)).alias("mi"),
                     F.col("n_name").alias("nation"))
-           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")))
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+           .localCheckpoint())     # months×nations rows, three consumers
     prev = rev.select((F.col("mi") + 1).alias("mi"),
                       F.col("nation"),
                       F.col("rev").alias("rev_prev"))

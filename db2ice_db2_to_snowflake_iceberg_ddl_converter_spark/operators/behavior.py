@@ -358,8 +358,12 @@ def events_trigram_journeys(spark: SparkSession, sf_dir: str,
         F.lead("event_type", 1).over(w).alias("step2"),
         F.lead("event_type", 2).over(w).alias("step3"))
         .filter(F.col("step3").isNotNull()))
-    counted = tri.groupBy("step1", "step2", "step3").agg(
-        F.count(F.lit(1)).alias("n"))
+    # types³-bounded — pinned because TWO consumers (the total and the
+    # join) would otherwise each replay the corpus window (multi-consumer
+    # contract; observed: the plan carried two full Window subtrees)
+    counted = (tri.groupBy("step1", "step2", "step3")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .localCheckpoint())
     tot = counted.agg(F.sum("n").alias("total"))
     return (counted.join(F.broadcast(tot))
             .select("step1", "step2", "step3", "n",

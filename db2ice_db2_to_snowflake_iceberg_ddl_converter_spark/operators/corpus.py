@@ -1919,8 +1919,11 @@ def corpus_distinctive_terms(spark: SparkSession, sf_dir: str,
     doc_tok = (d.select("doc_id", "source",
                         F.explode(F.split("text", " ")).alias("token"))
                .dropDuplicates(["doc_id", "token"]))
+    # (source × vocab)-bounded; pinned — the token-df rollup and the
+    # main join both consume it
     st = (doc_tok.groupBy("source", "token")
-          .agg(F.count(F.lit(1)).alias("a")))
+          .agg(F.count(F.lit(1)).alias("a"))
+          .localCheckpoint())
     df_tot = (st.groupBy("token")
               .agg(F.sum("a").alias("df")))
     src_tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("a_docs"))

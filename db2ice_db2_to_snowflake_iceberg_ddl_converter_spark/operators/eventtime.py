@@ -769,11 +769,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = us - F.lag(us).over(w)
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    # sessions-sized; pinned — the two boundary projections would each
+    # replay the sessionization window otherwise
     sess = (e.select("user_id", "event_id", us.alias("us"),
                      F.sum(new_session).over(wrun).alias("session_seq"))
             .groupBy("user_id", "session_seq")
             .agg(F.min("us").alias("start_us"),
-                 F.max("us").alias("end_us")))
+                 F.max("us").alias("end_us"))
+            .localCheckpoint())
     bounds = (sess.select("user_id", "session_seq",
                           F.col("start_us").alias("t"),
                           F.lit(1).alias("delta"))

@@ -940,7 +940,9 @@ def embedding_source_drift(spark, sf_dir, dims: int = 64) -> DataFrame:
     aggs += [(F.sum(x(i).cast("decimal(28,6)")).cast("double")
               / F.count(F.lit(1))).alias(f"m{i}")
              for i in range(1, dims + 1)]
-    cent = j.groupBy("source").agg(*aggs)
+    # |sources| rows; pinned — the self-join's two sides would each
+    # replay the corpus aggregation otherwise
+    cent = j.groupBy("source").agg(*aggs).localCheckpoint()
 
     a, b = cent.alias("a"), cent.alias("b")
     pair = a.join(b, F.col("a.source") < F.col("b.source"))

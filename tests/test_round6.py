@@ -1873,3 +1873,115 @@ class TestMomContribution:
                            - grid.get((mi - 1, n2), 0.0))
                        for n2 in nations)
             assert abs(r.delta) == pytest.approx(best, rel=1e-9)
+
+
+class TestLateR6PlanShapes:
+    """Plan pins for the late round-6 entries: the corpus-sized stages
+    never ride a single-partition window; the only unpartitioned windows
+    are the 10-row decile frames (bounded by construction)."""
+
+    def test_weighted_percentiles_no_global_window(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            agg_weighted_percentiles,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            agg_weighted_percentiles(spark, sf_dir)) == 0
+
+    def test_peak_concurrency_no_global_window(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_peak_concurrency,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            events_peak_concurrency(spark, sf_dir)) == 0
+
+    def test_gini_and_heaps_only_bounded_windows(self, spark, sf_dir):
+        """Exactly ONE unpartitioned window each — the 10-row decile
+        cumsum; the corpus-sized rank/prefix stages ride global_ranks."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            revenue_gini_lorenz,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            corpus_heaps_law,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            revenue_gini_lorenz(spark, sf_dir)) == 1
+        assert single_partition_windows(
+            corpus_heaps_law(spark, sf_dir)) == 1
+
+    def test_trigram_journeys_one_window_one_topk(self, spark, sf_dir):
+        import re
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_trigram_journeys,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+            plan_profile,
+        )
+
+        df = events_trigram_journeys(spark, sf_dir)
+        # the trigram census is localCheckpoint-pinned, so the corpus
+        # window ran exactly once inside the pinned subtree — the final
+        # plan must show NO window replay (pre-pin the plan carried two
+        # full Window subtrees, one per consumer)
+        assert len(re.findall(r"\bWindow \[", executed_plan(df))) == 0
+        assert plan_profile(df)["top_k_sorts"] >= 1
+
+    def test_user_predictability_no_window_at_all(self, spark, sf_dir):
+        import re
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_user_predictability,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(events_user_predictability(spark, sf_dir))
+        assert not re.findall(r"\bWindow \[", plan)
+
+    def test_source_drift_stays_jvm_side(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.similarity import (
+            embedding_source_drift,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(embedding_source_drift(spark, sf_dir))
+        assert p["python_evals"] == 0
+
+    def test_fulfillment_latency_partitioned_window(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            orders_fulfillment_latency,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            orders_fulfillment_latency(spark, sf_dir)) == 0
+
+    def test_type_fit_audit_single_scan(self, spark, sf_dir):
+        """Every column's checks ride ONE aggregation over ONE scan."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.validate import (
+            migrate_type_fit_audit,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(migrate_type_fit_audit(spark, sf_dir))
+        assert plan.count("Scan parquet") == 1
