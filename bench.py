@@ -162,6 +162,7 @@ HEADLINE = [
     "migrate_type_fit_audit",
     "orders_fulfillment_latency",
     "orders_mom_contribution",
+    "sql_scalar_udf_battery",
 ]
 
 

@@ -160,3 +160,67 @@ SELECT l_returnflag,
        COUNT(*) AS n_lines
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def sql_scalar_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDFs (``CREATE TEMPORARY FUNCTION … RETURN
+    expr``) driving a real aggregation — the declarative UDF surface a
+    migration lands on when the source system had SQL macros/UDFs: the
+    body is a Catalyst expression, so unlike Python UDFs it inlines
+    into whole-stage codegen (zero serialization, full pushdown — the
+    fast path the UDF guide says to prefer). Three shapes: arithmetic
+    (net margin), string (receipt flag normalization), and conditional
+    banding.
+
+    The oracle inlines the same expressions as plain SQL — the UDFs ARE
+    expressions, so inlining is the exact semantic contract (and DuckDB
+    MACROs would inline identically). Portability: margin is one double
+    multiply per row cast to the decimal protocol before summing; the
+    band and flag are exact string/compare logic.
+    """
+    from ..operators.relational import ld
+
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_margin(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        RETURN price * (1.0E0 - disc) * (1.0E0 + tax)""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+            RETURNS STRING
+        RETURN CASE WHEN p < 10000 THEN 'low'
+                    WHEN p < 40000 THEN 'mid' ELSE 'high' END""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION flag_label(f STRING)
+            RETURNS STRING
+        RETURN CASE f WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned'
+                      ELSE 'none' END""")
+    ld(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf_v")
+    return spark.sql("""
+        SELECT flag_label(l_returnflag) AS flag,
+               price_band(CAST(l_extendedprice AS DOUBLE)) AS band,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(net_margin(
+                   CAST(l_extendedprice AS DOUBLE),
+                   CAST(l_discount AS DOUBLE),
+                   CAST(l_tax AS DOUBLE)) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS total_margin
+        FROM li_udf_v
+        GROUP BY flag, band
+        ORDER BY flag, band""")
+
+
+ORACLE_SQL_SCALAR_UDF = """
+SELECT CASE l_returnflag WHEN 'A' THEN 'accepted'
+            WHEN 'R' THEN 'returned' ELSE 'none' END AS flag,
+       CASE WHEN CAST(l_extendedprice AS DOUBLE) < 10000 THEN 'low'
+            WHEN CAST(l_extendedprice AS DOUBLE) < 40000 THEN 'mid'
+            ELSE 'high' END AS band,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                     * (1.0E0 - CAST(l_discount AS DOUBLE))
+                     * (1.0E0 + CAST(l_tax AS DOUBLE))
+                     AS DECIMAL(28,6))) AS DOUBLE) AS total_margin
+FROM lineitem
+GROUP BY flag, band
+ORDER BY flag, band
+"""

@@ -816,6 +816,7 @@ _ROUND6_LATE: list = [
     "migrate_type_fit_audit",
     "orders_fulfillment_latency",
     "orders_mom_contribution",
+    "sql_scalar_udf_battery",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1036,6 +1037,9 @@ def _round6_queries():
         # month-over-month revenue-delta decomposition by nation —
         # consecutive CALENDAR months via grid equi-join, never lag
         "orders_mom_contribution": _an6.orders_mom_contribution,
+        # Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION … RETURN
+        # expr) — Catalyst-inlined, zero Python in the plan
+        "sql_scalar_udf_battery": _fn6.sql_scalar_udf_battery,
     }
 
 
@@ -1568,4 +1572,6 @@ def build_oracles() -> dict[str, str]:
     )
     oracles["orders_fulfillment_latency"] = ORACLE_FULFILLMENT_LATENCY
     oracles["orders_mom_contribution"] = ORACLE_MOM_CONTRIBUTION
+    from .functions.tablefns import ORACLE_SQL_SCALAR_UDF
+    oracles["sql_scalar_udf_battery"] = ORACLE_SQL_SCALAR_UDF
     return oracles

@@ -1985,3 +1985,46 @@ class TestLateR6PlanShapes:
 
         plan = executed_plan(migrate_type_fit_audit(spark, sf_dir))
         assert plan.count("Scan parquet") == 1
+
+
+class TestSqlScalarUdf:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.functions.tablefns import (
+            sql_scalar_udf_battery,
+        )
+
+        rows = duckdb.sql(
+            "SELECT l_returnflag, l_extendedprice, l_discount, l_tax "
+            f"FROM '{sf_dir}/lineitem.parquet'").fetchall()
+        agg = {}
+        q = Decimal("0.000001")
+        for f, p, d, t in rows:
+            flag = {"A": "accepted", "R": "returned"}.get(f, "none")
+            band = "low" if p < 10000 else ("mid" if p < 40000 else "high")
+            m = Decimal(str(p * (1.0 - d) * (1.0 + t))).quantize(
+                q, rounding=ROUND_HALF_UP)
+            n, s = agg.get((flag, band), (0, Decimal(0)))
+            agg[(flag, band)] = (n + 1, s + m)
+        out = sql_scalar_udf_battery(spark, sf_dir).collect()
+        assert {(r.flag, r.band) for r in out} == set(agg)
+        for r in out:
+            n, s = agg[(r.flag, r.band)]
+            assert r.n_lines == n
+            assert r.total_margin == pytest.approx(float(s), rel=1e-12)
+
+    def test_udf_inlines_into_codegen(self, spark, sf_dir):
+        """The whole point vs a Python UDF: zero Python in the plan."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.functions.tablefns import (
+            sql_scalar_udf_battery,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            plan_profile,
+        )
+
+        p = plan_profile(sql_scalar_udf_battery(spark, sf_dir))
+        assert p["python_evals"] == 0
+        assert p["shuffles"] >= 1       # the group-by, nothing else big
