@@ -163,6 +163,7 @@ HEADLINE = [
     "orders_fulfillment_latency",
     "orders_mom_contribution",
     "sql_scalar_udf_battery",
+    "streaming_p2_quantile",
 ]
 
 

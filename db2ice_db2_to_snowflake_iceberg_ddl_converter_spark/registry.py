@@ -294,6 +294,33 @@ def _streaming_queries():
             "streaming_static_enrich": streaming_static_enrich}
 
 
+def _streaming_p2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming P² median estimate per event type: O(1) five-marker
+    state per key forever. Floating recurrence → rows-only; the pytest
+    replays the exact marker trajectory in pure Python and pins the
+    estimate's accuracy vs the exact median. Append mode emits one
+    snapshot per key per batch — keep the max-n_seen row per key (the
+    streaming_user_stats snapshot-dedup contract)."""
+    import tempfile
+    import uuid
+
+    from .streaming import events as ev
+
+    name = f"s_p2_{uuid.uuid4().hex[:8]}"
+    q = ev.run_available_now(
+        ev.p2_quantile_estimates(ev.read_events_stream(spark, sf_dir)),
+        name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"), mode="append")
+    q.stop()
+    from pyspark.sql import Window
+    drained = spark.table(name)
+    last = F.max("n_seen").over(Window.partitionBy("event_type"))
+    return (drained.withColumn("last_n", last)
+            .filter(F.col("n_seen") == F.col("last_n"))
+            .select("event_type", "n_seen",
+                    F.round("q_estimate", 9).alias("q_estimate"))
+            .orderBy("event_type"))
+
+
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over the text-derived payloads (rows-only: byte
     stride fake on non-image payloads; the REAL BMP path is pinned in
@@ -817,6 +844,7 @@ _ROUND6_LATE: list = [
     "orders_fulfillment_latency",
     "orders_mom_contribution",
     "sql_scalar_udf_battery",
+    "streaming_p2_quantile",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1040,6 +1068,9 @@ def _round6_queries():
         # Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION … RETURN
         # expr) — Catalyst-inlined, zero Python in the plan
         "sql_scalar_udf_battery": _fn6.sql_scalar_udf_battery,
+        # streaming P² quantile: O(1) five-marker state per key forever;
+        # floating recurrence → rows-only, exact pure-Python replay pytest
+        "streaming_p2_quantile": _streaming_p2_quantile,
     }
 
 

@@ -723,3 +723,105 @@ def heavy_hitter_users(events: DataFrame, k: int = 8,
                                 "snap long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def p2_quantile_estimates(events: DataFrame, q: float = 0.5,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming quantile per event type via the P² algorithm (Jain &
+    Chlamtac 1985): five markers track (min, q/2, q, (1+q)/2, max) with
+    parabolic interpolation — O(1) state per key FOREVER, the shape an
+    unbounded stream needs where exact percentiles would hoard every
+    observation and a GK sketch would grow with log(n)/ε. This is the
+    streaming twin of the batch rank-rule percentile entries: those are
+    exact and replayable, this is the constant-memory online estimate
+    you alarm on between checkpoints.
+
+    Processing order within a batch is the canonical (ts, event_id)
+    sort — the same contract as every stateful op here, which makes the
+    marker trajectory deterministic and lets the pytest replay the
+    EXACT final state in pure Python (estimator output is
+    floating-recurrence → rows-only; accuracy vs the exact median is
+    pinned separately with a tolerance). Emits one snapshot row per key
+    per batch; readers keep the max-n row per key (the
+    streaming_user_stats snapshot-dedup contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = [0.0, q / 2, q, (1 + q) / 2, 1.0]
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            (n, h1, h2, h3, h4, h5, p1, p2, p3, p4, p5) = state.get
+            hs = [h1, h2, h3, h4, h5]
+            ps = [p1, p2, p3, p4, p5]
+            buf = []
+        else:
+            n, hs, ps, buf = 0, [], [], []
+        frames = [pdf for pdf in pdf_iter]
+        pdf = (pd.concat(frames).sort_values(["ts", "event_id"])
+               if frames else None)
+        if pdf is not None:
+            for x in pdf["value"].astype(float):
+                if n < 5:
+                    buf.append(x)
+                    n += 1
+                    if n == 5:
+                        hs = sorted(buf)
+                        ps = [1, 2, 3, 4, 5]
+                    continue
+                # locate cell k: h[k] <= x < h[k+1]
+                if x < hs[0]:
+                    hs[0] = x
+                    k = 0
+                elif x >= hs[4]:
+                    hs[4] = x
+                    k = 3
+                else:
+                    k = next(i for i in range(4)
+                             if hs[i] <= x < hs[i + 1])
+                for i in range(k + 1, 5):
+                    ps[i] += 1
+                n += 1
+                want = [1 + (n - 1) * di for di in d]
+                for i in (1, 2, 3):
+                    delta = want[i] - ps[i]
+                    if ((delta >= 1 and ps[i + 1] - ps[i] > 1)
+                            or (delta <= -1 and ps[i - 1] - ps[i] < -1)):
+                        s = 1 if delta >= 1 else -1
+                        # parabolic (P²) candidate
+                        hp = hs[i] + s / (ps[i + 1] - ps[i - 1]) * (
+                            (ps[i] - ps[i - 1] + s)
+                            * (hs[i + 1] - hs[i])
+                            / (ps[i + 1] - ps[i])
+                            + (ps[i + 1] - ps[i] - s)
+                            * (hs[i] - hs[i - 1])
+                            / (ps[i] - ps[i - 1]))
+                        if hs[i - 1] < hp < hs[i + 1]:
+                            hs[i] = hp
+                        else:        # linear fallback
+                            hs[i] = hs[i] + s * (
+                                hs[i + s] - hs[i]) / (ps[i + s] - ps[i])
+                        ps[i] += s
+        if n >= 5:
+            est = hs[2]
+            state.update((n, *hs, *ps))
+        else:
+            est = sorted(buf)[len(buf) // 2] if buf else 0.0
+            state.update((n, *(buf + [0.0] * (5 - len(buf))),
+                          1, 2, 3, 4, 5))
+        yield pd.DataFrame({"event_type": [key[0]], "n_seen": [n],
+                            "q_estimate": [est]})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, n_seen long, "
+                                 "q_estimate double",
+                stateStructType="n long, h1 double, h2 double, h3 double,"
+                                " h4 double, h5 double, p1 long, p2 long,"
+                                " p3 long, p4 long, p5 long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -2028,3 +2028,78 @@ class TestSqlScalarUdf:
         p = plan_profile(sql_scalar_udf_battery(spark, sf_dir))
         assert p["python_evals"] == 0
         assert p["shuffles"] >= 1       # the group-by, nothing else big
+
+
+class TestStreamingP2Quantile:
+    @staticmethod
+    def _p2_replay(values, q=0.5):
+        d = [0.0, q / 2, q, (1 + q) / 2, 1.0]
+        n, hs, ps, buf = 0, [], [], []
+        for x in values:
+            if n < 5:
+                buf.append(x)
+                n += 1
+                if n == 5:
+                    hs = sorted(buf)
+                    ps = [1, 2, 3, 4, 5]
+                continue
+            if x < hs[0]:
+                hs[0] = x
+                k = 0
+            elif x >= hs[4]:
+                hs[4] = x
+                k = 3
+            else:
+                k = next(i for i in range(4) if hs[i] <= x < hs[i + 1])
+            for i in range(k + 1, 5):
+                ps[i] += 1
+            n += 1
+            want = [1 + (n - 1) * di for di in d]
+            for i in (1, 2, 3):
+                delta = want[i] - ps[i]
+                if ((delta >= 1 and ps[i + 1] - ps[i] > 1)
+                        or (delta <= -1 and ps[i - 1] - ps[i] < -1)):
+                    s = 1 if delta >= 1 else -1
+                    hp = hs[i] + s / (ps[i + 1] - ps[i - 1]) * (
+                        (ps[i] - ps[i - 1] + s) * (hs[i + 1] - hs[i])
+                        / (ps[i + 1] - ps[i])
+                        + (ps[i + 1] - ps[i] - s) * (hs[i] - hs[i - 1])
+                        / (ps[i] - ps[i - 1]))
+                    if hs[i - 1] < hp < hs[i + 1]:
+                        hs[i] = hp
+                    else:
+                        hs[i] = hs[i] + s * (hs[i + s] - hs[i]) \
+                            / (ps[i + s] - ps[i])
+                    ps[i] += s
+        return n, (hs[2] if n >= 5 else sorted(buf)[len(buf) // 2])
+
+    def test_exact_replay_and_accuracy(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            _streaming_p2_quantile,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("event_type", "event_id", "value",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_type = {}
+        for r in ev:
+            by_type.setdefault(r.event_type, []).append(
+                (r.us, r.event_id, float(r.value)))
+        out = {r.event_type: r for r in
+               _streaming_p2_quantile(spark, sf_dir).collect()}
+        assert sorted(out) == sorted(by_type)
+        for et, rows in by_type.items():
+            rows.sort()
+            vals = [v for _, _, v in rows]
+            n, est = self._p2_replay(vals)
+            assert out[et].n_seen == n
+            # drained output is round(est, 9)
+            assert out[et].q_estimate == pytest.approx(est, abs=5e-10)
+            # accuracy: the P2 median estimate lands near the exact one
+            exact = sorted(vals)[(n - 1) // 2]
+            spread = max(vals) - min(vals)
+            assert abs(est - exact) <= 0.05 * spread
