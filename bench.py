@@ -38,6 +38,7 @@ N_R01_SUITE = 20
 N_R03_SUITE = 41
 N_R04_SUITE = 49
 N_R05_SUITE = 69
+N_R06_SUITE = 116
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -227,6 +228,8 @@ def main() -> int:
             round(sum(timings[n] for n in HEADLINE[:N_R04_SUITE]), 3),
         "r05_suite_total":
             round(sum(timings[n] for n in HEADLINE[:N_R05_SUITE]), 3),
+        "r06_suite_total":
+            round(sum(timings[n] for n in HEADLINE[:N_R06_SUITE]), 3),
         "n_queries": len(HEADLINE),
     }
     # Complete record: file beside the script + first stdout line.
