@@ -165,6 +165,9 @@ HEADLINE = [
     "orders_mom_contribution",
     "sql_scalar_udf_battery",
     "streaming_p2_quantile",
+    "privacy_l_diversity",
+    "scalar_null_semantics",
+    "events_markov_stationary",
 ]
 
 

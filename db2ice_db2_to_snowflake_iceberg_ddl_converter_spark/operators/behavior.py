@@ -440,3 +440,61 @@ SELECT user_id,
          / CAST(SUM(n_t) * SUM(n_t) AS DOUBLE) AS gini_impurity
 FROM per GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str,
+                             n_iters: int = 60) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — where
+    behavior settles if today's transition structure persists, the
+    model-based twin of the observed event-type mix (stationary ≠
+    observed means the chain hasn't mixed: recent behavior is drifting
+    from its own long-run implication). Power iteration π ← πP on the
+    types×types row-stochastic transition matrix.
+
+    Scale shape: ONE corpus pass builds the (from, to) transition
+    census (the events_transition_matrix contract: per-user lead over
+    one user-keyed window), which is types²-bounded; the matrix is
+    collected to the driver (bounded by the event-type catalog, same
+    justification as the IVF/PQ codebooks) and the 60 numpy iterations
+    touch nothing corpus-sized. Emits per type the stationary
+    probability beside the observed share — iterative float math →
+    rows-only; the pytest pins π against numpy's dominant left
+    eigenvector and πP = π.
+    """
+    import numpy as np
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (e.select("user_id", F.col("event_type").alias("src"),
+                      F.lead("event_type").over(w).alias("dst"))
+             .filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n")))
+    obs = (e.groupBy(F.col("event_type").alias("src"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    rows = trans.collect()                      # types² rows — bounded
+    obs_rows = obs.collect()
+    types = sorted({r.src for r in obs_rows})
+    ix = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = np.zeros((k, k), dtype=np.float64)
+    for r in rows:
+        P[ix[r.src], ix[r.dst]] = r.n
+    row_sums = P.sum(axis=1, keepdims=True)
+    P = np.divide(P, row_sums, out=np.full_like(P, 1.0 / k),
+                  where=row_sums > 0)
+    pi = np.full(k, 1.0 / k)
+    for _ in range(n_iters):
+        pi = pi @ P
+        pi /= pi.sum()
+    n_total = sum(r.n_obs for r in obs_rows)
+    obs_share = {r.src: r.n_obs / n_total for r in obs_rows}
+    out = [(t, float(pi[ix[t]]), obs_share[t],
+            float(pi[ix[t]] - obs_share[t])) for t in types]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_p double, observed_share "
+             "double, gap double")
+
+

@@ -772,3 +772,63 @@ ORACLES = {
     "q11_important_stock": ORACLE_Q11,
     "q21_waiting_suppliers": ORACLE_Q21,
 }
+
+
+def scalar_null_semantics(spark, sf_dir) -> DataFrame:
+    """Three-valued-logic battery: the NOT IN vs NOT EXISTS vs ANTI JOIN
+    divergence every SQL migration trips over. A NULL in the NOT IN
+    subquery makes the predicate UNKNOWN for every probe row (zero rows
+    survive); NOT EXISTS and LEFT ANTI use equality matching and keep
+    the non-matching rows. The battery materializes all three counts —
+    plus the null-safe distinct-from variant — over the same
+    deliberately NULL-poisoned key set (NULLIF injects the NULL), so
+    the row counts PROVE the semantic contract instead of documenting
+    it. Exact integer counts; joins are AQE-sized equi/anti joins.
+
+    Reference relevance: DB2 and Spark agree on standard 3VL, so a
+    migrated workload's NOT IN behavior must survive bit-for-bit — this
+    is the regression canary for that.
+    """
+    from .relational import ld
+
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("o_3vl")
+    # keys 0..49, with key 3 poisoned to NULL
+    c.filter("c_custkey < 50").select(
+        F.expr("NULLIF(c_custkey, 3)").alias("k")
+    ).createOrReplaceTempView("k_3vl")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM o_3vl) AS n_orders,
+          (SELECT COUNT(*) FROM k_3vl WHERE k IS NULL) AS n_null_keys,
+          (SELECT COUNT(*) FROM o_3vl
+            WHERE o_custkey NOT IN (SELECT k FROM k_3vl)) AS not_in_count,
+          (SELECT COUNT(*) FROM o_3vl t
+            WHERE NOT EXISTS (SELECT 1 FROM k_3vl s
+                              WHERE s.k = t.o_custkey))
+            AS not_exists_count,
+          (SELECT COUNT(*) FROM o_3vl t LEFT ANTI JOIN k_3vl s
+             ON s.k = t.o_custkey) AS anti_join_count,
+          (SELECT COUNT(*) FROM o_3vl
+            WHERE o_custkey IN (SELECT k FROM k_3vl)) AS in_count
+    """)
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH k_3vl AS (
+  SELECT NULLIF(c_custkey, 3) AS k FROM customer WHERE c_custkey < 50)
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(*) FROM k_3vl WHERE k IS NULL) AS n_null_keys,
+  (SELECT COUNT(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT k FROM k_3vl)) AS not_in_count,
+  (SELECT COUNT(*) FROM orders t
+    WHERE NOT EXISTS (SELECT 1 FROM k_3vl s
+                      WHERE s.k = t.o_custkey)) AS not_exists_count,
+  (SELECT COUNT(*) FROM orders t
+    WHERE NOT EXISTS (SELECT 1 FROM k_3vl s
+                      WHERE s.k = t.o_custkey)) AS anti_join_count,
+  (SELECT COUNT(*) FROM orders
+    WHERE o_custkey IN (SELECT k FROM k_3vl)) AS in_count
+"""

@@ -675,3 +675,62 @@ UNION ALL SELECT 'c_nationkey', 'SMALLINT', 'INTEGER', n3, o3, m3,
        CAST(o3 = 0 AS INT) FROM a
 ORDER BY "column"
 """
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str,
+                        l_req: int = 3) -> DataFrame:
+    """l-diversity audit — the governance check k-anonymity cannot make
+    (Machanavajjhala 2007): a quasi-identifier group can hold ≥k rows
+    yet leak perfectly if every row shares one sensitive value. Over
+    the same (nation, segment) quasi-identifier surface as the
+    k-anonymity entry, with the account-balance kilobucket as the
+    SENSITIVE attribute: per segment, the number of QI groups, the
+    minimum distinct-sensitive count (the l the release achieves),
+    groups below the required l, and the rows inside those leaky
+    groups.
+
+    All exact integers plus one IEEE share divide. Shape: one
+    (QI, sensitive)-keyed distinct census with map-side partials →
+    one QI rollup → one O(segments) report — the same two-level
+    aggregation ladder as the k entry, scaling on QI cardinality.
+    """
+    from .relational import ld
+
+    c = ld(spark, sf_dir, "customer")
+    per_qi = (c.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("sens").alias("l_val")))
+    return (per_qi.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("l_val").alias("l_achieved"),
+                 F.sum((F.col("l_val") < l_req).cast("long"))
+                 .alias("groups_below_l"),
+                 F.sum(F.when(F.col("l_val") < l_req,
+                              F.col("n_rows")).otherwise(0))
+                 .alias("rows_at_risk"),
+                 (F.sum((F.col("l_val") < l_req).cast("long"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("leaky_share"))
+            .orderBy("segment"))
+
+
+ORACLE_L_DIVERSITY = """
+WITH per_qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT FLOOR(c_acctbal / 1000.0)) AS l_val
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_groups,
+       CAST(MIN(l_val) AS BIGINT) AS l_achieved,
+       CAST(SUM(CASE WHEN l_val < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(SUM(CASE WHEN l_val < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(CASE WHEN l_val < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS leaky_share
+FROM per_qi GROUP BY segment ORDER BY segment
+"""

@@ -845,6 +845,9 @@ _ROUND6_LATE: list = [
     "orders_mom_contribution",
     "sql_scalar_udf_battery",
     "streaming_p2_quantile",
+    "privacy_l_diversity",
+    "scalar_null_semantics",
+    "events_markov_stationary",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -933,6 +936,7 @@ def _round6_queries():
     from .functions import tablefns as _fn6
     from .operators import analytics as _an6
     from .operators import behavior as _bh6
+    from .operators import relational_ext as _re6
     from .operators import similarity as _sim6
     from .operators import validate as _va6
     from .operators import corpus as _co6
@@ -1071,6 +1075,15 @@ def _round6_queries():
         # streaming P² quantile: O(1) five-marker state per key forever;
         # floating recurrence → rows-only, exact pure-Python replay pytest
         "streaming_p2_quantile": _streaming_p2_quantile,
+        # l-diversity audit — the leak k-anonymity cannot see (uniform
+        # sensitive values inside a big QI group)
+        "privacy_l_diversity": _va6.privacy_l_diversity,
+        # NOT IN vs NOT EXISTS vs ANTI JOIN three-valued-logic battery
+        # over a NULL-poisoned key set — migration regression canary
+        "scalar_null_semantics": _re6.scalar_null_semantics,
+        # stationary distribution of the journey Markov chain (power
+        # iteration on the types²-bounded matrix) — rows-only + numpy
+        "events_markov_stationary": _bh6.events_markov_stationary,
     }
 
 
@@ -1605,4 +1618,9 @@ def build_oracles() -> dict[str, str]:
     oracles["orders_mom_contribution"] = ORACLE_MOM_CONTRIBUTION
     from .functions.tablefns import ORACLE_SQL_SCALAR_UDF
     oracles["sql_scalar_udf_battery"] = ORACLE_SQL_SCALAR_UDF
+    from .operators.validate import ORACLE_L_DIVERSITY
+    oracles["privacy_l_diversity"] = ORACLE_L_DIVERSITY
+    from .operators.relational_ext import ORACLE_NULL_SEMANTICS
+    oracles["scalar_null_semantics"] = ORACLE_NULL_SEMANTICS
+    # events_markov_stationary: iterative float math → rows-only
     return oracles

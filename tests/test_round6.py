@@ -2103,3 +2103,99 @@ class TestStreamingP2Quantile:
             exact = sorted(vals)[(n - 1) // 2]
             spread = max(vals) - min(vals)
             assert abs(est - exact) <= 0.05 * spread
+
+
+class TestLDiversity:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import math
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.validate import (
+            privacy_l_diversity,
+        )
+
+        rows = duckdb.sql(
+            "SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+            f"'{sf_dir}/customer.parquet'").fetchall()
+        qi = {}
+        for nk, seg, bal in rows:
+            g = qi.setdefault((nk, seg), [0, set()])
+            g[0] += 1
+            g[1].add(math.floor(bal / 1000.0))
+        by_seg = {}
+        for (nk, seg), (n, sens) in qi.items():
+            by_seg.setdefault(seg, []).append((n, len(sens)))
+        out = privacy_l_diversity(spark, sf_dir).collect()
+        assert sorted(r.segment for r in out) == sorted(by_seg)
+        for r in out:
+            gs = by_seg[r.segment]
+            assert r.n_groups == len(gs)
+            assert r.l_achieved == min(l for _, l in gs)
+            below = [(n, l) for n, l in gs if l < 3]
+            assert r.groups_below_l == len(below)
+            assert r.rows_at_risk == sum(n for n, _ in below)
+            assert r.leaky_share == pytest.approx(
+                len(below) / len(gs), rel=1e-12)
+
+
+class TestNullSemantics:
+    def test_three_valued_logic_contract(self, spark, sf_dir):
+        """The point of the battery: NOT IN over a NULL-poisoned set is
+        empty; NOT EXISTS and ANTI JOIN agree with the complement."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational_ext import (
+            scalar_null_semantics,
+        )
+
+        r = scalar_null_semantics(spark, sf_dir).first()
+        assert r.n_null_keys == 1
+        assert r.not_in_count == 0              # UNKNOWN for every row
+        assert r.not_exists_count == r.anti_join_count
+        assert r.in_count + r.not_exists_count == r.n_orders
+        assert 0 < r.in_count < r.n_orders
+
+
+class TestMarkovStationary:
+    def test_matches_numpy_eigenvector(self, spark, sf_dir):
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_markov_stationary,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("user_id", "event_type", "event_id",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append(
+                (r.us, r.event_id, r.event_type))
+        types = sorted({r.event_type for r in ev})
+        ix = {t: i for i, t in enumerate(types)}
+        k = len(types)
+        P = np.zeros((k, k))
+        for seq in by_user.values():
+            seq.sort()
+            ts = [t for _, _, t in seq]
+            for a, b in zip(ts, ts[1:]):
+                P[ix[a], ix[b]] += 1
+        rs = P.sum(axis=1, keepdims=True)
+        P = np.divide(P, rs, out=np.full_like(P, 1.0 / k), where=rs > 0)
+        vals, vecs = np.linalg.eig(P.T)
+        i = int(np.argmax(vals.real))
+        pi = np.abs(vecs[:, i].real)
+        pi /= pi.sum()
+        out = events_markov_stationary(spark, sf_dir).collect()
+        assert sorted(r.event_type for r in out) == types
+        tot = 0.0
+        for r in out:
+            assert r.stationary_p == pytest.approx(pi[ix[r.event_type]],
+                                                   abs=1e-9)
+            assert r.gap == pytest.approx(
+                r.stationary_p - r.observed_share, abs=1e-12)
+            tot += r.stationary_p
+        assert tot == pytest.approx(1.0, abs=1e-12)
