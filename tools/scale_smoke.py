@@ -51,6 +51,13 @@ DEFAULT_TOP = [
     "dedup_ngram_jaccard_pruned",
     "corpus_pack_global_stream",
     "events_sessionize",
+    # late round-6 heavies: centroid drift (one corpus pass + catalog
+    # pairwise), the global-prefix percentiles, the double-ranked
+    # zone-map census, and the sweep-line concurrency census
+    "embedding_source_drift",
+    "agg_weighted_percentiles",
+    "diag_layout_zonemap",
+    "events_peak_concurrency",
 ]
 
 TENX_TABLES = ("documents", "events", "embeddings")
