@@ -168,6 +168,8 @@ HEADLINE = [
     "privacy_l_diversity",
     "scalar_null_semantics",
     "events_markov_stationary",
+    "events_id_gap_audit",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -839,3 +839,67 @@ SELECT t // 86400000000 AS day_num,
        CAST(MAX(concurrency) AS BIGINT) AS peak_concurrent
 FROM run GROUP BY day_num ORDER BY day_num
 """
+
+
+def events_id_gap_audit(spark: SparkSession, sf_dir: str,
+                        bucket: int = 4096) -> DataFrame:
+    """Sequence-gap audit over an id column WITHOUT a global window —
+    the data-quality check ("did the loader drop rows? how many? where
+    are the holes?") that naive SQL writes as lead(id) OVER (ORDER BY
+    id): a single-partition sort that breaks first at scale. Here the
+    lead runs inside id-range buckets (id div 4096 — contiguous ids
+    co-locate, the window is bucket-PARTITIONed), and the cross-bucket
+    remainder is recovered ALGEBRAICALLY: total_missing = span − count
+    exactly, so missing_cross_bucket = total − Σ(within-bucket gaps)
+    with no boundary stitch join and no sensitivity to empty buckets.
+
+    The fixture's event_id is dense, so the audit deterministically
+    poisons it (drops event_id % 97 == 13) to exercise real holes —
+    same fixture-poisoning contract as the NOT IN battery. All exact
+    integers; one row out.
+    """
+    e = (load_events(spark, sf_dir)
+         .select("event_id")
+         .filter(F.col("event_id") % 97 != 13))
+    w = Window.partitionBy("bkt").orderBy("event_id")
+    gaps = (e.withColumn("bkt", F.expr(f"event_id div {bucket}"))
+            .withColumn("nxt", F.lead("event_id").over(w))
+            .withColumn("gap", F.col("nxt") - F.col("event_id") - 1))
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        (F.max("event_id") - F.min("event_id") + 1
+         - F.count(F.lit(1))).alias("total_missing"),
+        F.sum((F.col("gap") > 0).cast("long")).alias("n_gaps_within"),
+        F.sum(F.when(F.col("gap") > 0, F.col("gap")).otherwise(0))
+        .alias("missing_within"),
+        (F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1))
+         - F.sum(F.when(F.col("gap") > 0, F.col("gap")).otherwise(0)))
+        .alias("missing_cross_bucket"),
+        F.max("gap").alias("largest_gap_within"))
+
+
+ORACLE_ID_GAP_AUDIT = """
+WITH ids AS (
+  SELECT event_id, event_id // 4096 AS bkt
+  FROM events WHERE event_id % 97 != 13),
+gaps AS (
+  SELECT event_id, bkt,
+         LEAD(event_id) OVER (PARTITION BY bkt ORDER BY event_id)
+           - event_id - 1 AS gap
+  FROM ids)
+SELECT COUNT(*) AS n_ids,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+         AS total_missing,
+       CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps_within,
+       CAST(SUM(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT)
+         AS missing_within,
+       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*)
+            - SUM(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT)
+         AS missing_cross_bucket,
+       CAST(MAX(gap) AS BIGINT) AS largest_gap_within
+FROM gaps
+"""

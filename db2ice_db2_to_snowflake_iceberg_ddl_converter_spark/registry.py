@@ -848,6 +848,8 @@ _ROUND6_LATE: list = [
     "privacy_l_diversity",
     "scalar_null_semantics",
     "events_markov_stationary",
+    "events_id_gap_audit",
+    "multimodal_phash_neardup",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1084,6 +1086,12 @@ def _round6_queries():
         # stationary distribution of the journey Markov chain (power
         # iteration on the types²-bounded matrix) — rows-only + numpy
         "events_markov_stationary": _bh6.events_markov_stationary,
+        # id sequence-gap audit with NO global window: bucketed lead +
+        # algebraic cross-bucket remainder (span − count)
+        "events_id_gap_audit": _et6.events_id_gap_audit,
+        # DCT perceptual-hash image near-dup over the REAL BMP codec —
+        # banded 16-bit candidate join + codegen bit_count verify
+        "multimodal_phash_neardup": _mm6.multimodal_phash_neardup,
     }
 
 
@@ -1623,4 +1631,7 @@ def build_oracles() -> dict[str, str]:
     from .operators.relational_ext import ORACLE_NULL_SEMANTICS
     oracles["scalar_null_semantics"] = ORACLE_NULL_SEMANTICS
     # events_markov_stationary: iterative float math → rows-only
+    from .operators.eventtime import ORACLE_ID_GAP_AUDIT
+    oracles["events_id_gap_audit"] = ORACLE_ID_GAP_AUDIT
+    # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles

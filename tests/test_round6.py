@@ -2199,3 +2199,99 @@ class TestMarkovStationary:
                 r.stationary_p - r.observed_share, abs=1e-12)
             tot += r.stationary_p
         assert tot == pytest.approx(1.0, abs=1e-12)
+
+
+class TestIdGapAudit:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_id_gap_audit,
+        )
+
+        ids = sorted(r[0] for r in duckdb.sql(
+            f"SELECT event_id FROM '{sf_dir}/events.parquet' "
+            "WHERE event_id % 97 != 13").fetchall())
+        r = events_id_gap_audit(spark, sf_dir).first()
+        assert r.n_ids == len(ids)
+        assert r.min_id == ids[0] and r.max_id == ids[-1]
+        span_missing = ids[-1] - ids[0] + 1 - len(ids)
+        assert r.total_missing == span_missing
+        assert r.total_missing > 0          # the poison made real holes
+        # bucketed-lead within + algebraic cross must cover the span
+        assert r.missing_within + r.missing_cross_bucket == span_missing
+        # replay the bucketed semantics exactly
+        within = n_gaps = largest = 0
+        for a, b in zip(ids, ids[1:]):
+            if a // 4096 == b // 4096 and b - a > 1:
+                within += b - a - 1
+                n_gaps += 1
+                largest = max(largest, b - a - 1)
+        assert r.missing_within == within
+        assert r.n_gaps_within == n_gaps
+        assert r.largest_gap_within == largest
+
+
+class TestPhashNeardup:
+    def test_phash_replay_and_pairs(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.multimodal import (
+            multimodal_phash_neardup,
+            phash64,
+            synth_bmp_from_text,
+        )
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        hashes = {d: phash64(synth_bmp_from_text(t)) for d, t in docs}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        def bands(h):
+            u = h & ((1 << 64) - 1)
+            return {(i, (u >> (16 * i)) & 0xFFFF) for i in range(4)}
+
+        expect = set()
+        items = sorted(hashes.items())
+        for i, (da, ha) in enumerate(items):
+            for db_, hb in items[i + 1:]:
+                if ham(ha, hb) <= 8 and bands(ha) & bands(hb):
+                    expect.add((da, db_))
+        out = multimodal_phash_neardup(spark, sf_dir).collect()
+        got = {(r.doc_a, r.doc_b) for r in out}
+        assert got == expect
+        for r in out:
+            assert r.hamming == ham(hashes[r.doc_a], hashes[r.doc_b])
+
+    def test_identical_images_collide(self):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.multimodal import (
+            phash64,
+            synth_bmp_from_text,
+        )
+
+        a = phash64(synth_bmp_from_text("the same text"))
+        b = phash64(synth_bmp_from_text("the same text"))
+        c = phash64(synth_bmp_from_text("completely different words"))
+        assert a == b
+        assert a != c
+
+    def test_brightness_shift_is_phash_invariant(self):
+        """The point of pHash vs byte hashing: a uniform brightness
+        shift moves only the DC coefficient, which the hash excludes."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.multimodal import (
+            phash64,
+            synth_bmp_from_text,
+        )
+
+        img = synth_bmp_from_text("some document body")
+        brighter = np.clip(img.astype(np.int16) + 9, 0, 255) \
+            .astype(np.uint8)
+        # keep the shift unclipped for a clean DC-only change
+        if int(img.max()) + 9 <= 255:
+            assert phash64(img) == phash64(brighter)
