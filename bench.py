@@ -170,6 +170,7 @@ HEADLINE = [
     "events_markov_stationary",
     "events_id_gap_audit",
     "multimodal_phash_neardup",
+    "ivm_join_view_delta",
 ]
 
 

@@ -517,3 +517,65 @@ FROM (
 )
 ORDER BY c_custkey
 """
+
+
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the two-sided delta-join
+    algebra an aggregate-only refresh (rollup_incremental_refresh)
+    cannot express. View: revenue by (order priority, market segment)
+    over orders ⋈ customer. Both base tables receive an insert delta
+    (orders split on o_orderkey % 13, customers on c_custkey % 7), and
+    the refresh computes ONLY the delta terms
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    merged into the old view by re-aggregation (sums combine). The
+    oracle recomputes the view from the FULL tables, so the driver's
+    hash comparison IS the proof of the maintenance algebra — if any
+    delta term were missing or double-counted, the hash breaks.
+
+    Scale: refresh cost is O(Δ ⋈ base) — at 100 TB the old view is the
+    stored MV (here re-derived from the same scan for self-containment)
+    and ΔA/ΔB are broadcast-sized in steady state; the three delta
+    joins are exactly what Spark's AQE sizes small. Revenue stays
+    DECIMAL through every partial (exact, order-independent), one
+    double cast at emission.
+    """
+    from .relational import DEC, ld
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_old = o.filter(F.col("o_orderkey") % 13 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 13 == 0)
+    c_old = c.filter(F.col("c_custkey") % 7 != 0)
+    c_new = c.filter(F.col("c_custkey") % 7 == 0)
+
+    def agg(orders, custs):
+        return (orders.join(custs,
+                            orders["o_custkey"] == custs["c_custkey"])
+                .groupBy("o_orderpriority", "c_mktsegment")
+                .agg(F.sum(F.col("o_totalprice").cast(DEC))
+                     .alias("revenue"),
+                     F.count(F.lit(1)).alias("n_orders")))
+
+    view_old = agg(o_old, c_old)
+    deltas = (agg(o_new, c_old)
+              .unionAll(agg(o_old, c_new))
+              .unionAll(agg(o_new, c_new)))
+    return (view_old.unionAll(deltas)
+            .groupBy("o_orderpriority", "c_mktsegment")
+            .agg(F.sum("revenue").cast("double").alias("revenue"),
+                 F.sum("n_orders").alias("n_orders"))
+            .orderBy("o_orderpriority", "c_mktsegment"))
+
+
+ORACLE_IVM_JOIN_VIEW = """
+SELECT o_orderpriority, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority, c_mktsegment
+ORDER BY o_orderpriority, c_mktsegment
+"""

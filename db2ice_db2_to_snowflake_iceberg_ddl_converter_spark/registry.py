@@ -850,6 +850,7 @@ _ROUND6_LATE: list = [
     "events_markov_stationary",
     "events_id_gap_audit",
     "multimodal_phash_neardup",
+    "ivm_join_view_delta",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1092,6 +1093,9 @@ def _round6_queries():
         # DCT perceptual-hash image near-dup over the REAL BMP codec —
         # banded 16-bit candidate join + codegen bit_count verify
         "multimodal_phash_neardup": _mm6.multimodal_phash_neardup,
+        # two-sided delta-join view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+        # merged by re-agg; the full-recompute oracle proves the algebra
+        "ivm_join_view_delta": cdc.ivm_join_view_delta,
     }
 
 
@@ -1633,5 +1637,7 @@ def build_oracles() -> dict[str, str]:
     # events_markov_stationary: iterative float math → rows-only
     from .operators.eventtime import ORACLE_ID_GAP_AUDIT
     oracles["events_id_gap_audit"] = ORACLE_ID_GAP_AUDIT
+    from .operators.cdc import ORACLE_IVM_JOIN_VIEW
+    oracles["ivm_join_view_delta"] = ORACLE_IVM_JOIN_VIEW
     # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles
