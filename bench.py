@@ -171,6 +171,7 @@ HEADLINE = [
     "events_id_gap_audit",
     "multimodal_phash_neardup",
     "ivm_join_view_delta",
+    "diag_curve_locality",
 ]
 
 

@@ -10,6 +10,8 @@ bucketed join; a salted join that actually fans the hot key out).
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints must resolve at def time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -664,3 +666,111 @@ FROM files f LEFT JOIN ov o ON f.layout = o.layout
 GROUP BY f.layout
 ORDER BY f.layout
 """
+
+
+def hilbert_d(x, y, bits: int = 12):
+    """Vectorized Hilbert curve index d(x, y) for ``bits``-bit coords —
+    the classic xy2d loop (Wikipedia formulation) over numpy arrays,
+    exact int64 arithmetic. Hilbert beats Morton on locality because
+    consecutive d are ALWAYS adjacent cells (no Z-shape jumps)."""
+    import numpy as np
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = (np.where(swap, y_f, x_f).astype(np.int64),
+                np.where(swap, x_f, y_f).astype(np.int64))
+        s >>= 1
+    return d
+
+
+def diag_curve_locality(spark: SparkSession, sf_dir: str,
+                        n_files: int = 16, bits: int = 12) -> DataFrame:
+    """Space-filling-curve layout shoot-out: write lineitem's 2-D key
+    (orderkey, partkey), min/max-NORMALIZED to the 12-bit square (what
+    Delta/Iceberg OPTIMIZE ZORDER does before interleaving — raw keys
+    with unequal ranges waste curve bits on empty space), under THREE
+    orderings — lexicographic, Morton/Z-order, Hilbert — into a
+    fixed-file-count layout, then measure the number a planner actually
+    prunes on: the EXPECTED FILES TOUCHED by a uniform point predicate
+    on x alone (Σ bbox widths / span), on y alone (Σ heights / span),
+    and on both (Σ areas / span²). Lexicographic serves its leading key
+    perfectly (exp_x → 1) and the trailing key not at all (exp_y →
+    n_files); the curves balance both — the measured trade every
+    two-key 100 TB table faces at write time.
+
+    Shapes: normalization bounds ride ONE 1-row broadcast (no collect);
+    the Z-value is pure integer codegen (``zorder_value``); the Hilbert
+    index is one Arrow batch pass (exact int64 numpy, 12 rounds); each
+    ordering's file assignment rides :func:`global_ranks`; the bbox
+    census is O(rows) map-side-partialed and everything after runs on
+    the 3·F-row summary. Hilbert has no SQL twin → rows-only; the
+    pytest replays d(x,y) in pure Python and pins the balance contract
+    (curve exp_y ≪ lexicographic's, lexicographic exp_x minimal).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .relational import ld
+
+    mask = (1 << bits) - 1
+
+    @pandas_udf("long")
+    def hv(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(hilbert_d(x.to_numpy(), y.to_numpy(),
+                                   bits=bits))
+
+    raw = (ld(spark, sf_dir, "lineitem", fanout=False)
+           .select(F.col("l_orderkey").alias("xr"),
+                   F.col("l_partkey").alias("yr"),
+                   "l_orderkey", "l_linenumber"))
+    bounds = raw.agg(F.min("xr").alias("x_min"), F.max("xr").alias("x_max"),
+                     F.min("yr").alias("y_min"), F.max("yr").alias("y_max"))
+    li = (raw.crossJoin(F.broadcast(bounds))
+          .select(
+              F.expr(f"((xr - x_min) * {mask}L) div "
+                     "greatest(x_max - x_min, 1)").alias("x"),
+              F.expr(f"((yr - y_min) * {mask}L) div "
+                     "greatest(y_max - y_min, 1)").alias("y"),
+              "l_orderkey", "l_linenumber"))
+    layouts = {
+        "1_lexicographic": (F.col("x") * (mask + 1) + F.col("y"))
+        .alias("cv"),
+        "2_zorder": zorder_value(F.col("x"), F.col("y")).alias("cv"),
+        "3_hilbert": hv("x", "y").alias("cv"),
+    }
+    files = None
+    for name, curve in layouts.items():
+        ranked, n = global_ranks(
+            li.select("x", "y", curve, "l_orderkey", "l_linenumber"),
+            [F.asc("cv"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+            num_partitions=8)
+        f = (ranked.select(
+            F.lit(name).alias("layout"),
+            F.expr(f"((global_rn - 1) * {n_files}) div {n}L").alias("f"),
+            "x", "y")
+            .groupBy("layout", "f")
+            .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                 F.min("y").alias("y0"), F.max("y").alias("y1")))
+        files = f if files is None else files.unionAll(f)
+    span = float(mask + 1)
+    w = F.col("x1") - F.col("x0") + 1
+    h = F.col("y1") - F.col("y0") + 1
+    return (files.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 (F.sum(w).cast("double") / span).alias("exp_files_x"),
+                 (F.sum(h).cast("double") / span).alias("exp_files_y"),
+                 (F.sum(w * h).cast("double") / (span * span))
+                 .alias("exp_files_point"))
+            .orderBy("layout"))

@@ -851,6 +851,7 @@ _ROUND6_LATE: list = [
     "events_id_gap_audit",
     "multimodal_phash_neardup",
     "ivm_join_view_delta",
+    "diag_curve_locality",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1096,6 +1097,10 @@ def _round6_queries():
         # two-sided delta-join view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
         # merged by re-agg; the full-recompute oracle proves the algebra
         "ivm_join_view_delta": cdc.ivm_join_view_delta,
+        # lexicographic vs Z-order vs Hilbert write layouts, scored by
+        # expected files touched per predicate — Hilbert no SQL twin →
+        # rows-only, pure-Python d(x,y) replay pytest
+        "diag_curve_locality": _sc6.diag_curve_locality,
     }
 
 

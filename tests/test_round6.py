@@ -2335,3 +2335,43 @@ class TestIvmJoinView:
             n, s = full[(r.o_orderpriority, r.c_mktsegment)]
             assert r.n_orders == n
             assert r.revenue == pytest.approx(s, rel=1e-9)
+
+
+class TestCurveLocality:
+    def test_hilbert_replay_small_grid(self):
+        """Pure-Python xy2d replay over the full 4-bit grid: bijective
+        onto [0, 256) and every consecutive pair of d is an adjacent
+        cell — the no-jump property Morton lacks."""
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            hilbert_d,
+        )
+
+        bits = 4
+        xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+        d = hilbert_d(xs.ravel(), ys.ravel(), bits=bits)
+        assert sorted(d.tolist()) == list(range(256))
+        pos = {int(dd): (int(x), int(y))
+               for dd, x, y in zip(d, xs.ravel(), ys.ravel())}
+        for i in range(255):
+            (x0, y0), (x1, y1) = pos[i], pos[i + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    def test_balance_contract(self, spark, sf_dir):
+        """Lexicographic: perfect on x, useless on y. Both curves:
+        bounded on BOTH axes. Hilbert point-locality ≤ Z's."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_curve_locality,
+        )
+
+        out = {r.layout: r for r in
+               diag_curve_locality(spark, sf_dir).collect()}
+        lex, zo, hi = (out["1_lexicographic"], out["2_zorder"],
+                       out["3_hilbert"])
+        assert lex.exp_files_x < 1.5
+        assert lex.exp_files_y > 0.9 * lex.n_files
+        for cur in (zo, hi):
+            assert cur.exp_files_x < lex.exp_files_y / 2
+            assert cur.exp_files_y < lex.exp_files_y / 2
+        assert hi.exp_files_point <= zo.exp_files_point
