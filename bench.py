@@ -172,6 +172,8 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "ivm_join_view_delta",
     "diag_curve_locality",
+    "kmv_set_ops",
+    "agg_median_ci",
 ]
 
 

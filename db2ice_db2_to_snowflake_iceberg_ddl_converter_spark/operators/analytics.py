@@ -1844,3 +1844,69 @@ SELECT CAST(mi // 12 AS BIGINT) AS year,
 FROM ranked WHERE rank <= 3
 ORDER BY year, month, rank
 """
+
+
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of order value with its DISTRIBUTION-FREE 95%
+    confidence interval — the binomial rank bounds (order statistics at
+    ranks ⌊(n − z√n)/2⌋ and 1 + ⌊(n + z√n)/2⌋, z = 1.959964): no
+    normality assumption, valid for any continuous distribution, the
+    interval a report should print beside every median. The three order
+    statistics are ordinal equi-joins on :func:`~.scale.global_ranks`
+    — never a single-partition sort.
+
+    Portability: n is exact; √n is the single exactly-rounded sqrt; the
+    z constant is a parsed double literal in both engines (BM25
+    rationale); FLOOR of identically-derived doubles cannot straddle —
+    the rank arithmetic lands on the same integers. The emitted values
+    are untouched decimals.
+    """
+    from .scale import global_ranks
+
+    o = ld(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = global_ranks(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        num_partitions=8)
+    z = 1.959964
+    stats = ranked.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.ceil(F.col("n") / 2).alias("r_med"),
+        F.floor((F.col("n").cast("double")
+                 - F.lit(z) * F.sqrt(F.col("n").cast("double"))) / 2)
+        .cast("long").alias("r_lo"),
+        (F.lit(1) + F.floor((F.col("n").cast("double")
+                             + F.lit(z) * F.sqrt(F.col("n")
+                                                 .cast("double"))) / 2)
+         .cast("long")).alias("r_hi"))
+    j = ranked.crossJoin(F.broadcast(stats))
+    return j.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("global_rn") == F.col("r_lo"),
+                     F.col("o_totalprice"))).alias("ci_lo"),
+        F.max(F.when(F.col("global_rn") == F.col("r_med"),
+                     F.col("o_totalprice"))).alias("median"),
+        F.max(F.when(F.col("global_rn") == F.col("r_hi"),
+                     F.col("o_totalprice"))).alias("ci_hi"))
+
+
+ORACLE_MEDIAN_CI = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders),
+stats AS (
+  SELECT n, CAST(CEIL(n / 2.0) AS BIGINT) AS r_med,
+         CAST(FLOOR((CAST(n AS DOUBLE)
+              - 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+           AS r_lo,
+         1 + CAST(FLOOR((CAST(n AS DOUBLE)
+              + 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+           AS r_hi
+  FROM ranked LIMIT 1)
+SELECT MAX(r.n) AS n,
+       MAX(CASE WHEN rn = s.r_lo THEN o_totalprice END) AS ci_lo,
+       MAX(CASE WHEN rn = s.r_med THEN o_totalprice END) AS median,
+       MAX(CASE WHEN rn = s.r_hi THEN o_totalprice END) AS ci_hi
+FROM ranked r CROSS JOIN stats s
+"""

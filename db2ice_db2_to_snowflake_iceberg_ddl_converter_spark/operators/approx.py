@@ -240,3 +240,90 @@ def vocab_kmv_distinct(spark: SparkSession, sf_dir: str,
                          - F.col("exact_distinct").cast("double"))
                         / F.col("exact_distinct").cast("double"))
             .orderBy("source"))
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
+                salt_buckets: int = 64) -> DataFrame:
+    """KMV/theta-sketch SET ALGEBRA — the estimate HLL structurally
+    cannot give: union AND intersection cardinalities of two user sets
+    (clickers vs purchasers) from two mergeable k-minimum-values
+    sketches. Union: merge both minima lists, re-take the k smallest,
+    estimate (k−1)/θ. Intersection (theta rule): among hashes below the
+    union's θ, count those present in BOTH sketches; estimate
+    count/θ · 1 — plus the Jaccard estimate count/k.
+
+    The k-smallest-per-set selection is TWO-LEVEL so no single reducer
+    ever sorts a billion-user set: hashes first keep their k smallest
+    within (set, h % 64) salt buckets (64-way parallel windows), then
+    the survivors (≤ 64k rows per set) yield the true k minima — the
+    standard distributed min-k ladder, exact because the global k
+    smallest always survive their own bucket's cut. Exact baselines
+    (countDistinct + join) ride beside the estimates so the error is
+    auditable. xxhash64 has no DuckDB twin → rows-only; the pytest pins
+    both estimators' error against the 3/√k band and replays the
+    sketch in pure Python.
+    """
+    from pyspark.sql import Window
+
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    tagged = (e.filter(F.col("event_type").isin("click", "purchase"))
+              .select(F.col("event_type").alias("tag"),
+                      F.xxhash64("user_id").alias("h"),
+                      "user_id")
+              .distinct())
+    # two-level min-k ladder
+    w1 = Window.partitionBy("tag", "salt").orderBy("h")
+    w2 = Window.partitionBy("tag").orderBy("h")
+    mins = (tagged
+            .withColumn("salt", F.pmod("h", F.lit(salt_buckets)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= k)
+            .select("tag", "h")
+            .localCheckpoint())        # consumed by union + both joins
+    u = ((F.col("h").cast("double") + F.lit(2.0 ** 63) + F.lit(1.0))
+         / F.lit(2.0 ** 64))
+    wu = Window.orderBy("h")           # ≤ 2k rows — bounded window
+    union_k = (mins.select("h").distinct()
+               .withColumn("rn", F.row_number().over(wu))
+               .filter(F.col("rn") <= k)
+               .localCheckpoint())
+    # small-set regime (standard KMV rule): fewer than k hashes in the
+    # union → the sketch IS the set, θ=1 and the estimates are exact
+    theta = union_k.agg(
+        F.count(F.lit(1)).alias("n_union_hashes"),
+        F.coalesce(F.max(F.when(F.col("rn") == k, u)), F.lit(1.0))
+        .alias("theta"))
+    a = mins.filter(F.col("tag") == "click").select("h")
+    b = mins.filter(F.col("tag") == "purchase").select("h")
+    common = (union_k.join(a, "h").join(b, "h")
+              .crossJoin(F.broadcast(theta))
+              .filter(u < F.col("theta"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    # exact baselines
+    au = e.filter(F.col("event_type") == "click") \
+          .select("user_id").distinct()
+    bu = e.filter(F.col("event_type") == "purchase") \
+          .select("user_id").distinct()
+    exact = (au.unionAll(bu).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(F.broadcast(
+            au.join(bu, "user_id").agg(
+                F.count(F.lit(1)).alias("exact_intersect")))))
+    small = F.col("n_union_hashes") < k
+    return (exact.crossJoin(F.broadcast(theta))
+            .crossJoin(F.broadcast(common))
+            .select(
+                "exact_union", "exact_intersect",
+                F.when(small, F.col("n_union_hashes").cast("double"))
+                .otherwise(F.lit(float(k - 1)) / F.col("theta"))
+                .alias("est_union"),
+                (F.col("n_common").cast("double") / F.col("theta"))
+                .alias("est_intersect"),
+                (F.col("n_common").cast("double")
+                 / F.least(F.lit(float(k)),
+                           F.col("n_union_hashes").cast("double")))
+                .alias("est_jaccard")))

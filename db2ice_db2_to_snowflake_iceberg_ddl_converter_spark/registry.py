@@ -852,6 +852,8 @@ _ROUND6_LATE: list = [
     "multimodal_phash_neardup",
     "ivm_join_view_delta",
     "diag_curve_locality",
+    "kmv_set_ops",
+    "agg_median_ci",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1101,6 +1103,12 @@ def _round6_queries():
         # expected files touched per predicate — Hilbert no SQL twin →
         # rows-only, pure-Python d(x,y) replay pytest
         "diag_curve_locality": _sc6.diag_curve_locality,
+        # KMV/theta set algebra: union AND intersection estimates from
+        # two mergeable sketches (HLL cannot intersect) — rows-only
+        "kmv_set_ops": approx.kmv_set_ops,
+        # exact median + distribution-free binomial-rank 95% CI riding
+        # global_ranks ordinal joins
+        "agg_median_ci": _an6.agg_median_ci,
     }
 
 
@@ -1644,5 +1652,7 @@ def build_oracles() -> dict[str, str]:
     oracles["events_id_gap_audit"] = ORACLE_ID_GAP_AUDIT
     from .operators.cdc import ORACLE_IVM_JOIN_VIEW
     oracles["ivm_join_view_delta"] = ORACLE_IVM_JOIN_VIEW
+    from .operators.analytics import ORACLE_MEDIAN_CI
+    oracles["agg_median_ci"] = ORACLE_MEDIAN_CI
     # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles

@@ -2375,3 +2375,63 @@ class TestCurveLocality:
             assert cur.exp_files_x < lex.exp_files_y / 2
             assert cur.exp_files_y < lex.exp_files_y / 2
         assert hi.exp_files_point <= zo.exp_files_point
+
+
+class TestKmvSetOps:
+    def test_small_regime_is_exact_and_python_replay(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.approx import (
+            kmv_set_ops,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load_events(spark, sf_dir).filter(
+            F.col("event_type").isin("click", "purchase")).select(
+            "event_type", "user_id").distinct().collect()
+        a = {r.user_id for r in ev if r.event_type == "click"}
+        b = {r.user_id for r in ev if r.event_type == "purchase"}
+        r = kmv_set_ops(spark, sf_dir).first()
+        assert r.exact_union == len(a | b)
+        assert r.exact_intersect == len(a & b)
+        k = 256
+        if len(a | b) < k:          # small regime: sketch IS the set
+            assert r.est_union == float(len(a | b))
+            assert r.est_intersect == float(len(a & b))
+            assert r.est_jaccard == pytest.approx(
+                len(a & b) / len(a | b), rel=1e-12)
+        else:                        # 3/sqrt(k) estimator band
+            band = 3 / k ** 0.5
+            assert abs(r.est_union - r.exact_union) \
+                <= band * r.exact_union
+            assert abs(r.est_intersect - r.exact_intersect) \
+                <= band * r.exact_union
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+class TestMedianCi:
+    def test_exact_python_replay_and_coverage_shape(self, spark, sf_dir):
+        import math
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            agg_median_ci,
+        )
+
+        vals = sorted(
+            (r[0], r[1]) for r in duckdb.sql(
+                "SELECT o_totalprice, o_orderkey FROM "
+                f"'{sf_dir}/orders.parquet'").fetchall())
+        n = len(vals)
+        z = 1.959964
+        r_med = math.ceil(n / 2)
+        r_lo = math.floor((n - z * math.sqrt(n)) / 2)
+        r_hi = 1 + math.floor((n + z * math.sqrt(n)) / 2)
+        r = agg_median_ci(spark, sf_dir).first()
+        assert r.n == n
+        assert float(r.median) == vals[r_med - 1][0]
+        assert float(r.ci_lo) == vals[r_lo - 1][0]
+        assert float(r.ci_hi) == vals[r_hi - 1][0]
+        assert r.ci_lo <= r.median <= r.ci_hi
