@@ -174,6 +174,8 @@ HEADLINE = [
     "diag_curve_locality",
     "kmv_set_ops",
     "agg_median_ci",
+    "events_error_conversion",
+    "embedding_triplet_margin",
 ]
 
 

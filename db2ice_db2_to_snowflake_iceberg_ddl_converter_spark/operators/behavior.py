@@ -498,3 +498,117 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
              "double, gap double")
 
 
+
+
+def events_error_conversion(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Does hitting an error kill conversion? The 2×2 session-level
+    census (error seen? × purchase made?) with the three effect sizes a
+    product decision needs: conversion-rate risk ratio, the exact
+    add-one odds ratio, and the chi-square independence statistic — the
+    quantified version of "errors cost us X% of conversions".
+
+    Sessions are the 30-minute-gap contract (events_sessionize). All
+    counts exact; the rates/RR are single divides; the odds ratio is
+    an exact-integer add-one product ratio (log-free protocol); chi²
+    follows the assoc_cramers_v decimal recipe on the 2×2 (four exact
+    cells — no grid join needed, the marginals are sums). One row out.
+
+    Shape: one user-keyed window (sessionization), one (user, session)
+    rollup with boolean maxes, one global agg — every stage keyed or
+    O(1).
+    """
+    from .relational import load_events
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (e.select("user_id", "event_type",
+                     F.sum(new_s).over(wrun).alias("seq"))
+            .groupBy("user_id", "seq")
+            .agg(F.max((F.col("event_type") == "error").cast("int"))
+                 .alias("err"),
+                 F.max((F.col("event_type") == "purchase").cast("int"))
+                 .alias("buy")))
+    g = sess.agg(
+        F.sum(((F.col("err") == 1) & (F.col("buy") == 1)).cast("long"))
+        .alias("a"),   # error & purchase
+        F.sum(((F.col("err") == 1) & (F.col("buy") == 0)).cast("long"))
+        .alias("b"),   # error & no purchase
+        F.sum(((F.col("err") == 0) & (F.col("buy") == 1)).cast("long"))
+        .alias("c"),   # clean & purchase
+        F.sum(((F.col("err") == 0) & (F.col("buy") == 0)).cast("long"))
+        .alias("d"))   # clean & no purchase
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    conv_err = F.col("a").cast("double") / (F.col("a") + F.col("b"))
+    conv_clean = F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    odds = (((F.col("a") + 1) * (F.col("d") + 1)).cast("double")
+            / ((F.col("b") + 1) * (F.col("c") + 1)).cast("double"))
+    # chi² for a 2×2: n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — one divide of
+    # two exact products. The products overflow int64 at sf≥0.1
+    # (ad ~ 1e9 → (ad−bc)² ~ 1e18·n), so they run in scale-0
+    # DECIMAL(38,0) (exact; single correctly-rounded double cast —
+    # the revenue_gini_lorenz protocol rule); DuckDB runs HUGEINT.
+    d38 = "decimal(38,0)"
+    ad_bc = (F.col("a").cast(d38) * F.col("d").cast(d38)
+             - F.col("b").cast(d38) * F.col("c").cast(d38))
+    num = n.cast(d38) * ad_bc * ad_bc
+    den = ((F.col("a") + F.col("b")).cast(d38)
+           * (F.col("c") + F.col("d")).cast(d38)
+           * (F.col("a") + F.col("c")).cast(d38)
+           * (F.col("b") + F.col("d")).cast(d38))
+    return g.select(
+        n.alias("n_sessions"), "a", "b", "c", "d",
+        conv_err.alias("conv_rate_with_error"),
+        conv_clean.alias("conv_rate_clean"),
+        (conv_err / conv_clean).alias("risk_ratio"),
+        odds.alias("odds_ratio_add1"),
+        (num.cast("double") / den.cast("double")).alias("chi2"))
+
+
+ORACLE_ERROR_CONVERSION = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, seq,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buy
+  FROM numbered GROUP BY user_id, seq
+), g AS (
+  SELECT CAST(SUM(CASE WHEN err = 1 AND buy = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN err = 1 AND buy = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN err = 0 AND buy = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN err = 0 AND buy = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM sess)
+SELECT a + b + c + d AS n_sessions, a, b, c, d,
+       CAST(a AS DOUBLE) / (a + b) AS conv_rate_with_error,
+       CAST(c AS DOUBLE) / (c + d) AS conv_rate_clean,
+       (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+         AS risk_ratio,
+       CAST((a + 1) * (d + 1) AS DOUBLE)
+         / CAST((b + 1) * (c + 1) AS DOUBLE) AS odds_ratio_add1,
+       CAST(CAST(a + b + c + d AS HUGEINT)
+            * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+            * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) AS DOUBLE)
+         / CAST(CAST(a + b AS HUGEINT) * (c+d) * (a+c) * (b+d)
+                AS DOUBLE) AS chi2
+FROM g
+"""

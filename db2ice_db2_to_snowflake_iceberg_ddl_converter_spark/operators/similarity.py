@@ -995,3 +995,56 @@ ORDER BY source_a, source_b
 
 
 ORACLE_EMBEDDING_SOURCE_DRIFT = _oracle_embedding_source_drift()
+
+
+def embedding_triplet_margin(spark, sf_dir, n_anchors: int = 50
+                             ) -> DataFrame:
+    """Embedding-quality audit against the label column: for each
+    anchor vector, the nearest SAME-label cosine minus the nearest
+    OTHER-label cosine — the triplet margin that tells you whether the
+    representation actually separates the classes (margin > 0: nearest
+    friend beats nearest impostor; share_positive is the k=1 leave-one-
+    out classifier accuracy). Reported per label: mean margin, share of
+    anchors with positive margin, and the mean nearest-friend /
+    nearest-impostor cosines.
+
+    Shape: the anchor side (first ``n_anchors`` vec_ids) broadcasts;
+    candidates stream through ONE scan (the ann_brute contract); the
+    per-anchor max-cosine split by same/other label is one conditional
+    aggregation — no window at all. Float cosine chains → rows-only;
+    the pytest replays anchors × corpus in numpy exactly.
+    """
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cand_id"),
+                 F.col("label").alias("cand_label"),
+                 F.col("embedding").alias("ce"))
+    same = F.col("anchor_label") == F.col("cand_label")
+    per_anchor = (F.broadcast(q)
+                  .join(c, F.col("anchor_id") != F.col("cand_id"))
+                  .select("anchor_id", "anchor_label",
+                          same.alias("same"),
+                          cosine_expr("qe", "ce").alias("cos"))
+                  .groupBy("anchor_id", "anchor_label")
+                  .agg(F.max(F.when(F.col("same"), F.col("cos")))
+                       .alias("best_same"),
+                       F.max(F.when(~F.col("same"), F.col("cos")))
+                       .alias("best_other")))
+    margin = F.col("best_same") - F.col("best_other")
+    return (per_anchor
+            .groupBy(F.col("anchor_label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_anchors"),
+                 (F.sum(margin.cast("decimal(28,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_margin"),
+                 (F.sum((margin > 0).cast("long")).cast("double")
+                  / F.count(F.lit(1))).alias("share_positive"),
+                 (F.sum(F.col("best_same").cast("decimal(28,6)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("mean_best_same"),
+                 (F.sum(F.col("best_other").cast("decimal(28,6)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("mean_best_other"))
+            .orderBy("label"))

@@ -854,6 +854,8 @@ _ROUND6_LATE: list = [
     "diag_curve_locality",
     "kmv_set_ops",
     "agg_median_ci",
+    "events_error_conversion",
+    "embedding_triplet_margin",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1109,6 +1111,12 @@ def _round6_queries():
         # exact median + distribution-free binomial-rank 95% CI riding
         # global_ranks ordinal joins
         "agg_median_ci": _an6.agg_median_ci,
+        # 2×2 session census: error × conversion with risk ratio,
+        # add-one odds ratio, and the closed-form 2×2 chi²
+        "events_error_conversion": _bh6.events_error_conversion,
+        # per-label triplet margin (nearest friend − nearest impostor
+        # cosine) — embedding-quality audit; float chains → rows-only
+        "embedding_triplet_margin": _sim6.embedding_triplet_margin,
     }
 
 
@@ -1654,5 +1662,7 @@ def build_oracles() -> dict[str, str]:
     oracles["ivm_join_view_delta"] = ORACLE_IVM_JOIN_VIEW
     from .operators.analytics import ORACLE_MEDIAN_CI
     oracles["agg_median_ci"] = ORACLE_MEDIAN_CI
+    from .operators.behavior import ORACLE_ERROR_CONVERSION
+    oracles["events_error_conversion"] = ORACLE_ERROR_CONVERSION
     # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles

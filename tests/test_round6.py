@@ -2435,3 +2435,99 @@ class TestMedianCi:
         assert float(r.ci_lo) == vals[r_lo - 1][0]
         assert float(r.ci_hi) == vals[r_hi - 1][0]
         assert r.ci_lo <= r.median <= r.ci_hi
+
+
+class TestErrorConversion:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_error_conversion,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("user_id", "event_type", "event_id",
+                      F.unix_micros("ts").alias("us")).collect())
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append(
+                (r.us, r.event_id, r.event_type))
+        cells = {"a": 0, "b": 0, "c": 0, "d": 0}
+        for seq in by_user.values():
+            seq.sort()
+            prev, err, buy = None, False, False
+
+            def flush():
+                k = ("a" if err and buy else "b" if err
+                     else "c" if buy else "d")
+                cells[k] += 1
+            for us, _, et in seq:
+                if prev is not None and us - prev > 30 * 60 * 1_000_000:
+                    flush()
+                    err = buy = False
+                err |= et == "error"
+                buy |= et == "purchase"
+                prev = us
+            flush()
+        r = events_error_conversion(spark, sf_dir).first()
+        assert (r.a, r.b, r.c, r.d) == (cells["a"], cells["b"],
+                                        cells["c"], cells["d"])
+        a, b, c, d = cells["a"], cells["b"], cells["c"], cells["d"]
+        n = a + b + c + d
+        assert r.n_sessions == n
+        assert r.risk_ratio == pytest.approx(
+            (a / (a + b)) / (c / (c + d)), rel=1e-12)
+        assert r.odds_ratio_add1 == pytest.approx(
+            ((a + 1) * (d + 1)) / ((b + 1) * (c + 1)), rel=1e-12)
+        chi2 = n * (a * d - b * c) ** 2 / (
+            (a + b) * (c + d) * (a + c) * (b + d))
+        assert r.chi2 == pytest.approx(chi2, rel=1e-12)
+
+
+class TestTripletMargin:
+    def test_matches_numpy_replay(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.similarity import (
+            embedding_triplet_margin,
+        )
+
+        rows = duckdb.sql(
+            "SELECT vec_id, label, embedding FROM "
+            f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+        V = np.array([r[2] for r in rows], dtype=np.float64)
+        labels = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn[:50] @ Vn.T
+        agg = {}
+        for i in range(50):
+            same = labels == labels[i]
+            same[i] = False
+            other = ~same.copy()
+            other[i] = False
+            bs = sims[i][same].max() if same.any() else None
+            bo = sims[i][other].max()
+            if bs is None:
+                continue
+            m = bs - bo
+            st = agg.setdefault(int(labels[i]),
+                                [0, 0.0, 0, 0.0, 0.0])
+            st[0] += 1
+            st[1] += m
+            st[2] += m > 0
+            st[3] += bs
+            st[4] += bo
+        out = embedding_triplet_margin(spark, sf_dir).collect()
+        for r in out:
+            if r.label not in agg:
+                continue
+            n, sm, pos, ss, so = agg[r.label]
+            assert r.n_anchors == n
+            # engine means go through the decimal protocol (6-dp cast)
+            assert r.mean_margin == pytest.approx(sm / n, abs=2e-6)
+            assert r.share_positive == pytest.approx(pos / n, rel=1e-12)
+            assert r.mean_best_same == pytest.approx(ss / n, abs=2e-6)
+            assert r.mean_best_other == pytest.approx(so / n, abs=2e-6)
