@@ -176,6 +176,8 @@ HEADLINE = [
     "agg_median_ci",
     "events_error_conversion",
     "embedding_triplet_margin",
+    "orders_theilsen_trend",
+    "events_weekly_seasonality_strength",
 ]
 
 

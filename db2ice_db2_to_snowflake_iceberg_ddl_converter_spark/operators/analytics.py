@@ -1910,3 +1910,98 @@ SELECT MAX(r.n) AS n,
        MAX(CASE WHEN rn = s.r_hi THEN o_totalprice END) AS ci_hi
 FROM ranked r CROSS JOIN stats s
 """
+
+
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust revenue trend: the Theil–Sen estimator (median of all
+    pairwise slopes) over the MONTHLY revenue series, beside the OLS
+    slope — the robust-statistics answer to "is revenue really growing,
+    or is one crazy month dragging the line?" (Theil–Sen tolerates ~29%
+    outliers; OLS tolerates none).
+
+    Scale shape: the corpus collapses FIRST to the months-bounded
+    series (one grouped agg); the O(M²) pairwise-slope frame is
+    months²-bounded (≈3k pairs for 7 years), so the self-join and the
+    rank-rule median run on a catalog-sized frame — document the bound,
+    never pay it on raw rows. Portability: ALL money flows as scale-0
+    integer cents (the revenue_gini_lorenz rule — sum(mi·rev) exceeds
+    2⁵³ unscaled at sf0.1 and DuckDB's scaled-decimal→double cast
+    double-rounds); each slope is one divide of exactly-cast values,
+    the median is the rank rule on identically-derived doubles, and the
+    OLS numerator/denominator are exact DECIMAL(38,0) differences cast
+    once. Slopes are in dollars/month (the /100 rides the exact integer
+    denominator).
+    """
+    from .relational import DEC
+
+    o = ld(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("decimal(38,0)")
+    monthly = (o.groupBy((F.year("o_orderdate") * 12
+                          + (F.month("o_orderdate") - 1)).alias("mi"))
+               .agg(F.sum(cents).alias("rc"))
+               .localCheckpoint())      # months-bounded, three consumers
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (a.join(b, F.col("a.mi") < F.col("b.mi"))
+              .select(((F.col("b.rc") - F.col("a.rc")).cast("double")
+                       / ((F.col("b.mi") - F.col("a.mi")) * 100)
+                       .cast("double")).alias("slope"),
+                      F.col("a.mi").alias("mi_a"),
+                      F.col("b.mi").alias("mi_b")))
+    w = Window.orderBy("slope", "mi_a", "mi_b")   # months²-bounded
+    ranked = slopes.select(
+        "slope", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"))
+    ts = ranked.agg(
+        F.max("np").alias("n_pairs"),
+        F.min(F.when(F.col("rk") >= F.ceil(F.col("np") / 2),
+                     F.col("slope"))).alias("theilsen_slope"))
+    d38 = "decimal(38,0)"
+    ols = monthly.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        ((F.count(F.lit(1)).cast(d38)
+          * F.sum(F.col("mi").cast(d38) * F.col("rc"))
+          - F.sum(F.col("mi")).cast(d38) * F.sum("rc")).cast("double")
+         / ((F.count(F.lit(1)) * F.sum(F.col("mi") * F.col("mi"))
+             - F.sum("mi") * F.sum("mi")) * 100).cast("double"))
+        .alias("ols_slope"))
+    return (ols.crossJoin(F.broadcast(ts))
+            .select("n_months", "n_pairs", "theilsen_slope", "ols_slope",
+                    (F.col("theilsen_slope") - F.col("ols_slope"))
+                    .alias("slope_gap")))
+
+
+ORACLE_THEILSEN = """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+         + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                  AS DECIMAL(38,0))) AS rc
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT CAST(b.rc - a.rc AS DOUBLE)
+           / CAST((b.mi - a.mi) * 100 AS DOUBLE) AS slope,
+         a.mi AS mi_a, b.mi AS mi_b
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, mi_a, mi_b) AS rk,
+         COUNT(*) OVER () AS np
+  FROM slopes),
+ts AS (
+  SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+         MIN(CASE WHEN rk >= CEIL(np / 2.0) THEN slope END)
+           AS theilsen_slope
+  FROM ranked),
+ols AS (
+  SELECT COUNT(*) AS n_months,
+         CAST(CAST(COUNT(*) AS HUGEINT)
+              * CAST(SUM(CAST(mi AS HUGEINT) * rc) AS HUGEINT)
+              - CAST(SUM(mi) AS HUGEINT) * CAST(SUM(rc) AS HUGEINT)
+              AS DOUBLE)
+         / CAST((COUNT(*) * SUM(mi * mi) - SUM(mi) * SUM(mi)) * 100
+                AS DOUBLE) AS ols_slope
+  FROM monthly)
+SELECT n_months, n_pairs, theilsen_slope, ols_slope,
+       theilsen_slope - ols_slope AS slope_gap
+FROM ols CROSS JOIN ts
+"""

@@ -903,3 +903,106 @@ SELECT COUNT(*) AS n_ids,
        CAST(MAX(gap) AS BIGINT) AS largest_gap_within
 FROM gaps
 """
+
+
+def events_weekly_seasonality_strength(spark: SparkSession, sf_dir: str
+                                       ) -> DataFrame:
+    """How much of daily volume variance is pure day-of-week pattern?
+    Per event type: fit the day-of-week MEDIAN profile (robust — the
+    rank rule, not the mean, so one outage day can't fake seasonality),
+    then strength = 1 − SS_resid/SS_total over the dense daily series —
+    the STL-lite seasonality-strength readout that decides whether the
+    forecast baseline should be seasonal-naive (strength high) or
+    naive-1 (low), closing the loop with forecast_seasonal_naive_eval.
+
+    Portability: daily counts are exact ints on the shared dense grid;
+    day-of-week is exact integer (day_num + 4) % 7 (1970-01-01 was a
+    Thursday — both engines agree by construction, no date functions);
+    the per-(type, dow) median is the explicit rank rule; residual and
+    total squared deviations are exact-integer differences squared,
+    decimal-protocol summed; strength is ONE divide and a subtract.
+    Shape: dense grid (one corpus shuffle inside the helper), a
+    (type × dow)-keyed window for the median, two grid-sized joins,
+    O(types) output.
+    """
+    from .relational import DEC
+
+    from .timeseries import _dense_daily_counts
+
+    dense = _dense_daily_counts(spark, sf_dir) \
+        .withColumn("dow", (F.col("day_num") + 4) % 7) \
+        .localCheckpoint()      # grid-sized, three consumers below
+    w = Window.partitionBy("event_type", "dow").orderBy("cnt", "day_num")
+    med = (dense
+           .withColumn("rk", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("event_type", "dow")))
+           .groupBy("event_type", "dow")
+           .agg(F.min(F.when(F.col("rk") >= F.ceil(F.col("n") / 2),
+                             F.col("cnt"))).alias("dow_median")))
+    mean = (dense.groupBy("event_type")
+            .agg((F.sum("cnt").cast("double") / F.count(F.lit(1)))
+                 .alias("mean_cnt")))
+    j = (dense.join(med, ["event_type", "dow"])
+         .join(mean, "event_type"))
+    resid = (F.col("cnt") - F.col("dow_median")).cast("double")
+    total = F.col("cnt").cast("double") - F.col("mean_cnt")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((resid * resid).cast(DEC)).cast("double").alias("ss_resid"),
+        F.sum((total * total).cast(DEC)).cast("double").alias("ss_total"))
+    return (agg.select(
+        "event_type", "n_days", "ss_resid", "ss_total",
+        (F.lit(1.0) - F.col("ss_resid") / F.col("ss_total"))
+        .alias("seasonality_strength"))
+        .orderBy("event_type"))
+
+
+ORACLE_WEEKLY_SEASONALITY = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day_num),
+span AS (
+  SELECT event_type, MIN(day_num) AS d0, MAX(day_num) AS d1
+  FROM daily GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, g.day_num
+  FROM span s,
+       LATERAL (SELECT UNNEST(generate_series(s.d0, s.d1)) AS day_num) g),
+dense AS (
+  SELECT g.event_type, g.day_num, COALESCE(d.cnt, 0) AS cnt,
+         (g.day_num + 4) % 7 AS dow
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day_num = g.day_num),
+med AS (
+  SELECT event_type, dow,
+         MIN(CASE WHEN rk >= CEIL(n / 2.0) THEN cnt END) AS dow_median
+  FROM (SELECT event_type, dow, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                  ORDER BY cnt, day_num) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type, dow) AS n
+        FROM dense)
+  GROUP BY event_type, dow),
+mean AS (
+  SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_cnt
+  FROM dense GROUP BY event_type)
+SELECT d.event_type, COUNT(*) AS n_days,
+       CAST(SUM(CAST(CAST(d.cnt - m.dow_median AS DOUBLE)
+                     * CAST(d.cnt - m.dow_median AS DOUBLE)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS ss_resid,
+       CAST(SUM(CAST((CAST(d.cnt AS DOUBLE) - e.mean_cnt)
+                     * (CAST(d.cnt AS DOUBLE) - e.mean_cnt)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS ss_total,
+       1.0E0 - CAST(SUM(CAST(CAST(d.cnt - m.dow_median AS DOUBLE)
+                     * CAST(d.cnt - m.dow_median AS DOUBLE)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(SUM(CAST((CAST(d.cnt AS DOUBLE) - e.mean_cnt)
+                     * (CAST(d.cnt AS DOUBLE) - e.mean_cnt)
+                     AS DECIMAL(28,6))) AS DOUBLE)
+         AS seasonality_strength
+FROM dense d JOIN med m USING (event_type, dow)
+     JOIN mean e USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""

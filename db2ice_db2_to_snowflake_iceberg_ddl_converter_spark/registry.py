@@ -856,6 +856,8 @@ _ROUND6_LATE: list = [
     "agg_median_ci",
     "events_error_conversion",
     "embedding_triplet_margin",
+    "orders_theilsen_trend",
+    "events_weekly_seasonality_strength",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1117,6 +1119,13 @@ def _round6_queries():
         # per-label triplet margin (nearest friend − nearest impostor
         # cosine) — embedding-quality audit; float chains → rows-only
         "embedding_triplet_margin": _sim6.embedding_triplet_margin,
+        # Theil–Sen vs OLS revenue trend — median of months²-bounded
+        # pairwise slopes beside the outlier-sensitive line
+        "orders_theilsen_trend": _an6.orders_theilsen_trend,
+        # STL-lite: variance explained by the day-of-week MEDIAN profile
+        # — decides seasonal-naive vs naive-1 as the forecast baseline
+        "events_weekly_seasonality_strength":
+            _et6.events_weekly_seasonality_strength,
     }
 
 
@@ -1664,5 +1673,10 @@ def build_oracles() -> dict[str, str]:
     oracles["agg_median_ci"] = ORACLE_MEDIAN_CI
     from .operators.behavior import ORACLE_ERROR_CONVERSION
     oracles["events_error_conversion"] = ORACLE_ERROR_CONVERSION
+    from .operators.analytics import ORACLE_THEILSEN
+    oracles["orders_theilsen_trend"] = ORACLE_THEILSEN
+    from .operators.eventtime import ORACLE_WEEKLY_SEASONALITY
+    oracles["events_weekly_seasonality_strength"] = \
+        ORACLE_WEEKLY_SEASONALITY
     # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles

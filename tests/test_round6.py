@@ -2531,3 +2531,79 @@ class TestTripletMargin:
             assert r.share_positive == pytest.approx(pos / n, rel=1e-12)
             assert r.mean_best_same == pytest.approx(ss / n, abs=2e-6)
             assert r.mean_best_other == pytest.approx(so / n, abs=2e-6)
+
+
+class TestTheilsenTrend:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import math
+        from decimal import Decimal
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            orders_theilsen_trend,
+        )
+
+        monthly = duckdb.sql(
+            "SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))*12 "
+            "+ EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))*100 AS "
+            f"HUGEINT) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+        monthly.sort()
+        slopes = sorted(
+            (float(cb - ca) / ((mb - ma) * 100), ma, mb)
+            for i, (ma, ca) in enumerate(monthly)
+            for mb, cb in monthly[i + 1:])
+        np_ = len(slopes)
+        med = slopes[math.ceil(np_ / 2) - 1][0]
+        n = len(monthly)
+        sx = sum(m for m, _ in monthly)
+        sy = sum(c for _, c in monthly)
+        sxy = sum(m * c for m, c in monthly)
+        sxx = sum(m * m for m, _ in monthly)
+        ols = float(n * sxy - sx * sy) / float((n * sxx - sx * sx) * 100)
+        r = orders_theilsen_trend(spark, sf_dir).first()
+        assert r.n_months == n and r.n_pairs == np_
+        assert r.theilsen_slope == pytest.approx(med, rel=1e-12)
+        assert r.ols_slope == pytest.approx(ols, rel=1e-12)
+        assert r.slope_gap == pytest.approx(med - ols, rel=1e-9)
+
+
+class TestWeeklySeasonality:
+    def test_exact_python_replay(self, spark, sf_dir):
+        import math
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.eventtime import (
+            events_weekly_seasonality_strength,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.timeseries import (
+            _dense_daily_counts,
+        )
+
+        series = {}
+        for r in _dense_daily_counts(spark, sf_dir).collect():
+            series.setdefault(r.event_type, []).append(
+                (r.day_num, r.cnt))
+        out = events_weekly_seasonality_strength(spark, sf_dir).collect()
+        for r in out:
+            rows = sorted(series[r.event_type])
+            n = len(rows)
+            mean = sum(c for _, c in rows) / n
+            by_dow = {}
+            for d, c in rows:
+                by_dow.setdefault((d + 4) % 7, []).append((c, d))
+            meds = {}
+            for dow, vs in by_dow.items():
+                vs.sort()
+                meds[dow] = vs[math.ceil(len(vs) / 2) - 1][0]
+            ss_r = sum((c - meds[(d + 4) % 7]) ** 2 for d, c in rows)
+            ss_t = sum((c - mean) ** 2 for _, c in rows)
+            assert r.n_days == n
+            # engine sums squared deviations under the DECIMAL(28,6)
+            # protocol → each of the n terms may deviate ≤ 5e-7
+            assert r.ss_resid == pytest.approx(ss_r, abs=5e-7 * n)
+            assert r.ss_total == pytest.approx(ss_t, abs=5e-7 * n)
+            assert r.seasonality_strength == pytest.approx(
+                1 - ss_r / ss_t, abs=1e-6)
+            assert r.seasonality_strength <= 1.0
