@@ -178,6 +178,8 @@ HEADLINE = [
     "embedding_triplet_margin",
     "orders_theilsen_trend",
     "events_weekly_seasonality_strength",
+    "orders_cohort_ltv",
+    "events_multitouch_attribution",
 ]
 
 

@@ -2005,3 +2005,79 @@ SELECT n_months, n_pairs, theilsen_slope, ols_slope,
        theilsen_slope - ols_slope AS slope_gap
 FROM ols CROSS JOIN ts
 """
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per acquisition cohort: customers
+    grouped by their FIRST-order month, each cohort's revenue laid out
+    by months-since-acquisition, cumulated, and divided by the cohort's
+    size — the LTV curve that prices acquisition spend (what is a
+    month-0 customer worth by month 12?) and the money twin of the
+    retention triangle.
+
+    Portability: cohorts/offsets are exact integer month indexes;
+    revenue is decimal-protocol; the cumulative sum per cohort is a
+    cohort-PARTITIONed window (cohort count grows with history — keys
+    scale out; frame is months-per-cohort, bounded by retention);
+    LTV-per-customer is ONE divide per emitted row. Shape: one
+    first-order agg (customer-keyed), one join back, one (cohort,
+    offset) rollup, the bounded window.
+    """
+    from .relational import DEC
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .alias("mi"))
+    first = (o.groupBy("o_custkey")
+             .agg(F.min("mi").alias("cohort_mi")))
+    j = o.join(first, "o_custkey")
+    grid = (j.groupBy("cohort_mi",
+                      (F.col("mi") - F.col("cohort_mi"))
+                      .alias("months_since"))
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+                 F.countDistinct("o_custkey").alias("n_active")))
+    size = (first.groupBy("cohort_mi")
+            .agg(F.count(F.lit(1)).alias("cohort_size")))
+    wcum = (Window.partitionBy("cohort_mi").orderBy("months_since")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(size, "cohort_mi")
+            .withColumn("cum_rev", F.sum("rev").over(wcum))
+            .select(
+                F.expr("cohort_mi div 12").alias("cohort_year"),
+                (F.col("cohort_mi") % 12 + 1).alias("cohort_month"),
+                "months_since", "n_active", "cohort_size",
+                F.col("rev").cast("double").alias("period_revenue"),
+                (F.col("cum_rev").cast("double")
+                 / F.col("cohort_size")).alias("ltv_per_customer"))
+            .orderBy("cohort_year", "cohort_month", "months_since"))
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+         + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi
+  FROM orders),
+first AS (
+  SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY o_custkey),
+grid AS (
+  SELECT f.cohort_mi, o.mi - f.cohort_mi AS months_since,
+         SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev,
+         COUNT(DISTINCT o.o_custkey) AS n_active
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2),
+size_ AS (
+  SELECT cohort_mi, COUNT(*) AS cohort_size FROM first
+  GROUP BY cohort_mi)
+SELECT CAST(g.cohort_mi // 12 AS BIGINT) AS cohort_year,
+       CAST(g.cohort_mi % 12 + 1 AS BIGINT) AS cohort_month,
+       g.months_since, g.n_active, s.cohort_size,
+       CAST(g.rev AS DOUBLE) AS period_revenue,
+       CAST(SUM(g.rev) OVER (PARTITION BY g.cohort_mi
+            ORDER BY g.months_since
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / s.cohort_size AS ltv_per_customer
+FROM grid g JOIN size_ s USING (cohort_mi)
+ORDER BY cohort_year, cohort_month, months_since
+"""

@@ -612,3 +612,72 @@ SELECT a + b + c + d AS n_sessions, a, b, c, d,
                 AS DOUBLE) AS chi2
 FROM g
 """
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str,
+                                  lookback_days: int = 7) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes ONE
+    unit of credit equally across the user's click/view touches in the
+    preceding 7 days — the fairness-baseline attribution model beside
+    last-touch (events_session_attribution's interval join); per touch
+    type the total credit, touches, and purchases reached.
+
+    Shape: a user-keyed range join (purchase × touches within the
+    lookback — bounded fan-out: one user's week of touches), a
+    purchase-PARTITIONed count window for n (purchase_id is the
+    partition key — scales out), then an O(types) rollup. Portability:
+    each credit is the single IEEE divide 1/n cast to the decimal
+    protocol before summing (order-independent exact sum); counts
+    exact.
+    """
+    from .relational import DEC, load_events
+
+    e = load_events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         us.alias("p_us")))
+    touches = (e.filter(F.col("event_type").isin("click", "view"))
+               .select(F.col("user_id").alias("t_user"),
+                       F.col("event_id").alias("touch_id"),
+                       F.col("event_type").alias("touch_type"),
+                       us.alias("t_us")))
+    horizon = lookback_days * 86_400_000_000
+    j = purchases.join(
+        touches,
+        on=[F.col("p_user") == F.col("t_user"),
+            F.col("t_us") < F.col("p_us"),
+            F.col("t_us") >= F.col("p_us") - F.lit(horizon)])
+    n = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credited = j.select(
+        "purchase_id", "touch_type",
+        (F.lit(1.0) / n.cast("double")).cast(DEC).alias("credit"))
+    return (credited.groupBy("touch_type")
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.countDistinct("purchase_id").alias("n_purchases"),
+                 F.sum("credit").cast("double").alias("total_credit"))
+            .orderBy("touch_type"))
+
+
+ORACLE_MULTITOUCH = """
+WITH purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id,
+         epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id AS t_user, event_id AS touch_id,
+         event_type AS touch_type, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT purchase_id, touch_type,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM purchases JOIN touches
+    ON p_user = t_user AND t_us < p_us
+   AND t_us >= p_us - 7 * 86400000000)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(SUM(CAST(1.0E0 / CAST(n AS DOUBLE) AS DECIMAL(28,6)))
+            AS DOUBLE) AS total_credit
+FROM j GROUP BY touch_type ORDER BY touch_type
+"""

@@ -858,6 +858,8 @@ _ROUND6_LATE: list = [
     "embedding_triplet_margin",
     "orders_theilsen_trend",
     "events_weekly_seasonality_strength",
+    "orders_cohort_ltv",
+    "events_multitouch_attribution",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1126,6 +1128,13 @@ def _round6_queries():
         # — decides seasonal-naive vs naive-1 as the forecast baseline
         "events_weekly_seasonality_strength":
             _et6.events_weekly_seasonality_strength,
+        # cumulative LTV curve per acquisition cohort — the money twin
+        # of the retention triangle
+        "orders_cohort_ltv": _an6.orders_cohort_ltv,
+        # linear multi-touch attribution over a 7-day lookback — credit
+        # conservation: Σcredit = attributed purchases
+        "events_multitouch_attribution":
+            _bh6.events_multitouch_attribution,
     }
 
 
@@ -1678,5 +1687,9 @@ def build_oracles() -> dict[str, str]:
     from .operators.eventtime import ORACLE_WEEKLY_SEASONALITY
     oracles["events_weekly_seasonality_strength"] = \
         ORACLE_WEEKLY_SEASONALITY
+    from .operators.analytics import ORACLE_COHORT_LTV
+    oracles["orders_cohort_ltv"] = ORACLE_COHORT_LTV
+    from .operators.behavior import ORACLE_MULTITOUCH
+    oracles["events_multitouch_attribution"] = ORACLE_MULTITOUCH
     # multimodal_phash_neardup: codec-derived hash bits → rows-only
     return oracles

@@ -2607,3 +2607,100 @@ class TestWeeklySeasonality:
             assert r.seasonality_strength == pytest.approx(
                 1 - ss_r / ss_t, abs=1e-6)
             assert r.seasonality_strength <= 1.0
+
+
+class TestCohortLtv:
+    def test_ltv_monotone_and_replay_sample(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            orders_cohort_ltv,
+        )
+
+        out = orders_cohort_ltv(spark, sf_dir).collect()
+        assert out
+        # LTV per customer never decreases within a cohort
+        by_cohort = {}
+        for r in out:
+            by_cohort.setdefault((r.cohort_year, r.cohort_month),
+                                 []).append(r)
+        for rows in by_cohort.values():
+            rows.sort(key=lambda r: r.months_since)
+            assert rows[0].months_since == 0      # cohort is born buying
+            for a, b in zip(rows, rows[1:]):
+                assert b.ltv_per_customer >= a.ltv_per_customer
+        # exact replay of one cohort's curve
+        orders = duckdb.sql(
+            "SELECT o_custkey, o_totalprice, "
+            "EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))*12 + "
+            "EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1 AS mi "
+            f"FROM '{sf_dir}/orders.parquet'").fetchall()
+        first = {}
+        for ck, _, mi in orders:
+            first[ck] = min(first.get(ck, mi), mi)
+        c0 = min(first.values())
+        cohort = {ck for ck, m in first.items() if m == c0}
+        rows = sorted(by_cohort[(c0 // 12, c0 % 12 + 1)],
+                      key=lambda r: r.months_since)
+        cum = 0.0
+        expect = {}
+        for ms in sorted({mi - c0 for ck, _, mi in orders
+                          if ck in cohort}):
+            cum += sum(p for ck, p, mi in orders
+                       if ck in cohort and mi - c0 == ms)
+            expect[ms] = cum / len(cohort)
+        for r in rows:
+            assert r.cohort_size == len(cohort)
+            assert r.ltv_per_customer == pytest.approx(
+                expect[r.months_since], rel=1e-9)
+
+
+class TestMultitouchAttribution:
+    def test_credit_conservation_and_replay(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            events_multitouch_attribution,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (load_events(spark, sf_dir)
+              .select("user_id", "event_id", "event_type",
+                      F.unix_micros("ts").alias("us")).collect())
+        purchases = [(r.user_id, r.event_id, r.us) for r in ev
+                     if r.event_type == "purchase"]
+        touches = {}
+        for r in ev:
+            if r.event_type in ("click", "view"):
+                touches.setdefault(r.user_id, []).append(
+                    (r.us, r.event_type))
+        horizon = 7 * 86_400_000_000
+        credit = {"click": 0.0, "view": 0.0}
+        counts = {"click": 0, "view": 0}
+        reached = {"click": set(), "view": set()}
+        n_attributed = 0
+        for user, pid, pus in purchases:
+            window = [(us, t) for us, t in touches.get(user, [])
+                      if pus - horizon <= us < pus]
+            if not window:
+                continue
+            n_attributed += 1
+            # engine quantizes each 1/n credit to 6 dp before summing
+            q = round(1.0 / len(window), 6)
+            for _, t in window:
+                credit[t] += q
+                counts[t] += 1
+                reached[t].add(pid)
+        out = {r.touch_type: r for r in
+               events_multitouch_attribution(spark, sf_dir).collect()}
+        assert set(out) <= {"click", "view"}
+        total = 0.0
+        for t, r in out.items():
+            assert r.n_touches == counts[t]
+            assert r.n_purchases == len(reached[t])
+            assert r.total_credit == pytest.approx(credit[t], abs=1e-4)
+            total += r.total_credit
+        # conservation: each attributed purchase hands out exactly 1
+        # unit (up to the 6-dp per-touch quantization)
+        assert total == pytest.approx(n_attributed, abs=0.01 * n_attributed + 1)
