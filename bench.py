@@ -180,6 +180,8 @@ HEADLINE = [
     "events_weekly_seasonality_strength",
     "orders_cohort_ltv",
     "events_multitouch_attribution",
+    "dedup_bloom_prefilter",
+    "diag_join_size_forecast",
 ]
 
 

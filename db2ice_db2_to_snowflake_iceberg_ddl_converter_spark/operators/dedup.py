@@ -1029,3 +1029,72 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
                     F.round("jaccard", 9).alias("jaccard"),
                     F.col("neardup_of").isNotNull().alias("is_neardup"))
             .orderBy("new_doc"))
+
+
+def dedup_bloom_prefilter(spark, sf_dir, m_bits: int = 65536,
+                          k_hashes: int = 5) -> DataFrame:
+    """Ingest-time exact-dup PREFILTER: a Bloom filter over the corpus's
+    document hashes built RELATIONALLY — k seeded xxhash64 probes per
+    doc, the filter is the distinct (bit-position) table (≤ m rows, a
+    sketch-sized hash-agg with map-side partials; mergeable across any
+    partitioning for free, exactly like a bit-array union) — probed by
+    an incoming batch beside the exact anti-join ground truth. This is
+    the pattern that lets a 100 TB ingest skip the full dedup join for
+    the rows that are provably new: a missed probe is a GUARANTEE of
+    novelty (no false negatives, structurally); only bloom hits (true
+    dups + ~fpp false positives) proceed to the exact verify join.
+
+    Emits the confusion census: batch size, bloom hits, true dups,
+    false positives, false negatives (must be 0), measured fpp. The
+    batch is the deterministic doc_id % 5 == 0 slice, each doc emitted
+    twice — verbatim (a true dup) and salted (provably new) — so both
+    sides are exercised. xxhash64 has no DuckDB twin → rows-only; the
+    pytest pins the zero-false-negative guarantee and the
+    (1−e^{−kn/m})^k fpp bound.
+    """
+    from .relational import ld
+
+    d = ld(spark, sf_dir, "documents")
+    corpus_hash = d.select(F.xxhash64("text").alias("h")) \
+        .localCheckpoint()          # two consumers: bits + exact join
+    probes = F.array(*[
+        F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits)).cast("int")
+        for i in range(k_hashes)])
+    bits = (corpus_hash.select(F.explode(probes).alias("pos"))
+            .distinct())
+    batch = (d.filter(F.col("doc_id") % 5 == 0)
+             .select("doc_id", "text")
+             .withColumn("variant", F.explode(F.array(
+                 F.lit("dup"), F.lit("new"))))
+             .select("doc_id", "variant",
+                     F.when(F.col("variant") == "dup", F.col("text"))
+                     .otherwise(F.concat(F.col("text"),
+                                         F.lit(" <salt> "),
+                                         F.col("doc_id").cast("string")))
+                     .alias("text"))
+             .withColumn("h", F.xxhash64("text")))
+    probe_rows = (batch.select("doc_id", "variant", "h",
+                               F.explode(probes).alias("pos")))
+    hits = (probe_rows.join(bits, "pos", "left_semi")
+            .groupBy("doc_id", "variant", "h")
+            .agg(F.count(F.lit(1)).alias("n_present")))
+    scored = (batch.join(hits, ["doc_id", "variant", "h"], "left")
+              .withColumn("hit",
+                          F.coalesce("n_present", F.lit(0))
+                          == k_hashes))
+    exact = (scored.join(
+        corpus_hash.withColumnRenamed("h", "ch").distinct(),
+        scored["h"] == F.col("ch"), "left")
+        .withColumn("is_dup", F.col("ch").isNotNull()))
+    return exact.agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.sum(F.col("hit").cast("long")).alias("bloom_hits"),
+        F.sum(F.col("is_dup").cast("long")).alias("true_dups"),
+        F.sum((F.col("hit") & ~F.col("is_dup")).cast("long"))
+        .alias("false_positives"),
+        F.sum((~F.col("hit") & F.col("is_dup")).cast("long"))
+        .alias("false_negatives"),
+        (F.sum((F.col("hit") & ~F.col("is_dup")).cast("long"))
+         .cast("double")
+         / F.greatest(F.sum((~F.col("is_dup")).cast("long")),
+                      F.lit(1))).alias("measured_fpp"))

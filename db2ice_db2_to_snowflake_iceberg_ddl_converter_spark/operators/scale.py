@@ -774,3 +774,63 @@ def diag_curve_locality(spark: SparkSession, sf_dir: str,
                  (F.sum(w * h).cast("double") / (span * span))
                  .alias("exp_files_point"))
             .orderBy("layout"))
+
+
+def diag_join_size_forecast(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """EXACT output-size forecast for a prospective self-join — the
+    pre-flight that prices the quadratic blowup BEFORE paying it:
+    |A ⋈ A on k| = Σ c(k)², computed from the O(distinct keys) census
+    at O(keys) cost (the join itself would cost the full Σc² — here
+    ~60× the input). Emits the blowup ratio, the largest single key's
+    contribution and its share — the "this join will 60× your data and
+    one key owns 2% of it" warning — beside the uniform-keys baseline
+    for the skew factor. Companion to diag_join_key_skew (hot-key
+    census) and diag_blocking_pair_census (the dedup-blocking twin).
+
+    All exact integers (Σc² fits int64 up to ~3e9 rows/key) with two
+    final divides. One map-side-partial census shuffle; everything
+    after is O(keys).
+    """
+    from .relational import ld
+
+    li = ld(spark, sf_dir, "lineitem", fanout=False)
+    census = (li.groupBy("l_suppkey")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint())     # two consumers: totals + top key
+    tot = census.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c")).alias("join_size"),
+        F.max(F.col("c") * F.col("c")).alias("top_key_pairs"))
+    return tot.select(
+        "n_keys", "n_rows", "join_size",
+        (F.col("join_size").cast("double") / F.col("n_rows"))
+        .alias("blowup_ratio"),
+        "top_key_pairs",
+        (F.col("top_key_pairs").cast("double") / F.col("join_size"))
+        .alias("top_key_share"),
+        # uniform baseline: n_rows²/n_keys — skew = actual / uniform
+        (F.col("join_size").cast("double")
+         / (F.col("n_rows").cast("double") * F.col("n_rows")
+            / F.col("n_keys"))).alias("skew_factor"))
+
+
+ORACLE_JOIN_SIZE_FORECAST = """
+WITH census AS (
+  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+tot AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(c * c) AS BIGINT) AS join_size,
+         CAST(MAX(c * c) AS BIGINT) AS top_key_pairs
+  FROM census)
+SELECT n_keys, n_rows, join_size,
+       CAST(join_size AS DOUBLE) / n_rows AS blowup_ratio,
+       top_key_pairs,
+       CAST(top_key_pairs AS DOUBLE) / join_size AS top_key_share,
+       CAST(join_size AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) / n_keys)
+         AS skew_factor
+FROM tot
+"""

@@ -860,6 +860,8 @@ _ROUND6_LATE: list = [
     "events_weekly_seasonality_strength",
     "orders_cohort_ltv",
     "events_multitouch_attribution",
+    "dedup_bloom_prefilter",
+    "diag_join_size_forecast",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1135,6 +1137,12 @@ def _round6_queries():
         # conservation: Σcredit = attributed purchases
         "events_multitouch_attribution":
             _bh6.events_multitouch_attribution,
+        # relational Bloom prefilter for ingest dedup: k seeded probes,
+        # filter = distinct bit-position table; no-FN guarantee pinned
+        "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter,
+        # exact Σc² self-join size forecast from the O(keys) census —
+        # prices the quadratic blowup before paying it
+        "diag_join_size_forecast": _sc6.diag_join_size_forecast,
     }
 
 
@@ -1689,6 +1697,9 @@ def build_oracles() -> dict[str, str]:
         ORACLE_WEEKLY_SEASONALITY
     from .operators.analytics import ORACLE_COHORT_LTV
     oracles["orders_cohort_ltv"] = ORACLE_COHORT_LTV
+    from .operators.scale import ORACLE_JOIN_SIZE_FORECAST
+    oracles["diag_join_size_forecast"] = ORACLE_JOIN_SIZE_FORECAST
+    # dedup_bloom_prefilter: xxhash64 probes → rows-only
     from .operators.behavior import ORACLE_MULTITOUCH
     oracles["events_multitouch_attribution"] = ORACLE_MULTITOUCH
     # multimodal_phash_neardup: codec-derived hash bits → rows-only

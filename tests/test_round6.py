@@ -2704,3 +2704,50 @@ class TestMultitouchAttribution:
         # conservation: each attributed purchase hands out exactly 1
         # unit (up to the 6-dp per-touch quantization)
         assert total == pytest.approx(n_attributed, abs=0.01 * n_attributed + 1)
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_fpp_bound(self, spark, sf_dir):
+        import math
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            dedup_bloom_prefilter,
+        )
+
+        r = dedup_bloom_prefilter(spark, sf_dir).first()
+        # structural guarantee: a corpus member sets all its own bits
+        assert r.false_negatives == 0
+        assert r.true_dups > 0 and r.batch_size == 2 * r.true_dups
+        # theoretical fpp (1 - e^{-kn/m})^k with n=corpus distinct,
+        # m=65536, k=5 — allow 5x slack for variance at small n
+        n, m, k = r.true_dups * 5, 65536, 5   # n_corpus = 500 docs / 100 dups... derive from batch
+        fpp = (1 - math.exp(-k * 500 / m)) ** k
+        assert r.measured_fpp <= max(5 * fpp, 0.02)
+        assert r.bloom_hits == r.true_dups + r.false_positives
+
+
+class TestJoinSizeForecast:
+    def test_exact_python_replay(self, spark, sf_dir):
+        from collections import Counter
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_join_size_forecast,
+        )
+
+        keys = [k for (k,) in duckdb.sql(
+            f"SELECT l_suppkey FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()]
+        c = Counter(keys)
+        join_size = sum(v * v for v in c.values())
+        r = diag_join_size_forecast(spark, sf_dir).first()
+        assert r.n_keys == len(c)
+        assert r.n_rows == len(keys)
+        assert r.join_size == join_size
+        assert r.top_key_pairs == max(v * v for v in c.values())
+        assert r.blowup_ratio == pytest.approx(join_size / len(keys),
+                                               rel=1e-12)
+        uniform = len(keys) ** 2 / len(c)
+        assert r.skew_factor == pytest.approx(join_size / uniform,
+                                              rel=1e-12)
