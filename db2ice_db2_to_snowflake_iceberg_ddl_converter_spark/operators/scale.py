@@ -782,7 +782,7 @@ def diag_join_size_forecast(spark: SparkSession, sf_dir: str
     pre-flight that prices the quadratic blowup BEFORE paying it:
     |A ⋈ A on k| = Σ c(k)², computed from the O(distinct keys) census
     at O(keys) cost (the join itself would cost the full Σc² — here
-    ~60× the input). Emits the blowup ratio, the largest single key's
+    ~600× the input at sf0.01). Emits the blowup ratio, the largest single key's
     contribution and its share — the "this join will 60× your data and
     one key owns 2% of it" warning — beside the uniform-keys baseline
     for the skew factor. Companion to diag_join_key_skew (hot-key
