@@ -182,6 +182,7 @@ HEADLINE = [
     "events_multitouch_attribution",
     "dedup_bloom_prefilter",
     "diag_join_size_forecast",
+    "udtf_table_arg_sessionize",
 ]
 
 

@@ -224,3 +224,70 @@ FROM lineitem
 GROUP BY flag, band
 ORDER BY flag, band
 """
+
+
+class _SessionizePtf:
+    """Polymorphic table function body for udtf_table_arg_sessionize:
+    consumes ONE USER's rows in (us, event_id) order (the PTF
+    PARTITION BY / ORDER BY contract routes and sorts them), counts
+    30-minute-gap sessions in O(1) state, emits one summary row from
+    ``terminate``. Mirrors events_sessionize's window formulation
+    exactly — same oracle."""
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def __init__(self):
+        self.uid = None
+        self.prev = None
+        self.sessions = 0
+        self.events = 0
+
+    def eval(self, row):  # noqa: D102 — contract documented above
+        self.uid = row["user_id"]
+        us = row["us"]
+        if self.prev is None or us - self.prev > self.GAP_US:
+            self.sessions += 1
+        self.prev = us
+        self.events += 1
+
+    def terminate(self):  # noqa: D102
+        if self.uid is not None:
+            yield self.uid, self.sessions, self.events
+
+
+def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Spark 4 POLYMORPHIC table function: a Python UDTF invoked with a
+    TABLE argument — ``sessionize_ptf(TABLE(v) PARTITION BY user_id
+    ORDER BY us, event_id)`` — the SQL-native custom-operator surface
+    (Snowflake/Oracle PTF style) where the ENGINE routes each user's
+    rows to one UDTF instance in order and the function keeps O(1)
+    state: the third UDF rung beside the scalar battery (inlined
+    expressions) and the LATERAL UDTF (per-row expansion). Semantics
+    are events_sessionize's 30-minute-gap contract, so the SAME oracle
+    pins the result — the engine's partition/order routing is exactly
+    what the hash comparison certifies.
+
+    Scale: one shuffle on user_id (the PARTITION BY), per-instance
+    state is two scalars — the applyInPandasWithState story with plain
+    SQL invocation syntax.
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..operators.relational import load_events
+
+    fn = udtf(_SessionizePtf,
+              returnType="user_id bigint, n_sessions bigint, "
+                         "n_events bigint")
+    spark.udtf.register("sessionize_ptf", fn)
+    from pyspark.sql import functions as F
+
+    (load_events(spark, sf_dir)
+     .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+     .createOrReplaceTempView("events_ptf_v"))
+    return spark.sql("""
+        SELECT user_id, n_sessions, n_events
+        FROM sessionize_ptf(TABLE(events_ptf_v)
+                            PARTITION BY user_id
+                            ORDER BY (us, event_id))
+        ORDER BY user_id""")

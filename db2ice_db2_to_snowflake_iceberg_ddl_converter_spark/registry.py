@@ -862,6 +862,7 @@ _ROUND6_LATE: list = [
     "events_multitouch_attribution",
     "dedup_bloom_prefilter",
     "diag_join_size_forecast",
+    "udtf_table_arg_sessionize",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1143,6 +1144,9 @@ def _round6_queries():
         # exact Σc² self-join size forecast from the O(keys) census —
         # prices the quadratic blowup before paying it
         "diag_join_size_forecast": _sc6.diag_join_size_forecast,
+        # Spark 4 polymorphic UDTF: TABLE(...) PARTITION BY/ORDER BY
+        # argument routing — same oracle as events_sessionize
+        "udtf_table_arg_sessionize": _fn6.udtf_table_arg_sessionize,
     }
 
 
@@ -1700,6 +1704,8 @@ def build_oracles() -> dict[str, str]:
     from .operators.scale import ORACLE_JOIN_SIZE_FORECAST
     oracles["diag_join_size_forecast"] = ORACLE_JOIN_SIZE_FORECAST
     # dedup_bloom_prefilter: xxhash64 probes → rows-only
+    from .operators.relational import ORACLE_EVENTS_SESSIONIZE
+    oracles["udtf_table_arg_sessionize"] = ORACLE_EVENTS_SESSIONIZE
     from .operators.behavior import ORACLE_MULTITOUCH
     oracles["events_multitouch_attribution"] = ORACLE_MULTITOUCH
     # multimodal_phash_neardup: codec-derived hash bits → rows-only

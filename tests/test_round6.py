@@ -2751,3 +2751,23 @@ class TestJoinSizeForecast:
         uniform = len(keys) ** 2 / len(c)
         assert r.skew_factor == pytest.approx(join_size / uniform,
                                               rel=1e-12)
+
+
+class TestPtfSessionize:
+    def test_matches_window_formulation(self, spark, sf_dir):
+        """The PTF result must equal events_sessionize's window
+        formulation row for row — the engine's PARTITION BY / ORDER BY
+        routing is what's being certified."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.functions.tablefns import (
+            udtf_table_arg_sessionize,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            events_sessionize,
+        )
+
+        ptf = {(r.user_id, r.n_sessions, r.n_events)
+               for r in udtf_table_arg_sessionize(spark, sf_dir)
+               .collect()}
+        win = {(r.user_id, r.n_sessions, r.n_events)
+               for r in events_sessionize(spark, sf_dir).collect()}
+        assert ptf == win and ptf
