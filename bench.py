@@ -183,6 +183,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "diag_join_size_forecast",
     "udtf_table_arg_sessionize",
+    "diag_parquet_rowgroup_stats",
 ]
 
 

