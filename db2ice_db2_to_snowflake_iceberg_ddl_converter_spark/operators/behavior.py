@@ -500,6 +500,31 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
 
 
 
+def chi2_2x2(a: F.Column, b: F.Column, c: F.Column, d: F.Column) -> F.Column:
+    """Closed-form 2×2 chi²  n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))  over
+    exact integer cell counts, assembled overflow-safely as
+    (t/d1)·(t/d2)·n with t = ad−bc, d1 = (a+b)(c+d), d2 = (a+c)(b+d).
+
+    The exact parts run in scale-0 DECIMAL(38,0) (single correctly-
+    rounded double cast at any magnitude — the revenue_gini_lorenz
+    protocol rule); the DuckDB oracle runs HUGEINT with the identical
+    divide-then-multiply order, so the hash protocol holds. Capacity:
+    the naive n·(ad−bc)² numerator hits 38 digits at n ~ 1e8 sessions
+    (ad ~ 1e15, squared 1e30, ×n), where Spark's non-ANSI decimal
+    multiply silently returns NULL — here every decimal factor is
+    ≤ n², 38-digit-safe to n ~ 1e18; the double steps are
+    IEEE-deterministic (pytest pins the 1e8-count regime non-NULL
+    against an exact-fraction replay)."""
+    d38 = "decimal(38,0)"
+    t = a.cast(d38) * d.cast(d38) - b.cast(d38) * c.cast(d38)
+    den1 = (a + b).cast(d38) * (c + d).cast(d38)
+    den2 = (a + c).cast(d38) * (b + d).cast(d38)
+    n = a + b + c + d
+    return ((t.cast("double") / den1.cast("double"))
+            * (t.cast("double") / den2.cast("double"))
+            * n.cast("double"))
+
+
 def events_error_conversion(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """Does hitting an error kill conversion? The 2×2 session-level
@@ -548,26 +573,14 @@ def events_error_conversion(spark: SparkSession, sf_dir: str
     conv_clean = F.col("c").cast("double") / (F.col("c") + F.col("d"))
     odds = (((F.col("a") + 1) * (F.col("d") + 1)).cast("double")
             / ((F.col("b") + 1) * (F.col("c") + 1)).cast("double"))
-    # chi² for a 2×2: n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — one divide of
-    # two exact products. The products overflow int64 at sf≥0.1
-    # (ad ~ 1e9 → (ad−bc)² ~ 1e18·n), so they run in scale-0
-    # DECIMAL(38,0) (exact; single correctly-rounded double cast —
-    # the revenue_gini_lorenz protocol rule); DuckDB runs HUGEINT.
-    d38 = "decimal(38,0)"
-    ad_bc = (F.col("a").cast(d38) * F.col("d").cast(d38)
-             - F.col("b").cast(d38) * F.col("c").cast(d38))
-    num = n.cast(d38) * ad_bc * ad_bc
-    den = ((F.col("a") + F.col("b")).cast(d38)
-           * (F.col("c") + F.col("d")).cast(d38)
-           * (F.col("a") + F.col("c")).cast(d38)
-           * (F.col("b") + F.col("d")).cast(d38))
+    chi2 = chi2_2x2(F.col("a"), F.col("b"), F.col("c"), F.col("d"))
     return g.select(
         n.alias("n_sessions"), "a", "b", "c", "d",
         conv_err.alias("conv_rate_with_error"),
         conv_clean.alias("conv_rate_clean"),
         (conv_err / conv_clean).alias("risk_ratio"),
         odds.alias("odds_ratio_add1"),
-        (num.cast("double") / den.cast("double")).alias("chi2"))
+        chi2.alias("chi2"))
 
 
 ORACLE_ERROR_CONVERSION = """
@@ -605,11 +618,11 @@ SELECT a + b + c + d AS n_sessions, a, b, c, d,
          AS risk_ratio,
        CAST((a + 1) * (d + 1) AS DOUBLE)
          / CAST((b + 1) * (c + 1) AS DOUBLE) AS odds_ratio_add1,
-       CAST(CAST(a + b + c + d AS HUGEINT)
-            * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
-            * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) AS DOUBLE)
-         / CAST(CAST(a + b AS HUGEINT) * (c+d) * (a+c) * (b+d)
-                AS DOUBLE) AS chi2
+       (CAST(CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c AS DOUBLE)
+          / CAST(CAST(a + b AS HUGEINT) * (c + d) AS DOUBLE))
+       * (CAST(CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c AS DOUBLE)
+          / CAST(CAST(a + c AS HUGEINT) * (b + d) AS DOUBLE))
+       * CAST(a + b + c + d AS DOUBLE) AS chi2
 FROM g
 """
 

@@ -328,7 +328,7 @@ def supplier_coproduct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
-                max_rounds: int = 20) -> DataFrame:
+                max_rounds: int | None = None) -> DataFrame:
     """k-core of the supplier co-sourcing graph: the maximal subgraph in
     which every node keeps degree ≥ k — the standard peel for isolating
     the densely-interconnected supplier cluster (and, on document/user
@@ -351,7 +351,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     edges = (supplier_coproduct_edges(spark, sf_dir)
              .select("s1", "s2").localCheckpoint())
     n_prev = edges.count()
-    for _ in range(max_rounds):
+    # peel to FIXPOINT, not a round budget: each non-final round strictly
+    # shrinks the edge set, so the loop terminates in at most |E| rounds
+    # and the result is a true k-core (a capped loop could exit with
+    # sub-k-degree survivors on deep peels). ``max_rounds`` is an
+    # optional guardrail that now raises instead of silently returning.
+    rounds = 0
+    while True:
         deg = (edges.select(F.col("s1").alias("s"))
                .unionAll(edges.select(F.col("s2").alias("s")))
                .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
@@ -364,6 +370,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
         if n == n_prev:
             break
         n_prev = n
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"k-core peel not at fixpoint after {max_rounds} rounds")
     deg = (edges.select(F.col("s1").alias("node"))
            .unionAll(edges.select(F.col("s2").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))

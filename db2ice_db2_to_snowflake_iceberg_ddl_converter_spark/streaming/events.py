@@ -755,7 +755,11 @@ def p2_quantile_estimates(events: DataFrame, q: float = 0.5,
             (n, h1, h2, h3, h4, h5, p1, p2, p3, p4, p5) = state.get
             hs = [h1, h2, h3, h4, h5]
             ps = [p1, p2, p3, p4, p5]
-            buf = []
+            # a key saved mid-warm-up (n < 5) stores its buffered values
+            # in the h1..hn slots — rebuild the buffer or the n==5
+            # transition would sort fewer than five markers and the next
+            # observation would index past hs[4] (multi-batch contract)
+            buf = hs[:n] if n < 5 else []
         else:
             n, hs, ps, buf = 0, [], [], []
         frames = [pdf for pdf in pdf_iter]

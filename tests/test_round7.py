@@ -1,0 +1,230 @@
+"""Round-7 hardening: multi-batch state-restore contracts for every
+update-mode streaming drain (the r6 ADVICE bug class), the P² warm-up
+buffer restore fix, k-core fixpoint semantics, the overflow-safe 2×2
+chi², and the Iceberg write branch exercised without the runtime jar."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import (
+    events as ev,
+)
+
+
+def _time_split_files(spark, sf_dir, out_dir, n_files=4):
+    """Materialize the events table as ``n_files`` parquet files covering
+    consecutive (ts, event_id) ranges, written oldest-range-first so the
+    file stream source (which orders the backlog by modification time)
+    replays them in global sort order: a maxFilesPerTrigger=1 drain then
+    feeds every stateful operator the EXACT row sequence of the
+    single-batch drain, making final state comparable batch-count-
+    independently. Test-only splitter — the un-partitioned NTILE window
+    is fine over the fixture's few thousand rows."""
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+        load_events,
+    )
+
+    e = load_events(spark, sf_dir)
+    ranked = e.selectExpr(
+        f"ntile({n_files}) OVER (ORDER BY ts, event_id) AS __f", "*")
+    for i in range(1, n_files + 1):
+        (ranked.filter(F.col("__f") == i).drop("__f").coalesce(1)
+         .write.mode("append").parquet(out_dir))
+        time.sleep(0.05)        # distinct mtimes → deterministic order
+    return out_dir
+
+
+def _stream_one_file_per_batch(spark, src_dir):
+    schema = spark.read.parquet(src_dir).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+
+def _drain(spark, stream_df, name, tmp_path, mode="update"):
+    q = ev.run_available_now(stream_df, name, str(tmp_path / name),
+                             mode=mode)
+    try:
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+class TestMultiBatchDrains:
+    """The r6 heavy-hitter stale-snapshot bug class: every update-mode
+    memory-sink drain keeps rows from EARLIER snapshots, and every
+    stateful operator must restore state losslessly between micro-
+    batches. Each test replays the feed as one-file micro-batches and
+    pins the deduped result against the single-batch registry entry."""
+
+    def test_user_stats_multibatch_equals_single(self, spark, sf_dir,
+                                                 tmp_path):
+        src = _time_split_files(spark, sf_dir, str(tmp_path / "ev_us"))
+        rows = _drain(spark, ev.user_running_stats(
+            _stream_one_file_per_batch(spark, src)), "t_us_mb", tmp_path)
+        got = {}
+        for r in rows:                       # keep max-n snapshot per key
+            if r.n_events >= got.get(r.user_id, (0, 0.0))[0]:
+                got[r.user_id] = (r.n_events, r.total_value)
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        exp = {r.user_id: (r.n, r.total) for r in
+               (load_events(spark, sf_dir).groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("total"))).collect()}
+        assert set(got) == set(exp)
+        for uid, (n, total) in exp.items():
+            assert got[uid][0] == n
+            assert got[uid][1] == pytest.approx(total, rel=1e-9)
+
+    def test_heavy_hitters_multibatch_equals_single(self, spark, sf_dir,
+                                                    tmp_path):
+        """MG counters are arrival-order-dependent; the time-range file
+        split preserves the single-batch (ts, event_id) order, so the
+        multi-batch final snapshot must be IDENTICAL (integer-exact) to
+        the one-batch drain the registry entry performs."""
+        src = _time_split_files(spark, sf_dir, str(tmp_path / "ev_mg"))
+        rows = _drain(spark, ev.heavy_hitter_users(
+            _stream_one_file_per_batch(spark, src)), "t_mg_mb", tmp_path)
+        by_type = {}
+        for r in rows:                       # keep max-snap set per key
+            cur = by_type.setdefault(r.event_type, (0, {}))
+            if r.snap > cur[0]:
+                by_type[r.event_type] = (r.snap, {r.user_id: r.mg_count})
+            elif r.snap == cur[0]:
+                cur[1][r.user_id] = r.mg_count
+        got = {(et, u): c for et, (_, m) in by_type.items()
+               for u, c in m.items()}
+        single = _drain(spark, ev.heavy_hitter_users(
+            ev.read_events_stream(spark, sf_dir)), "t_mg_sb", tmp_path)
+        max_snap = {}
+        for r in single:
+            max_snap[r.event_type] = max(max_snap.get(r.event_type, 0),
+                                         r.snap)
+        exp = {(r.event_type, r.user_id): r.mg_count for r in single
+               if r.snap == max_snap[r.event_type]}
+        assert got == exp
+
+    def test_p2_quantile_multibatch_equals_single(self, spark, sf_dir,
+                                                  tmp_path):
+        src = _time_split_files(spark, sf_dir, str(tmp_path / "ev_p2"))
+        rows = _drain(spark, ev.p2_quantile_estimates(
+            _stream_one_file_per_batch(spark, src)), "t_p2_mb", tmp_path,
+            mode="append")
+        got = {}
+        for r in rows:                       # keep max-n snapshot per key
+            if r.n_seen >= got.get(r.event_type, (0, 0.0))[0]:
+                got[r.event_type] = (r.n_seen, r.q_estimate)
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            _streaming_p2_quantile,
+        )
+        exp = {r.event_type: (r.n_seen, r.q_estimate) for r in
+               _streaming_p2_quantile(spark, sf_dir).collect()}
+        assert set(got) == set(exp)
+        for et, (n, est) in exp.items():
+            assert got[et][0] == n
+            # identical marker trajectory → identical float (entry
+            # rounds to 9; the raw drain here does not)
+            assert round(got[et][1], 9) == pytest.approx(est, abs=1e-12)
+
+
+class TestP2WarmupRestore:
+    def test_sparse_key_crosses_warmup_across_batches(self, spark,
+                                                      tmp_path):
+        """The r6 ADVICE medium: a key saved mid-warm-up (n < 5) stores
+        its buffer in the h1..hn marker slots; the restore must rebuild
+        the buffer or the n==5 transition sorts fewer than five markers
+        and the next observation indexes past hs[4]. Two rows per
+        micro-batch × three batches crosses n==5 exactly at the restore
+        boundary — this test IndexErrors (query aborts) without the
+        fix."""
+        import datetime
+
+        sparse = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0]
+        dense = [float(i % 11) for i in range(30)]
+        base = datetime.datetime(2024, 1, 1)
+        src = str(tmp_path / "sparse_src")
+        eid = 0
+        for b in range(3):
+            rows = []
+            for x in sparse[2 * b:2 * b + 2]:
+                rows.append(("sparse", eid,
+                             base + datetime.timedelta(seconds=eid), x))
+                eid += 1
+            for x in dense[10 * b:10 * b + 10]:
+                rows.append(("dense", eid,
+                             base + datetime.timedelta(seconds=eid), x))
+                eid += 1
+            (spark.createDataFrame(
+                rows, "event_type string, event_id long, ts timestamp,"
+                      " value double")
+             .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(0.05)
+
+        out = _drain(spark, ev.p2_quantile_estimates(
+            _stream_one_file_per_batch(spark, src)), "t_p2_warm",
+            tmp_path, mode="append")
+        got = {}
+        for r in out:
+            if r.n_seen >= got.get(r.event_type, (0, 0.0))[0]:
+                got[r.event_type] = (r.n_seen, r.q_estimate)
+
+        from test_round6 import TestStreamingP2Quantile as T6
+        for key, vals in (("sparse", sparse), ("dense", dense)):
+            n, est = T6._p2_replay(vals)     # batch feed order == ts order
+            assert got[key][0] == n == len(vals)
+            assert got[key][1] == pytest.approx(est, abs=1e-12)
+
+
+class TestChi2Overflow:
+    def test_1e8_session_regime_non_null_and_exact(self, spark):
+        """The r6 ADVICE low: cell counts around 1e8 sessions pushed the
+        old n·(ad−bc)² DECIMAL(38,0) numerator past 38 digits, where
+        Spark's non-ANSI decimal multiply silently NULLs. The rebuilt
+        (t/d1)·(t/d2)·n form must return the exact-fraction value."""
+        from fractions import Fraction
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            chi2_2x2,
+        )
+
+        cells = [(31_234_567, 97_654_321, 45_000_001, 88_888_889),
+                 (123_456_789, 1, 1, 123_456_789),   # t ~ 1.5e16, extreme
+                 (510, 24, 21, 945)]                 # sf-sized sanity
+        df = spark.createDataFrame(cells, "a long, b long, c long, d long")
+        out = df.select("a", "b", "c", "d",
+                        chi2_2x2(F.col("a"), F.col("b"), F.col("c"),
+                                 F.col("d")).alias("chi2")).collect()
+        for r in out:
+            assert r.chi2 is not None
+            a, b, c, d = r.a, r.b, r.c, r.d
+            t, n = Fraction(a * d - b * c), a + b + c + d
+            exact = (float(t) / float((a + b) * (c + d))) \
+                * (float(t) / float((a + c) * (b + d))) * float(n)
+            assert r.chi2 == pytest.approx(exact, rel=1e-12)
+            true = Fraction(n) * t * t / ((a + b) * (c + d)
+                                          * (a + c) * (b + d))
+            assert r.chi2 == pytest.approx(float(true), rel=1e-9)
+
+
+class TestKcoreFixpoint:
+    def test_peel_runs_to_fixpoint_not_round_budget(self, spark):
+        """The r6 ADVICE low: a capped peel can return survivors with
+        degree < k on deep graphs. Pin both halves of the fix on the
+        sf0.01 graph (the 3-core is empty at sf0.001): every survivor
+        of the uncapped peel has core_degree >= k, and a guardrail
+        smaller than the true peel depth must RAISE rather than return
+        a non-k-core."""
+        from tests.conftest import SF_MED
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.graph import (
+            graph_kcore,
+        )
+
+        out = graph_kcore(spark, SF_MED, k=3).collect()
+        assert out and all(r.core_degree >= 3 for r in out)
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            # the sf0.01 peel needs >0 shrinking rounds; cap at 0 → raise
+            graph_kcore(spark, SF_MED, k=3, max_rounds=0)
