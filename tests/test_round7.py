@@ -228,3 +228,110 @@ class TestKcoreFixpoint:
         with pytest.raises(RuntimeError, match="fixpoint"):
             # the sf0.01 peel needs >0 shrinking rounds; cap at 0 → raise
             graph_kcore(spark, SF_MED, k=3, max_rounds=0)
+
+
+class TestIcebergBranchInSandbox:
+    """The r6 verdict: the Iceberg write branch must not be covered ONLY
+    when the runtime jar exists. These tests drive the capability check's
+    True path (any JVM-loadable class satisfies Class.forName — no
+    Iceberg needed) and the full parsed-DDL → migrate_table →
+    writeTo(...).partitionedBy(...).createOrReplace() wiring through a
+    recording stub at the DataFrameWriterV2 boundary."""
+
+    _DDL = """
+CREATE TABLE APP.SALES (
+    SALE_ID BIGINT NOT NULL,
+    REGION VARCHAR(16),
+    AMOUNT DECIMAL(12,2),
+    SALE_DATE DATE
+) PARTITION BY RANGE (REGION) (STARTING 'A' ENDING 'Z' EVERY 1);
+DISTRIBUTE BY HASH (SALE_ID);
+"""
+
+    def test_capability_check_both_paths_without_jar(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.registry import (
+            choose_write_branch, iceberg_catalog_available,
+        )
+
+        spark.conf.set("spark.sql.catalog.probe_ok", "java.util.HashMap")
+        spark.conf.set("spark.sql.catalog.probe_bad", "org.nope.Missing")
+        try:
+            assert iceberg_catalog_available(spark, "probe_ok") is True
+            assert iceberg_catalog_available(spark, "probe_bad") is False
+            assert iceberg_catalog_available(spark, "probe_unset") is False
+            assert choose_write_branch(spark, "db.t", "probe_ok") \
+                == "iceberg"
+            assert choose_write_branch(spark, None, "probe_ok") == "file"
+            assert choose_write_branch(spark, "db.t", "probe_bad") == "file"
+        finally:
+            spark.conf.unset("spark.sql.catalog.probe_ok")
+            spark.conf.unset("spark.sql.catalog.probe_bad")
+
+    def test_migrate_table_iceberg_wiring(self, spark, tmp_path,
+                                          monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.ddl import (
+            DB2DdlParser,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources.migrate import (
+            migrate_table,
+        )
+
+        table = DB2DdlParser().parse(self._DDL)[0]
+        assert table.partition.columns == ["REGION"]
+        assert table.distribute_by_hash == "SALE_ID"
+
+        src = str(tmp_path / "src")
+        (spark.createDataFrame(
+            [(1, "EAST", 10.50, "2024-01-01"),
+             (2, "WEST", 20.25, "2024-01-02"),
+             (3, "EAST", 30.00, "2024-01-03")],
+            "sale_id long, region string, amount double, sale_date string")
+         .write.parquet(src))
+
+        rec = {"options": {}, "created": False}
+
+        class StubWriter:
+            def option(self, k, v):
+                rec["options"][k] = v
+                return self
+
+            def partitionedBy(self, *cols):
+                rec["partitioned_by"] = [str(c) for c in cols]
+                return self
+
+            def createOrReplace(self):
+                rec["created"] = True
+
+        def fake_write_to(df, ident):
+            rec["ident"] = ident
+            rec["columns"] = df.columns
+            rec["plan"] = df._jdf.queryExecution().analyzed().toString()
+            return StubWriter()
+
+        # patch the CONCRETE class (pyspark.sql.classic overrides the
+        # abstract base's writeTo, so patching pyspark.sql.DataFrame
+        # would never be hit)
+        monkeypatch.setattr(type(spark.range(1)), "writeTo", fake_write_to)
+        # a genuinely True capability check — no monkeypatch of our code
+        spark.conf.set("spark.sql.catalog.ice", "java.util.HashMap")
+        dest = str(tmp_path / "dest")
+        try:
+            casted = migrate_table(spark, table, src, dest, catalog="ice",
+                                   table_ident="db.sales")
+        finally:
+            spark.conf.unset("spark.sql.catalog.ice")
+
+        assert rec["ident"] == "ice.db.sales"
+        assert rec["created"] is True
+        # the parsed RANGE spec drives hidden partitioning, in order
+        assert rec["partitioned_by"] == ["Column<'REGION'>"]
+        # DISTRIBUTE BY HASH became repartition(SALE_ID) + clustered sort
+        # BEFORE the writer saw the frame
+        assert "RepartitionByExpression" in rec["plan"]
+        assert "SALE_ID" in rec["plan"]
+        assert "Sort" in rec["plan"]
+        assert rec["columns"] == [c.name for c in table.columns]
+        assert casted.columns == [c.name for c in table.columns]
+        # the file fallback must NOT have been taken
+        import os
+        assert not os.path.exists(dest)
