@@ -290,7 +290,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
     union_k = (mins.select("h").distinct()
                .withColumn("rn", F.row_number().over(wu))
                .filter(F.col("rn") <= k)
-               .localCheckpoint())
+               .localCheckpoint())      # ≤k rows; θ + both estimates read it
     # small-set regime (standard KMV rule): fewer than k hashes in the
     # union → the sketch IS the set, θ=1 and the estimates are exact
     theta = union_k.agg(

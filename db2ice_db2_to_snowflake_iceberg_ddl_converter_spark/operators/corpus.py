@@ -648,7 +648,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
              .filter(F.length("tok") > 0)
              .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
              .select("tok", F.split("tok", "").alias("syms"), "freq")
-             .localCheckpoint())
+             .localCheckpoint())    # vocab-sized; re-read every merge round
 
     merges: list = []
     folds_since_ckpt = 0
@@ -1353,6 +1353,8 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
     w = (Window.partitionBy("source").orderBy("x")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # (sources × distinct-x)-bounded grid; pinned — the pooled rollup and
+    # the KS join would each replay the per-source cumsum window otherwise
     cum = grid.withColumn("cum_s", F.sum("cnt").over(w)).localCheckpoint()
     g = cum.groupBy("x").agg(F.sum("cum_s").alias("cum_g"))
     tot = srcs.agg(F.sum("n_src").alias("n_total"))
@@ -1363,7 +1365,7 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("cum_s").cast("double") / F.col("n_src").cast("double")
                  - (F.col("cum_g") - F.col("cum_s")).cast("double")
                  / F.col("n_rest").cast("double")))
-         .localCheckpoint())
+         .localCheckpoint())    # grid-sized; max-KS rollup + argmax read it
     per = (k.groupBy("source", "n_src", "n_rest")
            .agg(F.max("ks").alias("ks_stat")))
     at = (k.select("source", "x", "ks")

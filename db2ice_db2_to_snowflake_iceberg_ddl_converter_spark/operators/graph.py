@@ -38,7 +38,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     spark = edges.sparkSession
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint())  # node-set-sized; re-read
+    #                                          every power iteration
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
