@@ -2081,3 +2081,287 @@ SELECT CAST(g.cohort_mi // 12 AS BIGINT) AS cohort_year,
 FROM grid g JOIN size_ s USING (cohort_mi)
 ORDER BY cohort_year, cohort_month, months_since
 """
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric rank statistics (round 7): Mann-Whitney U, Spearman rho,
+# Mann-Kendall trend — the hypothesis-testing trio the drift/trend entries
+# (chi², Cramér's V, KS, Theil–Sen) were missing. All three keep every
+# rank/count exact in scale-0 DECIMAL(38,0) (single correctly-rounded
+# double cast at any magnitude) and assemble the final statistic as IEEE
+# divides/sqrt in the identical order as the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum): do 'purchase' and 'click'
+    events draw their values from the same distribution? The
+    distribution-free two-sample test you reach for before assuming
+    normality — the same question events_value_zscore answers per row,
+    asked once per experiment arm.
+
+    Scale shape: the pooled global ranking rides
+    :func:`~.scale.global_ranks` (range shuffle + driver-side
+    32-row offset combine — never a single-partition window); the
+    tie-averaging rollup is distinct-values-sized. Doubled tie-averaged
+    ranks (2·min_rank + t − 1) keep every rank sum an exact
+    DECIMAL(38,0) integer; every decimal factor is ≤ n³, 38-digit-safe
+    to n ~ 1e12 pooled rows. The normal approximation uses the
+    tie-corrected variance n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1)))."""
+    from .relational import load_events
+    from .scale import global_ranks
+
+    e = (load_events(spark, sf_dir)
+         .filter(F.col("event_type").isin("purchase", "click"))
+         .select("event_type", "event_id", "value"))
+    ranked, _n = global_ranks(e, [F.asc("value"), F.asc("event_id")],
+                              num_partitions=16)
+    d38 = "decimal(38,0)"
+    vt = (ranked.groupBy("value")
+          .agg(F.min("global_rn").alias("rmin"),
+               F.count(F.lit(1)).alias("t"),
+               F.sum((F.col("event_type") == "purchase").cast("long"))
+               .alias("t1")))
+    g = vt.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        # Σ over group-1 rows of the DOUBLED tie-averaged rank
+        F.sum(F.col("t1").cast(d38)
+              * (F.lit(2).cast(d38) * F.col("rmin").cast(d38)
+                 + F.col("t").cast(d38) - F.lit(1).cast(d38)))
+        .alias("r1d"),
+        F.sum(F.col("t").cast(d38) * F.col("t").cast(d38)
+              * F.col("t").cast(d38) - F.col("t").cast(d38))
+        .alias("ties"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    two = F.lit(2).cast("double")
+    u1_num = F.col("r1d") - n1.cast(d38) * (n1 + 1).cast(d38)  # = 2·U1
+    m = u1_num - n1.cast(d38) * n2.cast(d38)          # = 2·(U1 − μ)
+    prod12 = n1.cast(d38) * n2.cast(d38)
+    var_a = prod12.cast("double") / F.lit(12).cast("double")
+    var_b = ((nn + 1).cast("double")
+             - F.col("ties").cast("double")
+             / (nn.cast(d38) * (nn - 1).cast(d38)).cast("double"))
+    u1 = u1_num.cast("double") / two
+    return g.select(
+        n1.alias("n1"), n2.alias("n2"),
+        u1.alias("u_purchase"),
+        (prod12.cast("double") - u1_num.cast("double") / two)
+        .alias("u_click"),
+        ((m.cast("double") / two) / F.sqrt(var_a * var_b))
+        .alias("z_score"))
+
+
+ORACLE_MANN_WHITNEY = """
+WITH pooled AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+  FROM events WHERE event_type IN ('purchase', 'click')),
+vt AS (
+  SELECT value, MIN(rn) AS rmin, COUNT(*) AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1
+  FROM pooled GROUP BY value),
+g AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2,
+         SUM(CAST(t1 AS HUGEINT)
+             * (2 * CAST(rmin AS HUGEINT) + CAST(t AS HUGEINT) - 1))
+           AS r1d,
+         SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             - CAST(t AS HUGEINT)) AS ties
+  FROM vt)
+SELECT n1, n2,
+       CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+         / CAST(2 AS DOUBLE) AS u_purchase,
+       CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+         - CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+           / CAST(2 AS DOUBLE) AS u_click,
+       (CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1)
+             - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / CAST(2 AS DOUBLE))
+       / SQRT((CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+               / CAST(12 AS DOUBLE))
+              * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE)
+                   / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1)
+                          AS DOUBLE))) AS z_score
+FROM g
+"""
+
+
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's account
+    balance and their lifetime order spend — the monotone-association
+    twin of :func:`agg_corr_regr`'s Pearson (robust to the heavy-tailed
+    spend distribution; the zero-spend customers form a genuine large
+    tie group, exercising tie-averaged ranks for real).
+
+    Scale shape: every window is PARTITIONED by nation (per-group sorts
+    run in their own partitions, the agg_percentiles contract — no
+    global window anywhere). Doubled tie-averaged ranks
+    (2·min_rank + t − 1) are exact integers ≤ 2n; sufficient-statistic
+    sums run in scale-0 DECIMAL(38,0) (≤ 4n³ per group — 38-digit-safe
+    to n ~ 1e11 customers per nation) and the final rho is the
+    one-sqrt-of-a-product form agg_corr_regr pins (sqrt(a)·sqrt(b)
+    diverges from sqrt(a·b) in the last ulp between engines)."""
+    from .relational import DEC
+
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum((F.col("o_totalprice").cast(DEC) * 100)
+                        .cast(d38)).alias("cents")))
+    base = (c.select("c_custkey", "c_nationkey", "c_acctbal")
+            .join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .select("c_custkey", "c_nationkey", "c_acctbal",
+                    F.coalesce(F.col("cents"), F.lit(0).cast(d38))
+                    .alias("cents")))
+    wx = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wy = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    rk = base.select("c_nationkey", "c_acctbal", "cents",
+                     F.row_number().over(wx).alias("rnx"),
+                     F.row_number().over(wy).alias("rny"))
+    wvx = Window.partitionBy("c_nationkey", "c_acctbal")
+    wvy = Window.partitionBy("c_nationkey", "cents")
+    dd = rk.select(
+        "c_nationkey",
+        (2 * F.min("rnx").over(wvx) + F.count(F.lit(1)).over(wvx) - 1)
+        .alias("dx"),
+        (2 * F.min("rny").over(wvy) + F.count(F.lit(1)).over(wvy) - 1)
+        .alias("dy"))
+    s = dd.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("dx").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("dy").cast(d38)).cast("double").alias("sy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dy").cast(d38))
+        .cast("double").alias("sxy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx").cast(d38))
+        .cast("double").alias("sxx"),
+        F.sum(F.col("dy").cast(d38) * F.col("dy").cast(d38))
+        .cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (s.select(F.col("c_nationkey").alias("nationkey"),
+                     n.cast("long").alias("n_customers"),
+                     rho.alias("spearman_rho"))
+            .orderBy("nationkey"))
+
+
+ORACLE_SPEARMAN = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                  AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         COALESCE(s.cents, 0) AS cents
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+rk AS (
+  SELECT c_nationkey, c_acctbal, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS rnx,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, c_custkey) AS rny
+  FROM base),
+dd AS (
+  SELECT c_nationkey,
+         2 * MIN(rnx) OVER (PARTITION BY c_nationkey, c_acctbal)
+           + COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1 AS dx,
+         2 * MIN(rny) OVER (PARTITION BY c_nationkey, cents)
+           + COUNT(*) OVER (PARTITION BY c_nationkey, cents) - 1 AS dy
+  FROM rk),
+s AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS DOUBLE)
+           AS syy
+  FROM dd GROUP BY c_nationkey)
+SELECT c_nationkey AS nationkey,
+       CAST(n AS BIGINT) AS n_customers,
+       (n * sxy - sx * sy)
+         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman_rho
+FROM s ORDER BY nationkey
+"""
+
+
+def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the monthly revenue series —
+    the significance test for the direction :func:`orders_theilsen_trend`
+    estimates (they share the pairwise-sign machinery; Kendall's S IS
+    the sign census of the Theil–Sen slope set).
+
+    Scale shape: the corpus collapses FIRST to the months-bounded
+    series (identical integer-cents protocol as Theil–Sen), so the
+    O(M²) sign self-join and the tie census are catalog-sized. S, the
+    tie term Σt(t−1)(2t+5), and the variance numerator
+    n(n−1)(2n+5) − ties are exact integers; var_s is one divide by 18
+    and z applies the ±1 continuity correction — identical op order in
+    the oracle."""
+    from .relational import DEC
+
+    o = ld(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("decimal(38,0)")
+    monthly = (o.groupBy((F.year("o_orderdate") * 12
+                          + (F.month("o_orderdate") - 1)).alias("mi"))
+               .agg(F.sum(cents).alias("rc"))
+               .localCheckpoint())   # months-bounded, three consumers
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s_stat = (a.join(b, F.col("a.mi") < F.col("b.mi"))
+              .agg(F.sum(F.signum((F.col("b.rc") - F.col("a.rc"))
+                                  .cast("double")).cast("long"))
+                   .alias("s")))
+    ties = (monthly.groupBy("rc").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+                 .alias("tie_term")))
+    nrow = monthly.agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    var_s = ((n * (n - 1) * (2 * n + 5) - F.col("tie_term"))
+             .cast("double") / F.lit(18).cast("double"))
+    s = F.col("s")
+    z = (F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+         .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return (nrow.crossJoin(F.broadcast(s_stat))
+            .crossJoin(F.broadcast(ties))
+            .select(n.cast("long").alias("n_months"),
+                    s.alias("s_stat"),
+                    var_s.alias("var_s"),
+                    z.alias("z_score")))
+
+
+ORACLE_MANN_KENDALL = """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+         + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                  AS DECIMAL(38,0))) AS rc
+  FROM orders GROUP BY 1),
+s_stat AS (
+  SELECT CAST(SUM(CAST(SIGN(CAST(b.rc - a.rc AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS s
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+ties AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY rc)),
+nrow AS (SELECT COUNT(*) AS n FROM monthly)
+SELECT CAST(n AS BIGINT) AS n_months, s AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+         / CAST(18 AS DOUBLE) AS var_s,
+       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / CAST(18 AS DOUBLE))
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / CAST(18 AS DOUBLE))
+            ELSE 0.0 END AS z_score
+FROM nrow CROSS JOIN s_stat CROSS JOIN ties
+"""

@@ -838,6 +838,11 @@ def _window_r07() -> list:
 #: at "the handful needed": every debut displaces one of the 59 stale
 #: canaries below, and coverage freshness now outranks surface growth.
 _ROUND7_NEW: list = [
+    # nonparametric rank-statistics trio (the hypothesis-testing gap
+    # beside chi²/Cramér's V/KS/Theil–Sen) — all oracle-backed
+    "stat_mann_whitney_u",
+    "stat_spearman_corr",
+    "stat_mann_kendall_trend",
 ]
 
 #: Regression canaries for round 7: the 59 r01/r02-stale entries the
@@ -912,7 +917,14 @@ def _round7_queries():
     """New round-7 entries; grows as the round progresses. Every key added
     here must also be appended to ``_ROUND7_NEW`` (debut-in-window rule:
     round 7 must end with zero never-driver-checked entries)."""
-    return {}
+    return {
+        # Wilcoxon rank-sum over pooled global_ranks (tie-corrected z)
+        "stat_mann_whitney_u": analytics.stat_mann_whitney_u,
+        # per-nation Spearman rho on tie-averaged doubled ranks
+        "stat_spearman_corr": analytics.stat_spearman_corr,
+        # Mann-Kendall S / var / continuity-corrected z on monthly cents
+        "stat_mann_kendall_trend": analytics.stat_mann_kendall_trend,
+    }
 
 
 #: New round-6 entries — kept in sync with ``_round6_queries()`` so each
@@ -1797,6 +1809,12 @@ def build_oracles() -> dict[str, str]:
     oracles["diag_layout_zonemap"] = ORACLE_DIAG_LAYOUT_ZONEMAP
     from .operators.analytics import ORACLE_CRAMERS_V, ORACLE_GINI_LORENZ
     oracles["assoc_cramers_v"] = ORACLE_CRAMERS_V
+    from .operators.analytics import (
+        ORACLE_MANN_KENDALL, ORACLE_MANN_WHITNEY, ORACLE_SPEARMAN,
+    )
+    oracles["stat_mann_whitney_u"] = ORACLE_MANN_WHITNEY
+    oracles["stat_spearman_corr"] = ORACLE_SPEARMAN
+    oracles["stat_mann_kendall_trend"] = ORACLE_MANN_KENDALL
     # events_holt_linear: iterative float recurrence → rows-only
     oracles["revenue_gini_lorenz"] = ORACLE_GINI_LORENZ
     oracles["corpus_heaps_law"] = corpus.ORACLE_HEAPS_LAW

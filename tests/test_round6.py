@@ -212,16 +212,21 @@ class TestRegistryGuard:
             d.update({"x": 3})
 
     def test_window_is_first_50_and_all_resolvable(self):
+        """Round-7 rotation superseded the r6 window (the r6 membership
+        assertion lives on in the r7 twin below as history): here keep
+        the invariants that outlive rotations — the first 50 keys ARE
+        the current window, unique, and every r6 debut stays resolvable
+        with its oracle."""
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
             _CANARIES_R06,
             _ROUND6_NEW,
-            _window_r06,
+            _window_r07,
             build_oracles,
             build_queries,
         )
 
         q = build_queries()
-        w = _window_r06()
+        w = _window_r07()
         assert list(q)[:50] == w
         assert len(w) == 50
         assert len(set(w)) == 50

@@ -335,3 +335,158 @@ DISTRIBUTE BY HASH (SALE_ID);
         # the file fallback must NOT have been taken
         import os
         assert not os.path.exists(dest)
+
+
+class TestRound7Window:
+    def test_window_executes_recorded_rotation(self):
+        """First 50 queries() keys == _ROUND7_NEW debuts, then ALL 27
+        never-driver-checked late-r6 entries, then the recorded stale
+        canaries filling to 50 — the r6 verdict's top ask."""
+        import json
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            _CANARIES_R07,
+            _ROUND6_LATE,
+            _ROUND7_NEW,
+            _window_r07,
+            build_oracles,
+            build_queries,
+        )
+
+        q = build_queries()
+        w = _window_r07()
+        assert list(q)[:50] == w
+        assert len(set(w)) == 50
+        fill = 50 - len(_ROUND7_NEW) - len(_ROUND6_LATE)
+        assert w == [*_ROUND7_NEW, *_ROUND6_LATE, *_CANARIES_R07[:fill]]
+        o = build_oracles()
+        for k in _ROUND7_NEW:           # every r7 debut is oracle-backed
+            assert k in q and k in o
+        # after this window lands, driver coverage is complete: every
+        # entry not in the window already has a CORRECTNESS row r01-r06
+        seen = set()
+        for r in range(1, 7):
+            seen |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
+        never = [k for k in q if k not in seen and k not in w]
+        assert never == []
+
+
+class TestRankStatistics:
+    def test_spearman_matches_pure_python(self, spark, sf_dir):
+        """Exact tie-averaged Spearman for one nation replayed in pure
+        Python fractions (the oracle parity checks DuckDB; this pins the
+        semantics against an independent formulation)."""
+        import math
+
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            stat_spearman_corr,
+        )
+
+        rows = duckdb.sql(f"""
+            SELECT c.c_nationkey, c.c_acctbal,
+                   COALESCE(s.cents, 0) AS cents, c.c_custkey
+            FROM '{sf_dir}/customer.parquet' c LEFT JOIN (
+              SELECT o_custkey,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                              AS DECIMAL(38,0))) AS cents
+              FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey) s
+            ON c.c_custkey = s.o_custkey""").fetchall()
+        got = {r.nationkey: (r.n_customers, r.spearman_rho)
+               for r in stat_spearman_corr(spark, sf_dir).collect()}
+
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            rank = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while (j + 1 < len(order)
+                       and vals[order[j + 1]][0] == vals[order[i]][0]):
+                    j += 1
+                r = (i + j) / 2 + 1
+                for k2 in range(i, j + 1):
+                    rank[order[k2]] = r
+                i = j + 1
+            return rank
+
+        by_nation = {}
+        for nk, bal, cents, ck in rows:
+            by_nation.setdefault(nk, []).append((bal, cents, ck))
+        for nk, data in by_nation.items():
+            # ranks tie-average on the VALUE alone; the custkey only
+            # orders rows within a tie group (rank is then averaged out)
+            rx = avg_ranks([((bal,), ck) for bal, _, ck in data])
+            ry = avg_ranks([((cents,), ck) for _, cents, ck in data])
+            n = len(data)
+            mean = (n + 1) / 2
+            num = sum((a - mean) * (b - mean) for a, b in zip(rx, ry))
+            den = math.sqrt(sum((a - mean) ** 2 for a in rx)
+                            * sum((b - mean) ** 2 for b in ry))
+            assert got[nk][0] == n
+            assert got[nk][1] == pytest.approx(num / den, rel=1e-9)
+
+    def test_mann_whitney_invariants_and_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            stat_mann_whitney_u,
+        )
+
+        r = stat_mann_whitney_u(spark, sf_dir).collect()[0]
+        assert r.u_purchase + r.u_click == pytest.approx(r.n1 * r.n2)
+        assert 0 <= r.u_purchase <= r.n1 * r.n2
+        # replay U via the rank-sum definition in duckdb (independent
+        # formulation: per-row tie-averaged ranks, not the value rollup)
+        u = duckdb.sql(f"""
+            WITH pooled AS (
+              SELECT event_type, value,
+                     AVG(rn) OVER (PARTITION BY value) AS ar
+              FROM (SELECT event_type, value,
+                           ROW_NUMBER() OVER (ORDER BY value) AS rn
+                    FROM '{sf_dir}/events.parquet'
+                    WHERE event_type IN ('purchase', 'click')))
+            SELECT SUM(ar) FILTER (event_type = 'purchase')
+                   - CAST(COUNT(*) FILTER (event_type = 'purchase')
+                          AS DOUBLE)
+                     * (COUNT(*) FILTER (event_type = 'purchase') + 1) / 2
+            FROM pooled""").fetchone()[0]
+        assert r.u_purchase == pytest.approx(u, rel=1e-12)
+        assert abs(r.z_score) < 50          # finite, sane magnitude
+
+    def test_mann_kendall_replay(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            stat_mann_kendall_trend,
+        )
+
+        r = stat_mann_kendall_trend(spark, sf_dir).collect()[0]
+        months = [m[0] for m in duckdb.sql(f"""
+            SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                            AS DECIMAL(38,0))) AS rc
+            FROM '{sf_dir}/orders.parquet'
+            GROUP BY EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                     + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+            ORDER BY 1""").fetchall()]
+        n = len(months)
+        s = sum((x2 > x1) - (x2 < x1)
+                for i, x1 in enumerate(months) for x2 in months[i + 1:])
+        # the pairwise census is order-insensitive, so the sorted list
+        # gives the same S magnitude... recompute properly by month order
+        rows = duckdb.sql(f"""
+            SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                   + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+                     AS mi,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                            AS DECIMAL(38,0))) AS rc
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY mi
+        """).fetchall()
+        series = [rc for _, rc in rows]
+        s = sum((b > a) - (b < a)
+                for i, a in enumerate(series) for b in series[i + 1:])
+        assert r.n_months == n == len(series)
+        assert r.s_stat == s
+        assert abs(s) <= n * (n - 1) // 2
+        assert r.var_s > 0
