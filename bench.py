@@ -184,7 +184,15 @@ HEADLINE = [
     "diag_join_size_forecast",
     "udtf_table_arg_sessionize",
     "diag_parquet_rowgroup_stats",
+    # ---- round-7 additions (constant-membership boundary: the first
+    # 135 entries are the frozen round-6 closing battery) ----
+    "stat_mann_whitney_u",
+    "stat_spearman_corr",
+    "stat_mann_kendall_trend",
+    "stat_kendall_tau",
+    "sql_pipe_syntax_battery",
 ]
+N_R07_BASE = 135        # the r6 closing battery, frozen for comparisons
 
 
 def main() -> int:
@@ -249,6 +257,8 @@ def main() -> int:
             round(sum(timings[n] for n in HEADLINE[:N_R05_SUITE]), 3),
         "r06_suite_total":
             round(sum(timings[n] for n in HEADLINE[:N_R06_SUITE]), 3),
+        "r07_base_total":
+            round(sum(timings[n] for n in HEADLINE[:N_R07_BASE]), 3),
         "n_queries": len(HEADLINE),
     }
     # Complete record: file beside the script + first stdout line.

@@ -2365,3 +2365,84 @@ SELECT CAST(n AS BIGINT) AS n_months, s AS s_stat,
             ELSE 0.0 END AS z_score
 FROM nrow CROSS JOIN s_stat CROSS JOIN ties
 """
+
+
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between monthly revenue and monthly order volume —
+    "do busy months earn proportionally?" asked rank-wise (tau counts
+    pairwise order agreements; rho averages rank distances — reporting
+    both is standard practice, and tau's pairwise census is EXACT
+    integer arithmetic end to end).
+
+    Scale shape: the corpus collapses FIRST to the months-bounded
+    (mi, revenue_cents, n_orders) series — the Theil–Sen/Mann-Kendall
+    contract — so the O(M²) concordance join is catalog-sized.
+    Concordant/discordant/tie counts are exact longs; tau_b =
+    (nc − nd) / sqrt((n0 − t_x)(n0 − t_y)) is one decimal product cast
+    once to double, one sqrt, one divide — identical op order in the
+    oracle."""
+    from .relational import DEC
+
+    o = ld(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("decimal(38,0)")
+    monthly = (o.groupBy((F.year("o_orderdate") * 12
+                          + (F.month("o_orderdate") - 1)).alias("mi"))
+               .agg(F.sum(cents).alias("rc"),
+                    F.count(F.lit(1)).alias("nord"))
+               .localCheckpoint())   # months-bounded, three consumers
+    a, b = monthly.alias("a"), monthly.alias("b")
+    sx = F.signum((F.col("b.rc") - F.col("a.rc")).cast("double"))
+    sy = F.signum((F.col("b.nord") - F.col("a.nord")).cast("double"))
+    pairs = (a.join(b, F.col("a.mi") < F.col("b.mi"))
+             .agg(F.count(F.lit(1)).alias("n0"),
+                  F.sum((sx * sy > 0).cast("long")).alias("nc"),
+                  F.sum((sx * sy < 0).cast("long")).alias("nd")))
+    tie_x = (monthly.groupBy("rc").agg(F.count(F.lit(1)).alias("t"))
+             .agg((F.sum(F.col("t") * (F.col("t") - 1)) / F.lit(2))
+                  .cast("long").alias("tx")))
+    tie_y = (monthly.groupBy("nord").agg(F.count(F.lit(1)).alias("t"))
+             .agg((F.sum(F.col("t") * (F.col("t") - 1)) / F.lit(2))
+                  .cast("long").alias("ty")))
+    d38 = "decimal(38,0)"
+    n0, nc, nd = F.col("n0"), F.col("nc"), F.col("nd")
+    tau_b = ((nc - nd).cast("double")
+             / F.sqrt(((n0 - F.col("tx")).cast(d38)
+                       * (n0 - F.col("ty")).cast(d38)).cast("double")))
+    return (pairs.crossJoin(F.broadcast(tie_x))
+            .crossJoin(F.broadcast(tie_y))
+            .select(n0.alias("n_pairs"), nc.alias("n_concordant"),
+                    nd.alias("n_discordant"),
+                    F.col("tx").alias("ties_x"), F.col("ty").alias("ties_y"),
+                    tau_b.alias("tau_b")))
+
+
+ORACLE_KENDALL_TAU = """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+         + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                  AS DECIMAL(38,0))) AS rc,
+         COUNT(*) AS nord
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN SIGN(CAST(b.rc - a.rc AS DOUBLE))
+                            * SIGN(CAST(b.nord - a.nord AS DOUBLE)) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN SIGN(CAST(b.rc - a.rc AS DOUBLE))
+                            * SIGN(CAST(b.nord - a.nord AS DOUBLE)) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+tie_x AS (
+  SELECT CAST(SUM(t * (t - 1)) / 2 AS BIGINT) AS tx
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY rc)),
+tie_y AS (
+  SELECT CAST(SUM(t * (t - 1)) / 2 AS BIGINT) AS ty
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY nord))
+SELECT n0 AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+       tx AS ties_x, ty AS ties_y,
+       CAST(nc - nd AS DOUBLE)
+         / SQRT(CAST(CAST(n0 - tx AS HUGEINT) * (n0 - ty) AS DOUBLE))
+         AS tau_b
+FROM pairs CROSS JOIN tie_x CROSS JOIN tie_y
+"""

@@ -832,3 +832,48 @@ SELECT
   (SELECT COUNT(*) FROM orders
     WHERE o_custkey IN (SELECT k FROM k_3vl)) AS in_count
 """
+
+
+def sql_pipe_syntax_battery(spark, sf_dir) -> DataFrame:
+    """Spark 4.1 SQL pipe syntax (``|>``) — the linear query-flow dialect
+    (SQL-pipes paper / GoogleSQL "pipe query syntax") the engine parses
+    natively: each ``|>`` stage names ONE relational operator in reading
+    order instead of the inside-out SELECT nesting. The battery chains
+    FROM |> WHERE |> EXTEND (pre-agg derivation) |> AGGREGATE … GROUP BY
+    |> EXTEND (post-agg derivation) |> SELECT |> ORDER BY over lineitem
+    with q1's decimal sum protocol; the oracle is the IDENTICAL classic
+    SQL, proving the pipe operators compile to the same semantics —
+    pipes are parser sugar, the logical plan (and every pushdown) is
+    unchanged, zero runtime cost."""
+    from .relational import ld
+
+    ld(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem_v")
+    return spark.sql("""
+        FROM pipe_lineitem_v
+        |> WHERE l_shipdate <= '1998-09-02'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,6)) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                          AS DOUBLE) AS sum_qty,
+                     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND revenue / n_rows AS avg_revenue
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty,
+                  revenue, avg_revenue
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+ORACLE_SQL_PIPE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS avg_revenue
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -843,6 +843,11 @@ _ROUND7_NEW: list = [
     "stat_mann_whitney_u",
     "stat_spearman_corr",
     "stat_mann_kendall_trend",
+    # Kendall tau-b completes the rank family (tau beside rho); pipe
+    # syntax is the Spark 4.1 SQL surface twin of classic q1 — both
+    # oracle-backed
+    "stat_kendall_tau",
+    "sql_pipe_syntax_battery",
 ]
 
 #: Regression canaries for round 7: the 59 r01/r02-stale entries the
@@ -924,6 +929,10 @@ def _round7_queries():
         "stat_spearman_corr": analytics.stat_spearman_corr,
         # Mann-Kendall S / var / continuity-corrected z on monthly cents
         "stat_mann_kendall_trend": analytics.stat_mann_kendall_trend,
+        # tau-b concordance census on the months-bounded series
+        "stat_kendall_tau": analytics.stat_kendall_tau,
+        # Spark 4.1 |> pipe-syntax program == classic-SQL oracle
+        "sql_pipe_syntax_battery": rext.sql_pipe_syntax_battery,
     }
 
 
@@ -1815,6 +1824,10 @@ def build_oracles() -> dict[str, str]:
     oracles["stat_mann_whitney_u"] = ORACLE_MANN_WHITNEY
     oracles["stat_spearman_corr"] = ORACLE_SPEARMAN
     oracles["stat_mann_kendall_trend"] = ORACLE_MANN_KENDALL
+    from .operators.analytics import ORACLE_KENDALL_TAU
+    oracles["stat_kendall_tau"] = ORACLE_KENDALL_TAU
+    from .operators.relational_ext import ORACLE_SQL_PIPE
+    oracles["sql_pipe_syntax_battery"] = ORACLE_SQL_PIPE
     # events_holt_linear: iterative float recurrence → rows-only
     oracles["revenue_gini_lorenz"] = ORACLE_GINI_LORENZ
     oracles["corpus_heaps_law"] = corpus.ORACLE_HEAPS_LAW

@@ -490,3 +490,75 @@ class TestRankStatistics:
         assert r.s_stat == s
         assert abs(s) <= n * (n - 1) // 2
         assert r.var_s > 0
+
+
+class TestKendallTauAndPipes:
+    def test_tau_matches_pure_python(self, spark, sf_dir):
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            stat_kendall_tau,
+        )
+
+        r = stat_kendall_tau(spark, sf_dir).collect()[0]
+        rows = duckdb.sql(f"""
+            SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 100
+                            AS DECIMAL(38,0))) AS rc,
+                   COUNT(*) AS nord
+            FROM '{sf_dir}/orders.parquet'
+            GROUP BY EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                     + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+        """).fetchall()
+        import math
+        nc = nd = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sx = (rows[j][0] > rows[i][0]) - (rows[j][0] < rows[i][0])
+                sy = (rows[j][1] > rows[i][1]) - (rows[j][1] < rows[i][1])
+                if sx * sy > 0:
+                    nc += 1
+                elif sx * sy < 0:
+                    nd += 1
+        # concordance is pair-order-insensitive, so the unordered fetch
+        # is fine
+        n = len(rows)
+        n0 = n * (n - 1) // 2
+        from collections import Counter
+        tx = sum(t * (t - 1) // 2
+                 for t in Counter(rc for rc, _ in rows).values())
+        ty = sum(t * (t - 1) // 2
+                 for t in Counter(no for _, no in rows).values())
+        assert (r.n_pairs, r.n_concordant, r.n_discordant) == (n0, nc, nd)
+        assert (r.ties_x, r.ties_y) == (tx, ty)
+        assert r.tau_b == pytest.approx(
+            (nc - nd) / math.sqrt((n0 - tx) * (n0 - ty)), rel=1e-12)
+        assert -1.0 <= r.tau_b <= 1.0
+
+    def test_pipe_syntax_is_parser_sugar(self, spark, sf_dir):
+        """The pipe program and the classic SELECT must land on the same
+        physical behavior: pushed filter reaches the scan (sugar does
+        not break pushdown) and the rows equal the classic-SQL run."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational_ext import (
+            sql_pipe_syntax_battery,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            formatted_plan,
+        )
+
+        q = sql_pipe_syntax_battery(spark, sf_dir)
+        assert "PushedFilters" in formatted_plan(q)
+        assert "l_shipdate" in formatted_plan(q).split("== Physical")[1]
+        classic = spark.sql("""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                     AS avg_revenue
+            FROM pipe_lineitem_v WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+        assert [tuple(r) for r in q.collect()] \
+            == [tuple(r) for r in classic.collect()]
