@@ -58,6 +58,10 @@ DEFAULT_TOP = [
     "agg_weighted_percentiles",
     "diag_layout_zonemap",
     "events_peak_concurrency",
+    # round-7: the rank-sum test pools the event values through
+    # scale.global_ranks + a distinct-values tie rollup — the two stages
+    # whose growth the 10× run must show linear
+    "stat_mann_whitney_u",
 ]
 
 TENX_TABLES = ("documents", "events", "embeddings")
