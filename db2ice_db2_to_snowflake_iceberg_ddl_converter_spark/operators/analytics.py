@@ -2113,13 +2113,30 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (load_events(spark, sf_dir)
          .filter(F.col("event_type").isin("purchase", "click"))
          .select("event_type", "event_id", "value"))
-    ranked, _n = global_ranks(e, [F.asc("value"), F.asc("event_id")],
-                              num_partitions=16)
+    return mann_whitney_from(e, group_col="event_type",
+                             one_group="purchase", value_col="value",
+                             tie_break="event_id",
+                             out_names=("u_purchase", "u_click"))
+
+
+def mann_whitney_from(pooled: DataFrame, group_col: str, one_group: str,
+                      value_col: str, tie_break: str,
+                      out_names: tuple = ("u1", "u2"),
+                      num_partitions: int = 16) -> DataFrame:
+    """The Mann-Whitney core on an arbitrary two-group frame — split out
+    so property tests can drive it with randomized tie-heavy samples
+    (same contract as the registry entry: DOUBLED tie-averaged ranks
+    exact in DECIMAL(38,0), tie-corrected z as ordered IEEE steps)."""
+    from .scale import global_ranks
+
+    ranked, _n = global_ranks(
+        pooled, [F.asc(value_col), F.asc(tie_break)],
+        num_partitions=num_partitions)
     d38 = "decimal(38,0)"
-    vt = (ranked.groupBy("value")
+    vt = (ranked.groupBy(value_col)
           .agg(F.min("global_rn").alias("rmin"),
                F.count(F.lit(1)).alias("t"),
-               F.sum((F.col("event_type") == "purchase").cast("long"))
+               F.sum((F.col(group_col) == one_group).cast("long"))
                .alias("t1")))
     g = vt.agg(
         F.sum("t1").cast("long").alias("n1"),
@@ -2145,9 +2162,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = u1_num.cast("double") / two
     return g.select(
         n1.alias("n1"), n2.alias("n2"),
-        u1.alias("u_purchase"),
+        u1.alias(out_names[0]),
         (prod12.cast("double") - u1_num.cast("double") / two)
-        .alias("u_click"),
+        .alias(out_names[1]),
         ((m.cast("double") / two) / F.sqrt(var_a * var_b))
         .alias("z_score"))
 
@@ -2216,20 +2233,37 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_nationkey", "c_acctbal",
                     F.coalesce(F.col("cents"), F.lit(0).cast(d38))
                     .alias("cents")))
-    wx = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    wy = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
-    rk = base.select("c_nationkey", "c_acctbal", "cents",
-                     F.row_number().over(wx).alias("rnx"),
-                     F.row_number().over(wy).alias("rny"))
-    wvx = Window.partitionBy("c_nationkey", "c_acctbal")
-    wvy = Window.partitionBy("c_nationkey", "cents")
+    return (spearman_rho_from(base, part_col="c_nationkey",
+                              x_col="c_acctbal", y_col="cents",
+                              tie_break="c_custkey")
+            .select(F.col("c_nationkey").alias("nationkey"),
+                    F.col("n_rows").alias("n_customers"),
+                    "spearman_rho")
+            .orderBy("nationkey"))
+
+
+def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
+                      y_col: str, tie_break: str) -> DataFrame:
+    """The per-group Spearman core on an arbitrary frame — split out so
+    property tests can drive it with randomized tie-heavy samples (same
+    contract as the registry entry: group-PARTITIONed windows only,
+    doubled tie-averaged ranks exact in DECIMAL(38,0), one-sqrt-of-a-
+    product Pearson form). Returns (part_col, n_rows, spearman_rho)."""
+    d38 = "decimal(38,0)"
+    wx = Window.partitionBy(part_col).orderBy(x_col, tie_break)
+    wy = Window.partitionBy(part_col).orderBy(y_col, tie_break)
+    rk = df.select(part_col, x_col, y_col,
+                   F.row_number().over(wx).alias("rnx"),
+                   F.row_number().over(wy).alias("rny"))
+    wvx = Window.partitionBy(part_col, x_col)
+    wvy = Window.partitionBy(part_col, y_col)
     dd = rk.select(
-        "c_nationkey",
+        part_col,
         (2 * F.min("rnx").over(wvx) + F.count(F.lit(1)).over(wvx) - 1)
         .alias("dx"),
         (2 * F.min("rny").over(wvy) + F.count(F.lit(1)).over(wvy) - 1)
         .alias("dy"))
-    s = dd.groupBy("c_nationkey").agg(
+    s = dd.groupBy(part_col).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col("dx").cast(d38)).cast("double").alias("sx"),
         F.sum(F.col("dy").cast(d38)).cast("double").alias("sy"),
@@ -2243,10 +2277,8 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     rho = ((n * sxy - sx * sy)
            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-    return (s.select(F.col("c_nationkey").alias("nationkey"),
-                     n.cast("long").alias("n_customers"),
-                     rho.alias("spearman_rho"))
-            .orderBy("nationkey"))
+    return s.select(part_col, n.cast("long").alias("n_rows"),
+                    rho.alias("spearman_rho"))
 
 
 ORACLE_SPEARMAN = """

@@ -562,3 +562,113 @@ class TestKendallTauAndPipes:
             ORDER BY l_returnflag, l_linestatus""")
         assert [tuple(r) for r in q.collect()] \
             == [tuple(r) for r in classic.collect()]
+
+
+class TestRankStatsProperties:
+    """Randomized tie-heavy samples through the extracted rank-test
+    cores vs independent pure-Python references — hypothesis drives the
+    tie structure the fixture data cannot enumerate (all-tied groups,
+    singleton groups, alternating ties)."""
+
+    @staticmethod
+    def _mw_ref(pairs):
+        import math
+        from collections import Counter
+
+        cnt = Counter(v for _, v in pairs)
+        less, run = {}, 0
+        for v in sorted(cnt):
+            less[v] = run
+            run += cnt[v]
+
+        def ar(v):
+            return less[v] + (cnt[v] + 1) / 2
+
+        g1 = [v for g, v in pairs if g == "a"]
+        n1, n2 = len(g1), len(pairs) - len(g1)
+        r1 = sum(ar(v) for v in g1)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        ties = sum(t ** 3 - t for t in cnt.values())
+        n = n1 + n2
+        var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+        return n1, n2, u1, z
+
+    def test_mann_whitney_random_ties(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            mann_whitney_from,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from(["a", "b"]),
+                      st.sampled_from([0.0, 1.0, 2.0, 3.5])),
+            min_size=4, max_size=24))
+        def run(pairs):
+            groups = {g for g, _ in pairs}
+            vals = {v for _, v in pairs}
+            if groups != {"a", "b"} or len(vals) < 2:
+                return                      # z undefined / one-sample
+            df = spark.createDataFrame(
+                [(g, i, v) for i, (g, v) in enumerate(pairs)],
+                "g string, i long, v double")
+            r = mann_whitney_from(df, group_col="g", one_group="a",
+                                  value_col="v", tie_break="i",
+                                  num_partitions=2).collect()[0]
+            n1, n2, u1, z = self._mw_ref(pairs)
+            assert (r.n1, r.n2) == (n1, n2)
+            assert r.u1 == pytest.approx(u1, rel=1e-12)
+            assert r.u1 + r.u2 == pytest.approx(n1 * n2)
+            assert r.z_score == pytest.approx(z, rel=1e-9, abs=1e-12)
+
+        run()
+
+    def test_spearman_random_ties(self, spark):
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            spearman_rho_from,
+        )
+
+        def avg_ranks(vals):
+            from collections import Counter
+            cnt = Counter(vals)
+            less, run = {}, 0
+            for v in sorted(cnt):
+                less[v] = run
+                run += cnt[v]
+            return [less[v] + (cnt[v] + 1) / 2 for v in vals]
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from([0.0, 1.0, 2.0]),
+                      st.sampled_from([0.0, 1.0, 2.0, 5.0])),
+            min_size=3, max_size=20))
+        def run(xy):
+            xs = [x for x, _ in xy]
+            ys = [y for _, y in xy]
+            if len(set(xs)) < 2 or len(set(ys)) < 2:
+                return                      # zero rank variance → 0/0
+            df = spark.createDataFrame(
+                [("k", i, x, y) for i, (x, y) in enumerate(xy)],
+                "p string, i long, x double, y double")
+            r = spearman_rho_from(df, part_col="p", x_col="x",
+                                  y_col="y", tie_break="i").collect()[0]
+            rx, ry = avg_ranks(xs), avg_ranks(ys)
+            n = len(xy)
+            mean = (n + 1) / 2
+            num = sum((a - mean) * (b - mean) for a, b in zip(rx, ry))
+            den = math.sqrt(sum((a - mean) ** 2 for a in rx)
+                            * sum((b - mean) ** 2 for b in ry))
+            assert r.n_rows == n
+            assert r.spearman_rho == pytest.approx(num / den,
+                                                   rel=1e-9, abs=1e-12)
+            assert -1.0 - 1e-12 <= r.spearman_rho <= 1.0 + 1e-12
+
+        run()
