@@ -407,7 +407,8 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          node_col: str = "id", src: str = "id1",
-                         dst: str = "id2", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id2",
+                         max_iter: int | None = None) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends with the
     smallest node id reachable from it (its cluster id).
 
@@ -420,6 +421,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     up after ~10 rounds); checkpointing truncates lineage. On a real
     cluster, prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
     for fault-tolerant truncation.
+
+    The loop runs to FIXPOINT (labels only decrease and are bounded
+    below, so the decreasing label-sum witness guarantees termination
+    in ≤ diameter rounds) — the same contract as ``graph.graph_kcore``
+    after its r7 fix: a silent round cap would return labels that are
+    not yet components on a deeper-than-expected graph. ``max_iter`` is
+    an optional guardrail that RAISES instead of returning a wrong
+    answer. If a corpus ever shows chain-shaped dup clusters (diameter
+    ~ corpus size), the O(log n) pointer-doubling formulation
+    (``graph.transitive_roots``) is the route, not a bigger cap.
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
@@ -431,7 +442,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # labels only ever decrease, so the integer label-sum is a strictly
     # decreasing fixpoint witness: one cheap agg per round, no extra join
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         neighbor_min = (sym.join(labels, sym.b == labels.node)
                         .groupBy(F.col("a").alias("node"))
                         .agg(F.min("label").alias("nbr_label")))
@@ -445,6 +457,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+        rounds += 1
+        if max_iter is not None and rounds >= max_iter:
+            sym.unpersist()
+            raise RuntimeError(
+                f"label propagation not at fixpoint after {max_iter} "
+                "rounds — deep-diameter graph; use pointer doubling "
+                "(graph.transitive_roots) instead of raising the cap")
     sym.unpersist()
     return labels
 

@@ -672,3 +672,25 @@ class TestRankStatsProperties:
             assert -1.0 - 1e-12 <= r.spearman_rho <= 1.0 + 1e-12
 
         run()
+
+
+class TestConnectedComponentsFixpoint:
+    def test_deep_path_converges_and_guardrail_raises(self, spark):
+        """Same class as the k-core fix: min-label propagation over a
+        PATH graph needs diameter rounds — a silent 25-round cap would
+        return non-component labels on a 60-node chain. The uncapped
+        loop must converge to one component; an undersized guardrail
+        must RAISE, never return a wrong answer."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            connected_components,
+        )
+
+        n = 60
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long")
+        labels = {r.node: r.label
+                  for r in connected_components(nodes, edges).collect()}
+        assert set(labels.values()) == {0}          # one chain, min id 0
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            connected_components(nodes, edges, max_iter=3)
