@@ -102,14 +102,38 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("rank"), "node").limit(k))
 
 
-def transitive_roots(parents: DataFrame, n_rounds: int = 6) -> DataFrame:
+def transitive_roots(parents: DataFrame, n_rounds: int = 6,
+                     verify_converged: bool = True) -> DataFrame:
     """See module docstring; ``n_rounds`` doublings resolve depth ≤
     2**n_rounds. Callers that can bound the hierarchy depth from data
     they already know (graph_hierarchy_depths derives it from one max()
     scalar) should pass the tight round count — each saved round is one
     whole shuffle + checkpoint, the dominant cost on log-shaped frames
-    (measured sf0.1: 6 → 4 rounds ≈ −0.5 s of pure scheduling)."""
-    return _transitive_roots(parents, n_rounds)
+    (measured sf0.1: 6 → 4 rounds ≈ −0.5 s of pure scheduling).
+
+    ``verify_converged`` (the r7 no-silent-cap rule, same class as the
+    k-core / label-propagation fixes): one exit-time composition probe
+    RAISES if any chain is still unresolved after ``n_rounds`` —
+    returning partial depths on a deeper-than-declared hierarchy would
+    be a silent wrong answer. Cost: one bounded join+count job total
+    (not per round); pass False only when the caller has already
+    derived the depth bound from the data."""
+    out = _transitive_roots(parents, n_rounds)
+    if verify_converged:
+        step = parents.select(F.col("node").alias("j_node"),
+                              F.col("parent").alias("j_parent"))
+        # a resolved row's anc is a root (self-parent) or a phantom
+        # (no row); an anc with a REAL different parent means the walk
+        # stopped short
+        unresolved = (out.join(step, out["root"] == step["j_node"])
+                      .filter(F.col("j_parent") != F.col("j_node"))
+                      .limit(1).count())
+        if unresolved:
+            raise RuntimeError(
+                f"pointer doubling not at fixpoint after {n_rounds} "
+                f"rounds (depth > {2 ** n_rounds}) — raise n_rounds; "
+                "each extra round doubles the resolvable depth")
+    return out
 
 
 def _transitive_roots(parents: DataFrame, n_rounds: int) -> DataFrame:
@@ -188,7 +212,11 @@ def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_key = parents.agg(F.max("node")).first()[0] or 1
     depth_bound = max(1, int(math.floor(math.log2(max(1, max_key)))) + 1)
     rounds = max(1, math.ceil(math.log2(depth_bound)))
-    roots = transitive_roots(parents, n_rounds=rounds)
+    # verify_converged=False: the round count above is DERIVED from the
+    # data's own max key, so the exit probe would re-prove a theorem —
+    # skip its job (the probe is for callers with assumed bounds)
+    roots = transitive_roots(parents, n_rounds=rounds,
+                             verify_converged=False)
     return (roots.select(F.col("node").alias("c_custkey"), "root", "depth")
             .orderBy("c_custkey"))
 

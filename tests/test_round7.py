@@ -694,3 +694,23 @@ class TestConnectedComponentsFixpoint:
         assert set(labels.values()) == {0}          # one chain, min id 0
         with pytest.raises(RuntimeError, match="fixpoint"):
             connected_components(nodes, edges, max_iter=3)
+
+
+class TestPointerDoublingGuardrail:
+    def test_deep_chain_raises_instead_of_partial_depths(self, spark):
+        """transitive_roots resolves depth <= 2^n_rounds; on a 40-deep
+        chain with n_rounds=3 (depth 8) the old code returned PARTIAL
+        depths silently — now it raises; with enough rounds the exact
+        depths come back."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.graph import (
+            transitive_roots,
+        )
+
+        n = 40
+        parents = spark.createDataFrame(
+            [(i, max(i - 1, 0)) for i in range(n)], "node long, parent long")
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            transitive_roots(parents, n_rounds=3)
+        out = {r.node: (r.root, r.depth)
+               for r in transitive_roots(parents, n_rounds=6).collect()}
+        assert out == {i: (0, i) for i in range(n)}
