@@ -714,3 +714,27 @@ class TestPointerDoublingGuardrail:
         out = {r.node: (r.root, r.depth)
                for r in transitive_roots(parents, n_rounds=6).collect()}
         assert out == {i: (0, i) for i in range(n)}
+
+
+class TestCusumMultiBatch:
+    def test_cusum_alerts_multibatch_equals_single(self, spark, sf_dir,
+                                                   tmp_path):
+        """Completes the stateful-drain contract over the last
+        update-path operator: the online Welford + two-sided CUSUM state
+        (n, mean, m2, sp, sm) must restore losslessly between
+        micro-batches — the time-range split preserves feed order, so
+        the multi-batch alert stream must be row-identical (append mode
+        emits each alert exactly once)."""
+        src = _time_split_files(spark, sf_dir, str(tmp_path / "ev_cs"))
+        multi = sorted(
+            (r.event_type, r.ordinal, r.side, round(r.stat, 9))
+            for r in _drain(spark, ev.cusum_drift_alerts(
+                _stream_one_file_per_batch(spark, src)), "t_cs_mb",
+                tmp_path, mode="append"))
+        single = sorted(
+            (r.event_type, r.ordinal, r.side, round(r.stat, 9))
+            for r in _drain(spark, ev.cusum_drift_alerts(
+                ev.read_events_stream(spark, sf_dir)), "t_cs_sb",
+                tmp_path, mode="append"))
+        assert multi == single
+        assert single, "fixture must raise at least one CUSUM alert"
