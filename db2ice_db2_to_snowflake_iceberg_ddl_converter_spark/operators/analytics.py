@@ -2110,8 +2110,13 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import load_events
     from .scale import global_ranks
 
+    # explicit null guard (fixture values are non-null, but the rank
+    # order of NULLs is the one place the engines' defaults diverge:
+    # Spark ASC sorts them first, DuckDB's window ORDER BY puts them
+    # last — a rank test has no sensible NULL semantics anyway)
     e = (load_events(spark, sf_dir)
-         .filter(F.col("event_type").isin("purchase", "click"))
+         .filter(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull())
          .select("event_type", "event_id", "value"))
     return mann_whitney_from(e, group_col="event_type",
                              one_group="purchase", value_col="value",
@@ -2173,7 +2178,8 @@ ORACLE_MANN_WHITNEY = """
 WITH pooled AS (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
-  FROM events WHERE event_type IN ('purchase', 'click')),
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
 vt AS (
   SELECT value, MIN(rn) AS rmin, COUNT(*) AS t,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1
