@@ -2249,26 +2249,47 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
-                      y_col: str, tie_break: str) -> DataFrame:
+                      y_col: str, tie_break: str,
+                      num_partitions: int = 16) -> DataFrame:
     """The per-group Spearman core on an arbitrary frame — split out so
-    property tests can drive it with randomized tie-heavy samples (same
-    contract as the registry entry: group-PARTITIONed windows only,
-    doubled tie-averaged ranks exact in DECIMAL(38,0), one-sqrt-of-a-
-    product Pearson form). Returns (part_col, n_rows, spearman_rho)."""
+    property tests can drive it with randomized tie-heavy samples
+    (doubled tie-averaged ranks exact in DECIMAL(38,0), one-sqrt-of-a-
+    product Pearson form). Returns (part_col, n_rows, spearman_rho).
+
+    Scale shape: per-group ranks are derived from TWO
+    :func:`~.scale.global_ranks` passes ordered (group, value, tie) —
+    within-group rank = global_rn − min(global_rn over the group) + 1,
+    a groups-sized offset join — so there is NO WindowExec anywhere
+    (plan-pinned): a group-PARTITIONed window would serialize each
+    group through one task, and group keys like nation (25 values)
+    don't scale out the way month keys do. Tie-averaging is a
+    (group, value)-level rollup joined back, all co-partitioned
+    aggregations."""
+    from .scale import global_ranks
+
     d38 = "decimal(38,0)"
-    wx = Window.partitionBy(part_col).orderBy(x_col, tie_break)
-    wy = Window.partitionBy(part_col).orderBy(y_col, tie_break)
-    rk = df.select(part_col, x_col, y_col,
-                   F.row_number().over(wx).alias("rnx"),
-                   F.row_number().over(wy).alias("rny"))
-    wvx = Window.partitionBy(part_col, x_col)
-    wvy = Window.partitionBy(part_col, y_col)
-    dd = rk.select(
-        part_col,
-        (2 * F.min("rnx").over(wvx) + F.count(F.lit(1)).over(wvx) - 1)
-        .alias("dx"),
-        (2 * F.min("rny").over(wvy) + F.count(F.lit(1)).over(wvy) - 1)
-        .alias("dy"))
+    gx, _ = global_ranks(df, [F.asc(part_col), F.asc(x_col),
+                              F.asc(tie_break)],
+                         num_partitions=num_partitions,
+                         rank_col="__gx")
+    gy, _ = global_ranks(gx, [F.asc(part_col), F.asc(y_col),
+                              F.asc(tie_break)],
+                         num_partitions=num_partitions,
+                         rank_col="__gy")
+    off = gy.groupBy(part_col).agg(F.min("__gx").alias("__ox"),
+                                   F.min("__gy").alias("__oy"))
+    rk = (gy.join(F.broadcast(off), part_col)   # groups-sized dim
+          .select(part_col, x_col, y_col,
+                  (F.col("__gx") - F.col("__ox") + 1).alias("rnx"),
+                  (F.col("__gy") - F.col("__oy") + 1).alias("rny")))
+    vx = (rk.groupBy(part_col, x_col)
+          .agg(F.min("rnx").alias("mx"), F.count(F.lit(1)).alias("tx")))
+    vy = (rk.groupBy(part_col, y_col)
+          .agg(F.min("rny").alias("my"), F.count(F.lit(1)).alias("ty")))
+    dd = (rk.join(vx, [part_col, x_col]).join(vy, [part_col, y_col])
+          .select(part_col,
+                  (2 * F.col("mx") + F.col("tx") - 1).alias("dx"),
+                  (2 * F.col("my") + F.col("ty") - 1).alias("dy")))
     s = dd.groupBy(part_col).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col("dx").cast(d38)).cast("double").alias("sx"),

@@ -738,3 +738,21 @@ class TestCusumMultiBatch:
                 tmp_path, mode="append"))
         assert multi == single
         assert single, "fixture must raise at least one CUSUM alert"
+
+
+class TestSpearmanPlanShape:
+    def test_no_window_exec_anywhere(self, spark, sf_dir):
+        """The Spearman core derives per-group ranks from global_ranks
+        offset joins — a group-PARTITIONed window over a 25-value key
+        would serialize each nation through one task at scale. Zero
+        WindowExec in the plan, single-partition or otherwise."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            stat_spearman_corr,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows, uncached_plan,
+        )
+
+        q = stat_spearman_corr(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert "Window" not in uncached_plan(q)
