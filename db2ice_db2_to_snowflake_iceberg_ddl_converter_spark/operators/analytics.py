@@ -114,20 +114,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles of o_totalprice by the explicit rule
     "smallest value whose 1-based rank ≥ ceil(q·n)" — identical in any
     engine (native percentile_cont/disc interpolation and index conventions
-    are NOT portable). One partitioned window sort + one aggregate; the
-    window is partitioned on the group key, so each group sorts in its own
-    partition — no global single-partition sort."""
-    from pyspark.sql import Window
+    are NOT portable).
+
+    Scale shape (rewritten round 7): the group key has FIVE values, so a
+    group-partitioned window would sort a fifth of the table in one
+    task at any scale — ranks now come from :func:`~.scale.grouped_ranks`
+    (range shuffle + groups-sized offset join, no WindowExec), with the
+    per-group n as a groups-sized broadcast join."""
+    from .scale import grouped_ranks
 
     o = ld(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_orderpriority", "o_totalprice",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("o_orderpriority")).alias("n"),
-    )
+    ranked = grouped_ranks(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="rk")
+    counts = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"))
+    ranked = ranked.join(F.broadcast(counts), "o_orderpriority")
     aggs = [
         F.min(F.when(F.col("rk") >= F.ceil(F.lit(q) * F.col("n")),
                      F.col("o_totalprice"))).alias(name)
@@ -2265,23 +2269,15 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
     don't scale out the way month keys do. Tie-averaging is a
     (group, value)-level rollup joined back, all co-partitioned
     aggregations."""
-    from .scale import global_ranks
+    from .scale import grouped_ranks
 
     d38 = "decimal(38,0)"
-    gx, _ = global_ranks(df, [F.asc(part_col), F.asc(x_col),
-                              F.asc(tie_break)],
-                         num_partitions=num_partitions,
-                         rank_col="__gx")
-    gy, _ = global_ranks(gx, [F.asc(part_col), F.asc(y_col),
-                              F.asc(tie_break)],
-                         num_partitions=num_partitions,
-                         rank_col="__gy")
-    off = gy.groupBy(part_col).agg(F.min("__gx").alias("__ox"),
-                                   F.min("__gy").alias("__oy"))
-    rk = (gy.join(F.broadcast(off), part_col)   # groups-sized dim
-          .select(part_col, x_col, y_col,
-                  (F.col("__gx") - F.col("__ox") + 1).alias("rnx"),
-                  (F.col("__gy") - F.col("__oy") + 1).alias("rny")))
+    rk = grouped_ranks(df, [part_col],
+                       [F.asc(x_col), F.asc(tie_break)],
+                       rank_col="rnx", num_partitions=num_partitions)
+    rk = grouped_ranks(rk, [part_col],
+                       [F.asc(y_col), F.asc(tie_break)],
+                       rank_col="rny", num_partitions=num_partitions)
     vx = (rk.groupBy(part_col, x_col)
           .agg(F.min("rnx").alias("mx"), F.count(F.lit(1)).alias("tx")))
     vy = (rk.groupBy(part_col, y_col)

@@ -253,6 +253,34 @@ def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c_custkey") <= 200))
 
 
+def grouped_ranks(df: DataFrame, group_cols: list, order_exprs: list,
+                  rank_col: str = "grp_rn",
+                  num_partitions: int = 32) -> DataFrame:
+    """Per-group ``row_number`` WITHOUT a group-partitioned window — the
+    low-cardinality-key companion to :func:`global_ranks` (round 7).
+
+    ``Window.partitionBy(k)`` serializes each key's rows through ONE
+    task, which is fine when keys scale out with the data (user_id,
+    order month) but a bottleneck when the key set is small and fixed
+    (5 order priorities, 25 nations): at 100× each of the 5 tasks sorts
+    a fifth of the table. Here the rank comes from one
+    :func:`global_ranks` pass ordered (group_cols…, order_exprs…) —
+    a RANGE shuffle across ``num_partitions`` tasks, group boundaries
+    free to span partitions — and the within-group rank is
+    ``global_rn − min(global_rn per group) + 1`` via a groups-sized
+    broadcast offset join. Same output as the window formulation,
+    rank-gap-free per group; ``order_exprs`` must total-order rows
+    within each group (the ``global_ranks`` tie-break contract)."""
+    gr, _ = global_ranks(
+        df, [F.asc(c) for c in group_cols] + list(order_exprs),
+        num_partitions=num_partitions, rank_col="__g")
+    off = gr.groupBy(*group_cols).agg(F.min("__g").alias("__o"))
+    return (gr.join(F.broadcast(off), group_cols)
+            .withColumn(rank_col,
+                        (F.col("__g") - F.col("__o") + 1).cast("long"))
+            .drop("__g", "__o"))
+
+
 def repartition_for_write(df: DataFrame, cluster_cols: list[str],
                           target_partitions: int | None = None) -> DataFrame:
     """DISTRIBUTE BY HASH → CLUSTER BY intent (reference parser.py:102,

@@ -756,3 +756,39 @@ class TestSpearmanPlanShape:
         q = stat_spearman_corr(spark, sf_dir)
         assert single_partition_windows(q) == 0
         assert "Window" not in uncached_plan(q)
+
+
+class TestGroupedRanks:
+    def test_matches_window_formulation(self, spark):
+        """grouped_ranks == the Window.partitionBy row_number it
+        replaces, on a frame with duplicate order keys and uneven
+        groups."""
+        from pyspark.sql import Window
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            grouped_ranks,
+        )
+
+        rows = [("a", v, i) for i, v in enumerate([3, 1, 3, 2, 1, 5])] \
+            + [("b", v, i + 10) for i, v in enumerate([7, 7])] \
+            + [("c", 0, 99)]
+        df = spark.createDataFrame(rows, "g string, v long, id long")
+        got = {(r.g, r.id): r.grp_rn for r in grouped_ranks(
+            df, ["g"], [F.asc("v"), F.asc("id")],
+            num_partitions=3).collect()}
+        w = Window.partitionBy("g").orderBy("v", "id")
+        exp = {(r.g, r.id): r.rn for r in df.select(
+            "g", "id", F.row_number().over(w).alias("rn")).collect()}
+        assert got == exp
+
+    def test_agg_percentiles_no_window(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            agg_percentiles,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            single_partition_windows, uncached_plan,
+        )
+
+        q = agg_percentiles(spark, sf_dir)
+        assert single_partition_windows(q) == 0
+        assert "Window" not in uncached_plan(q)
