@@ -1161,23 +1161,24 @@ def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cuts use the module's portable rank rule ("smallest value whose
     1-based rank ≥ ceil(q·n)", event_id tiebreak) — native percentile
-    interpolation conventions are NOT engine-portable. Shape: one window
-    rank partitioned by event_type (each type sorts in its own
-    partition), a type-cardinality cut table broadcast back, one final
-    hash aggregate; the clamped sum follows the decimal protocol so the
+    interpolation conventions are NOT engine-portable. Shape (rewritten
+    round 7): ranks ride :func:`~.scale.grouped_ranks` — a 5-value
+    event_type window would sort a fifth of the table per task at any
+    scale — with the per-type n as a types-sized broadcast join; then
+    the type-cardinality cut table broadcasts back and one final hash
+    aggregate; the clamped sum follows the decimal protocol so the
     double output is bitwise-portable.
     """
-    from pyspark.sql import Window
-
     from .relational import DEC, load_events
+    from .scale import grouped_ranks
 
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = e.select(
-        "event_type", "value",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("event_type")).alias("n"))
+    rk = grouped_ranks(e.select("event_type", "value", "event_id"),
+                       ["event_type"],
+                       [F.asc("value"), F.asc("event_id")],
+                       rank_col="rk")
+    counts = rk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = rk.join(F.broadcast(counts), "event_type")
     cuts = (ranked.groupBy("event_type")
             .agg(F.min(F.when(F.col("rk") >= F.ceil(F.lit(0.01) * F.col("n")),
                               F.col("value"))).alias("p01"),
@@ -1682,10 +1683,15 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
     ``date_diff``); percentiles use the module's explicit "smallest
     value whose rank ≥ ceil(q·n)" rule (engine-native interpolation is
     not portable); means are exact integer sums over counts, one divide
-    each. Shape: one orderkey equi-join (AQE-sized), ONE month-keyed
-    window sort covering both percentiles, O(months) output — month
-    cardinality grows with history, so the window keys scale out.
+    each. Shape (rewritten round 7): one orderkey equi-join (AQE-sized);
+    ranks ride :func:`~.scale.grouped_ranks` — month CARDINALITY grows
+    with history, but each month's ROW COUNT grows with data density,
+    so a month-keyed window still sorts a whole month in one task at
+    100×; the range-shuffled ordinal scales both ways. O(months)
+    output.
     """
+    from .scale import grouped_ranks
+
     li = ld(spark, sf_dir, "lineitem")
     o = ld(spark, sf_dir, "orders")
     j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1696,13 +1702,12 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
                         F.col("o_orderdate").cast("date"))
              .alias("ship_lag"),
              "l_orderkey", "l_linenumber"))
-    w = Window.partitionBy("order_month").orderBy(
-        "ship_lag", "l_orderkey", "l_linenumber")
-    ranked = j.select(
-        "order_month", "ship_lag",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("order_month")).alias("n"))
+    rk = grouped_ranks(j, ["order_month"],
+                       [F.asc("ship_lag"), F.asc("l_orderkey"),
+                        F.asc("l_linenumber")], rank_col="rk")
+    months_n = (rk.groupBy("order_month")
+                .agg(F.count(F.lit(1)).alias("n")))
+    ranked = rk.join(F.broadcast(months_n), "order_month")
     return (ranked.groupBy("order_month")
             .agg(F.max("n").alias("n_lines"),
                  F.min(F.when(F.col("rk") >= F.ceil(0.50 * F.col("n")),

@@ -204,11 +204,17 @@ def vocab_kmv_distinct(spark: SparkSession, sf_dir: str,
 
     Spark shape: the token stream collapses FIRST to distinct
     (source, hash) — vocabulary-bounded, with map-side partial distinct —
-    then a per-source window keeps the k smallest hashes (sources are the
-    partition key; the frame entering the window is vocab-sized, never
-    corpus-sized). Emits estimate vs exact distinct and the relative
-    error so the bound is auditable; pytest pins |rel_err| ≲ 3/√k.
-    xxhash64 has no DuckDB twin → rows-only driver check.
+    then the k smallest hashes per source come from the two-level
+    salted min-k ladder (the :func:`kmv_set_ops` shape, applied here
+    round 7): level 1 keeps k minima within each of 64 ``h % 64`` salt
+    buckets (the per-task sort is vocab/64, and the salt count is the
+    knob that scales the ladder out — a bare per-source window would
+    sort a source's WHOLE vocabulary in one task at 100×), level 2
+    merges the ≤ 64·k survivors per source (bounded window). Exact:
+    the global k minima all survive level 1. Emits estimate vs exact
+    distinct and the relative error so the bound is auditable; pytest
+    pins |rel_err| ≲ 3/√k. xxhash64 has no DuckDB twin → rows-only
+    driver check.
     """
     from pyspark.sql import Window
 
@@ -219,13 +225,18 @@ def vocab_kmv_distinct(spark: SparkSession, sf_dir: str,
                     F.explode(F.split("text", " ")).alias("tok"))
     hashed = (toks.select("source", F.xxhash64("tok").alias("h"))
               .distinct())
-    w = Window.partitionBy("source").orderBy("h")
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    w2 = Window.partitionBy("source").orderBy("h")   # ≤ 64·k rows/source
     # map the signed 64-bit hash into (0,1): u = (h + 2^63 + 1) / 2^64 —
     # monotone, never 0 (min long maps to 2^-64)
     u = ((F.col("h").cast("double") + F.lit(2.0 ** 63) + F.lit(1.0))
          / F.lit(2.0 ** 64))
-    kth = (hashed.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == k)
+    kth = (hashed
+           .withColumn("salt", F.pmod("h", F.lit(64)))
+           .withColumn("rn", F.row_number().over(w1))
+           .filter(F.col("rn") <= k)
+           .withColumn("rn2", F.row_number().over(w2))
+           .filter(F.col("rn2") == k)
            .select("source", u.alias("u_k")))
     exact = (hashed.groupBy("source")
              .agg(F.count(F.lit(1)).alias("exact_distinct")))

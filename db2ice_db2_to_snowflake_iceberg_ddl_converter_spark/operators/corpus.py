@@ -1939,11 +1939,18 @@ def corpus_distinctive_terms(spark: SparkSession, sf_dir: str,
     odds = (((F.col("a") + 1) * (big_b - b + 1)).cast("double")
             / ((F.col("a_docs") - F.col("a") + 1) * (b + 1))
             .cast("double"))
-    w = Window.partitionBy("source").orderBy(
-        F.desc("odds_ratio"), "token")
-    return (j.select("source", "token", "a", F.col("df").alias("df_total"),
-                     odds.alias("odds_ratio"))
-            .withColumn("rank", F.row_number().over(w))
+    # top-n per source WITHOUT a source-keyed window (rewritten round 7):
+    # the census is (sources × vocab)-sized and a ~8-value source window
+    # would sort each source's whole vocabulary slice in one task —
+    # grouped_ranks range-shuffles instead and the ordinal join key
+    # scales out
+    from .scale import grouped_ranks
+
+    sel = j.select("source", "token", "a", F.col("df").alias("df_total"),
+                   odds.alias("odds_ratio"))
+    return (grouped_ranks(sel, ["source"],
+                          [F.desc("odds_ratio"), F.asc("token")],
+                          rank_col="rank")
             .filter(F.col("rank") <= top_n)
             .orderBy("source", "rank"))
 

@@ -30,33 +30,25 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     value in the hour (deterministic (ts, event_id) order), high/low the
     extremes, plus count and exact-decimal volume.
 
-    Plan: ONE shuffle on (event_type, hour) shared by the window pass and
-    the final aggregation — row_number and the partition count ride the
-    same sort run, and AQE sees the agg needs the exact partitioning the
-    window just produced. open/close come from the rn=1 / rn=n rows via
-    conditional MAX, so no second ordering (a DESC twin window would force
-    another sort) and no driver involvement. Partition cardinality is
-    types × hours — grows with retention, shuffles evenly at 100 TB.
+    Plan (rewritten round 7): NO window at all — open/close are
+    ``min_by``/``max_by`` over the (us, event_id) struct key, so the
+    whole query is ONE hash aggregation with map-side partials (the
+    previous shared window+agg shuffle still SORTED every (type, hour)
+    cell; a hot hour at 100 TB holds 1e8 rows and sorts in one task —
+    an agg never sorts). Partition cardinality is types × hours — grows
+    with retention, shuffles evenly at 100 TB.
     """
     e = load_events(spark, sf_dir)
     base = e.select(
         "event_type", "event_id", "value",
         F.date_trunc("hour", "ts").alias("hour_start"),
         F.unix_micros("ts").alias("us"))
-    w = Window.partitionBy("event_type", "hour_start") \
-        .orderBy("us", "event_id")
-    wn = Window.partitionBy("event_type", "hour_start")
-    ranked = base.select(
-        "event_type", "hour_start", "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"))
-    return (ranked.groupBy("event_type", "hour_start")
-            .agg(F.max(F.when(F.col("rn") == 1, F.col("value")))
-                 .alias("open_v"),
+    okey = F.struct(F.col("us"), F.col("event_id"))
+    return (base.groupBy("event_type", "hour_start")
+            .agg(F.min_by("value", okey).alias("open_v"),
                  F.max("value").alias("high_v"),
                  F.min("value").alias("low_v"),
-                 F.max(F.when(F.col("rn") == F.col("n"), F.col("value")))
-                 .alias("close_v"),
+                 F.max_by("value", okey).alias("close_v"),
                  F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast(DEC)).cast("double")
                  .alias("volume"))
@@ -100,18 +92,24 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     products are summed under the decimal protocol and divided ONCE by
     the exact integer duration total.
 
-    Plan: one shuffle on event_type shared by the lead() window and the
-    final agg (same key); no window without PARTITION BY, no second
-    exchange. Types × nothing else — the narrow state per type is two
-    running sums.
+    Plan (rewritten round 7): lead() over a 5-value event_type window
+    serializes each type's WHOLE stream through one task at scale — the
+    successor now comes from :func:`~.scale.grouped_ranks` (range
+    shuffle, no WindowExec) plus an adjacency equi-join on
+    (event_type, rn+1): the per-type ordinal is a join key that scales
+    out even when the type key itself cannot. The final agg still
+    collapses to O(types) rows with map-side partials.
     """
+    from .scale import grouped_ranks
+
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
     base = e.select("event_type", "event_id", "value",
                     F.unix_micros("ts").alias("us"))
-    spans = (base
-             .withColumn("next_us", F.lead("us").over(w))
-             .filter(F.col("next_us").isNotNull())
+    rk = grouped_ranks(base, ["event_type"],
+                       [F.asc("us"), F.asc("event_id")], rank_col="rn")
+    nxt = rk.select("event_type", (F.col("rn") - 1).alias("rn"),
+                    F.col("us").alias("next_us"))
+    spans = (rk.join(nxt, ["event_type", "rn"])
              .withColumn("dur_us", F.col("next_us") - F.col("us")))
     weighted = F.col("value") * F.col("dur_us").cast("double")
     return (spans.groupBy("event_type")
@@ -626,18 +624,24 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``greatest(E[g²] − mean², 0)`` with oracle-identical op order, std
     is a single sqrt (portable), CV one more divide.
 
-    Scale shape: one shuffle keyed by event_type for the lag window
-    (PARTITION BY keeps sort runs inside their partition), then a
-    map-side-partial aggregation to O(types) rows. No driver math.
+    Scale shape (rewritten round 7): lag() over a 5-value event_type
+    window serializes each type's whole stream through one task — the
+    predecessor now comes from :func:`~.scale.grouped_ranks` plus an
+    adjacency equi-join on (event_type, rn−1) (the events_twap shape),
+    then a map-side-partial aggregation to O(types) rows. No driver
+    math.
     """
+    from .scale import grouped_ranks
+
     e = load_events(spark, sf_dir).select(
         "event_type", "event_id", F.unix_micros("ts").alias("us"))
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    gaps = (e.select("event_type",
-                     (F.col("us") - F.lag("us").over(w)).alias("gap_us"))
-            .filter(F.col("gap_us").isNotNull())
+    rk = grouped_ranks(e, ["event_type"],
+                       [F.asc("us"), F.asc("event_id")], rank_col="rn")
+    prv = rk.select("event_type", (F.col("rn") + 1).alias("rn"),
+                    F.col("us").alias("prev_us"))
+    gaps = (rk.join(prv, ["event_type", "rn"])
             .select("event_type",
-                    F.expr("gap_us div 1000000").alias("gap_s")))
+                    F.expr("(us - prev_us) div 1000000").alias("gap_s")))
     agg = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum("gap_s").alias("s1"),

@@ -978,14 +978,17 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
     statistics, same rationale as agg_percentiles/events_mad_outliers):
     within-source rank r of n_s rows maps to the global order statistic
     at ordinal ceil(r·N/n_s), computed as exact integer
-    ``(r·N + n_s − 1) div n_s``. The per-source rank is a PARTITIONed
-    window (source-keyed, scales out); the global order comes from
-    ``scale.global_ranks`` — range shuffle + prefix offsets, never a
-    single-partition window; the lookup is one equi-join on the
-    ordinal. The normalized value is a score DuckDB computed through
-    the identical expression, so the hash comparison is exact.
+    ``(r·N + n_s − 1) div n_s``. The per-source rank rides
+    ``scale.grouped_ranks`` (rewritten round 7 — a source-keyed window
+    over ~8 fixed sources would sort an eighth of the corpus per task
+    at any scale; the ordinal join key scales out where the source key
+    cannot); the global order comes from ``scale.global_ranks`` — range
+    shuffle + prefix offsets, never a single-partition window; the
+    lookup is one equi-join on the ordinal. The normalized value is a
+    score DuckDB computed through the identical expression, so the hash
+    comparison is exact.
     """
-    from .scale import global_ranks
+    from .scale import global_ranks, grouped_ranks
     from .textstats import quality_score_expr
 
     d = ld(spark, sf_dir, "documents")
@@ -993,12 +996,12 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
                       quality_score_expr().cast("double").alias("raw_score"))
     ranked, n = global_ranks(
         scored, [F.asc("raw_score"), F.asc("doc_id")], num_partitions=8)
-    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
-    ws = Window.partitionBy("source")
-    src = ranked.select(
-        "doc_id", "source", "raw_score",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(ws).alias("n_s"))
+    src = grouped_ranks(ranked, ["source"],
+                        [F.asc("raw_score"), F.asc("doc_id")],
+                        rank_col="r", num_partitions=8)
+    ns = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    src = (src.join(F.broadcast(ns), "source")
+           .select("doc_id", "source", "raw_score", "r", "n_s"))
     lookup = ranked.select(F.col("global_rn").alias("g"),
                            F.col("raw_score").alias("norm_score"))
     return (src.withColumn(

@@ -792,3 +792,27 @@ class TestGroupedRanks:
         q = agg_percentiles(spark, sf_dir)
         assert single_partition_windows(q) == 0
         assert "Window" not in uncached_plan(q)
+
+
+class TestLowCardinalityWindowPurge:
+    def test_converted_entries_have_zero_window_exec(self, spark, sf_dir):
+        """Round-7 sweep: every data-scaled frame that was ranked/lagged
+        under a LOW-CARDINALITY partition key (5 event types, ~8
+        sources, 5 priorities, ~84 months — keys that do NOT scale out
+        with volume) now rides grouped_ranks / min_by aggregation; the
+        plans must carry no WindowExec at all."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics, corpus, eventtime, traindata,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.plans.inspect import (
+            uncached_plan,
+        )
+
+        for q in (eventtime.events_twap(spark, sf_dir),
+                  eventtime.events_interarrival_stats(spark, sf_dir),
+                  eventtime.events_ohlc_bars(spark, sf_dir),
+                  analytics.events_winsorize_clip(spark, sf_dir),
+                  analytics.orders_fulfillment_latency(spark, sf_dir),
+                  traindata.quality_quantile_calibrate(spark, sf_dir),
+                  corpus.corpus_distinctive_terms(spark, sf_dir)):
+            assert "Window" not in uncached_plan(q)
