@@ -61,13 +61,14 @@ class TestPercentiles:
             for name, q in analytics._PCTS:
                 assert getattr(r, name) == vals[math.ceil(q * n) - 1]
 
-    def test_percentile_window_is_partitioned(self, spark, sf_dir):
+    def test_percentile_ranks_have_no_window(self, spark, sf_dir):
+        """Round 7 replaced the 5-priority partitioned window (each
+        priority sorted a fifth of orders in ONE task at any scale)
+        with scale.grouped_ranks — the plan must carry no WindowExec
+        at all now."""
         plan = (analytics.agg_percentiles(spark, sf_dir)
                 ._jdf.queryExecution().executedPlan().toString())
-        assert "Window" in plan
-        # a global (un-partitioned) window would log/plan a single-partition
-        # sort: partitioning spec must mention the group key
-        assert "o_orderpriority" in plan.split("Window")[1][:400]
+        assert "Window" not in plan
 
 
 class TestHashSampling:
