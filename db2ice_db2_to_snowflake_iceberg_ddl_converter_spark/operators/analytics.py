@@ -2170,17 +2170,25 @@ def mann_whitney_from(pooled: DataFrame, group_col: str, one_group: str,
     m = u1_num - n1.cast(d38) * n2.cast(d38)          # = 2·(U1 − μ)
     prod12 = n1.cast(d38) * n2.cast(d38)
     var_a = prod12.cast("double") / F.lit(12).cast("double")
-    var_b = ((nn + 1).cast("double")
-             - F.col("ties").cast("double")
-             / (nn.cast(d38) * (nn - 1).cast(d38)).cast("double"))
+    # degenerate-input guards (ANSI mode turns a zero denominator into
+    # a runtime error, and a filtered feed CAN legitimately be one
+    # group, one row, or all-tied): z is NULL when the test is
+    # undefined. On any two-group non-degenerate input the guards are
+    # all-true, so the oracle's unguarded expression hash-matches.
+    var_b = F.when(
+        nn > 1,
+        (nn + 1).cast("double")
+        - F.col("ties").cast("double")
+        / (nn.cast(d38) * (nn - 1).cast(d38)).cast("double"))
     u1 = u1_num.cast("double") / two
+    z = F.when((n1 > 0) & (n2 > 0) & (var_b > 0),
+               (m.cast("double") / two) / F.sqrt(var_a * var_b))
     return g.select(
         n1.alias("n1"), n2.alias("n2"),
         u1.alias(out_names[0]),
         (prod12.cast("double") - u1_num.cast("double") / two)
         .alias(out_names[1]),
-        ((m.cast("double") / two) / F.sqrt(var_a * var_b))
-        .alias("z_score"))
+        z.alias("z_score"))
 
 
 ORACLE_MANN_WHITNEY = """
@@ -2303,8 +2311,13 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
         .cast("double").alias("syy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    rho = ((n * sxy - sx * sy)
-           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    # zero rank variance (a group where x or y is all one value) makes
+    # rho undefined — NULL, not an ANSI divide error; guard all-true on
+    # non-degenerate groups so the oracle hash-matches
+    rho = F.when(
+        (n * sxx - sx * sx) * (n * syy - sy * sy) > 0,
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
     return s.select(part_col, n.cast("long").alias("n_rows"),
                     rho.alias("spearman_rho"))
 
@@ -2465,9 +2478,13 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("ty")))
     d38 = "decimal(38,0)"
     n0, nc, nd = F.col("n0"), F.col("nc"), F.col("nd")
-    tau_b = ((nc - nd).cast("double")
-             / F.sqrt(((n0 - F.col("tx")).cast(d38)
-                       * (n0 - F.col("ty")).cast(d38)).cast("double")))
+    # all-tied x or y (n0 == tx/ty) → tau undefined: NULL, not an ANSI
+    # divide error; guard all-true on non-degenerate series
+    tau_b = F.when(
+        (n0 > F.col("tx")) & (n0 > F.col("ty")),
+        (nc - nd).cast("double")
+        / F.sqrt(((n0 - F.col("tx")).cast(d38)
+                  * (n0 - F.col("ty")).cast(d38)).cast("double")))
     return (pairs.crossJoin(F.broadcast(tie_x))
             .crossJoin(F.broadcast(tie_y))
             .select(n0.alias("n_pairs"), nc.alias("n_concordant"),

@@ -520,9 +520,14 @@ def chi2_2x2(a: F.Column, b: F.Column, c: F.Column, d: F.Column) -> F.Column:
     den1 = (a + b).cast(d38) * (c + d).cast(d38)
     den2 = (a + c).cast(d38) * (b + d).cast(d38)
     n = a + b + c + d
-    return ((t.cast("double") / den1.cast("double"))
-            * (t.cast("double") / den2.cast("double"))
-            * n.cast("double"))
+    # a zero margin (an empty row/column) makes chi² undefined — NULL,
+    # not an ANSI divide error; guard all-true on non-degenerate tables
+    # so the oracle's unguarded expression hash-matches
+    return F.when(
+        (den1 > 0) & (den2 > 0),
+        (t.cast("double") / den1.cast("double"))
+        * (t.cast("double") / den2.cast("double"))
+        * n.cast("double"))
 
 
 def events_error_conversion(spark: SparkSession, sf_dir: str

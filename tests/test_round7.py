@@ -816,3 +816,47 @@ class TestLowCardinalityWindowPurge:
                   traindata.quality_quantile_calibrate(spark, sf_dir),
                   corpus.corpus_distinctive_terms(spark, sf_dir)):
             assert "Window" not in uncached_plan(q)
+
+
+class TestDegenerateInputsReturnNull:
+    def test_stats_null_not_ansi_error(self, spark):
+        """ANSI mode (the Spark 4 default this engine runs under) turns
+        a zero denominator into a runtime ERROR — but empty, one-group,
+        and all-tied feeds are legitimately reachable once a filter or
+        partition runs dry. Undefined statistics must come back NULL,
+        never abort the job."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            mann_whitney_from, spearman_rho_from,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.behavior import (
+            chi2_2x2,
+        )
+
+        empty = spark.createDataFrame([], "g string, i long, v double")
+        one = spark.createDataFrame([("a", 1, 2.0)],
+                                    "g string, i long, v double")
+        tied = spark.createDataFrame(
+            [("a", 1, 2.0), ("b", 2, 2.0), ("a", 3, 2.0)],
+            "g string, i long, v double")
+        for df in (empty, one, tied):
+            row = mann_whitney_from(df, "g", "a", "v", "i").collect()[0]
+            assert row.z_score is None
+        # non-degenerate stays defined
+        ok = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0), ("b", 4, 4.0)],
+            "g string, i long, v double")
+        assert mann_whitney_from(ok, "g", "a", "v", "i") \
+            .collect()[0].z_score is not None
+
+        constx = spark.createDataFrame(
+            [("k", 1, 1.0, 5.0), ("k", 2, 1.0, 6.0)],
+            "p string, i long, x double, y double")
+        assert spearman_rho_from(constx, "p", "x", "y", "i") \
+            .collect()[0].spearman_rho is None
+
+        cells = spark.createDataFrame(
+            [(0, 0, 3, 5), (2, 3, 4, 5)], "a long, b long, c long, d long")
+        out = cells.select(chi2_2x2(F.col("a"), F.col("b"), F.col("c"),
+                                    F.col("d")).alias("chi2")).collect()
+        assert out[0].chi2 is None          # empty error-row margin
+        assert out[1].chi2 is not None
