@@ -574,8 +574,15 @@ def events_error_conversion(spark: SparkSession, sf_dir: str
         F.sum(((F.col("err") == 0) & (F.col("buy") == 0)).cast("long"))
         .alias("d"))   # clean & no purchase
     n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
-    conv_err = F.col("a").cast("double") / (F.col("a") + F.col("b"))
-    conv_clean = F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    # zero-margin guards (a clean day has no error sessions → a+b = 0,
+    # and ANSI mode errors on the 0/0 instead of returning NULL);
+    # all-true on non-degenerate data so the oracle hash-match holds
+    conv_err = F.when(F.col("a") + F.col("b") > 0,
+                      F.col("a").cast("double")
+                      / (F.col("a") + F.col("b")))
+    conv_clean = F.when(F.col("c") + F.col("d") > 0,
+                        F.col("c").cast("double")
+                        / (F.col("c") + F.col("d")))
     odds = (((F.col("a") + 1) * (F.col("d") + 1)).cast("double")
             / ((F.col("b") + 1) * (F.col("c") + 1)).cast("double"))
     chi2 = chi2_2x2(F.col("a"), F.col("b"), F.col("c"), F.col("d"))
@@ -583,7 +590,8 @@ def events_error_conversion(spark: SparkSession, sf_dir: str
         n.alias("n_sessions"), "a", "b", "c", "d",
         conv_err.alias("conv_rate_with_error"),
         conv_clean.alias("conv_rate_clean"),
-        (conv_err / conv_clean).alias("risk_ratio"),
+        F.when(conv_clean > 0, conv_err / conv_clean)
+        .alias("risk_ratio"),
         odds.alias("odds_ratio_add1"),
         chi2.alias("chi2"))
 
