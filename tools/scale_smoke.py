@@ -62,6 +62,12 @@ DEFAULT_TOP = [
     # scale.global_ranks + a distinct-values tie rollup — the two stages
     # whose growth the 10× run must show linear
     "stat_mann_whitney_u",
+    # round-7 window purge representatives: lag-as-adjacency-join over
+    # the 10× event stream, and the double grouped_ranks/global_ranks
+    # calibration over the 10× corpus — the shapes that replaced the
+    # low-cardinality partitioned windows must grow linearly
+    "events_twap",
+    "quality_quantile_calibrate",
 ]
 
 TENX_TABLES = ("documents", "events", "embeddings")
