@@ -1807,8 +1807,12 @@ def orders_mom_contribution(spark: SparkSession, sf_dir: str,
                 F.col("rev_prev").cast("double").alias("rev_prev"),
                 F.col("rev_curr").cast("double").alias("rev_curr"),
                 F.col("delta").cast("double").alias("delta"),
-                (F.col("delta").cast("double")
-                 / F.col("total_delta").cast("double"))
+                # nation deltas can cancel to an exactly-zero month
+                # total (integer cents) — share undefined → NULL, not
+                # an ANSI divide error (all-true on fixture data)
+                F.when(F.col("total_delta") != 0,
+                       F.col("delta").cast("double")
+                       / F.col("total_delta").cast("double"))
                 .alias("share_of_total_delta"),
                 "rank")
             .orderBy("year", "month", "rank"))

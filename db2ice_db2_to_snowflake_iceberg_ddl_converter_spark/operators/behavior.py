@@ -223,7 +223,11 @@ def events_value_zscore(spark: SparkSession, sf_dir: str,
     var = F.col("s2").cast("double") / F.col("n") - mean * mean
     stats = stats.select("event_type", mean.alias("mean_v"),
                          F.sqrt(var).alias("std_v"))
-    return (e.join(F.broadcast(stats), "event_type")
+    # a constant-valued type has std 0 and by definition no outliers —
+    # drop it BEFORE the divide (ANSI would error; the MAD entry pins
+    # the same contract); all-true on fixture data
+    return (e.join(F.broadcast(stats.filter(F.col("std_v") > 0)),
+                   "event_type")
             .withColumn("z", (v - F.col("mean_v")) / F.col("std_v"))
             .filter(F.abs(F.col("z")) > z_cut)
             .select("event_id", "event_type", "value", "z")

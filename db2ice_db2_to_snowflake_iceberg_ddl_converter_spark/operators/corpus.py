@@ -1275,10 +1275,14 @@ def corpus_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / F.col("tot_new").cast("double")
                    - F.col("n_old").cast("double")
                    / F.col("tot_old").cast("double"))
+    # a one-sided corpus (every doc in one half of the id-parity split)
+    # makes the expected counts 0 — NULL, not an ANSI divide error;
+    # all-true whenever both halves hold at least one document
+    both = (F.col("tot_old") > 0) & (F.col("tot_new") > 0)
     return (counts.crossJoin(F.broadcast(totals))
             .select("lang", "n_old", "n_new",
-                    chi2.alias("chi2_contrib"),
-                    share_delta.alias("share_delta"))
+                    F.when(both, chi2).alias("chi2_contrib"),
+                    F.when(both, share_delta).alias("share_delta"))
             .orderBy("lang"))
 
 

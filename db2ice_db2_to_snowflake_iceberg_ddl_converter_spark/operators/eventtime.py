@@ -655,7 +655,9 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_gaps",
         mean.alias("mean_gap_s"),
         F.sqrt(var).alias("std_gap_s"),
-        (F.sqrt(var) / mean).alias("cv"),
+        # every gap zero (one burst second) → CV undefined → NULL, not
+        # an ANSI divide error (all-true on fixture data)
+        F.when(mean > 0, F.sqrt(var) / mean).alias("cv"),
         "min_gap_s", "max_gap_s")
         .orderBy("event_type"))
 

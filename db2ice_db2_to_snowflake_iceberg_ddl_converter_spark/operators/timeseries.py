@@ -467,7 +467,11 @@ def events_acf_daily(spark: SparkSession, sf_dir: str,
             .join(F.broadcast(stats.select("event_type", "n_days")),
                   "event_type")
             .select("event_type", "lag", "n_days",
-                    (F.col("cprod") / F.col("css")).alias("acf"))
+                    # a CONSTANT daily series has zero centered sum of
+                    # squares — ACF undefined → NULL, not an ANSI
+                    # divide error (all-true on fixture data)
+                    F.when(F.col("css") > 0,
+                           F.col("cprod") / F.col("css")).alias("acf"))
             .orderBy("event_type", "lag"))
 
 
@@ -554,7 +558,9 @@ def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str,
         "event_type", "n_eval_days",
         mae_s.alias("mae_seasonal"),
         mae_1.alias("mae_naive1"),
-        (mae_s / mae_1).alias("mase"))
+        # naive-1 perfect on a constant series → MASE undefined → NULL,
+        # not an ANSI divide error (all-true on fixture data)
+        F.when(mae_1 > 0, mae_s / mae_1).alias("mase"))
         .orderBy("event_type"))
 
 

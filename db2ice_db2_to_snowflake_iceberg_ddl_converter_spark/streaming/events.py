@@ -465,7 +465,10 @@ def zscore_alerts(events: DataFrame, stats: DataFrame,
     drain equals the batch query row-for-row — which is what makes the
     DuckDB oracle fair for a streaming entry.
     """
-    j = events.join(F.broadcast(stats), "event_type")
+    # a constant-valued type has std 0 and no outliers — drop it before
+    # the divide (ANSI errors on x/0.0; same contract as the batch twin)
+    j = events.join(F.broadcast(stats.filter(F.col("std_v") > 0)),
+                    "event_type")
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
     return (j.withColumn("z", z)
             .filter(F.abs(F.col("z")) > z_cut)
