@@ -74,7 +74,11 @@ def cosine_expr(a: str | F.Column, b: str | F.Column,
         na = norm_expr(a, dim)
     if nb is None:
         nb = norm_expr(b, dim)
-    return dot_expr(a, b, dim) / (na * nb)
+    # cosine is undefined against a zero vector (a failed/padded encoder
+    # row in a real corpus): NULL, not an ANSI divide error — the guard
+    # is all-true on any non-degenerate embedding table, so every
+    # oracle hash-match is unchanged
+    return F.when(na * nb > 0, dot_expr(a, b, dim) / (na * nb))
 
 
 def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
