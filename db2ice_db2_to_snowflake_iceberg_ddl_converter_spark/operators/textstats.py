@@ -273,7 +273,12 @@ def text_gopher_filters(spark, sf_dir):
     # strip a-z, A-Z, 0-9 and spaces; what's left is "symbols"
     stripped = F.translate(
         F.lower("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
-    sym_ratio = F.length(stripped).cast("double") / F.length("text")
+    # an EMPTY document divides 0/0 under ANSI — symbol ratio is
+    # undefined there (the words_ok gate already rejects it): NULL,
+    # not a job abort; all-true on fixture data
+    sym_ratio = F.when(F.length("text") > 0,
+                       F.length(stripped).cast("double")
+                       / F.length("text"))
     words_ok = (n_words >= 10) & (n_words <= 5000)
     mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
     stop_ok = stop_hits > 0
@@ -685,8 +690,12 @@ def classifier_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("b.n_pos").alias("cum_pos")))
     tot = per.agg(F.sum("n_docs").alias("total"),
                   F.sum("n_pos").alias("tot_pos"))
-    lift = ((F.col("cum_pos").cast("double") / F.col("cum_docs"))
-            / (F.col("tot_pos").cast("double") / F.col("total")))
+    # a corpus with zero positives makes lift undefined (base rate
+    # 0): NULL, not an ANSI divide error; all-true on fixture data
+    lift = F.when(
+        F.col("tot_pos") > 0,
+        (F.col("cum_pos").cast("double") / F.col("cum_docs"))
+        / (F.col("tot_pos").cast("double") / F.col("total")))
     return (cum.crossJoin(F.broadcast(tot))
             .select(F.col("decile").cast("int").alias("decile"),
                     F.col("n_docs").cast("long").alias("n_docs"),

@@ -150,8 +150,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str,
         "aggregate(embedding, CAST(0.0 AS DOUBLE),"
         " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
     withs = e.select("vec_id", "embedding", maxabs.alias("s"))
-    code = F.floor(F.col("x").cast("double") * 127.0 / F.col("s") + 0.5) \
-        .cast("int")
+    # an all-zero vector has scale 0 — its codes are exactly 0, and
+    # the division must not run (ANSI divide error); all-true branch
+    # on any non-degenerate vector
+    code = F.when(
+        F.col("s") > 0,
+        F.floor(F.col("x").cast("double") * 127.0 / F.col("s") + 0.5)
+        .cast("int")).otherwise(F.lit(0))
     exploded = (withs.select(
         "vec_id", "s",
         F.posexplode("embedding").alias("dim", "x")))
