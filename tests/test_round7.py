@@ -860,3 +860,39 @@ class TestDegenerateInputsReturnNull:
                                     F.col("d")).alias("chi2")).collect()
         assert out[0].chi2 is None          # empty error-row margin
         assert out[1].chi2 is not None
+
+
+class TestGroupedRanksFuzz:
+    def test_random_frames_match_window_formulation(self, spark):
+        """hypothesis-driven: grouped_ranks must equal the
+        Window.partitionBy row_number it replaces on random frames with
+        heavy ties, empty-ish groups, and skewed group sizes — including
+        DESC order keys (the distinctive-terms shape)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import Window
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.scale import (
+            grouped_ranks,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]),
+                      st.integers(min_value=0, max_value=3)),
+            min_size=1, max_size=25),
+            st.booleans())
+        def run(rows, desc):
+            df = spark.createDataFrame(
+                [(g, v, i) for i, (g, v) in enumerate(rows)],
+                "g string, v long, id long")
+            order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+            got = {(r.g, r.id): r.grp_rn for r in grouped_ranks(
+                df, ["g"], order, num_partitions=3).collect()}
+            w = Window.partitionBy("g").orderBy(
+                F.desc("v") if desc else F.asc("v"), "id")
+            exp = {(r.g, r.id): r.rn for r in df.select(
+                "g", "id", F.row_number().over(w).alias("rn")).collect()}
+            assert got == exp
+
+        run()
