@@ -1,7 +1,13 @@
 """Round-7 hardening: multi-batch state-restore contracts for every
 update-mode streaming drain (the r6 ADVICE bug class), the P² warm-up
-buffer restore fix, k-core fixpoint semantics, the overflow-safe 2×2
-chi², and the Iceberg write branch exercised without the runtime jar."""
+buffer restore fix, fixpoint semantics for every iterative loop
+(k-core, label propagation, pointer doubling — guardrails RAISE, never
+return partial answers), the overflow-safe 2×2 chi², the Iceberg write
+branch exercised without the runtime jar, the round-7 driver-window
+rotation pin, the rank-statistics debuts (replays + tie-heavy
+hypothesis properties), the low-cardinality-window purge
+(grouped_ranks equivalence + zero-WindowExec plan pins), and
+ANSI-mode degenerate inputs returning NULL instead of job aborts."""
 
 import time
 
