@@ -2285,9 +2285,17 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
     group through one task, and group keys like nation (25 values)
     don't scale out the way month keys do. Tie-averaging is a
     (group, value)-level rollup joined back, all co-partitioned
-    aggregations."""
+    aggregations.
+
+    NULL ``x_col``/``y_col`` rows are excluded UP FRONT (mirroring
+    ``stat_mann_whitney_u``'s isNotNull guard): rho over pairs is only
+    defined on complete observations, and filtering before ranking keeps
+    ``n_rows`` honest — previously NULL rows were ranked (inflating other
+    rows' ranks by a constant offset rho cancels) but silently dropped
+    from the tie rollup, underreporting n (round-7 ADVICE)."""
     from .scale import grouped_ranks
 
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     d38 = "decimal(38,0)"
     rk = grouped_ranks(df, [part_col],
                        [F.asc(x_col), F.asc(tie_break)],

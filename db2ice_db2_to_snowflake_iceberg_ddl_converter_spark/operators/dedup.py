@@ -408,7 +408,7 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          node_col: str = "id", src: str = "id1",
                          dst: str = "id2",
-                         max_iter: int | None = None) -> DataFrame:
+                         max_iter: int | None = 1000) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends with the
     smallest node id reachable from it (its cluster id).
 
@@ -427,10 +427,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     in ≤ diameter rounds) — the same contract as ``graph.graph_kcore``
     after its r7 fix: a silent round cap would return labels that are
     not yet components on a deeper-than-expected graph. ``max_iter`` is
-    an optional guardrail that RAISES instead of returning a wrong
-    answer. If a corpus ever shows chain-shaped dup clusters (diameter
-    ~ corpus size), the O(log n) pointer-doubling formulation
-    (``graph.transitive_roots``) is the route, not a bigger cap.
+    a guardrail that RAISES instead of returning a wrong answer; the
+    default (1000, r7 ADVICE) is generous — far above any near-dup
+    cluster diameter — so a pathological chain-shaped graph fails loudly
+    in bounded time instead of spinning one shuffle per diameter hop;
+    ``max_iter=None`` removes the rail entirely. If a corpus ever shows
+    chain-shaped dup clusters (diameter ~ corpus size), the O(log n)
+    pointer-doubling formulation (``graph.transitive_roots``) is the
+    route, not a bigger cap.
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))

@@ -357,7 +357,7 @@ def supplier_coproduct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
-                max_rounds: int | None = None) -> DataFrame:
+                max_rounds: int | None = 1000) -> DataFrame:
     """k-core of the supplier co-sourcing graph: the maximal subgraph in
     which every node keeps degree ≥ k — the standard peel for isolating
     the densely-interconnected supplier cluster (and, on document/user
@@ -383,8 +383,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     # peel to FIXPOINT, not a round budget: each non-final round strictly
     # shrinks the edge set, so the loop terminates in at most |E| rounds
     # and the result is a true k-core (a capped loop could exit with
-    # sub-k-degree survivors on deep peels). ``max_rounds`` is an
-    # optional guardrail that now raises instead of silently returning.
+    # sub-k-degree survivors on deep peels). ``max_rounds`` is a
+    # guardrail that RAISES instead of silently returning; the default
+    # (1000, r7 ADVICE) bounds a pathological deep peel's run time while
+    # sitting far above any realistic peel depth; None removes the rail.
     rounds = 0
     while True:
         deg = (edges.select(F.col("s1").alias("s"))

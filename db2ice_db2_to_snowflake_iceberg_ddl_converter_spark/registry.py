@@ -556,6 +556,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest-first, filling to 50. Build ``_window_r08()`` as (1) any red
     r7 entry (fix first), (2) new round-8 entries, (3) that due list.
     Same verification command before committing.
+
+    ROUND-8 ROTATION (executes the plan above, per the r7 verdict): no
+    r7 entry came back red (CORRECTNESS_r07: 42 hash-matches + 8
+    by-design rows-only, zero errors), so ``_window_r08()`` is (1) every
+    new round-8 entry (``_ROUND8_NEW`` — the r6 debut-freeze discipline
+    applies: every debut displaces one stale canary, and coverage
+    freshness outranks surface growth, so the list stays a handful at
+    most), then (2) the recorded due list ``_CANARIES_R08`` filling to
+    exactly 50. ``_CANARIES_R08`` is built BY CONSTRUCTION as
+    ``_CANARIES_R07[18:]`` (the 41 r01/r02-stale canaries the r7 fill
+    could not reach; 18 = 50 − len(_ROUND7_NEW)=5 − len(_ROUND6_LATE)=27)
+    followed by ``_R03_CHECKED`` (the 50 entries last driver-checked in
+    round 3, in their exact CORRECTNESS_r03.json window order = oldest
+    first) — a 91-entry due list. Arithmetic:
+    len(_ROUND8_NEW) debuts + (50 − len(_ROUND8_NEW)) due entries = 50;
+    the due tail (41 + len(_ROUND8_NEW) entries, all r03-checked) stays
+    due for round 9.
+
+    ROUND-9 ROTATION PLAN: the fill above reaches only the first
+    (50 − len(_ROUND8_NEW)) entries of ``_CANARIES_R08``; the remaining
+    (41 + len(_ROUND8_NEW)) r03-checked entries stay due and are first
+    in line for round 9 in list order, followed by the entries last
+    driver-checked in round 4 (the ``CORRECTNESS_r04.json`` window,
+    oldest-first), filling to 50. Build ``_window_r09()`` as (1) any red
+    r8 entry (fix first), (2) new round-9 entries, (3) that due list.
+    Same verification command before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -783,9 +809,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_round6_queries())
     # ---- NEW round-7 entries ----
     q.update(_round7_queries())
-    # ---- ROUND-7 REORDER: window first, everything else keeps its
+    # ---- ROUND-8 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    window = _window_r07()
+    window = _window_r08()
     missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
     in_window = set(window)
@@ -832,6 +858,83 @@ def _window_r07() -> list:
     assert fill >= 0, "round-7 additions overflow the 50-slot window"
     return [*window, *_CANARIES_R07[:fill]]
 
+
+def _window_r08() -> list:
+    """The round-8 driver window (first 50 ``queries()`` keys), executing
+    the rotation plan recorded in the r7 verdict: no r7 entry came back
+    red, so the window is (1) every new round-8 entry (``_ROUND8_NEW``,
+    debut-freeze discipline — a handful at most), then (2) the recorded
+    due list (``_CANARIES_R08`` = the 41 unreached ``_CANARIES_R07``
+    stale canaries + the 50 r03-checked entries, oldest first) filling
+    to exactly 50. Adding a round-8 entry to ``_ROUND8_NEW``
+    automatically displaces the trailing due entry."""
+    window = [*_ROUND8_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-8 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R08[:fill]]
+
+
+#: New round-8 entries — kept in sync with ``_round8_queries()`` so each
+#: earns a driver row in its debut round. The r7 verdict caps r8 debuts
+#: at "a handful": every debut displaces one stale due entry below, and
+#: coverage freshness outranks surface growth.
+_ROUND8_NEW: list = []
+
+#: The 50 entries last driver-checked in round 3, in their exact
+#: CORRECTNESS_r03.json window order (= oldest driver row first). This
+#: is the second half of the round-8 due list.
+_R03_CHECKED: list = [
+    "cdc_apply_customers",
+    "scd2_apply_customers",
+    "profile_customer_stats",
+    "scd2_point_in_time_join",
+    "events_asof_tolerance",
+    "events_gapfill_hourly",
+    "events_sliding_hourly",
+    "sample_hash_stratified",
+    "dedup_levenshtein_blocked",
+    "corpus_top_tokens",
+    "corpus_tfidf_top_terms",
+    "unpivot_nation_metrics",
+    "scalar_regex_fns",
+    "scalar_variant_fns",
+    "scalar_xml_fns",
+    "agg_string_concat",
+    "source_pydatasource_agg",
+    "udtf_sentence_split",
+    "dedup_sentences_exact",
+    "streaming_hourly_rollup",
+    "streaming_sliding_rollup",
+    "streaming_session_windows",
+    "ddl_schema_catalog",
+    "ddl_assess_catalog",
+    "ddl_type_distribution",
+    "streaming_dedup",
+    "streaming_user_stats",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "graph_pagerank_top",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_rolling_stats",
+    "events_transition_matrix",
+    "events_value_zscore",
+    "data_split_assign",
+    "corpus_pack_sequences",
+    "embedding_quantize_int8",
+    "contamination_ngram_overlap",
+    "validate_customer_constraints",
+    "snapshot_diff_customers",
+    "migrate_reconcile_customers",
+    "ann_pq_topk",
+    "text_gopher_filters",
+    "text_repetition_metrics",
+    "agg_histogram_equi_width",
+    "join_salted_hot_key",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "agg_rollup",
+]
 
 #: New round-7 entries — kept in sync with ``_round7_queries()`` so each
 #: earns a driver row in its debut round. The r6 verdict caps r7 debuts
@@ -1316,6 +1419,17 @@ def _round6_queries():
 
 
 _WINDOW_SIZE = 50
+
+#: The round-8 due list, BY CONSTRUCTION per the recorded plan: the r7
+#: canary fill stopped at _CANARIES_R07[18] (18 = 50 − 5 debuts − 27
+#: late-r6), so the unreached 41 stale r01/r02 canaries come first (in
+#: list order), then the 50 r03-checked entries (oldest driver rows
+#: after them). The tail that misses the r8 window stays due for
+#: round 9 in this order, ahead of the r04-checked block.
+_CANARIES_R08: list = (
+    _CANARIES_R07[_WINDOW_SIZE - len(_ROUND7_NEW) - len(_ROUND6_LATE):]
+    + _R03_CHECKED
+)
 
 #: The 18 registry entries with no CORRECTNESS row in any of r01–r04
 #: (computed from the four driver files; r4 verdict item 1). Green locally

@@ -873,7 +873,9 @@ class TestGroupedRanksFuzz:
         """hypothesis-driven: grouped_ranks must equal the
         Window.partitionBy row_number it replaces on random frames with
         heavy ties, empty-ish groups, and skewed group sizes — including
-        DESC order keys (the distinctive-terms shape)."""
+        DESC order keys (the distinctive-terms shape) and NULL group
+        keys (Window.partitionBy keeps NULL as its own partition; the
+        r8 null-safe offset join must not drop those rows)."""
         from hypothesis import given, settings
         from hypothesis import strategies as st
         from pyspark.sql import Window
@@ -884,7 +886,7 @@ class TestGroupedRanksFuzz:
 
         @settings(max_examples=8, deadline=None)
         @given(st.lists(
-            st.tuples(st.sampled_from(["a", "b", "c"]),
+            st.tuples(st.sampled_from(["a", "b", "c", None]),
                       st.integers(min_value=0, max_value=3)),
             min_size=1, max_size=25),
             st.booleans())

@@ -1,0 +1,145 @@
+"""Round-8 additions: data-derived range-shuffle widths for the rank
+primitives, the null-safe grouped_ranks offset join, the spearman
+complete-observations guard, and the fixpoint-loop default guardrails
+(all four r7 ADVICE findings plus verdict task 3)."""
+
+import inspect
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import scale
+
+
+class TestDerivedPartitions:
+    def test_explicit_wins(self, spark):
+        df = spark.range(10)
+        assert scale.derived_partitions(df, 7) == 7
+        assert scale.derived_partitions(df, 1) == 1
+
+    def test_default_follows_shuffle_partitions(self, spark):
+        """num_partitions=None derives from spark.sql.shuffle.partitions —
+        the 100-TB knob: widening the session's shuffle width widens the
+        rank primitives' range shuffle with it (r7 verdict task 3); the
+        offset collect stays ≤ partitions rows either way."""
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "7")
+            df = spark.range(100).withColumn("v", F.col("id") % 13)
+            assert scale.derived_partitions(df, None) == 7
+            ranked, n = scale.global_ranks(df, [F.asc("v"), F.asc("id")])
+            assert n == 100
+            assert ranked.rdd.getNumPartitions() == 7
+            # ranks themselves are width-invariant
+            got = {r.id: r.global_rn for r in ranked.collect()}
+            w = Window.orderBy("v", "id")
+            exp = {r.id: r.rn for r in df.select(
+                "id", F.row_number().over(w).alias("rn")).collect()}
+            assert got == exp
+        finally:
+            spark.conf.set(key, prev)
+
+    def test_grouped_ranks_inherits_default(self, spark):
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "5")
+            df = spark.range(60).select(
+                (F.col("id") % 3).alias("g"), F.col("id").alias("id"))
+            out = scale.grouped_ranks(df, ["g"], [F.asc("id")])
+            assert out.rdd.getNumPartitions() == 5
+        finally:
+            spark.conf.set(key, prev)
+
+
+class TestGroupedRanksNullKeys:
+    def test_null_group_matches_window(self, spark):
+        """Window.partitionBy keeps NULL as its own partition; the
+        null-safe (<=>) offset join must therefore keep NULL-keyed rows
+        and rank them as one group (r7 ADVICE, medium)."""
+        rows = [("a", 3, 0), (None, 1, 1), ("a", 1, 2), (None, 2, 3),
+                ("b", 5, 4), (None, 1, 5), ("b", 1, 6)]
+        df = spark.createDataFrame(rows, "g string, v long, id long")
+        got = {(r.g, r.id): r.grp_rn for r in scale.grouped_ranks(
+            df, ["g"], [F.asc("v"), F.asc("id")],
+            num_partitions=3).collect()}
+        w = Window.partitionBy("g").orderBy("v", "id")
+        exp = {(r.g, r.id): r.rn for r in df.select(
+            "g", "id", F.row_number().over(w).alias("rn")).collect()}
+        assert got == exp
+        assert len(got) == len(rows)          # nothing dropped
+
+    def test_null_multi_col_groups(self, spark):
+        rows = [(None, None, 2, 0), (None, "x", 1, 1), (None, None, 1, 2),
+                ("a", None, 9, 3), ("a", None, 4, 4), ("a", "x", 7, 5)]
+        df = spark.createDataFrame(
+            rows, "g1 string, g2 string, v long, id long")
+        got = {(r.g1, r.g2, r.id): r.grp_rn for r in scale.grouped_ranks(
+            df, ["g1", "g2"], [F.asc("v"), F.asc("id")],
+            num_partitions=2).collect()}
+        w = Window.partitionBy("g1", "g2").orderBy("v", "id")
+        exp = {(r.g1, r.g2, r.id): r.rn for r in df.select(
+            "g1", "g2", "id", F.row_number().over(w).alias("rn")).collect()}
+        assert got == exp
+        assert len(got) == len(rows)
+
+
+class TestSpearmanNullGuard:
+    def test_null_xy_rows_excluded_up_front(self, spark):
+        """NULL x or y rows no longer inflate ranks nor shrink n_rows:
+        the helper filters to complete observations first (r7 ADVICE,
+        low) — rho and n_rows over the frame-with-NULLs equal those over
+        the pre-filtered frame."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
+            spearman_rho_from,
+        )
+
+        rows = [("p", 1.0, 10.0, 0), ("p", 2.0, 30.0, 1),
+                ("p", None, 99.0, 2), ("p", 3.0, 20.0, 3),
+                ("p", 4.0, None, 4), ("p", 5.0, 50.0, 5)]
+        df = spark.createDataFrame(rows, "p string, x double, y double, "
+                                         "i long")
+        out = spearman_rho_from(df, "p", "x", "y", "i").collect()[0]
+        clean = df.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        ref = spearman_rho_from(clean, "p", "x", "y", "i").collect()[0]
+        assert out.n_rows == 4 == ref.n_rows
+        assert out.spearman_rho == pytest.approx(ref.spearman_rho)
+
+
+class TestFixpointGuardrails:
+    def test_defaults_are_finite(self):
+        """The r7 ADVICE (low): fixpoint loops keep running to
+        convergence but a pathological chain now fails loudly at a
+        generous default cap instead of spinning unbounded."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            connected_components,
+        )
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.graph import (
+            graph_kcore,
+        )
+
+        cc_default = inspect.signature(
+            connected_components).parameters["max_iter"].default
+        kc_default = inspect.signature(
+            graph_kcore).parameters["max_rounds"].default
+        assert cc_default == 1000
+        assert kc_default == 1000
+
+    def test_chain_raises_at_cap_not_partial(self, spark):
+        """A 12-deep chain with max_iter=3 must RAISE (never return
+        partial labels), proving the guardrail is loud."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            connected_components,
+        )
+
+        n = 12
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long")
+        with pytest.raises(RuntimeError, match="pointer doubling|fixpoint"):
+            connected_components(nodes, edges, max_iter=3)
+        # and to fixpoint under the (finite) default: one component
+        labels = connected_components(nodes, edges)
+        assert {r.label for r in labels.collect()} == {0}
