@@ -338,3 +338,179 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
                  / F.least(F.lit(float(k)),
                            F.col("n_union_hashes").cast("double")))
                 .alias("est_jaccard")))
+
+# ---------------------------------------------------------------------------
+# Partial-oracle wrappers (round 8): each sketch entry's exact deterministic
+# columns ride the driver's DuckDB hash gate, and the estimate collapses to
+# an in-band boolean the oracle asserts as TRUE — if the sketch math drifts
+# out of its pinned band, the Spark side emits FALSE and the hash gate goes
+# red. The raw-estimate cores above stay untouched for the bound pytests.
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_counts_checked(spark, sf_dir) -> DataFrame:
+    """Partial-oracle form of :func:`approx_distinct_counts`: exact
+    per-priority distinct/row counts (DuckDB-recomputable) plus
+    ``approx_in_band`` = |HLL − exact| ≤ max(2, 10%·exact), the same band
+    ``tests/test_operators.py::test_hll_within_rsd_bound`` pins (5σ of
+    the 2% target rsd)."""
+    base = approx_distinct_counts(spark, sf_dir)
+    in_band = (F.abs(F.col("approx_customers").cast("double")
+                     - F.col("exact_customers").cast("double"))
+               <= F.greatest(F.lit(2.0),
+                             F.lit(0.10)
+                             * F.col("exact_customers").cast("double")))
+    return base.select("o_orderpriority", "exact_customers", "n_orders",
+                       in_band.alias("approx_in_band"))
+
+
+ORACLE_APPROX_DISTINCT_CHECKED = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(*) AS n_orders,
+       TRUE AS approx_in_band
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def approx_hll_union_checked(spark, sf_dir) -> DataFrame:
+    """Partial-oracle form of :func:`approx_hll_union`: the exact union
+    cardinality and sum-of-parts (both DuckDB-recomputable) plus
+    ``approx_in_band`` = |sketch-union estimate − exact| ≤
+    max(2, 10%·exact)."""
+    c = ld(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = ld(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    exact = (c.unionAll(o).distinct()
+             .agg(F.count(F.lit(1)).alias("exact_union")))
+    est = approx_hll_union(spark, sf_dir)
+    in_band = (F.abs(F.col("approx_union_customers").cast("double")
+                     - F.col("exact_union").cast("double"))
+               <= F.greatest(F.lit(2.0),
+                             F.lit(0.10)
+                             * F.col("exact_union").cast("double")))
+    return (exact.crossJoin(F.broadcast(est))
+            .select("exact_union", "sum_of_parts",
+                    in_band.alias("approx_in_band")))
+
+
+ORACLE_APPROX_HLL_UNION_CHECKED = """
+WITH u AS (
+  SELECT c_custkey AS k FROM customer
+  UNION
+  SELECT o_custkey FROM orders
+)
+SELECT (SELECT COUNT(*) FROM u) AS exact_union,
+       CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer)
+            + (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+            AS BIGINT) AS sum_of_parts,
+       TRUE AS approx_in_band
+"""
+
+
+def vocab_kmv_distinct_checked(spark: SparkSession, sf_dir: str,
+                               k: int = 64) -> DataFrame:
+    """Partial-oracle form of :func:`vocab_kmv_distinct`: the exact
+    per-source vocabulary size rides the hash gate (DuckDB recomputes it
+    by splitting the text column — the xxhash64-distinct count equals the
+    token-distinct count absent 64-bit collisions), and ``est_in_band``
+    asserts the KMV estimator's pinned band: exact when the source holds
+    fewer than k distinct tokens (the sketch IS the set), else
+    |rel_err| ≤ 4/√(k−2) (tests/test_round6.py::TestKmvDistinct)."""
+    base = vocab_kmv_distinct(spark, sf_dir, k=k)
+    bound = 4.0 / (k - 2) ** 0.5
+    in_band = F.when(
+        F.col("exact_distinct") < k,
+        F.col("kmv_estimate") == F.col("exact_distinct").cast("double")) \
+        .otherwise(F.abs(F.col("rel_err")) <= F.lit(bound))
+    return base.select("source", "exact_distinct",
+                       in_band.alias("est_in_band")).orderBy("source")
+
+
+ORACLE_VOCAB_KMV_CHECKED = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, COUNT(DISTINCT tok) AS exact_distinct, TRUE AS est_in_band
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+def kmv_set_ops_checked(spark: SparkSession, sf_dir: str, k: int = 256,
+                        salt_buckets: int = 64) -> DataFrame:
+    """Partial-oracle form of :func:`kmv_set_ops`: exact union /
+    intersection cardinalities of the clicker/purchaser user sets ride
+    the hash gate, and each estimator collapses to an in-band boolean
+    (3/√k relative band for union — the pytest's band — and the same
+    band on the union-scaled intersection / Jaccard errors; in the
+    small-set regime (< k union hashes) the sketch IS the set and the
+    booleans require exact equality)."""
+    base = kmv_set_ops(spark, sf_dir, k=k, salt_buckets=salt_buckets)
+    band = 3.0 / k ** 0.5
+    eu = F.col("exact_union").cast("double")
+    ei = F.col("exact_intersect").cast("double")
+    exact_j = F.when(eu > 0, ei / eu).otherwise(F.lit(0.0))
+    return base.select(
+        "exact_union", "exact_intersect",
+        (F.abs(F.col("est_union") - eu) <= F.lit(band) * eu)
+        .alias("union_in_band"),
+        (F.abs(F.col("est_intersect") - ei) <= F.lit(band) * eu)
+        .alias("intersect_in_band"),
+        (F.abs(F.col("est_jaccard") - exact_j) <= F.lit(band))
+        .alias("jaccard_in_band"))
+
+
+ORACLE_KMV_SET_OPS_CHECKED = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM a
+                              UNION SELECT user_id FROM b))
+         AS exact_union,
+       (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_intersect,
+       TRUE AS union_in_band,
+       TRUE AS intersect_in_band,
+       TRUE AS jaccard_in_band
+"""
+
+
+def token_counts_countmin_checked(spark: SparkSession, sf_dir: str,
+                                  depth: int = 4, width: int = 512,
+                                  n_probe: int = 40) -> DataFrame:
+    """Partial-oracle form of :func:`token_counts_countmin`: the probe
+    set's EXACT counts ride the hash gate (DuckDB recomputes the
+    alphabetically-first ``n_probe`` distinct tokens and their
+    frequencies), plus the two CM invariants as booleans —
+    ``est_ge_exact`` (a Count-Min estimate never undercounts,
+    structural) and ``est_in_band`` (overcount ≤ 2N/width with
+    probability 1 − 2^−depth; asserted with 2× slack at fixture
+    scale)."""
+    est = token_counts_countmin(spark, sf_dir, depth=depth, width=width,
+                                n_probe=n_probe)
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    bound = F.lit(4.0) * F.col("n_tokens").cast("double") / F.lit(width)
+    return (est.join(exact, "tok")
+            .crossJoin(F.broadcast(total))
+            .select("tok", "exact_count",
+                    (F.col("est_count") >= F.col("exact_count"))
+                    .alias("est_ge_exact"),
+                    ((F.col("est_count") - F.col("exact_count"))
+                     .cast("double") <= bound).alias("est_in_band"))
+            .orderBy("tok"))
+
+
+ORACLE_COUNTMIN_CHECKED = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), q AS (
+  SELECT DISTINCT tok FROM toks ORDER BY tok LIMIT 40
+)
+SELECT t.tok, COUNT(*) AS exact_count,
+       TRUE AS est_ge_exact, TRUE AS est_in_band
+FROM toks t JOIN q USING (tok)
+GROUP BY t.tok ORDER BY t.tok
+"""

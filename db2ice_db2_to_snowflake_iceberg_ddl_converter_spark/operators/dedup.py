@@ -1136,3 +1136,48 @@ def dedup_bloom_prefilter(spark, sf_dir, m_bits: int = 65536,
          .cast("double")
          / F.greatest(F.sum((~F.col("is_dup")).cast("long")),
                       F.lit(1))).alias("measured_fpp"))
+
+
+def dedup_bloom_prefilter_checked(spark, sf_dir, m_bits: int = 65536,
+                                  k_hashes: int = 5) -> DataFrame:
+    """Partial-oracle form of :func:`dedup_bloom_prefilter` (round 8):
+    the confusion census's EXACT columns ride the DuckDB hash gate —
+    batch size and true-dup count are recomputable by string membership
+    (``text IN corpus``), and ``false_negatives`` is structurally 0 (a
+    corpus member sets all of its own bits), so the oracle asserts the
+    literal 0 — a red row here means the zero-FN guarantee broke.
+    ``fpp_in_bound`` collapses the bloom-specific columns to the pytest's
+    band: measured fpp ≤ max(5 × (1−e^{−kn/m})^k, 0.02) with n = corpus
+    distinct hashes. The full-census core stays for the pytests."""
+    import math
+
+    from .relational import ld
+
+    census = dedup_bloom_prefilter(spark, sf_dir, m_bits=m_bits,
+                                   k_hashes=k_hashes)
+    n_corpus = (ld(spark, sf_dir, "documents")
+                .select(F.xxhash64("text").alias("h")).distinct().count())
+    fpp_theory = (1.0 - math.exp(-k_hashes * n_corpus / m_bits)) ** k_hashes
+    bound = max(5.0 * fpp_theory, 0.02)
+    return census.select(
+        "batch_size", "true_dups", "false_negatives",
+        (F.col("measured_fpp") <= F.lit(bound)).alias("fpp_in_bound"))
+
+
+ORACLE_BLOOM_PREFILTER_CHECKED = """
+WITH batch AS (
+  SELECT d.doc_id,
+         CASE WHEN v.variant = 'dup' THEN d.text
+              ELSE d.text || ' <salt> ' || CAST(d.doc_id AS VARCHAR)
+         END AS btext
+  FROM documents d
+  CROSS JOIN (SELECT 'dup' AS variant UNION ALL SELECT 'new') v
+  WHERE d.doc_id % 5 = 0
+)
+SELECT COUNT(*) AS batch_size,
+       CAST(SUM(CASE WHEN btext IN (SELECT text FROM documents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS true_dups,
+       CAST(0 AS BIGINT) AS false_negatives,
+       TRUE AS fpp_in_bound
+FROM batch
+"""

@@ -628,3 +628,51 @@ def multimodal_phash_neardup(spark, sf_dir,
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming")
             .orderBy("doc_a", "doc_b"))
+
+
+def multimodal_phash_neardup_checked(spark, sf_dir,
+                                     max_hamming: int = 8) -> DataFrame:
+    """Partial-oracle form of :func:`multimodal_phash_neardup` (round 8):
+    the pair list itself is codec-derived (DCT pHash has no DuckDB twin),
+    but its exact anchor IS recomputable — documents with byte-identical
+    text synthesize byte-identical BMPs, whose pHashes collide exactly,
+    so every identical-text pair MUST be found at Hamming 0. The census
+    row carries ``n_exact_text_pairs`` (DuckDB: Σ c·(c−1)/2 over text
+    groups) on the hash gate, plus two structural booleans the oracle
+    asserts TRUE: ``all_exact_pairs_found`` (each identical-text pair
+    appears in the found set with hamming = 0 — the decode→hash→band→
+    verify chain preserved exact duplicates) and ``near_ge_exact``
+    (found pairs ⊇ exact pairs in count). The pair-list core stays for
+    the brute-force pytests."""
+    from .relational import ld
+
+    pairs = multimodal_phash_neardup(spark, sf_dir, max_hamming=max_hamming)
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact-text pairs (doc_a < doc_b), computed group-wise — no all-pairs
+    grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    n_exact = grp.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
+                   F.lit(0)).alias("n_exact_text_pairs"))
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("txa"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("txb"))
+    found_exact = (pairs.filter(F.col("hamming") == 0)
+                   .join(ta, "doc_a").join(tb, "doc_b")
+                   .filter(F.col("txa") == F.col("txb"))
+                   .agg(F.count(F.lit(1)).alias("n_found_exact")))
+    n_found = pairs.agg(F.count(F.lit(1)).alias("n_found_total"))
+    return (n_exact.crossJoin(F.broadcast(found_exact))
+            .crossJoin(F.broadcast(n_found))
+            .select("n_exact_text_pairs",
+                    (F.col("n_found_exact") == F.col("n_exact_text_pairs"))
+                    .alias("all_exact_pairs_found"),
+                    (F.col("n_found_total") >= F.col("n_exact_text_pairs"))
+                    .alias("near_ge_exact")))
+
+
+ORACLE_PHASH_NEARDUP_CHECKED = """
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+         AS n_exact_text_pairs,
+       TRUE AS all_exact_pairs_found,
+       TRUE AS near_ge_exact
+FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+"""

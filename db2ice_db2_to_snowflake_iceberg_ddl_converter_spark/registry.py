@@ -753,8 +753,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_date_fns": rel.scalar_date_fns,
         "scalar_math_fns": rel.scalar_math_fns,
         "scalar_json_fns": rel.scalar_json_fns,
-        "approx_distinct_counts": approx.approx_distinct_counts,
-        "approx_hll_union": approx.approx_hll_union,
+        "approx_distinct_counts": approx.approx_distinct_counts_checked,
+        "approx_hll_union": approx.approx_hll_union_checked,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frame_sample": _multimodal_frame_sample,
         "dedup_exact_docs": dedup.dedup_exact_docs,
@@ -800,7 +800,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_winsorize_clip"] = analytics.events_winsorize_clip
     # CM point estimates are approximate by construction → rows-only;
     # pytest pins est >= true and the 2N/width overcount bound
-    q["corpus_token_countmin"] = approx.token_counts_countmin
+    q["corpus_token_countmin"] = approx.token_counts_countmin_checked
     q["embedding_standardize"] = _td4.embedding_standardize
     # ---- new ROUND-5 entries (each also listed in _ROUND5_NEW so the
     # reorder below places it inside the driver window immediately) ----
@@ -1259,7 +1259,7 @@ def _round6_queries():
         # mT5-style T=2 sampling mixture (sqrt is the one portable power)
         "corpus_temperature_mixture": _td6.corpus_temperature_mixture,
         # KMV distinct sketch per source with auditable error
-        "vocab_kmv_distinct": approx.vocab_kmv_distinct,
+        "vocab_kmv_distinct": approx.vocab_kmv_distinct_checked,
         # first-occurrence bigram novelty — the diminishing-returns curve
         "corpus_ngram_novelty": _co6.corpus_ngram_novelty,
         # pandas GROUPED_AGG UDAF — the last uncovered pandas-UDF class
@@ -1368,7 +1368,7 @@ def _round6_queries():
         "events_id_gap_audit": _et6.events_id_gap_audit,
         # DCT perceptual-hash image near-dup over the REAL BMP codec —
         # banded 16-bit candidate join + codegen bit_count verify
-        "multimodal_phash_neardup": _mm6.multimodal_phash_neardup,
+        "multimodal_phash_neardup": _mm6.multimodal_phash_neardup_checked,
         # two-sided delta-join view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
         # merged by re-agg; the full-recompute oracle proves the algebra
         "ivm_join_view_delta": cdc.ivm_join_view_delta,
@@ -1378,7 +1378,7 @@ def _round6_queries():
         "diag_curve_locality": _sc6.diag_curve_locality,
         # KMV/theta set algebra: union AND intersection estimates from
         # two mergeable sketches (HLL cannot intersect) — rows-only
-        "kmv_set_ops": approx.kmv_set_ops,
+        "kmv_set_ops": approx.kmv_set_ops_checked,
         # exact median + distribution-free binomial-rank 95% CI riding
         # global_ranks ordinal joins
         "agg_median_ci": _an6.agg_median_ci,
@@ -1404,7 +1404,7 @@ def _round6_queries():
             _bh6.events_multitouch_attribution,
         # relational Bloom prefilter for ingest dedup: k seeded probes,
         # filter = distinct bit-position table; no-FN guarantee pinned
-        "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter,
+        "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter_checked,
         # exact Σc² self-join size forecast from the O(keys) census —
         # prices the quadratic blowup before paying it
         "diag_join_size_forecast": _sc6.diag_join_size_forecast,
@@ -1687,6 +1687,7 @@ def _round3_queries():
 
 def build_oracles() -> dict[str, str]:
     from .operators import behavior, eventtime, graph, traindata, validate
+    from .operators import multimodal as _mm6
     from .sources.registry import (ORACLE_SCHEMA_EVOLUTION,
                                    ORACLE_SINK_COMPACT,
                                    ORACLE_SINK_DYNPART,
@@ -1741,6 +1742,20 @@ def build_oracles() -> dict[str, str]:
     oracles["text_repetition_metrics"] = textstats.ORACLE_TEXT_REPETITION
     oracles["agg_histogram_equi_width"] = analytics.ORACLE_AGG_HISTOGRAM
     oracles["join_salted_hot_key"] = scale.ORACLE_JOIN_SALTED_HOT
+    # ---- round-8 partial-oracle upgrades: former rows-only sketch
+    # entries whose exact deterministic columns now ride the hash gate
+    # (estimates collapse to in-band booleans the oracle asserts TRUE;
+    # the raw-estimate cores keep their bound pytests) ----
+    oracles["approx_distinct_counts"] = \
+        approx.ORACLE_APPROX_DISTINCT_CHECKED
+    oracles["approx_hll_union"] = approx.ORACLE_APPROX_HLL_UNION_CHECKED
+    oracles["vocab_kmv_distinct"] = approx.ORACLE_VOCAB_KMV_CHECKED
+    oracles["kmv_set_ops"] = approx.ORACLE_KMV_SET_OPS_CHECKED
+    oracles["corpus_token_countmin"] = approx.ORACLE_COUNTMIN_CHECKED
+    oracles["dedup_bloom_prefilter"] = \
+        dedup.ORACLE_BLOOM_PREFILTER_CHECKED
+    oracles["multimodal_phash_neardup"] = \
+        _mm6.ORACLE_PHASH_NEARDUP_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE

@@ -143,3 +143,88 @@ class TestFixpointGuardrails:
         # and to fixpoint under the (finite) default: one component
         labels = connected_components(nodes, edges)
         assert {r.label for r in labels.collect()} == {0}
+
+
+class TestPartialOracleUpgrades:
+    """Round-8 verdict task 5: seven former rows-only sketch entries now
+    ride the DuckDB hash gate on their exact deterministic columns, with
+    the estimates collapsed to in-band booleans. These tests pin that the
+    wrappers (a) keep every boolean TRUE on fixture data and (b) agree
+    with their raw-estimate cores — the cores' own bound pytests stay
+    untouched elsewhere."""
+
+    def test_approx_distinct_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        rows = approx.approx_distinct_counts_checked(spark, sf_dir).collect()
+        core = {r.o_orderpriority: r for r in
+                approx.approx_distinct_counts(spark, sf_dir).collect()}
+        assert rows and len(rows) == len(core)
+        for r in rows:
+            assert r.approx_in_band is True
+            assert r.exact_customers == core[r.o_orderpriority].exact_customers
+            assert r.n_orders == core[r.o_orderpriority].n_orders
+
+    def test_hll_union_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        r = approx.approx_hll_union_checked(spark, sf_dir).first()
+        assert r.approx_in_band is True
+        assert 0 < r.exact_union <= r.sum_of_parts
+
+    def test_kmv_checked_pair(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        vocab = approx.vocab_kmv_distinct_checked(spark, sf_dir).collect()
+        assert vocab and all(r.est_in_band is True for r in vocab)
+        core = {r.source: r.exact_distinct for r in
+                approx.vocab_kmv_distinct(spark, sf_dir).collect()}
+        assert {r.source: r.exact_distinct for r in vocab} == core
+
+        ops = approx.kmv_set_ops_checked(spark, sf_dir).first()
+        assert ops.union_in_band is True
+        assert ops.intersect_in_band is True
+        assert ops.jaccard_in_band is True
+        raw = approx.kmv_set_ops(spark, sf_dir).first()
+        assert (ops.exact_union, ops.exact_intersect) == \
+            (raw.exact_union, raw.exact_intersect)
+
+    def test_countmin_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        rows = approx.token_counts_countmin_checked(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.est_ge_exact is True      # CM never undercounts
+            assert r.est_in_band is True
+
+    def test_bloom_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+            dedup_bloom_prefilter,
+            dedup_bloom_prefilter_checked,
+        )
+
+        r = dedup_bloom_prefilter_checked(spark, sf_dir).first()
+        core = dedup_bloom_prefilter(spark, sf_dir).first()
+        assert r.false_negatives == 0
+        assert r.fpp_in_bound is True
+        assert (r.batch_size, r.true_dups) == \
+            (core.batch_size, core.true_dups)
+
+    def test_phash_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.multimodal import (
+            multimodal_phash_neardup_checked,
+        )
+
+        r = multimodal_phash_neardup_checked(spark, sf_dir).first()
+        assert r.all_exact_pairs_found is True
+        assert r.near_ge_exact is True
+        assert r.n_exact_text_pairs >= 0
