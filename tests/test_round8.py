@@ -228,3 +228,85 @@ class TestPartialOracleUpgrades:
         assert r.all_exact_pairs_found is True
         assert r.near_ge_exact is True
         assert r.n_exact_text_pairs >= 0
+
+
+class TestCheckpointRestart:
+    def test_p2_state_survives_real_query_restart(self, spark, sf_dir,
+                                                  tmp_path):
+        """Verdict task 6: the multi-batch drains (r7) replay batches
+        within ONE query; this stops the query and starts a NEW one from
+        the same checkpointLocation, proving the applyInPandasWithState
+        P² state survives an actual restart — offsets resume (run B sees
+        only the new files) AND marker state restores (final n / estimate
+        equal the uninterrupted full-series replay)."""
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        import db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events as ev
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+        from test_round6 import TestStreamingP2Quantile as T6
+
+        src = str(tmp_path / "ev_ckpt_src")
+        ckpt = str(tmp_path / "ev_ckpt")
+        e = load_events(spark, sf_dir)
+        ranked = e.selectExpr(
+            "ntile(4) OVER (ORDER BY ts, event_id) AS __f", "*")
+        for i in (1, 2):                      # phase A: first half
+            (ranked.filter(F.col("__f") == i).drop("__f").coalesce(1)
+             .write.mode("append").parquet(src))
+            _t.sleep(0.05)
+
+        def start(name):
+            # memory sink refuses checkpoint recovery; foreachBatch into
+            # batch_id-keyed parquet is the restartable (idempotent) sink
+            out = str(tmp_path / name)
+            schema = spark.read.parquet(src).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+
+            def sink(batch_df, batch_id):
+                (batch_df.write.mode("overwrite")
+                 .parquet(f"{out}/batch_id={batch_id}"))
+
+            q = (ev.p2_quantile_estimates(stream).writeStream
+                 .foreachBatch(sink).outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            q.stop()
+            return spark.read.parquet(out).drop("batch_id").collect()
+
+        rows_a = start("t_p2_ckpt_a")
+        phase_a = {}
+        for r in rows_a:
+            if r.n_seen >= phase_a.get(r.event_type, 0):
+                phase_a[r.event_type] = r.n_seen
+        assert phase_a and sum(phase_a.values()) > 0
+
+        for i in (3, 4):                      # new files land after stop
+            (ranked.filter(F.col("__f") == i).drop("__f").coalesce(1)
+             .write.mode("append").parquet(src))
+            _t.sleep(0.05)
+
+        rows_b = start("t_p2_ckpt_b")         # NEW query, same checkpoint
+        assert rows_b, "restarted query emitted nothing"
+        # offsets resumed: every run-B snapshot CONTINUES from phase-A
+        # counts (a from-scratch reprocess would emit n_seen < phase-A)
+        for r in rows_b:
+            assert r.n_seen >= phase_a.get(r.event_type, 0), r
+        final = {}
+        for r in rows_b:
+            if r.n_seen >= final.get(r.event_type, (0, 0.0))[0]:
+                final[r.event_type] = (r.n_seen, r.q_estimate)
+        # state restored: final trajectory == uninterrupted replay
+        series: dict = {}
+        for r in (e.orderBy("ts", "event_id")
+                  .select("event_type", "value").collect()):
+            series.setdefault(r.event_type, []).append(float(r.value))
+        for et, vals in series.items():
+            n, est = T6._p2_replay(vals)
+            assert final[et][0] == n == len(vals)
+            assert final[et][1] == pytest.approx(est, abs=1e-12)
