@@ -874,10 +874,13 @@ def _window_r08() -> list:
     return [*window, *_CANARIES_R08[:fill]]
 
 
-#: New round-8 entries — kept in sync with ``_round8_queries()`` so each
-#: earns a driver row in its debut round. The r7 verdict caps r8 debuts
-#: at "a handful": every debut displaces one stale due entry below, and
-#: coverage freshness outranks surface growth.
+#: New round-8 entries. The r7 verdict caps r8 debuts at "a handful":
+#: every debut displaces one stale due entry below, and coverage
+#: freshness outranks surface growth — round 8 deliberately ships ZERO
+#: debuts so the full 50-slot window clears staleness (the due list
+#: shrinks by exactly 50, the verdict's done-criterion). The round's
+#: surface work went into upgrading seven existing rows-only entries to
+#: partial-oracle instead (same keys, no new slots needed).
 _ROUND8_NEW: list = []
 
 #: The 50 entries last driver-checked in round 3, in their exact

@@ -75,11 +75,28 @@ LINK_TABLES = ("region", "nation", "customer", "supplier", "part",
                "orders", "lineitem")
 
 
-def build_scaled_dir(spark, src_dir: str, dest_dir: str, factor: int) -> None:
+#: The verdict-r7 "heavies" list for the one-off 30-50x linearity run:
+#: the five most expensive entries by intrinsic cost. graph_triangle_stats
+#: is lineitem-bound, so this mode also scales lineitem (disjoint shifted
+#: part/supplier copies -> K identical subgraphs; edges/triangles must
+#: grow exactly linearly because the relative threshold is scale-free).
+HEAVIES = [
+    "graph_triangle_stats",
+    "diag_curve_locality",
+    "embedding_source_drift",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+]
+
+
+def build_scaled_dir(spark, src_dir: str, dest_dir: str, factor: int,
+                     scale_lineitem: bool = False) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dest_dir, exist_ok=True)
-    for t in LINK_TABLES:
+    link = [t for t in LINK_TABLES
+            if not (scale_lineitem and t == "lineitem")]
+    for t in link:
         src = f"{src_dir}/{t}.parquet"
         dst = f"{dest_dir}/{t}.parquet"
         if not os.path.exists(dst):
@@ -87,6 +104,23 @@ def build_scaled_dir(spark, src_dir: str, dest_dir: str, factor: int) -> None:
                 shutil.copytree(src, dst)
             else:
                 shutil.copy(src, dst)
+
+    if scale_lineitem:
+        li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+        mx = li.agg(F.max("l_orderkey").alias("o"),
+                    F.max("l_partkey").alias("p"),
+                    F.max("l_suppkey").alias("s")).first()
+        copies = []
+        for k in range(factor):
+            copies.append(
+                li.withColumn("l_orderkey",
+                              F.col("l_orderkey") + F.lit(k * (mx.o + 1)))
+                .withColumn("l_partkey",
+                            F.col("l_partkey") + F.lit(k * (mx.p + 1)))
+                .withColumn("l_suppkey",
+                            F.col("l_suppkey") + F.lit(k * (mx.s + 1))))
+        _union_all(copies).write.mode("overwrite").parquet(
+            f"{dest_dir}/lineitem.parquet")
 
     d = spark.read.parquet(f"{src_dir}/documents.parquet")
     n_docs = d.count()
@@ -134,6 +168,11 @@ def main() -> int:
     ap.add_argument("--base", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scratch", default="/tmp/spark_graft_scale_smoke")
+    ap.add_argument("--heavies", action="store_true",
+                    help="run the verdict-r7 top-5 heavies (scales "
+                         "lineitem too); use with --factor 30..50")
+    ap.add_argument("--entries", nargs="*", default=None,
+                    help="explicit entry list override")
     args = ap.parse_args()
 
     from __spark_entry__ import queries
@@ -143,13 +182,15 @@ def main() -> int:
     from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
+    suffix = "_li" if args.heavies else ""
     scaled = os.path.join(
         args.scratch,
-        f"{os.path.basename(args.base.rstrip('/'))}_x{args.factor}")
+        f"{os.path.basename(args.base.rstrip('/'))}_x{args.factor}{suffix}")
     marker = os.path.join(scaled, "_BUILT")
     if not os.path.exists(marker):
         t0 = time.perf_counter()
-        build_scaled_dir(spark, args.base, scaled, args.factor)
+        build_scaled_dir(spark, args.base, scaled, args.factor,
+                         scale_lineitem=args.heavies)
         open(marker, "w").write("ok")
         print(json.dumps({"built": scaled,
                           "sec": round(time.perf_counter() - t0, 1)}))
@@ -157,9 +198,16 @@ def main() -> int:
     qs = queries()
     failures = []
     results = {}
-    for name in DEFAULT_TOP[:args.top]:
-        df = qs[name](spark, scaled)
+    run_list = (args.entries if args.entries
+                else HEAVIES if args.heavies
+                else DEFAULT_TOP[:args.top])
+    for name in run_list:
+        # time construction + count TOGETHER: several heavies do eager
+        # work at build time (localCheckpoint pins), which the old
+        # count-only timing silently excluded (r8 fix — BASELINE notes
+        # the semantics change; pre-r8 smoke rows undercount those)
         t0 = time.perf_counter()
+        df = qs[name](spark, scaled)
         n = df.count()
         secs = round(time.perf_counter() - t0, 2)
         spw = single_partition_windows(df)
