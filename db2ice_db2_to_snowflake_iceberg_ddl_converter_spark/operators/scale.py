@@ -291,26 +291,26 @@ def grouped_ranks(df: DataFrame, group_cols: list, order_exprs: list,
     ``global_rn − min(global_rn per group) + 1`` via a groups-sized
     broadcast offset join. Same output as the window formulation —
     including NULL group keys, which ``Window.partitionBy`` treats as
-    their own partition, so the offset join is null-safe (``<=>``) on
-    every group column rather than a plain equi-join that would silently
-    drop NULL-keyed rows. Rank-gap-free per group; ``order_exprs`` must
-    total-order rows within each group (the ``global_ranks`` tie-break
-    contract). ``group_cols`` are column NAMES (strings)."""
+    their own partition: the offset join key is the PACKED
+    ``struct(group_cols…)``, whose equality compares NULL fields as
+    equal (GROUP BY semantics), so NULL-keyed rows rank as their own
+    group instead of being silently dropped (r7 ADVICE). A struct
+    equi-join rather than per-column ``<=>`` deliberately: Catalyst's
+    join-size estimation doesn't handle EqualNullSafe keys, and the
+    inflated estimate knocked downstream joins off their broadcast
+    plans (events_twap went 4 → 6 shuffles under the ``<=>`` draft).
+    Rank-gap-free per group; ``order_exprs`` must total-order rows
+    within each group (the ``global_ranks`` tie-break contract).
+    ``group_cols`` are column NAMES (strings)."""
     gr, _ = global_ranks(
         df, [F.asc(c) for c in group_cols] + list(order_exprs),
         num_partitions=num_partitions, rank_col="__g")
-    aliases = [f"__k{i}" for i in range(len(group_cols))]
-    off = (gr.groupBy(*group_cols).agg(F.min("__g").alias("__o"))
-           .select(*[F.col(c).alias(a)
-                     for c, a in zip(group_cols, aliases)], "__o"))
-    cond = None
-    for c, a in zip(group_cols, aliases):
-        piece = gr[c].eqNullSafe(off[a])
-        cond = piece if cond is None else cond & piece
-    return (gr.join(F.broadcast(off), cond)
+    gr = gr.withColumn("__k", F.struct(*group_cols))
+    off = gr.groupBy("__k").agg(F.min("__g").alias("__o"))
+    return (gr.join(F.broadcast(off), "__k")
             .withColumn(rank_col,
                         (F.col("__g") - F.col("__o") + 1).cast("long"))
-            .drop("__g", "__o", *aliases))
+            .drop("__g", "__o", "__k"))
 
 
 def repartition_for_write(df: DataFrame, cluster_cols: list[str],

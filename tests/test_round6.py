@@ -212,29 +212,30 @@ class TestRegistryGuard:
             d.update({"x": 3})
 
     def test_window_is_first_50_and_all_resolvable(self):
-        """Round-7 rotation superseded the r6 window (the r6 membership
-        assertion lives on in the r7 twin below as history): here keep
-        the invariants that outlive rotations — the first 50 keys ARE
-        the current window, unique, and every r6 debut stays resolvable
-        with its oracle."""
+        """Round-8 rotation superseded the r7 window (each round's
+        membership assertion lives on in its own twin as history): here
+        keep the invariants that outlive rotations — the first 50 keys
+        ARE the current window, unique, and every r6 debut stays
+        resolvable with its oracle."""
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
             _CANARIES_R06,
             _ROUND6_NEW,
-            _window_r07,
+            _window_r08,
             build_oracles,
             build_queries,
         )
 
         q = build_queries()
-        w = _window_r07()
+        w = _window_r08()
         assert list(q)[:50] == w
         assert len(w) == 50
         assert len(set(w)) == 50
         # every canary exists and no round-6 debut is missing an oracle
-        # unless deliberately rows-only (IVFPQ + the float-iterative /
-        # binary-decode pair)
+        # unless deliberately rows-only (the float-iterative /
+        # binary-decode group; vocab_kmv_distinct and the other sketch
+        # entries were upgraded to partial-oracle in round 8)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
-                     "multimodal_audio_energy", "vocab_kmv_distinct",
+                     "multimodal_audio_energy",
                      "multimodal_image_stats", "graph_kcore",
                      "events_holt_linear"}
         o = build_oracles()

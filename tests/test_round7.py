@@ -345,9 +345,12 @@ DISTRIBUTE BY HASH (SALE_ID);
 
 class TestRound7Window:
     def test_window_executes_recorded_rotation(self):
-        """First 50 queries() keys == _ROUND7_NEW debuts, then ALL 27
+        """Historical pin (round-8 rotation superseded the first-50
+        placement; the r8 twin in test_round8.py owns that now): the r7
+        window COMPOSITION stays _ROUND7_NEW debuts, then ALL 27
         never-driver-checked late-r6 entries, then the recorded stale
-        canaries filling to 50 — the r6 verdict's top ask."""
+        canaries filling to 50 — the r6 verdict's top ask — and every r7
+        debut stays resolvable with its oracle."""
         import json
 
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
@@ -361,15 +364,15 @@ class TestRound7Window:
 
         q = build_queries()
         w = _window_r07()
-        assert list(q)[:50] == w
         assert len(set(w)) == 50
+        assert all(k in q for k in w)
         fill = 50 - len(_ROUND7_NEW) - len(_ROUND6_LATE)
         assert w == [*_ROUND7_NEW, *_ROUND6_LATE, *_CANARIES_R07[:fill]]
         o = build_oracles()
         for k in _ROUND7_NEW:           # every r7 debut is oracle-backed
             assert k in q and k in o
-        # after this window lands, driver coverage is complete: every
-        # entry not in the window already has a CORRECTNESS row r01-r06
+        # cumulative driver coverage was completed by the r7 window:
+        # every entry not in it already has a CORRECTNESS row r01-r06
         seen = set()
         for r in range(1, 7):
             seen |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
