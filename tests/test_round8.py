@@ -355,3 +355,45 @@ class TestRound8Window:
                   "corpus_token_countmin", "dedup_bloom_prefilter",
                   "multimodal_phash_neardup"):
             assert k in o, k
+
+
+class TestGlobalPrefixWindowFuzz:
+    def test_random_frames_match_window_formulation(self, spark):
+        """Direct coverage for scale.global_prefix_window (previously only
+        exercised through its consumers' oracles): random frames with
+        NULL values, duplicate order-key values (unique tie-break),
+        sum/max × inclusive/exclusive, long AND decimal value types must
+        match the single-partition Window formulation exactly."""
+        from decimal import Decimal
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=6, deadline=None)
+        @given(st.lists(
+            st.tuples(st.integers(min_value=0, max_value=5),
+                      st.one_of(st.none(),
+                                st.integers(min_value=-50, max_value=50))),
+            min_size=1, max_size=20),
+            st.sampled_from(["sum", "max"]),
+            st.booleans(), st.booleans())
+        def run(rows, how, inclusive, use_decimal):
+            data = [(k, i,
+                     (Decimal(v).scaleb(-2) if use_decimal else v)
+                     if v is not None else None)
+                    for i, (k, v) in enumerate(rows)]
+            typ = "decimal(20,2)" if use_decimal else "long"
+            df = spark.createDataFrame(
+                data, f"k long, id long, v {typ}")
+            got = {r.id: r.prefix for r in scale.global_prefix_window(
+                df, [F.asc("k"), F.asc("id")], "v", how=how,
+                inclusive=inclusive, num_partitions=3).collect()}
+            aggfn = F.sum if how == "sum" else F.max
+            w = Window.orderBy("k", "id").rowsBetween(
+                Window.unboundedPreceding,
+                Window.currentRow if inclusive else -1)
+            exp = {r.id: r.p for r in df.select(
+                "id", aggfn("v").over(w).alias("p")).collect()}
+            assert got == exp
+
+        run()
