@@ -2140,7 +2140,7 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mann_whitney_from(pooled: DataFrame, group_col: str, one_group: str,
                       value_col: str, tie_break: str,
                       out_names: tuple = ("u1", "u2"),
-                      num_partitions: int = 16) -> DataFrame:
+                      num_partitions: int | None = None) -> DataFrame:
     """The Mann-Whitney core on an arbitrary two-group frame — split out
     so property tests can drive it with randomized tie-heavy samples
     (same contract as the registry entry: DOUBLED tie-averaged ranks
@@ -2271,7 +2271,7 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
                       y_col: str, tie_break: str,
-                      num_partitions: int = 16) -> DataFrame:
+                      num_partitions: int | None = None) -> DataFrame:
     """The per-group Spearman core on an arbitrary frame — split out so
     property tests can drive it with randomized tie-heavy samples
     (doubled tie-averaged ranks exact in DECIMAL(38,0), one-sqrt-of-a-
