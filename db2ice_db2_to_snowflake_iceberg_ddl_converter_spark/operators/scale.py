@@ -103,6 +103,39 @@ def derived_partitions(df: DataFrame, num_partitions: int | None) -> int:
         return 200
 
 
+#: Widest per-partition offset table folded back as a LITERAL create_map
+#: expression; past this the fold becomes a broadcast equi-join on
+#: __pid instead — a 50k-entry literal map would blow up the analyzed
+#: plan / codegen on a wide cluster where derived_partitions returns the
+#: session's (large) shuffle width. 1024 keeps every local[32] plan on
+#: the zero-join literal path.
+_OFFSET_MAP_MAX = 1024
+
+
+def _fold_offsets(part: DataFrame, offsets: dict, out_type) -> DataFrame:
+    """Attach each row's per-partition carry as column ``__off`` (NULL
+    where a partition has no entry): literal-map lookup for narrow
+    shuffles, broadcast join on ``__pid`` past ``_OFFSET_MAP_MAX``.
+    Values round-trip through ``str`` so exact ints/Decimals land on
+    ``out_type`` without a float detour."""
+    if len(offsets) <= _OFFSET_MAP_MAX:
+        if offsets:
+            off_map = F.create_map(*[x for pid, val in offsets.items()
+                                     for x in (F.lit(pid),
+                                               F.lit(str(val))
+                                               .cast(out_type))])
+            carry = F.element_at(off_map, F.col("__pid"))
+        else:
+            carry = F.lit(None).cast(out_type)
+        return part.withColumn("__off", carry)
+    spark = part.sparkSession
+    rows = [(int(pid), str(val)) for pid, val in offsets.items()]
+    off_df = (spark.createDataFrame(rows, "__pid int, __ostr string")
+              .select("__pid", F.col("__ostr").cast(out_type)
+                      .alias("__off")))
+    return part.join(F.broadcast(off_df), "__pid", "left")
+
+
 def global_ranks(df: DataFrame, order_exprs: list,
                  num_partitions: int | None = None,
                  rank_col: str = "global_rn") -> tuple[DataFrame, int]:
@@ -120,7 +153,10 @@ def global_ranks(df: DataFrame, order_exprs: list,
        IS the local 0-based rank — no window, no second exchange.
     3. One tiny job collects per-partition counts (≤ ``num_partitions``
        rows) to build the prefix-sum offset map; global rank =
-       offset[pid] + local + 1 via a literal-map lookup.
+       offset[pid] + local + 1, folded back as a literal-map lookup for
+       narrow shuffles or a broadcast ``__pid`` join past
+       ``_OFFSET_MAP_MAX`` (a 50k-entry literal expression would blow up
+       the analyzed plan on a wide cluster).
 
     The partitioned/sorted/id'd frame is ``localCheckpoint``-ed so the
     counts job and the final projection see the SAME range boundaries
@@ -149,13 +185,11 @@ def global_ranks(df: DataFrame, order_exprs: list,
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_map = F.create_map(*[F.lit(x) for pid_off in offsets.items()
-                             for x in pid_off])
     local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
-    out = (part.withColumn(rank_col,
-                           (F.element_at(off_map, F.col("__pid"))
-                            + local + 1).cast("long"))
-           .drop("__pid", "__mid"))
+    out = (_fold_offsets(part, offsets, "long")
+           .withColumn(rank_col,
+                       (F.col("__off") + local + 1).cast("long"))
+           .drop("__pid", "__mid", "__off"))
     return out, acc
 
 
@@ -212,20 +246,15 @@ def global_prefix_window(df: DataFrame, order_exprs: list, value_col: str,
         if t is not None:
             acc = t if acc is None else \
                 (acc + t if how == "sum" else max(acc, t))
-    if offsets:
-        off_map = F.create_map(*[x for pid, val in offsets.items()
-                                 for x in (F.lit(pid),
-                                           F.lit(str(val)).cast(out_type))])
-        carry = F.element_at(off_map, F.col("__pid"))
-    else:
-        carry = F.lit(None).cast(out_type)
+    part = _fold_offsets(part, offsets, out_type)
+    carry = F.col("__off")
     if how == "sum":
         combined = F.when(carry.isNull(), local).otherwise(
             F.coalesce(local.cast(out_type), F.lit(0).cast(out_type))
             + carry)
     else:
         combined = F.greatest(carry, local.cast(out_type))
-    return part.withColumn(out_col, combined).drop("__pid")
+    return part.withColumn(out_col, combined).drop("__pid", "__off")
 
 
 def _idiv(a: F.Column, b: int) -> F.Column:

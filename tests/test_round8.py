@@ -397,3 +397,38 @@ class TestGlobalPrefixWindowFuzz:
             assert got == exp
 
         run()
+
+
+class TestWideOffsetFold:
+    def test_broadcast_join_path_matches_literal_map(self, spark,
+                                                     monkeypatch):
+        """Past _OFFSET_MAP_MAX partitions the per-partition offsets fold
+        back via a broadcast __pid join instead of a literal create_map
+        (which would become a 10k+-entry expression at cluster-derived
+        widths). Forcing the threshold to 2 must leave both primitives'
+        outputs identical to the window formulations."""
+        from decimal import Decimal
+
+        monkeypatch.setattr(scale, "_OFFSET_MAP_MAX", 2)
+        df = spark.createDataFrame(
+            [(i % 5, i, Decimal(i).scaleb(-1) if i % 7 else None)
+             for i in range(40)], "k long, id long, v decimal(20,1)")
+
+        ranked, n = scale.global_ranks(
+            df, [F.asc("k"), F.asc("id")], num_partitions=8)
+        assert n == 40
+        got = {r.id: r.global_rn for r in ranked.collect()}
+        w = Window.orderBy("k", "id")
+        exp = {r.id: r.rn for r in df.select(
+            "id", F.row_number().over(w).alias("rn")).collect()}
+        assert got == exp
+
+        pref = scale.global_prefix_window(
+            df, [F.asc("k"), F.asc("id")], "v", how="sum",
+            num_partitions=8)
+        gotp = {r.id: r.prefix for r in pref.collect()}
+        wp = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        expp = {r.id: r.p for r in df.select(
+            "id", F.sum("v").over(wp).alias("p")).collect()}
+        assert gotp == expp
