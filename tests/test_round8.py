@@ -432,3 +432,89 @@ class TestWideOffsetFold:
         expp = {r.id: r.p for r in df.select(
             "id", F.sum("v").over(wp).alias("p")).collect()}
         assert gotp == expp
+
+
+class TestCheckpointRestartCusum:
+    def test_cusum_welford_state_survives_restart(self, spark, sf_dir,
+                                                  tmp_path):
+        """CUSUM twin of the P² restart proof: alarms are append-mode
+        one-shot emissions, so run A's alarms + run B's alarms (new query,
+        same checkpoint, only the post-restart files) must equal the
+        uninterrupted pure-Python replay — impossible unless the five
+        Welford/CUSUM state scalars survive the restart."""
+        import time as _t
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        import db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events as ev
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        src = str(tmp_path / "ev_cusum_src")
+        ckpt = str(tmp_path / "ev_cusum_ckpt")
+        e = load_events(spark, sf_dir)
+        ranked = e.selectExpr(
+            "ntile(4) OVER (ORDER BY ts, event_id) AS __f", "*")
+
+        def land(parts):
+            for i in parts:
+                (ranked.filter(F.col("__f") == i).drop("__f").coalesce(1)
+                 .write.mode("append").parquet(src))
+                _t.sleep(0.05)
+
+        def drain(name):
+            out = str(tmp_path / name)
+            schema = spark.read.parquet(src).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+
+            def sink(batch_df, batch_id):
+                (batch_df.write.mode("overwrite")
+                 .parquet(f"{out}/batch_id={batch_id}"))
+
+            q = (ev.cusum_drift_alerts(stream).writeStream
+                 .foreachBatch(sink).outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            q.stop()
+            return [(r.event_type, r.ordinal, r.side, round(r.stat, 9))
+                    for r in
+                    spark.read.parquet(out).drop("batch_id").collect()]
+
+        land((1, 2))
+        alarms_a = drain("cusum_run_a")
+        land((3, 4))
+        alarms_b = drain("cusum_run_b")
+        got = sorted(alarms_a + alarms_b)
+        assert alarms_b, "restarted query emitted no alarms"
+
+        # uninterrupted online replay (same semantics as the r6 pytest)
+        series: dict = {}
+        for et, v in duckdb.sql(
+                f"SELECT event_type, value FROM '{sf_dir}/events.parquet' "
+                f"ORDER BY ts, event_id").fetchall():
+            series.setdefault(et, []).append(float(v))
+        k, h, warmup = 0.25, 4.0, 30
+        want = []
+        for et in sorted(series):
+            n, mean, m2, sp, sm = 0, 0.0, 0.0, 0.0, 0.0
+            for x in series[et]:
+                if n >= warmup and m2 > 0:
+                    std = (m2 / n) ** 0.5
+                    z = (x - mean) / std
+                    sp = max(0.0, sp + z - k)
+                    sm = max(0.0, sm - z - k)
+                    if sp > h:
+                        want.append((et, n + 1, "high", round(sp, 9)))
+                        sp = 0.0
+                    if sm > h:
+                        want.append((et, n + 1, "low", round(sm, 9)))
+                        sm = 0.0
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+        assert got == sorted(want)
