@@ -416,6 +416,10 @@ def vocab_kmv_distinct_checked(spark: SparkSession, sf_dir: str,
     asserts the KMV estimator's pinned band: exact when the source holds
     fewer than k distinct tokens (the sketch IS the set), else
     |rel_err| ≤ 4/√(k−2) (tests/test_round6.py::TestKmvDistinct)."""
+    if k <= 2:
+        raise ValueError(
+            f"vocab_kmv_distinct_checked requires k > 2 (got k={k}): "
+            "the 4/sqrt(k-2) error band is undefined at k<=2")
     base = vocab_kmv_distinct(spark, sf_dir, k=k)
     bound = 4.0 / (k - 2) ** 0.5
     in_band = F.when(
@@ -449,13 +453,20 @@ def kmv_set_ops_checked(spark: SparkSession, sf_dir: str, k: int = 256,
     eu = F.col("exact_union").cast("double")
     ei = F.col("exact_intersect").cast("double")
     exact_j = F.when(eu > 0, ei / eu).otherwise(F.lit(0.0))
+    # small-set regime: fewer than k union hashes → the sketch IS the
+    # set (θ=1 in the core), so the gate is exact equality, not the
+    # band. est_jaccard and exact_j are the same single IEEE divide.
+    small = eu < F.lit(float(k))
     return base.select(
         "exact_union", "exact_intersect",
-        (F.abs(F.col("est_union") - eu) <= F.lit(band) * eu)
+        F.when(small, F.col("est_union") == eu)
+        .otherwise(F.abs(F.col("est_union") - eu) <= F.lit(band) * eu)
         .alias("union_in_band"),
-        (F.abs(F.col("est_intersect") - ei) <= F.lit(band) * eu)
+        F.when(small, F.col("est_intersect") == ei)
+        .otherwise(F.abs(F.col("est_intersect") - ei) <= F.lit(band) * eu)
         .alias("intersect_in_band"),
-        (F.abs(F.col("est_jaccard") - exact_j) <= F.lit(band))
+        F.when(small, F.col("est_jaccard") == exact_j)
+        .otherwise(F.abs(F.col("est_jaccard") - exact_j) <= F.lit(band))
         .alias("jaccard_in_band"))
 
 

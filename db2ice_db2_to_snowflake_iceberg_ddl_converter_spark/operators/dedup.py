@@ -1148,20 +1148,31 @@ def dedup_bloom_prefilter_checked(spark, sf_dir, m_bits: int = 65536,
     literal 0 — a red row here means the zero-FN guarantee broke.
     ``fpp_in_bound`` collapses the bloom-specific columns to the pytest's
     band: measured fpp ≤ max(5 × (1−e^{−kn/m})^k, 0.02) with n = corpus
-    distinct hashes. The full-census core stays for the pytests."""
-    import math
+    distinct hashes. The full-census core stays for the pytests.
 
+    The bound is computed IN-PLAN (n via a 1-row broadcast agg, the
+    exp/pow folded into the boolean's expression) so construction stays
+    lazy — the old form ran an eager corpus-wide ``.count()`` at build
+    time, a full documents scan before the entry's own job (r8 ADVICE).
+    exp/pow are fine here: they feed only the in-band boolean, never a
+    hash-compared value column."""
     from .relational import ld
 
     census = dedup_bloom_prefilter(spark, sf_dir, m_bits=m_bits,
                                    k_hashes=k_hashes)
     n_corpus = (ld(spark, sf_dir, "documents")
-                .select(F.xxhash64("text").alias("h")).distinct().count())
-    fpp_theory = (1.0 - math.exp(-k_hashes * n_corpus / m_bits)) ** k_hashes
-    bound = max(5.0 * fpp_theory, 0.02)
-    return census.select(
-        "batch_size", "true_dups", "false_negatives",
-        (F.col("measured_fpp") <= F.lit(bound)).alias("fpp_in_bound"))
+                .select(F.xxhash64("text").alias("h")).distinct()
+                .agg(F.count(F.lit(1)).alias("n_corpus")))
+    fpp_theory = F.pow(
+        F.lit(1.0) - F.exp(F.lit(-float(k_hashes))
+                           * F.col("n_corpus").cast("double")
+                           / F.lit(float(m_bits))),
+        F.lit(float(k_hashes)))
+    bound = F.greatest(F.lit(5.0) * fpp_theory, F.lit(0.02))
+    return (census.crossJoin(F.broadcast(n_corpus))
+            .select("batch_size", "true_dups", "false_negatives",
+                    (F.col("measured_fpp") <= bound)
+                    .alias("fpp_in_bound")))
 
 
 ORACLE_BLOOM_PREFILTER_CHECKED = """

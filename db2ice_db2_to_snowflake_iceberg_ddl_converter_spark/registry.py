@@ -582,6 +582,36 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest-first), filling to 50. Build ``_window_r09()`` as (1) any red
     r8 entry (fix first), (2) new round-9 entries, (3) that due list.
     Same verification command before committing.
+
+    ROUND-9 ROTATION (executes the plan above, per the r8 verdict): no
+    r8 entry came back red (CORRECTNESS_r08: 49 hash-matches + 1
+    by-design rows-only ``dedup_minhash_lsh``, zero errors), so
+    ``_window_r09()`` is (1) every new round-9 entry (``_ROUND9_NEW`` —
+    the debut-freeze discipline continues; round 9 again ships ZERO
+    debuts so the full 50-slot window keeps clearing staleness), then
+    (2) the recorded due list ``_CANARIES_R09`` filling to exactly 50.
+    ``_CANARIES_R09`` is built BY CONSTRUCTION as
+    ``_CANARIES_R08[50 − len(_ROUND8_NEW):]`` (with len(_ROUND8_NEW)=0
+    that is the 41 r03-checked entries the r8 fill could not reach, =
+    ``_R03_CHECKED[9:]``) followed by ``_R04_CHECKED`` (the 50 entries
+    last driver-checked in round 4, in their exact
+    CORRECTNESS_r04.json window order = oldest first; verified this
+    round that none of the 50 was re-checked in any r05–r08 window and
+    that the two blocks are disjoint) — a 91-entry due list.
+    Arithmetic: len(_ROUND9_NEW) debuts + (50 − len(_ROUND9_NEW)) due
+    entries = 50; the due tail (41 + len(_ROUND9_NEW) entries, all
+    r04-checked) stays due for round 10.
+
+    ROUND-10 ROTATION PLAN: the fill above reaches only the first
+    (50 − len(_ROUND9_NEW)) entries of ``_CANARIES_R09``; the remaining
+    (41 + len(_ROUND9_NEW)) r04-checked entries stay due and are first
+    in line for round 10 in list order — after they land, every registry
+    entry has a driver row from round 5 or later and the staleness debt
+    is fully cleared; the rotation then restarts oldest-first from the
+    round-5 window (``CORRECTNESS_r05.json`` order). Build
+    ``_window_r10()`` as (1) any red r9 entry (fix first), (2) new
+    round-10 entries, (3) that due list. Same verification command
+    before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -809,9 +839,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_round6_queries())
     # ---- NEW round-7 entries ----
     q.update(_round7_queries())
-    # ---- ROUND-8 REORDER: window first, everything else keeps its
+    # ---- ROUND-9 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    window = _window_r08()
+    window = _window_r09()
     missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
     in_window = set(window)
@@ -873,6 +903,29 @@ def _window_r08() -> list:
     assert fill >= 0, "round-8 additions overflow the 50-slot window"
     return [*window, *_CANARIES_R08[:fill]]
 
+
+def _window_r09() -> list:
+    """The round-9 driver window (first 50 ``queries()`` keys), executing
+    the rotation plan recorded in the r8 verdict: no r8 entry came back
+    red (49 hash-matches + the by-design rows-only ``dedup_minhash_lsh``),
+    so the window is (1) every new round-9 entry (``_ROUND9_NEW``,
+    debut-freeze discipline — round 9 ships zero debuts by design), then
+    (2) the recorded due list (``_CANARIES_R09`` = the 41 unreached
+    r03-checked entries + the 50 r04-checked entries, oldest first)
+    filling to exactly 50. Adding a round-9 entry to ``_ROUND9_NEW``
+    automatically displaces the trailing due entry."""
+    window = [*_ROUND9_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-9 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R09[:fill]]
+
+
+#: New round-9 entries. Zero debuts by design (second consecutive
+#: debut-freeze round): the 91-entry due list needs two full windows to
+#: clear, and coverage freshness outranks surface growth. Round-9
+#: surface work goes into partial-oracle upgrades of existing rows-only
+#: entries instead (same keys, no new slots needed).
+_ROUND9_NEW: list = []
 
 #: New round-8 entries. The r7 verdict caps r8 debuts at "a handful":
 #: every debut displaces one stale due entry below, and coverage
@@ -1432,6 +1485,76 @@ _WINDOW_SIZE = 50
 _CANARIES_R08: list = (
     _CANARIES_R07[_WINDOW_SIZE - len(_ROUND7_NEW) - len(_ROUND6_LATE):]
     + _R03_CHECKED
+)
+
+#: The 50 entries last driver-checked in round 4, in their exact
+#: CORRECTNESS_r04.json window order (= oldest driver row first).
+#: Verified at round-9 build time: none of these appears in any of the
+#: r05–r08 CORRECTNESS windows, so "checked in r4" is each one's most
+#: recent driver row. This is the second half of the round-9 due list.
+_R04_CHECKED: list = [
+    "dedup_incremental_exact",
+    "sample_per_group_topn",
+    "corpus_mix_weights",
+    "corpus_token_budget_cut",
+    "streaming_zscore_alerts",
+    "streaming_user_stats_v2",
+    "corpus_frequent_tokens_mg",
+    "customer_rfm_segments",
+    "part_abc_analysis",
+    "orders_open_backlog_daily",
+    "audience_overlap_matrix",
+    "geo_nearest_site_assignment",
+    "supplier_on_time_scorecard",
+    "events_dow_hour_profile",
+    "events_mad_outliers",
+    "observe_scan_metrics",
+    "orders_monthly_growth",
+    "text_langid_eval",
+    "part_pareto_frontier",
+    "basket_part_affinity",
+    "events_locf_daily",
+    "events_pattern_vshape",
+    "orders_keyset_page",
+    "customers_adoption_curve",
+    "events_activity_streaks",
+    "events_ohlc_bars",
+    "events_twap",
+    "events_interval_islands",
+    "events_active_users_7d",
+    "graph_hierarchy_depths",
+    "corpus_bigram_counts",
+    "text_pii_redact",
+    "sink_partitioned_prune",
+    "dedup_substring_spans",
+    "scd2_history_from_events",
+    "rollup_incremental_refresh",
+    "corpus_bpe_merge_pairs",
+    "events_session_attribution",
+    "scale_zorder_zvalues",
+    "window_running_distinct",
+    "sink_compact_small_files",
+    "source_schema_evolution",
+    "sink_dynamic_partition_overwrite",
+    "events_ema",
+    "approx_hll_union",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "join_full_outer",
+    "agg_grouping_sets",
+    "text_fingerprint",
+]
+
+#: The round-9 due list, BY CONSTRUCTION per the recorded plan: the r8
+#: canary fill stopped at _CANARIES_R08[50] (len(_ROUND8_NEW)=0 debuts),
+#: so the unreached 41 r03-checked entries come first (in list order =
+#: _R03_CHECKED[9:]), then the 50 r04-checked entries (oldest driver
+#: rows after them). The two blocks are disjoint (verified at build
+#: time). The tail that misses the r9 window stays due for round 10 in
+#: this order; after round 10 lands, the staleness debt is fully
+#: cleared.
+_CANARIES_R09: list = (
+    _CANARIES_R08[_WINDOW_SIZE - len(_ROUND8_NEW):] + _R04_CHECKED
 )
 
 #: The 18 registry entries with no CORRECTNESS row in any of r01–r04

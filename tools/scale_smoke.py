@@ -201,6 +201,10 @@ def main() -> int:
     run_list = (args.entries if args.entries
                 else HEAVIES if args.heavies
                 else DEFAULT_TOP[:args.top])
+    unknown = [name for name in run_list if name not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown entries (not in registry queries()): {unknown}")
     for name in run_list:
         # time construction + count TOGETHER: several heavies do eager
         # work at build time (localCheckpoint pins), which the old
