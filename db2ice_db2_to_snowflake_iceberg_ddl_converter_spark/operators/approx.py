@@ -53,6 +53,54 @@ def approx_quantiles(spark, sf_dir, accuracy: int = 10_000):
                     "min_price", "max_price"))
 
 
+def approx_quantiles_checked(spark, sf_dir,
+                             accuracy: int = 10_000) -> DataFrame:
+    """Partial-oracle form of :func:`approx_quantiles` (round 9): the
+    quantile probes and the exact min/max ride the DuckDB hash gate, and
+    each GK estimate collapses to ``rank_in_band`` — the sketch's own
+    guarantee, checked against the EXACT rank of the returned value:
+    with ε = 1/accuracy, percentile_approx(q) must return a value whose
+    rank window [count(< v), count(≤ v)] intersects
+    [⌈q·n⌉ − εn − 1, ⌈q·n⌉ + εn + 1] (±1 absorbs the discrete-rank
+    convention). The rank probe is ONE orders scan joined to the 5
+    broadcast quantile rows. The raw sketch core stays as
+    :func:`approx_quantiles` for the bound pytest."""
+    base = approx_quantiles(spark, sf_dir, accuracy=accuracy)
+    o = ld(spark, sf_dir, "orders").select("o_totalprice")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (o.crossJoin(F.broadcast(base.select("quantile",
+                                                 "approx_value")))
+             .groupBy("quantile", "approx_value")
+             .agg(F.sum((F.col("o_totalprice")
+                         < F.col("approx_value")).cast("long"))
+                  .alias("rank_lo"),
+                  F.sum((F.col("o_totalprice")
+                         <= F.col("approx_value")).cast("long"))
+                  .alias("rank_hi")))
+    eps = 1.0 / accuracy
+    target = F.ceil(F.col("quantile") * F.col("n").cast("double"))
+    slack = F.col("n").cast("double") * F.lit(eps) + F.lit(1.0)
+    in_band = ((F.col("rank_hi").cast("double")
+                >= target.cast("double") - slack)
+               & (F.col("rank_lo").cast("double")
+                  <= target.cast("double") + slack))
+    return (base.join(ranks, ["quantile", "approx_value"])
+            .crossJoin(F.broadcast(n))
+            .select("quantile", "min_price", "max_price",
+                    in_band.alias("rank_in_band"))
+            .orderBy("quantile"))
+
+
+ORACLE_APPROX_QUANTILES_CHECKED = """
+SELECT CAST(q.quantile AS DOUBLE) AS quantile,
+       (SELECT MIN(o_totalprice) FROM orders) AS min_price,
+       (SELECT MAX(o_totalprice) FROM orders) AS max_price,
+       TRUE AS rank_in_band
+FROM (VALUES (0.25),(0.5),(0.75),(0.95),(0.99)) AS q(quantile)
+ORDER BY q.quantile
+"""
+
+
 def exact_quantiles(spark, sf_dir):
     """Exact reference for the bound test (global sort at scale — this is
     the expensive path the sketch replaces)."""

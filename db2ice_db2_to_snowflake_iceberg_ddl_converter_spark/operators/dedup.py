@@ -401,6 +401,51 @@ def dedup_simhash(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
+def dedup_simhash_checked(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
+    """Partial-oracle form of :func:`dedup_simhash` (round 9, the
+    :func:`multimodal.multimodal_phash_neardup_checked` pattern): the pair
+    list itself is xxhash64-derived (no DuckDB twin), but its exact anchor
+    IS recomputable — byte-identical texts produce identical 256-bit
+    fingerprints, hence hamming 0, hence every band collides — so each
+    identical-text pair MUST appear in the found set at hamming 0. The
+    census row carries ``n_exact_text_pairs`` (DuckDB: Σ c·(c−1)/2 over
+    text groups) on the hash gate plus two structural booleans asserted
+    TRUE by the oracle: ``all_exact_pairs_found`` and ``near_ge_exact``.
+    The pair-list core stays as :func:`dedup_simhash` for the pigeonhole
+    recall pytest."""
+    from .relational import ld
+
+    pairs = dedup_simhash(spark, sf_dir, max_hamming=max_hamming)
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    n_exact = grp.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
+                   F.lit(0)).alias("n_exact_text_pairs"))
+    ta = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("txa"))
+    tb = d.select(F.col("doc_id").alias("id2"), F.col("text").alias("txb"))
+    found_exact = (pairs.filter(F.col("hamming") == 0)
+                   .join(ta, "id1").join(tb, "id2")
+                   .filter(F.col("txa") == F.col("txb"))
+                   .agg(F.count(F.lit(1)).alias("n_found_exact")))
+    n_found = pairs.agg(F.count(F.lit(1)).alias("n_found_total"))
+    return (n_exact.crossJoin(F.broadcast(found_exact))
+            .crossJoin(F.broadcast(n_found))
+            .select("n_exact_text_pairs",
+                    (F.col("n_found_exact") == F.col("n_exact_text_pairs"))
+                    .alias("all_exact_pairs_found"),
+                    (F.col("n_found_total") >= F.col("n_exact_text_pairs"))
+                    .alias("near_ge_exact")))
+
+
+ORACLE_SIMHASH_CHECKED = """
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+         AS n_exact_text_pairs,
+       TRUE AS all_exact_pairs_found,
+       TRUE AS near_ge_exact
+FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
@@ -1067,6 +1112,59 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
                     F.round("jaccard", 9).alias("jaccard"),
                     F.col("neardup_of").isNotNull().alias("is_neardup"))
             .orderBy("new_doc"))
+
+
+def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
+                                      new_source: str = "src19",
+                                      threshold: float = 0.5) -> DataFrame:
+    """Partial-oracle form of :func:`dedup_incremental_minhash` (round 9):
+    the flagged set is xxhash64-derived, but its exact anchor is
+    recomputable — a batch doc whose text appears VERBATIM in the
+    existing corpus has an identical shingle set, hence identical
+    signature and bands, hence a surviving candidate with exact
+    Jaccard 1 ≥ threshold, hence MUST be flagged. The census row carries
+    ``n_batch`` and ``n_exact_text_dups`` (DuckDB: batch docs with a
+    corpus text twin) on the hash gate, plus two structural booleans the
+    oracle asserts TRUE: ``all_exact_dups_flagged`` (each verbatim-dup
+    batch doc came back ``is_neardup``) and ``flagged_ge_exact``. The
+    decision-pass core stays for the brute-force Jaccard pytest."""
+    decisions = dedup_incremental_minhash(spark, sf_dir,
+                                          new_source=new_source,
+                                          threshold=threshold)
+    d = ld_py(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == new_source) \
+             .select(F.col("doc_id").alias("new_doc"), "text")
+    corpus_texts = (d.filter(F.col("source") != new_source)
+                    .select("text").distinct())
+    exact_dups = batch.join(corpus_texts, "text", "left_semi") \
+                      .select("new_doc")
+    n_stats = (batch.agg(F.count(F.lit(1)).alias("n_batch"))
+               .crossJoin(F.broadcast(
+                   exact_dups.agg(F.count(F.lit(1))
+                                  .alias("n_exact_text_dups")))))
+    flagged = decisions.filter(F.col("is_neardup"))
+    missed = (exact_dups.join(flagged.select("new_doc"),
+                              "new_doc", "left_anti")
+              .agg(F.count(F.lit(1)).alias("n_missed")))
+    n_flagged = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    return (n_stats.crossJoin(F.broadcast(missed))
+            .crossJoin(F.broadcast(n_flagged))
+            .select("n_batch", "n_exact_text_dups",
+                    (F.col("n_missed") == 0).alias("all_exact_dups_flagged"),
+                    (F.col("n_flagged") >= F.col("n_exact_text_dups"))
+                    .alias("flagged_ge_exact")))
+
+
+ORACLE_INCREMENTAL_MINHASH_CHECKED = """
+SELECT (SELECT COUNT(*) FROM documents WHERE source = 'src19') AS n_batch,
+       (SELECT COUNT(*) FROM documents b
+        WHERE b.source = 'src19'
+          AND EXISTS (SELECT 1 FROM documents c
+                      WHERE c.source <> 'src19' AND c.text = b.text))
+         AS n_exact_text_dups,
+       TRUE AS all_exact_dups_flagged,
+       TRUE AS flagged_ge_exact
+"""
 
 
 def dedup_bloom_prefilter(spark, sf_dir, m_bits: int = 65536,

@@ -338,6 +338,131 @@ def events_ema(spark: SparkSession, sf_dir: str,
             .orderBy("event_type"))
 
 
+def events_ema_checked(spark: SparkSession, sf_dir: str,
+                       alpha: float = 0.2) -> DataFrame:
+    """Partial-oracle form of :func:`events_ema` (round 9): the stream's
+    exact anchors ride the DuckDB hash gate — per-type event count,
+    min/max value, and the LAST value in (ts, event_id) order (one
+    ``max_by`` agg, no window) — and the iterative EMA collapses to two
+    oracle-asserted recurrence invariants:
+
+    - ``ema_convex``: min ≤ ema ≤ max (adjust=False weights are
+      non-negative and sum to 1 — the EMA is a convex combination);
+    - ``ema_recurrence_band``: |ema − x_n| ≤ (1−α)(max − min) + 1e−9
+      (one unfold of ema = α·x_n + (1−α)·ema_{n−1} with
+      ema_{n−1} ∈ [min, max]).
+
+    The recurrence VALUES stay pinned by the numpy-loop pytest on the
+    raw :func:`events_ema` core."""
+    base = events_ema(spark, sf_dir, alpha=alpha)
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"))
+    slack = F.lit(1e-9)
+    return (base.join(stats, "event_type")
+            .select(
+                "event_type", "n_events", "min_value", "max_value",
+                "last_value",
+                ((F.col("ema_last") >= F.col("min_value") - slack)
+                 & (F.col("ema_last") <= F.col("max_value") + slack))
+                .alias("ema_convex"),
+                (F.abs(F.col("ema_last") - F.col("last_value"))
+                 <= F.lit(1.0 - alpha)
+                 * (F.col("max_value") - F.col("min_value")) + slack)
+                .alias("ema_recurrence_band"))
+            .orderBy("event_type"))
+
+
+ORACLE_EVENTS_EMA_CHECKED = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       MIN(e.value) AS min_value,
+       MAX(e.value) AS max_value,
+       MAX(r.value) AS last_value,
+       TRUE AS ema_convex,
+       TRUE AS ema_recurrence_band
+FROM events e
+JOIN ranked r ON r.event_type = e.event_type AND r.rn = 1
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def events_holt_linear_checked(spark: SparkSession, sf_dir: str,
+                               alpha: float = 0.3,
+                               beta: float = 0.1) -> DataFrame:
+    """Partial-oracle form of :func:`events_holt_linear` (round 9): the
+    dense daily series' exact anchors ride the DuckDB hash gate —
+    per-type day count and the first/last daily counts of the gap-filled
+    grid (a drifted ``_dense_daily_counts`` gap-fill now turns the
+    driver row red) — and the recurrence collapses to oracle-asserted
+    emission invariants: ``forecast_identity`` (forecast_next ≡ level +
+    trend, bitwise — same doubles), ``mae_nonneg``, and ``state_finite``
+    (no NaN/Inf escaped the loop). The recurrence VALUES stay pinned by
+    the pure-Python replay pytest on the raw core."""
+    from .timeseries import _dense_daily_counts
+
+    base = events_holt_linear(spark, sf_dir, alpha=alpha, beta=beta)
+    dense = _dense_daily_counts(spark, sf_dir)
+    anchors = dense.groupBy("event_type").agg(
+        F.min_by("cnt", "day_num").alias("first_cnt"),
+        F.max_by("cnt", "day_num").alias("last_cnt"))
+    finite = (~F.isnan("level") & ~F.isnan("trend")
+              & (F.abs("level") < F.lit(float("inf")))
+              & (F.abs("trend") < F.lit(float("inf"))))
+    return (base.join(anchors, "event_type")
+            .select(
+                "event_type", "n_days", "first_cnt", "last_cnt",
+                (F.col("forecast_next") == F.col("level") + F.col("trend"))
+                .alias("forecast_identity"),
+                (F.col("one_step_mae") >= 0).alias("mae_nonneg"),
+                finite.alias("state_finite"))
+            .orderBy("event_type"))
+
+
+ORACLE_EVENTS_HOLT_CHECKED = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day_num),
+span AS (
+  SELECT event_type, MIN(day_num) AS d0, MAX(day_num) AS d1
+  FROM daily GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, g.day_num
+  FROM span s,
+       LATERAL (SELECT UNNEST(generate_series(s.d0, s.d1)) AS day_num) g),
+dense AS (
+  SELECT g.event_type, g.day_num, COALESCE(d.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day_num = g.day_num),
+ranked AS (
+  SELECT event_type, day_num, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day_num) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day_num DESC) AS rn_d
+  FROM dense)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cnt END) AS BIGINT) AS first_cnt,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cnt END) AS BIGINT) AS last_cnt,
+       TRUE AS forecast_identity,
+       TRUE AS mae_nonneg,
+       TRUE AS state_finite
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_session_attribution(spark: SparkSession, sf_dir: str,
                                hold_minutes: int = 10) -> DataFrame:
     """Purchase→session attribution via a BUCKETED interval join: view

@@ -102,6 +102,72 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("rank"), "node").limit(k))
 
 
+def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
+                               k: int = 25,
+                               damping: float = 0.85) -> DataFrame:
+    """Partial-oracle form of :func:`graph_pagerank_top` (round 9): the
+    graph's exact node/edge counts ride the DuckDB hash gate (recomputable
+    from the distinct customer–supplier trade pairs; the id spaces are
+    disjoint by the 10^9 supplier offset, so n_nodes = distinct customers
+    + distinct suppliers and n_edges = 2 × pairs), and the iterative float
+    ranks collapse to three oracle-asserted invariant booleans:
+
+    - ``mass_in_band``: |Σrank − 1| ≤ 1e−6 (PageRank conserves mass);
+    - ``min_rank_ge_floor``: every rank ≥ (1−d)/n − 1e−12 (the structural
+      teleport floor);
+    - ``topk_dominates``: the k-th selected rank ≥ the max rank OUTSIDE
+      the top-k (pins the orderBy+limit selection semantics end-to-end).
+
+    The raw (node, rank) core stays as :func:`graph_pagerank_top` for the
+    numpy power-iteration pytest. All probes are bounded: 1-row aggs and
+    a broadcast anti-join against the k selected nodes."""
+    edges = customer_supplier_edges(spark, sf_dir)
+    ranks = pagerank(edges, damping=damping)
+    top = (ranks.orderBy(F.desc("rank"), "node").limit(k)
+           .localCheckpoint())           # ≤k rows; read by 2 consumers
+    totals = ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank").alias("total_mass"),
+        F.min("rank").alias("min_rank"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    top_stats = top.agg(F.count(F.lit(1)).alias("k_rows"),
+                        F.min("rank").alias("kth_rank"))
+    outside = (ranks.join(F.broadcast(top.select("node")),
+                          "node", "left_anti")
+               .agg(F.coalesce(F.max("rank"), F.lit(0.0))
+                    .alias("outside_max")))
+    floor = (F.lit(1.0 - damping) / F.col("n_nodes").cast("double")
+             - F.lit(1e-12))
+    return (totals.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(top_stats))
+            .crossJoin(F.broadcast(outside))
+            .select(
+                "n_nodes", "n_edges", "k_rows",
+                (F.abs(F.col("total_mass") - F.lit(1.0)) <= F.lit(1e-6))
+                .alias("mass_in_band"),
+                (F.col("min_rank") >= floor).alias("min_rank_ge_floor"),
+                (F.col("kth_rank") >= F.col("outside_max"))
+                .alias("topk_dominates")))
+
+
+ORACLE_PAGERANK_CHECKED = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT CAST((SELECT COUNT(DISTINCT cust) FROM pairs)
+            + (SELECT COUNT(DISTINCT supp) FROM pairs) AS BIGINT)
+         AS n_nodes,
+       CAST(2 * (SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(LEAST(25, (SELECT COUNT(DISTINCT cust) FROM pairs)
+                      + (SELECT COUNT(DISTINCT supp) FROM pairs))
+            AS BIGINT) AS k_rows,
+       TRUE AS mass_in_band,
+       TRUE AS min_rank_ge_floor,
+       TRUE AS topk_dominates
+"""
+
+
 def transitive_roots(parents: DataFrame, n_rounds: int = 6,
                      verify_converged: bool = True) -> DataFrame:
     """See module docstring; ``n_rounds`` doublings resolve depth ≤

@@ -37,7 +37,14 @@ from .operators import (
 def _catalog_queries():
     """Schema-plane surface exposed through the data plane: the DB2 fixture
     corpus parsed → schema-catalog DataFrame → assessment aggregation.
-    DDL parsing is not SQL-expressible over the test tables → rows-only."""
+
+    DDL parsing is not SQL-expressible over the test tables, but the
+    fixture corpus is FIXED, so each entry's full expected output is
+    pinned as a literal-VALUES DuckDB oracle (round 9; the expected rows
+    are derived from the reference's mapping/penalty rules, e.g.
+    mapper.py:187-449 type branches and assessor.py:167-180 penalties) —
+    any parser/mapper/assessor drift now turns the driver row red
+    instead of hiding behind a rows-only check."""
     from .assess import Assessor
     from .catalog import assess_catalog, schema_catalog_df
 
@@ -95,6 +102,72 @@ def _catalog_queries():
             "ddl_assess_catalog": ddl_assess_catalog,
             "ddl_type_distribution": ddl_type_distribution,
             "migrate_customer_cast": migrate_customer_cast}
+
+
+#: Literal-catalog oracles for the ``ddl_*`` entries (round 9): the fixture
+#: DDL is fixed, so the exact expected catalog rows ride the driver's hash
+#: gate as VALUES literals. Expected values derive from the reference's
+#: rules: CHAR→STRING compatible EWI-0001, TIMESTAMP(9)→TIMESTAMP_NTZ(6)
+#: compatible EWI-0004, XML→STRING unsupported EWI-0005 (+25 penalty),
+#: BLOB→BINARY compatible EWI-0020 (+2 each compatible-with-EWI), and
+#: DECFLOAT(16)→DOUBLE lossy EWI-0007 (+10).
+ORACLE_DDL_SCHEMA_CATALOG = """
+SELECT * FROM (VALUES
+  ('TPCH','CUSTOMER','C_CUSTKEY',0,'BIGINT','BIGINT','BIGINT','direct',
+   NULL, FALSE, NULL, NULL, NULL, NULL, NULL, 0, 0),
+  ('TPCH','CUSTOMER','C_NAME',1,'VARCHAR(100)','VARCHAR','STRING','direct',
+   NULL, TRUE, NULL, NULL, NULL, NULL, NULL, 0, 0),
+  ('TPCH','CUSTOMER','C_NATIONKEY',2,'INTEGER','INTEGER','INTEGER','direct',
+   NULL, TRUE, NULL, NULL, NULL, NULL, NULL, 0, 0),
+  ('TPCH','CUSTOMER','C_ACCTBAL',3,'DECIMAL(12,2)','DECIMAL','NUMBER(12,2)',
+   'direct', NULL, TRUE, NULL, NULL, NULL, NULL, NULL, 0, 0),
+  ('TPCH','CUSTOMER','C_MKTSEGMENT',4,'CHAR(10)','CHAR','STRING',
+   'compatible','SSC-EWI-DB2ICE-0001', TRUE, NULL, NULL, NULL, NULL, NULL,
+   0, 0),
+  ('TPCH','EVENTS_RAW','EVENT_ID',0,'BIGINT','BIGINT','BIGINT','direct',
+   NULL, FALSE, NULL, NULL, NULL, NULL, 'RANGE', 0, 0),
+  ('TPCH','EVENTS_RAW','TS',1,'TIMESTAMP(9)','TIMESTAMP','TIMESTAMP_NTZ(6)',
+   'compatible','SSC-EWI-DB2ICE-0004', TRUE, NULL, NULL, NULL, NULL,
+   'RANGE', 0, 0),
+  ('TPCH','EVENTS_RAW','PAYLOAD_XML',2,'XML','XML','STRING','unsupported',
+   'SSC-EWI-DB2ICE-0005', TRUE, NULL, NULL, NULL, NULL, 'RANGE', 0, 0),
+  ('TPCH','EVENTS_RAW','BODY',3,'BLOB(1024)','BLOB','BINARY','compatible',
+   'SSC-EWI-DB2ICE-0020', TRUE, NULL, NULL, NULL, NULL, 'RANGE', 0, 0),
+  ('TPCH','EVENTS_RAW','COORD',4,'DECFLOAT(16)','DECFLOAT','DOUBLE','lossy',
+   'SSC-EWI-DB2ICE-0007', TRUE, NULL, NULL, NULL, NULL, 'RANGE', 0, 0)
+) AS t(table_schema, table_name, column_name, ordinal, source_type,
+       base_type, target_type, status, ewi_code, nullable, generated,
+       fieldproc, table_editproc, table_validproc, partition_kind,
+       n_foreign_keys, n_check_constraints)
+ORDER BY table_name, ordinal
+"""
+
+ORACLE_DDL_ASSESS_CATALOG = """
+SELECT table_schema, table_name,
+       CAST(n_columns AS BIGINT) AS n_columns,
+       CAST(column_penalty AS BIGINT) AS column_penalty,
+       editproc_penalty, validproc_penalty, partition_penalty,
+       fk_penalty, check_penalty,
+       CAST(penalty_total AS BIGINT) AS penalty_total,
+       CAST(readiness_score AS BIGINT) AS readiness_score,
+       readiness_level, can_auto_convert
+FROM (VALUES
+  ('TPCH','CUSTOMER',5,2,0,0,0,0,0,2,98,'green',TRUE),
+  ('TPCH','EVENTS_RAW',5,39,0,0,0,0,0,39,61,'yellow',FALSE)
+) AS t(table_schema, table_name, n_columns, column_penalty,
+       editproc_penalty, validproc_penalty, partition_penalty, fk_penalty,
+       check_penalty, penalty_total, readiness_score, readiness_level,
+       can_auto_convert)
+ORDER BY table_name
+"""
+
+ORACLE_DDL_TYPE_DISTRIBUTION = """
+SELECT base_type, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('BIGINT',2),('BLOB',1),('CHAR',1),('DECFLOAT',1),('DECIMAL',1),
+  ('INTEGER',1),('TIMESTAMP',1),('VARCHAR',1),('XML',1)
+) AS t(base_type, n)
+ORDER BY n DESC, base_type
+"""
 
 
 def _streaming_queries():
@@ -652,8 +725,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update({
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "multimodal_features": multimodal.multimodal_features,
-        # iterative float math → rows-only; pytest pins vs numpy power iter
-        "graph_pagerank_top": graph.graph_pagerank_top,
+        # partial-oracle (r9): exact node/edge counts hash-gated, the
+        # iterative float ranks collapse to mass/floor/dominance booleans;
+        # the raw (node, rank) core keeps its numpy power-iter pytest
+        "graph_pagerank_top": graph.graph_pagerank_top_checked,
     })
     # ---- window 31-...: NEW round-3 entries (oracle-backed) ----
     q.update(_round3_queries())
@@ -723,8 +798,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sink_compact_small_files"] = sink_compact_small_files
     q["source_schema_evolution"] = source_schema_evolution
     q["sink_dynamic_partition_overwrite"] = sink_dynamic_partition_overwrite
-    # per-key sequential recurrence via applyInPandas → rows-only
-    q["events_ema"] = eventtime.events_ema
+    # per-key sequential recurrence via applyInPandas; partial-oracle
+    # (r9): exact n/min/max/last anchors hash-gated, EMA collapses to
+    # convexity + one-step recurrence booleans (numpy pytest pins the
+    # raw core's values)
+    q["events_ema"] = eventtime.events_ema_checked
     # proven green in r01/r02:
     q.update({k: v for k, v in rext.QUERIES.items() if k not in q})
     q.update({
@@ -743,7 +821,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": textstats.text_fingerprint,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "approx_quantiles": approx.approx_quantiles,
+        # partial-oracle (r9): quantile probes + exact min/max hash-gated,
+        # GK estimates collapse to their rank-window guarantee boolean
+        "approx_quantiles": approx.approx_quantiles_checked,
         "corpus_token_histogram": corpus.corpus_token_histogram,
         "embedding_covariance": corpus.embedding_covariance,
         "dedup_keep_representatives": dedup.dedup_keep_representatives,
@@ -790,7 +870,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup.dedup_exact_docs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
+        # partial-oracle (r9): exact identical-text pair count hash-gated
+        # + structural recall booleans; raw pair core keeps its pytest
+        "dedup_simhash": dedup.dedup_simhash_checked,
         "dedup_embedding_blocked": lambda spark, sf_dir:
             similarity.all_pairs_cosine_blocked(
                 spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
@@ -1365,9 +1447,10 @@ def _round6_queries():
         # chi-square independence + Cramér's V on nation × segment —
         # categorical-redundancy readout before one-hot blowup
         "assoc_cramers_v": _an6.assoc_cramers_v,
-        # Holt level+trend smoothing per event type (iterative float
-        # recurrence → rows-only; pytest replays the loop in Python)
-        "events_holt_linear": _et6.events_holt_linear,
+        # Holt level+trend smoothing per event type; partial-oracle (r9):
+        # exact dense-grid anchors hash-gated + emission-invariant
+        # booleans (pure-Python replay pytest pins the raw core)
+        "events_holt_linear": _et6.events_holt_linear_checked,
         # exact Gini + Lorenz deciles of customer revenue — the key-skew
         # inequality census riding scale.global_ranks
         "revenue_gini_lorenz": _an6.revenue_gini_lorenz,
@@ -1693,9 +1776,11 @@ def _round5_queries():
         # CUSUM change-point monitor (max-clamp recurrence → grouped
         # applyInPandas like events_ema; rows-only, numpy-pinned)
         "events_cusum_drift": _ev5.events_cusum_drift,
-        # incremental batch-vs-corpus near-dup via the shared LSH bands
-        # (xxhash64 → rows-only; pytest pins vs brute-force Jaccard)
-        "dedup_incremental_minhash": _dd5.dedup_incremental_minhash,
+        # incremental batch-vs-corpus near-dup via the shared LSH bands;
+        # partial-oracle (r9): exact batch/verbatim-dup counts hash-gated
+        # + structural recall booleans (pytest still pins the flagged set
+        # vs brute-force Jaccard on the raw core)
+        "dedup_incremental_minhash": _dd5.dedup_incremental_minhash_checked,
         # right-to-be-forgotten cascade impact plan (FK-driven semi/anti
         # joins + zero-orphan audit)
         "gdpr_delete_cascade": _vl5.gdpr_delete_cascade,
@@ -1822,6 +1907,8 @@ def build_oracles() -> dict[str, str]:
     oracles = dict(rext.ORACLES)
     oracles.update(eventtime.ORACLES)
     oracles["graph_hierarchy_depths"] = graph.ORACLE_HIERARCHY_DEPTHS
+    # partial-oracle (r9): exact graph census + invariant booleans
+    oracles["graph_pagerank_top"] = graph.ORACLE_PAGERANK_CHECKED
     oracles["corpus_bigram_counts"] = corpus.ORACLE_BIGRAM_COUNTS
     oracles["text_pii_redact"] = textstats.ORACLE_TEXT_PII
     oracles["sink_partitioned_prune"] = ORACLE_SINK_PARTITIONED
@@ -1882,6 +1969,14 @@ def build_oracles() -> dict[str, str]:
         dedup.ORACLE_BLOOM_PREFILTER_CHECKED
     oracles["multimodal_phash_neardup"] = \
         _mm6.ORACLE_PHASH_NEARDUP_CHECKED
+    # ---- round-9 partial-oracle upgrades (same pattern; the
+    # graph_pagerank_top oracle registers beside the graph family above)
+    oracles["dedup_simhash"] = dedup.ORACLE_SIMHASH_CHECKED
+    oracles["dedup_incremental_minhash"] = \
+        dedup.ORACLE_INCREMENTAL_MINHASH_CHECKED
+    oracles["approx_quantiles"] = approx.ORACLE_APPROX_QUANTILES_CHECKED
+    oracles["events_ema"] = eventtime.ORACLE_EVENTS_EMA_CHECKED
+    oracles["events_holt_linear"] = eventtime.ORACLE_EVENTS_HOLT_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
@@ -1977,10 +2072,14 @@ def build_oracles() -> dict[str, str]:
         "text_langid": textstats.ORACLE_TEXT_LANGID,
         "text_fingerprint": textstats.ORACLE_TEXT_FINGERPRINT,
         "multimodal_metadata": multimodal.ORACLE_MULTIMODAL_META,
+        # ddl_* catalog entries: fixed fixture corpus → the full expected
+        # output is a literal-VALUES oracle (round 9)
+        "ddl_schema_catalog": ORACLE_DDL_SCHEMA_CATALOG,
+        "ddl_assess_catalog": ORACLE_DDL_ASSESS_CATALOG,
+        "ddl_type_distribution": ORACLE_DDL_TYPE_DISTRIBUTION,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk
+        # dedup_minhash_lsh, ann_lsh_topk, ann_ivf_topk
         # (xxhash64 has no DuckDB twin), multimodal_features,
-        # ddl_schema_catalog, ddl_assess_catalog,
         # streaming_dedup (arrival-order dependent which duplicate wins),
         # approx_distinct_counts, approx_quantiles (sketches — approximate
         # by design; error bounds pinned in tests/test_operators.py),
