@@ -131,6 +131,100 @@ class TestKmvGuards:
             and row.jaccard_in_band
 
 
+class TestCheckpointRestartHeavyHitters:
+    def test_mg_counters_survive_restart(self, spark, sf_dir, tmp_path):
+        """Misra-Gries twin of the r8 P²/CUSUM restart proofs (r8 verdict
+        task 3): stop the query after half the files, start a NEW query
+        from the same checkpointLocation over the remaining files, and
+        require (a) per-key snapshot ordinals to CONTINUE past run A's
+        (offsets + state resumed, not reprocessed) and (b) the final
+        counter sets to equal the uninterrupted pure-Python MG replay of
+        the full (ts, event_id)-ordered series — impossible unless the
+        ≤k (user, counter) pairs survived the restart."""
+        import time as _t
+
+        import duckdb
+
+        import db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events as ev
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            load_events,
+        )
+
+        src = str(tmp_path / "ev_mg_src")
+        ckpt = str(tmp_path / "ev_mg_ckpt")
+        e = load_events(spark, sf_dir)
+        ranked = e.selectExpr(
+            "ntile(4) OVER (ORDER BY ts, event_id) AS __f", "*")
+
+        def land(parts):
+            for i in parts:
+                (ranked.filter(F.col("__f") == i).drop("__f").coalesce(1)
+                 .write.mode("append").parquet(src))
+                _t.sleep(0.05)
+
+        def drain(name):
+            out = str(tmp_path / name)
+            schema = spark.read.parquet(src).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+
+            def sink(batch_df, batch_id):
+                (batch_df.write.mode("overwrite")
+                 .parquet(f"{out}/batch_id={batch_id}"))
+
+            q = (ev.heavy_hitter_users(stream).writeStream
+                 .foreachBatch(sink).outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            q.stop()
+            return spark.read.parquet(out).drop("batch_id").collect()
+
+        land((1, 2))
+        rows_a = drain("mg_run_a")
+        snap_a = {}
+        for r in rows_a:
+            snap_a[r.event_type] = max(snap_a.get(r.event_type, 0), r.snap)
+        assert snap_a and max(snap_a.values()) >= 2
+
+        land((3, 4))
+        rows_b = drain("mg_run_b")           # NEW query, same checkpoint
+        assert rows_b, "restarted query emitted nothing"
+        final: dict = {}
+        for r in rows_b:
+            cur = final.setdefault(r.event_type, {})
+            if r.snap >= cur.get("__snap", 0):
+                if r.snap > cur.get("__snap", 0):
+                    cur.clear()
+                    cur["__snap"] = r.snap
+                cur[r.user_id] = r.mg_count
+        # (a) ordinals continued: a state-losing restart would re-emit
+        # snap 1/2; resumed state emits snap > run A's max per key
+        for et, cur in final.items():
+            assert cur["__snap"] > snap_a.get(et, 0), et
+
+        # (b) final counters == uninterrupted pure-Python MG replay
+        series: dict = {}
+        for et, u in duckdb.sql(
+                f"SELECT event_type, user_id FROM "
+                f"'{sf_dir}/events.parquet' "
+                f"ORDER BY ts, event_id").fetchall():
+            series.setdefault(et, []).append(int(u))
+        k = 8
+        for et, users in series.items():
+            counters: dict = {}
+            for u in users:
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:
+                    counters = {a: c - 1 for a, c in counters.items()
+                                if c > 1}
+            got = {u: c for u, c in final[et].items() if u != "__snap"}
+            assert got == counters, et
+
+
 class TestDdlLiteralOracles:
     def test_values_literals_match_computed_catalog(self, spark):
         """The literal-VALUES oracles pin the fixture corpus's expected
