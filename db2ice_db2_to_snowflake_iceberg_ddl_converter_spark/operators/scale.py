@@ -103,6 +103,33 @@ def derived_partitions(df: DataFrame, num_partitions: int | None) -> int:
         return 200
 
 
+def pin_boundaries(df: DataFrame) -> DataFrame:
+    """Freeze a range-partitioned frame so every consumer job sees the
+    SAME partition boundaries (``repartitionByRange`` samples its bounds;
+    re-executing lineage between the counts job and the projection could
+    re-draw them, corrupting rank arithmetic).
+
+    Opt-in reliable mode (round 9, r8 verdict task 5): when the session
+    has a checkpoint directory configured
+    (``sparkContext.setCheckpointDir``), use a RELIABLE ``checkpoint()``
+    — blocks are written to the checkpoint FS, so an executor loss
+    mid-query recovers by re-reading them. Without one, fall back to
+    ``localCheckpoint()``: cheaper (executor-local blocks, no FS
+    round-trip) but NOT fault-tolerant — lineage is truncated, so losing
+    an executor between the two jobs fails the query instead of silently
+    recomputing with different boundaries. That fail-stop tradeoff is
+    deliberate for local[32]; a real cluster should set a checkpoint dir
+    (HDFS/S3) and get recovery for free through this seam."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except AttributeError:          # very old pyspark
+        ckpt_dir = None
+    if ckpt_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 #: Widest per-partition offset table folded back as a LITERAL create_map
 #: expression; past this the fold becomes a broadcast equi-join on
 #: __pid instead — a 50k-entry literal map would blow up the analyzed
@@ -158,11 +185,15 @@ def global_ranks(df: DataFrame, order_exprs: list,
        ``_OFFSET_MAP_MAX`` (a 50k-entry literal expression would blow up
        the analyzed plan on a wide cluster).
 
-    The partitioned/sorted/id'd frame is ``localCheckpoint``-ed so the
-    counts job and the final projection see the SAME range boundaries
-    (range partitioning samples its bounds; re-executing lineage could
-    re-draw them between the two jobs). On a real cluster use
-    ``checkpoint()`` for a fault-tolerant pin.
+    The partitioned/sorted/id'd frame is pinned via
+    :func:`pin_boundaries` so the counts job and the final projection see
+    the SAME range boundaries (range partitioning samples its bounds;
+    re-executing lineage could re-draw them between the two jobs, and the
+    rank arithmetic assumes they never move). With a session checkpoint
+    dir configured the pin is a RELIABLE ``checkpoint()`` (survives
+    executor loss); otherwise ``localCheckpoint()`` — fail-stop on
+    executor loss rather than silently wrong, the documented local-mode
+    tradeoff.
 
     ``order_exprs`` must define a TOTAL order (include a unique tie-break
     column) — with ties, row_number-derived ranks are nondeterministic by
@@ -174,11 +205,11 @@ def global_ranks(df: DataFrame, order_exprs: list,
     ``spark.sql.shuffle.partitions`` (see :func:`derived_partitions`).
     """
     num_partitions = derived_partitions(df, num_partitions)
-    part = (df.repartitionByRange(num_partitions, *order_exprs)
-            .sortWithinPartitions(*order_exprs)
-            .select("*", F.spark_partition_id().alias("__pid"),
-                    F.monotonically_increasing_id().alias("__mid"))
-            .localCheckpoint())
+    part = pin_boundaries(
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .select("*", F.spark_partition_id().alias("__pid"),
+                F.monotonically_increasing_id().alias("__mid")))
     counts = {r["__pid"]: r["count"]
               for r in part.groupBy("__pid").count().collect()}
     offsets, acc = {}, 0
@@ -199,8 +230,8 @@ def global_prefix_window(df: DataFrame, order_exprs: list, value_col: str,
                          out_col: str = "prefix") -> DataFrame:
     """Running SUM/MAX over a GLOBAL order without a single-partition
     window — the prefix-scan companion to ``global_ranks`` (same range
-    shuffle, same localCheckpoint pin, same driver-side per-partition
-    summary bounded by ``num_partitions`` rows).
+    shuffle, same :func:`pin_boundaries` pin, same driver-side
+    per-partition summary bounded by ``num_partitions`` rows).
 
     Mechanics: range-partition + sort on the order keys; each partition's
     running aggregate is an ordinary PARTITION BY __pid window (parallel
@@ -222,10 +253,10 @@ def global_prefix_window(df: DataFrame, order_exprs: list, value_col: str,
     assert how in ("sum", "max")
     num_partitions = derived_partitions(df, num_partitions)
     aggfn = F.sum if how == "sum" else F.max
-    part = (df.repartitionByRange(num_partitions, *order_exprs)
-            .sortWithinPartitions(*order_exprs)
-            .select("*", F.spark_partition_id().alias("__pid"))
-            .localCheckpoint())
+    part = pin_boundaries(
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .select("*", F.spark_partition_id().alias("__pid")))
     dtype = part.schema[value_col].dataType
     w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
         Window.unboundedPreceding,
