@@ -279,6 +279,37 @@ class TestPinBoundaries:
         assert again == ranks
 
 
+class TestWindowInventory:
+    def test_closed_set_of_unpartitioned_windows(self, spark, sf_dir):
+        """r8 verdict task 6: exactly the audited entries may plan a
+        Window over an Exchange SinglePartition (each on a bounded
+        calendar/decile/k/sources-sized frame); any NEW unpartitioned
+        window anywhere in the registry fails here instead of waiting
+        for the next verdict's plan audit. Construction-time windows
+        hidden behind a checkpoint can drop out of the returned plan
+        (kmv_set_ops does) — the gate is one-sided by design: no
+        unexpected hits, no construction errors."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        from window_inventory import (
+            ALLOWED_SINGLE_PARTITION_WINDOWS,
+            sweep,
+        )
+
+        res = sweep(sf_dir)
+        unexpected = sorted(set(res["hits"])
+                            - set(ALLOWED_SINGLE_PARTITION_WINDOWS))
+        assert not unexpected, (
+            f"new unpartitioned WindowExec outside the audited set: "
+            f"{unexpected} — fix the plan (scale.grouped_ranks / "
+            f"global_ranks / adjacency joins) or, if the frame is "
+            f"genuinely bounded, extend the audited inventory with the "
+            f"bound's justification")
+        assert not res["errors"], res["errors"]
+        assert res["n_swept"] >= 270     # the sweep really ran the registry
+
+
 class TestDdlLiteralOracles:
     def test_values_literals_match_computed_catalog(self, spark):
         """The literal-VALUES oracles pin the fixture corpus's expected
