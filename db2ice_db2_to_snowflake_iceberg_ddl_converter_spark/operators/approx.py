@@ -192,6 +192,68 @@ def frequent_tokens_misra_gries(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("est_count"), "tok"))
 
 
+def frequent_tokens_mg_checked(spark: SparkSession, sf_dir: str,
+                               k: int = 64) -> DataFrame:
+    """Partial-oracle form of :func:`frequent_tokens_misra_gries`
+    (round 9): the corpus's exact token total and the count of
+    GUARANTEED heavy hitters (true frequency > N/(k+1), integer-compared
+    as c·(k+1) > N) ride the DuckDB hash gate, and the sketch collapses
+    to its three textbook invariants as oracle-asserted booleans:
+
+    - ``all_guaranteed_present``: every guaranteed token survives the
+      merged sketch (the MG support guarantee);
+    - ``est_le_exact``: merged estimates never overcount (per-partition
+      MG underestimates; counter addition preserves it);
+    - ``undercount_in_bound``: exact − est ≤ N/(k+1) for every emitted
+      token (merged decrements add to at most Σ N_p/(k+1) = N/(k+1)).
+
+    The probe joins the (≤ partitions × k)-row sketch to the exact
+    vocab-sized counts — one extra hash-agg over the token stream, the
+    same shape the support pytest runs."""
+    sketch = frequent_tokens_misra_gries(spark, sf_dir, k=k)
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    guaranteed = (exact.crossJoin(F.broadcast(tot))
+                  .filter(F.col("c") * (k + 1) > F.col("n_tokens"))
+                  .select("tok", "c"))
+    n_guar = guaranteed.agg(F.count(F.lit(1)).alias("n_guaranteed"))
+    missing = (guaranteed.join(sketch.select("tok"), "tok", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_missing")))
+    joined = (sketch.join(exact, "tok")
+              .crossJoin(F.broadcast(tot))
+              .agg(F.max((F.col("est_count") > F.col("c")).cast("int"))
+                   .alias("any_over"),
+                   F.max(((F.col("c") - F.col("est_count")) * (k + 1)
+                          > F.col("n_tokens")).cast("int"))
+                   .alias("any_oob")))
+    return (tot.crossJoin(F.broadcast(n_guar))
+            .crossJoin(F.broadcast(missing))
+            .crossJoin(F.broadcast(joined))
+            .select("n_tokens", "n_guaranteed",
+                    (F.col("n_missing") == 0).alias("all_guaranteed_present"),
+                    (F.coalesce("any_over", F.lit(0)) == 0)
+                    .alias("est_le_exact"),
+                    (F.coalesce("any_oob", F.lit(0)) == 0)
+                    .alias("undercount_in_bound")))
+
+
+ORACLE_FREQUENT_TOKENS_MG_CHECKED = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tot AS (SELECT COUNT(*) AS n_tokens FROM toks),
+ex AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT t.n_tokens,
+       CAST((SELECT COUNT(*) FROM ex, tot
+             WHERE c * 65 > n_tokens) AS BIGINT) AS n_guaranteed,
+       TRUE AS all_guaranteed_present,
+       TRUE AS est_le_exact,
+       TRUE AS undercount_in_bound
+FROM tot t
+"""
+
+
 def token_counts_countmin(spark: SparkSession, sf_dir: str,
                           depth: int = 4, width: int = 512,
                           n_probe: int = 40) -> DataFrame:

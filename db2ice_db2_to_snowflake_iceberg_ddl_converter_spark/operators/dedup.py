@@ -329,6 +329,52 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
             .orderBy("id1", "id2"))
 
 
+def dedup_minhash_lsh_checked(spark, sf_dir,
+                              threshold: float = 0.5) -> DataFrame:
+    """Partial-oracle form of :func:`dedup_minhash_lsh` (round 9 — the
+    last of the near-dup family to leave rows-only; same pattern as
+    :func:`dedup_simhash_checked`): the banded candidate set is
+    xxhash64-derived, but byte-identical texts have identical shingle
+    sets, identical signatures, every band colliding, and exact
+    Jaccard 1 ≥ threshold — so each identical-text pair MUST be in the
+    verified pair set. The census row carries ``n_exact_text_pairs``
+    (DuckDB: Σ c·(c−1)/2 over text groups) on the hash gate plus the two
+    structural booleans the oracle asserts TRUE. The pair-list core
+    stays as :func:`dedup_minhash_lsh` for the brute-force pair-set
+    pytest (which pins full recall on fixtures — stronger than this
+    gate, but not portable to the driver's hash compare)."""
+    from .relational import ld
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold)
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    n_exact = grp.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
+                   F.lit(0)).alias("n_exact_text_pairs"))
+    ta = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("txa"))
+    tb = d.select(F.col("doc_id").alias("id2"), F.col("text").alias("txb"))
+    found_exact = (pairs.join(ta, "id1").join(tb, "id2")
+                   .filter(F.col("txa") == F.col("txb"))
+                   .agg(F.count(F.lit(1)).alias("n_found_exact")))
+    n_found = pairs.agg(F.count(F.lit(1)).alias("n_found_total"))
+    return (n_exact.crossJoin(F.broadcast(found_exact))
+            .crossJoin(F.broadcast(n_found))
+            .select("n_exact_text_pairs",
+                    (F.col("n_found_exact") == F.col("n_exact_text_pairs"))
+                    .alias("all_exact_pairs_found"),
+                    (F.col("n_found_total") >= F.col("n_exact_text_pairs"))
+                    .alias("near_ge_exact")))
+
+
+ORACLE_MINHASH_LSH_CHECKED = """
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+         AS n_exact_text_pairs,
+       TRUE AS all_exact_pairs_found,
+       TRUE AS near_ge_exact
+FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

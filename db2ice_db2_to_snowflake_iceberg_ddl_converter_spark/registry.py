@@ -761,8 +761,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_zscore_alerts"] = szs
     # Spark 4 transformWithStateInPandas twin of streaming_user_stats
     q["streaming_user_stats_v2"] = us2
-    # mergeable Misra-Gries heavy-hitter sketch -> rows-only
-    q["corpus_frequent_tokens_mg"] = approx.frequent_tokens_misra_gries
+    # mergeable Misra-Gries heavy-hitter sketch; partial-oracle (r9):
+    # exact token total + guaranteed-heavy count hash-gated, the three
+    # MG invariants as oracle-asserted booleans
+    q["corpus_frequent_tokens_mg"] = approx.frequent_tokens_mg_checked
     q["customer_rfm_segments"] = analytics.customer_rfm_segments
     q["part_abc_analysis"] = analytics.part_abc_analysis
     q["orders_open_backlog_daily"] = analytics.orders_open_backlog_daily
@@ -869,7 +871,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _multimodal_frame_sample,
         "dedup_exact_docs": dedup.dedup_exact_docs,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        # partial-oracle (r9): exact identical-text pair count hash-gated
+        # + structural recall booleans; the raw pair core keeps its
+        # brute-force pair-set pytest
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh_checked,
         # partial-oracle (r9): exact identical-text pair count hash-gated
         # + structural recall booleans; raw pair core keeps its pytest
         "dedup_simhash": dedup.dedup_simhash_checked,
@@ -1977,6 +1982,9 @@ def build_oracles() -> dict[str, str]:
     oracles["approx_quantiles"] = approx.ORACLE_APPROX_QUANTILES_CHECKED
     oracles["events_ema"] = eventtime.ORACLE_EVENTS_EMA_CHECKED
     oracles["events_holt_linear"] = eventtime.ORACLE_EVENTS_HOLT_CHECKED
+    oracles["dedup_minhash_lsh"] = dedup.ORACLE_MINHASH_LSH_CHECKED
+    oracles["corpus_frequent_tokens_mg"] = \
+        approx.ORACLE_FREQUENT_TOKENS_MG_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
@@ -2078,7 +2086,7 @@ def build_oracles() -> dict[str, str]:
         "ddl_assess_catalog": ORACLE_DDL_ASSESS_CATALOG,
         "ddl_type_distribution": ORACLE_DDL_TYPE_DISTRIBUTION,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
-        # dedup_minhash_lsh, ann_lsh_topk, ann_ivf_topk
+        # ann_lsh_topk, ann_ivf_topk
         # (xxhash64 has no DuckDB twin), multimodal_features,
         # streaming_dedup (arrival-order dependent which duplicate wins),
         # approx_distinct_counts, approx_quantiles (sketches — approximate

@@ -56,11 +56,36 @@ class TestDedupCheckedWrappers:
                    .collect()[0][0])
         assert row.n_exact_text_pairs == n_exact
 
+    def test_minhash_lsh_checked(self, spark, sf_dir):
+        row = _one(dedup.dedup_minhash_lsh_checked(spark, sf_dir))
+        assert row.all_exact_pairs_found and row.near_ge_exact
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_exact = (d.groupBy("text").count()
+                   .agg(F.coalesce(
+                       F.sum(F.expr("count * (count - 1) / 2")
+                             .cast("long")), F.lit(0)))
+                   .collect()[0][0])
+        assert row.n_exact_text_pairs == n_exact
+
     def test_incremental_minhash_checked(self, spark, sf_dir):
         row = _one(dedup.dedup_incremental_minhash_checked(spark, sf_dir))
         assert row.all_exact_dups_flagged and row.flagged_ge_exact
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         assert row.n_batch == d.filter(F.col("source") == "src19").count()
+
+
+class TestFrequentTokensMgChecked:
+    def test_invariants_and_census(self, spark, sf_dir):
+        row = _one(approx.frequent_tokens_mg_checked(spark, sf_dir))
+        assert row.all_guaranteed_present and row.est_le_exact \
+            and row.undercount_in_bound
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+        n = toks.count()
+        assert row.n_tokens == n
+        n_guar = (toks.groupBy("tok").count()
+                  .filter(F.col("count") * 65 > n).count())
+        assert row.n_guaranteed == n_guar
 
 
 class TestApproxQuantilesChecked:
