@@ -734,6 +734,53 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str,
             .orderBy("event_type"))
 
 
+def events_cusum_drift_checked(spark: SparkSession, sf_dir: str,
+                               k_slack: float = 0.25,
+                               h_threshold: float = 4.0) -> DataFrame:
+    """Partial-oracle form of :func:`events_cusum_drift` (round 9): the
+    per-type event count rides the DuckDB hash gate, and the recurrence
+    collapses to three oracle-asserted consistency invariants:
+
+    - ``peak_alarm_consistent``: each side alarmed at least once IFF its
+      recorded peak exceeds h (peaks are taken before the post-alarm
+      reset, so peak > h ⟺ n_alarms ≥ 1 — both directions);
+    - ``first_alarm_consistent``: first_alarm_ordinal is −1 exactly when
+      no side alarmed, else a valid 1..n ordinal;
+    - ``peaks_nonneg``: both peak statistics ≥ 0 (the max(0,·) clamp).
+
+    The alarm VALUES stay pinned by the numpy-loop and step-change
+    identity pytests on the raw core."""
+    base = events_cusum_drift(spark, sf_dir, k_slack=k_slack,
+                              h_threshold=h_threshold)
+    h = F.lit(h_threshold)
+    alarmed = (F.col("n_alarms_high") + F.col("n_alarms_low")) > 0
+    peak_ok = (((F.col("n_alarms_high") > 0)
+                == (F.col("peak_stat_high") > h))
+               & ((F.col("n_alarms_low") > 0)
+                  == (F.col("peak_stat_low") > h)))
+    first_ok = F.when(alarmed,
+                      (F.col("first_alarm_ordinal") >= 1)
+                      & (F.col("first_alarm_ordinal")
+                         <= F.col("n_events"))) \
+        .otherwise(F.col("first_alarm_ordinal") == -1)
+    return (base.select(
+        "event_type", "n_events",
+        peak_ok.alias("peak_alarm_consistent"),
+        first_ok.alias("first_alarm_consistent"),
+        ((F.col("peak_stat_high") >= 0) & (F.col("peak_stat_low") >= 0))
+        .alias("peaks_nonneg"))
+        .orderBy("event_type"))
+
+
+ORACLE_EVENTS_CUSUM_CHECKED = """
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS peak_alarm_consistent,
+       TRUE AS first_alarm_consistent,
+       TRUE AS peaks_nonneg
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival-gap profile per event type: count, mean / std /
     coefficient-of-variation, and min/max of the whole-second gaps

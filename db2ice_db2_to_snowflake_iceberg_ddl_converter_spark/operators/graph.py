@@ -477,6 +477,58 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     return deg.orderBy("node")
 
 
+def graph_kcore_checked(spark: SparkSession, sf_dir: str, k: int = 3,
+                        max_rounds: int | None = 1000) -> DataFrame:
+    """Partial-oracle form of :func:`graph_kcore` (round 9): the
+    thresholded co-sourcing census's exact node/edge counts ride the
+    DuckDB hash gate (same census SQL as the triangle oracle), and the
+    peel's fixpoint collapses to three oracle-asserted invariants:
+    ``all_degrees_ge_k`` (the defining k-core property — every survivor
+    keeps degree ≥ k inside the surviving subgraph), ``handshake_even``
+    (Σ core_degree = 2·|core edges| must be even), and
+    ``core_within_census`` (survivors ⊆ census nodes). The (node,
+    core_degree) core stays as :func:`graph_kcore` for the pure-Python
+    peel-replay pytest."""
+    core = graph_kcore(spark, sf_dir, k=k, max_rounds=max_rounds)
+    edges = supplier_coproduct_edges(spark, sf_dir)
+    nodes_census = (edges.select(F.col("s1").alias("s"))
+                    .union(edges.select(F.col("s2").alias("s")))
+                    .distinct()
+                    .agg(F.count(F.lit(1)).alias("n_nodes_census")))
+    edges_census = edges.agg(F.count(F.lit(1)).alias("n_edges_census"))
+    core_stats = core.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.min("core_degree"), F.lit(k)).alias("min_deg"),
+        F.coalesce(F.sum("core_degree"), F.lit(0)).alias("deg_sum"))
+    return (nodes_census.crossJoin(F.broadcast(edges_census))
+            .crossJoin(F.broadcast(core_stats))
+            .select(
+                "n_nodes_census", "n_edges_census",
+                (F.col("min_deg") >= k).alias("all_degrees_ge_k"),
+                (F.pmod("deg_sum", F.lit(2)) == 0).alias("handshake_even"),
+                (F.col("n_core_nodes") <= F.col("n_nodes_census"))
+                .alias("core_within_census")))
+
+
+ORACLE_KCORE_CHECKED = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+tot AS (SELECT SUM(shared) AS ts, COUNT(*) AS tp FROM pairs),
+edges AS (
+  SELECT s1, s2 FROM pairs, tot WHERE shared * tp * 10 >= ts * 11)
+SELECT CAST((SELECT COUNT(*) FROM
+             (SELECT s1 AS s FROM edges UNION SELECT s2 FROM edges))
+            AS BIGINT) AS n_nodes_census,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges_census,
+       TRUE AS all_degrees_ge_k,
+       TRUE AS handshake_even,
+       TRUE AS core_within_census
+"""
+
+
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The customer hierarchy walk of :func:`graph_hierarchy_depths`
     expressed as a NATIVE Spark 4 recursive CTE (``WITH RECURSIVE``) —

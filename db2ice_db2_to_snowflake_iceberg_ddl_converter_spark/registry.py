@@ -1410,7 +1410,10 @@ def _round6_queries():
         # real-BMP decode stats — image twin of the audio energy triage
         "multimodal_image_stats": _mm6.multimodal_image_stats,
         # k-core peel over the shared supplier co-sourcing edge list
-        "graph_kcore": _gr6.QUERIES["graph_kcore"],
+        # partial-oracle (r9): census node/edge counts hash-gated +
+        # degree-floor/handshake/containment invariants; the raw
+        # (node, core_degree) core keeps its peel-replay pytest
+        "graph_kcore": _gr6.graph_kcore_checked,
         # native Spark 4 WITH RECURSIVE — engine-level recursion, the
         # O(depth) twin of the pointer-doubling hierarchy walk
         "sql_recursive_hierarchy": _gr6.QUERIES["sql_recursive_hierarchy"],
@@ -1779,8 +1782,10 @@ def _round5_queries():
         # exact equi-depth histogram on the scalable global rank
         "agg_histogram_equi_depth": _sc5.agg_histogram_equi_depth,
         # CUSUM change-point monitor (max-clamp recurrence → grouped
-        # applyInPandas like events_ema; rows-only, numpy-pinned)
-        "events_cusum_drift": _ev5.events_cusum_drift,
+        # applyInPandas like events_ema); partial-oracle (r9): per-type
+        # counts hash-gated + peak/first-alarm consistency booleans
+        # (numpy-loop pytests still pin the raw core's alarm values)
+        "events_cusum_drift": _ev5.events_cusum_drift_checked,
         # incremental batch-vs-corpus near-dup via the shared LSH bands;
         # partial-oracle (r9): exact batch/verbatim-dup counts hash-gated
         # + structural recall booleans (pytest still pins the flagged set
@@ -1985,6 +1990,8 @@ def build_oracles() -> dict[str, str]:
     oracles["dedup_minhash_lsh"] = dedup.ORACLE_MINHASH_LSH_CHECKED
     oracles["corpus_frequent_tokens_mg"] = \
         approx.ORACLE_FREQUENT_TOKENS_MG_CHECKED
+    oracles["graph_kcore"] = graph.ORACLE_KCORE_CHECKED
+    oracles["events_cusum_drift"] = eventtime.ORACLE_EVENTS_CUSUM_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE

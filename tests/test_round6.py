@@ -232,12 +232,11 @@ class TestRegistryGuard:
         assert len(set(w)) == 50
         # every canary exists and no round-6 debut is missing an oracle
         # unless deliberately rows-only (the float-iterative /
-        # binary-decode group; vocab_kmv_distinct and the other sketch
-        # entries were upgraded to partial-oracle in round 8)
+        # binary-decode group; the sketch entries went partial-oracle in
+        # round 8, graph_kcore / events_holt_linear in round 9)
         rows_only = {"ann_ivf_pq_topk", "embedding_kmeans_clusters",
                      "multimodal_audio_energy",
-                     "multimodal_image_stats", "graph_kcore",
-                     "events_holt_linear"}
+                     "multimodal_image_stats"}
         o = build_oracles()
         assert all(k in q for k in _CANARIES_R06)
         for k in _ROUND6_NEW:

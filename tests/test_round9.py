@@ -88,6 +88,33 @@ class TestFrequentTokensMgChecked:
         assert row.n_guaranteed == n_guar
 
 
+class TestKcoreChecked:
+    def test_invariants_and_census(self, spark, sf_dir):
+        row = _one(graph.graph_kcore_checked(spark, sf_dir))
+        assert row.all_degrees_ge_k and row.handshake_even \
+            and row.core_within_census
+        edges = graph.supplier_coproduct_edges(spark, sf_dir)
+        n_nodes = (edges.select(F.col("s1").alias("s"))
+                   .union(edges.select(F.col("s2").alias("s")))
+                   .distinct().count())
+        assert row.n_nodes_census == n_nodes
+        assert row.n_edges_census == edges.count()
+
+
+class TestCusumChecked:
+    def test_consistency_booleans(self, spark, sf_dir):
+        rows = eventtime.events_cusum_drift_checked(spark, sf_dir) \
+            .collect()
+        assert rows
+        assert all(r.peak_alarm_consistent and r.first_alarm_consistent
+                   and r.peaks_nonneg for r in rows)
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exp = {r.event_type: r["count"] for r in
+               e.groupBy("event_type").count().collect()}
+        for r in rows:
+            assert r.n_events == exp[r.event_type]
+
+
 class TestApproxQuantilesChecked:
     def test_rank_band_true_and_minmax_exact(self, spark, sf_dir):
         df = approx.approx_quantiles_checked(spark, sf_dir)
