@@ -395,9 +395,16 @@ def _streaming_p2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over the text-derived payloads (rows-only: byte
-    stride fake on non-image payloads; the REAL BMP path is pinned in
-    tests/test_operators.py::TestRealCodecs)."""
+    """Resize plumbing over the text-derived payloads (byte-stride fake on
+    non-image payloads; the REAL BMP path is pinned in
+    tests/test_operators.py::TestRealCodecs).
+
+    FULL oracle since round 9: the fake resample is an exact integer
+    function of the payload length — stride = max(1, L div 256), output
+    length = min(⌈L/stride⌉, 256) — so DuckDB recomputes every emitted
+    cell from octet_length(encode(text)). The mapInPandas plumbing is
+    therefore hash-gated end-to-end: a broken Arrow batch shape, dropped
+    row, or stride bug turns the driver row red."""
     assets = multimodal.attach_binary_payload(spark, sf_dir)
     out = multimodal.resize_assets(assets.select("doc_id", "payload"),
                                    target=(16, 16))
@@ -405,14 +412,80 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "width", "height").orderBy("doc_id"))
 
 
+ORACLE_MULTIMODAL_RESIZE = """
+WITH a AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+s AS (
+  SELECT doc_id, L,
+         GREATEST(1, GREATEST(L, 1) // 256) AS stride FROM a)
+SELECT doc_id,
+       CAST(LEAST((L + stride - 1) // stride, 256) AS INTEGER) AS n_bytes,
+       16 AS width, 16 AS height
+FROM s ORDER BY doc_id
+"""
+
+
 def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (1 row → N frame rows); rows-only."""
+    """Frame-sampling plumbing (1 row → N frame rows).
+
+    FULL oracle since round 9: the fake demuxer is an exact integer
+    function of the payload length — frames of 128 bytes, every 4th
+    kept, the last frame carrying the remainder — so DuckDB regenerates
+    the whole (doc_id, frame_idx, frame_bytes) fan-out from
+    octet_length + generate_series. The explode-shaped mapInPandas
+    (data-dependent output cardinality) is hash-gated end-to-end."""
     assets = multimodal.attach_binary_payload(spark, sf_dir)
     out = multimodal.sample_frames(assets.select("doc_id", "payload"),
                                    every_nth=4, frame_size=128)
     return (out.select("doc_id", "frame_idx",
                        F.length("frame").alias("frame_bytes"))
             .orderBy("doc_id", "frame_idx"))
+
+
+ORACLE_MULTIMODAL_FRAME_SAMPLE = """
+WITH a AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         (octet_length(encode(text)) + 127) // 128 AS nf
+  FROM documents)
+SELECT a.doc_id,
+       CAST(g.i AS BIGINT) AS frame_idx,
+       CAST(CASE WHEN g.i = a.nf - 1 THEN a.L - 128 * g.i
+                 ELSE 128 END AS INTEGER) AS frame_bytes
+FROM a, LATERAL (SELECT UNNEST(generate_series(0, a.nf - 1, 4)) AS i) g
+ORDER BY a.doc_id, g.i
+"""
+
+
+def _multimodal_features_checked(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Partial-oracle form of the feature-extraction plumbing (round 9):
+    the exact byte length rides the DuckDB hash gate, and the float
+    feature norm collapses to two oracle-asserted invariants —
+    ``norm_pos_iff_bytes`` (the fake decoder's buckets are byte sums, so
+    a non-empty payload always has positive norm) and ``norm_in_band``
+    (each of the 16 features is a mean of byte values ≤ 255, so
+    norm ≤ 255·√16). Determinism/batch-shape stay pytest-pinned on the
+    raw core."""
+    import math
+
+    base = multimodal.multimodal_features(spark, sf_dir)
+    meta = multimodal.multimodal_metadata(spark, sf_dir) \
+        .select("doc_id", "n_bytes")
+    cap = 255.0 * math.sqrt(16.0) + 1e-9
+    return (base.join(meta, "doc_id")
+            .select("doc_id", "n_bytes",
+                    ((F.col("feature_norm") > 0)
+                     == (F.col("n_bytes") > 0)).alias("norm_pos_iff_bytes"),
+                    ((F.col("feature_norm") >= 0)
+                     & (F.col("feature_norm") <= cap)).alias("norm_in_band"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       TRUE AS norm_pos_iff_bytes, TRUE AS norm_in_band
+FROM documents ORDER BY doc_id
+"""
 
 
 def _udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,7 +797,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sq)                       # streaming_dedup, streaming_user_stats
     q.update({
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        "multimodal_features": multimodal.multimodal_features,
+        # partial-oracle (r9): exact byte length hash-gated + norm
+        # invariants; raw core keeps its determinism pytest
+        "multimodal_features": _multimodal_features_checked,
         # partial-oracle (r9): exact node/edge counts hash-gated, the
         # iterative float ranks collapse to mass/floor/dominance booleans;
         # the raw (node, rank) core keeps its numpy power-iter pytest
@@ -1992,6 +2067,9 @@ def build_oracles() -> dict[str, str]:
         approx.ORACLE_FREQUENT_TOKENS_MG_CHECKED
     oracles["graph_kcore"] = graph.ORACLE_KCORE_CHECKED
     oracles["events_cusum_drift"] = eventtime.ORACLE_EVENTS_CUSUM_CHECKED
+    oracles["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
+    oracles["multimodal_frame_sample"] = ORACLE_MULTIMODAL_FRAME_SAMPLE
+    oracles["multimodal_features"] = ORACLE_MULTIMODAL_FEATURES
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
@@ -2094,7 +2172,7 @@ def build_oracles() -> dict[str, str]:
         "ddl_type_distribution": ORACLE_DDL_TYPE_DISTRIBUTION,
         # no oracle (non-SQL-expressible; rows-only driver check + pytest):
         # ann_lsh_topk, ann_ivf_topk
-        # (xxhash64 has no DuckDB twin), multimodal_features,
+        # (xxhash64 has no DuckDB twin),
         # streaming_dedup (arrival-order dependent which duplicate wins),
         # approx_distinct_counts, approx_quantiles (sketches — approximate
         # by design; error bounds pinned in tests/test_operators.py),

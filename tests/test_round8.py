@@ -337,9 +337,10 @@ class TestRound8Window:
 
         q = build_queries()
         w = _window_r08()
-        assert list(q)[:50] == w
         assert len(w) == 50 and len(set(w)) == 50
-        # due-list construction arithmetic (the judge re-derives this)
+        # due-list construction arithmetic (the judge re-derives this);
+        # the first-50 == window assertion moved to the r9 twin when the
+        # round-9 rotation superseded this window (history stays pinned)
         r7_fill = 50 - len(_ROUND7_NEW) - len(_ROUND6_LATE)
         assert _CANARIES_R08 == [*_CANARIES_R07[r7_fill:], *_R03_CHECKED]
         assert w == [*_ROUND8_NEW,
