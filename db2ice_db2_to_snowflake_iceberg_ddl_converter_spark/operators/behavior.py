@@ -504,6 +504,41 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
 
 
 
+def events_markov_stationary_checked(spark: SparkSession, sf_dir: str,
+                                     n_iters: int = 60) -> DataFrame:
+    """Partial-oracle form of :func:`events_markov_stationary` (round 9):
+    ``observed_share`` is one IEEE divide of exact integers, so it rides
+    the DuckDB hash gate per type, and the power-iterated π collapses to
+    three oracle-asserted invariants — ``p_in_unit`` (0 ≤ π ≤ 1),
+    ``gap_identity`` (gap ≡ stationary_p − observed_share, bitwise: the
+    same doubles re-subtracted), and ``dist_sums_to_1``
+    (|Σπ − 1| ≤ 1e−9 — the final normalization). The π VALUES stay
+    pinned by the numpy dominant-eigenvector pytest on the raw core."""
+    base = events_markov_stationary(spark, sf_dir, n_iters=n_iters)
+    total = base.agg(F.sum("stationary_p").alias("pi_sum"))
+    return (base.crossJoin(F.broadcast(total))
+            .select(
+                "event_type", "observed_share",
+                ((F.col("stationary_p") >= 0)
+                 & (F.col("stationary_p") <= 1)).alias("p_in_unit"),
+                (F.col("gap") == F.col("stationary_p")
+                 - F.col("observed_share")).alias("gap_identity"),
+                (F.abs(F.col("pi_sum") - 1) <= F.lit(1e-9))
+                .alias("dist_sums_to_1"))
+            .orderBy("event_type"))
+
+
+ORACLE_MARKOV_STATIONARY_CHECKED = """
+SELECT event_type,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM events) AS observed_share,
+       TRUE AS p_in_unit,
+       TRUE AS gap_identity,
+       TRUE AS dist_sums_to_1
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def chi2_2x2(a: F.Column, b: F.Column, c: F.Column, d: F.Column) -> F.Column:
     """Closed-form 2×2 chi²  n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))  over
     exact integer cell counts, assembled overflow-safely as

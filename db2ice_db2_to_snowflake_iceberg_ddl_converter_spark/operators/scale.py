@@ -896,6 +896,42 @@ def diag_curve_locality(spark: SparkSession, sf_dir: str,
             .orderBy("layout"))
 
 
+def diag_curve_locality_checked(spark: SparkSession, sf_dir: str,
+                                n_files: int = 16,
+                                bits: int = 12) -> DataFrame:
+    """Partial-oracle form of :func:`diag_curve_locality` (round 9): the
+    layout names and per-layout file counts are exact (gap-free
+    global_ranks buckets over a fixture far larger than n_files, so all
+    n_files files materialize — DuckDB asserts the literal), and the
+    expected-files-touched doubles collapse to their geometric
+    invariants as oracle-asserted booleans: 1 ≤ exp_x, exp_y ≤ n_files
+    (a file's bbox covers at least a point and at most the span) and
+    exp_point ≤ min(exp_x, exp_y) (area/span² ≤ width/span since
+    height ≤ span). The cross-layout balance contract (curves beat
+    lexicographic on y) stays pinned by the pure-Python Hilbert replay
+    pytest on the raw core."""
+    base = diag_curve_locality(spark, sf_dir, n_files=n_files, bits=bits)
+    axis_ok = ((F.col("exp_files_x") >= 1)
+               & (F.col("exp_files_x") <= n_files)
+               & (F.col("exp_files_y") >= 1)
+               & (F.col("exp_files_y") <= n_files))
+    point_ok = ((F.col("exp_files_point") <= F.col("exp_files_x"))
+                & (F.col("exp_files_point") <= F.col("exp_files_y")))
+    return base.select("layout", "n_files",
+                       axis_ok.alias("axes_in_range"),
+                       point_ok.alias("point_le_axes")).orderBy("layout")
+
+
+ORACLE_CURVE_LOCALITY_CHECKED = """
+SELECT * FROM (VALUES
+  ('1_lexicographic', CAST(16 AS BIGINT), TRUE, TRUE),
+  ('2_zorder',        CAST(16 AS BIGINT), TRUE, TRUE),
+  ('3_hilbert',       CAST(16 AS BIGINT), TRUE, TRUE)
+) AS t(layout, n_files, axes_in_range, point_le_axes)
+ORDER BY layout
+"""
+
+
 def diag_join_size_forecast(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """EXACT output-size forecast for a prospective self-join — the

@@ -733,6 +733,75 @@ def embedding_pca_project(spark, sf_dir, k: int = 4) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def embedding_pca_project_checked(spark, sf_dir, k: int = 4) -> DataFrame:
+    """Partial-oracle form of :func:`embedding_pca_project` (round 9):
+    the projected vec_id set rides the DuckDB hash gate (exact — one row
+    per corpus vector, so a dropped Arrow batch turns the driver row
+    red), and the BLAS float projections collapse to the Bessel
+    invariant as an oracle-asserted boolean: for orthonormal components,
+    Σᵢ pcᵢ² ≤ ‖x − μ‖² (projection onto a subspace never exceeds the
+    centered norm). The centered norm is recomputed IN-PLAN from a
+    literal μ array (zip_with/aggregate — independent of the numpy
+    path), with 1e−6·(1+‖x−μ‖²) float slack. Exact projections,
+    orthonormality and explained ratios stay pinned by the numpy PCA
+    pytest on the raw core."""
+    e = ld(spark, sf_dir, "embeddings")
+    comps, _, mean = pca_components(e, k=k)
+    proj = embedding_pca_project(spark, sf_dir, k=k)
+    mu = F.array(*[F.lit(float(v)) for v in mean])
+    centered_sq = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), mu,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norms = e.select("vec_id", centered_sq.alias("c2"))
+    proj_sq = sum(F.col(f"pc{i + 1}") * F.col(f"pc{i + 1}")
+                  for i in range(k))
+    return (proj.join(norms, "vec_id")
+            .select("vec_id",
+                    (proj_sq <= F.col("c2")
+                     + F.lit(1e-6) * (F.lit(1.0) + F.col("c2")))
+                    .alias("bessel_ok"))
+            .orderBy("vec_id"))
+
+
+ORACLE_PCA_PROJECT_CHECKED = """
+SELECT vec_id, TRUE AS bessel_ok FROM embeddings ORDER BY vec_id
+"""
+
+
+def embedding_triplet_margin_checked(spark, sf_dir,
+                                     n_anchors: int = 50) -> DataFrame:
+    """Partial-oracle form of :func:`embedding_triplet_margin` (round 9):
+    the per-label anchor census is exact (DuckDB: count of vec_id <
+    n_anchors per label — a dropped anchor turns the row red), and the
+    float cosine aggregates collapse to range invariants the oracle
+    asserts: share_positive ∈ [0,1], both mean cosines ∈ [−1−ε, 1+ε],
+    and |mean_margin| ≤ 2 + ε. The exact margins stay pinned by the
+    numpy anchors×corpus replay pytest on the raw core."""
+    base = embedding_triplet_margin(spark, sf_dir, n_anchors=n_anchors)
+    eps = F.lit(1e-9)
+    in_unit = ((F.col("share_positive") >= 0)
+               & (F.col("share_positive") <= 1))
+    cos_ok = ((F.abs("mean_best_same") <= 1 + eps)
+              & (F.abs("mean_best_other") <= 1 + eps))
+    return (base.select(
+        "label", "n_anchors",
+        in_unit.alias("share_in_unit"),
+        cos_ok.alias("cosines_in_range"),
+        (F.abs("mean_margin") <= 2 + eps).alias("margin_in_range"))
+        .orderBy("label"))
+
+
+ORACLE_TRIPLET_MARGIN_CHECKED = """
+SELECT label, COUNT(*) AS n_anchors,
+       TRUE AS share_in_unit,
+       TRUE AS cosines_in_range,
+       TRUE AS margin_in_range
+FROM embeddings WHERE vec_id < 50
+GROUP BY label ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF + PQ combined search — the full production ANN serving shape (round 6)
 # ---------------------------------------------------------------------------

@@ -1584,7 +1584,9 @@ def _round6_queries():
         "scalar_null_semantics": _re6.scalar_null_semantics,
         # stationary distribution of the journey Markov chain (power
         # iteration on the types²-bounded matrix) — rows-only + numpy
-        "events_markov_stationary": _bh6.events_markov_stationary,
+        # partial-oracle (r9): observed_share exact + unit/identity/sum
+        # invariants; numpy eigenvector pytest pins the raw core
+        "events_markov_stationary": _bh6.events_markov_stationary_checked,
         # id sequence-gap audit with NO global window: bucketed lead +
         # algebraic cross-bucket remainder (span − count)
         "events_id_gap_audit": _et6.events_id_gap_audit,
@@ -1597,7 +1599,9 @@ def _round6_queries():
         # lexicographic vs Z-order vs Hilbert write layouts, scored by
         # expected files touched per predicate — Hilbert no SQL twin →
         # rows-only, pure-Python d(x,y) replay pytest
-        "diag_curve_locality": _sc6.diag_curve_locality,
+        # partial-oracle (r9): layout/file-count literals + geometric
+        # bbox invariants; Hilbert replay pytest pins the raw core
+        "diag_curve_locality": _sc6.diag_curve_locality_checked,
         # KMV/theta set algebra: union AND intersection estimates from
         # two mergeable sketches (HLL cannot intersect) — rows-only
         "kmv_set_ops": approx.kmv_set_ops_checked,
@@ -1609,7 +1613,9 @@ def _round6_queries():
         "events_error_conversion": _bh6.events_error_conversion,
         # per-label triplet margin (nearest friend − nearest impostor
         # cosine) — embedding-quality audit; float chains → rows-only
-        "embedding_triplet_margin": _sim6.embedding_triplet_margin,
+        # partial-oracle (r9): per-label anchor census exact + range
+        # invariants; numpy replay pytest pins the raw core
+        "embedding_triplet_margin": _sim6.embedding_triplet_margin_checked,
         # Theil–Sen vs OLS revenue trend — median of months²-bounded
         # pairwise slopes beside the outlier-sensitive line
         "orders_theilsen_trend": _an6.orders_theilsen_trend,
@@ -1893,7 +1899,9 @@ def _round5_queries():
         # driver d×d eigh (bounded-collect contract) → broadcast-matmul
         # Arrow projection; eigendecomposition is iterative float math →
         # rows-only, pytest-pinned vs full-batch numpy PCA
-        "embedding_pca_project": similarity.embedding_pca_project,
+        # partial-oracle (r9): vec_id set exact + in-plan Bessel gate;
+        # numpy PCA pytest pins the raw core
+        "embedding_pca_project": similarity.embedding_pca_project_checked,
     }
 
 
@@ -2070,6 +2078,13 @@ def build_oracles() -> dict[str, str]:
     oracles["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
     oracles["multimodal_frame_sample"] = ORACLE_MULTIMODAL_FRAME_SAMPLE
     oracles["multimodal_features"] = ORACLE_MULTIMODAL_FEATURES
+    oracles["events_markov_stationary"] = \
+        behavior.ORACLE_MARKOV_STATIONARY_CHECKED
+    oracles["embedding_pca_project"] = \
+        similarity.ORACLE_PCA_PROJECT_CHECKED
+    oracles["embedding_triplet_margin"] = \
+        similarity.ORACLE_TRIPLET_MARGIN_CHECKED
+    oracles["diag_curve_locality"] = scale.ORACLE_CURVE_LOCALITY_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE

@@ -115,6 +115,62 @@ class TestCusumChecked:
             assert r.n_events == exp[r.event_type]
 
 
+class TestRound9WrapperInvariants:
+    """One booleans-all-true + exact-anchor probe per remaining r9
+    wrapper (the raw cores keep their existing value-pinning pytests)."""
+
+    def test_markov_stationary_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            behavior,
+        )
+
+        rows = behavior.events_markov_stationary_checked(spark, sf_dir) \
+            .collect()
+        assert rows
+        assert all(r.p_in_unit and r.gap_identity and r.dist_sums_to_1
+                   for r in rows)
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n = e.count()
+        exp = {r.event_type: r["count"] / n for r in
+               e.groupBy("event_type").count().collect()}
+        for r in rows:
+            assert r.observed_share == exp[r.event_type]
+
+    def test_pca_project_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        rows = similarity.embedding_pca_project_checked(spark, sf_dir) \
+            .collect()
+        n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert len(rows) == n_vec
+        assert all(r.bessel_ok for r in rows)
+
+    def test_triplet_margin_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        rows = similarity.embedding_triplet_margin_checked(spark, sf_dir) \
+            .collect()
+        assert rows
+        assert all(r.share_in_unit and r.cosines_in_range
+                   and r.margin_in_range for r in rows)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exp = {r.label: r["count"] for r in
+               e.filter(F.col("vec_id") < 50)
+               .groupBy("label").count().collect()}
+        assert {r.label: r.n_anchors for r in rows} == exp
+
+    def test_curve_locality_checked(self, spark, sf_dir):
+        rows = scale.diag_curve_locality_checked(spark, sf_dir).collect()
+        assert [r.layout for r in rows] == [
+            "1_lexicographic", "2_zorder", "3_hilbert"]
+        assert all(r.n_files == 16 and r.axes_in_range and r.point_le_axes
+                   for r in rows)
+
+
 class TestApproxQuantilesChecked:
     def test_rank_band_true_and_minmax_exact(self, spark, sf_dir):
         df = approx.approx_quantiles_checked(spark, sf_dir)
