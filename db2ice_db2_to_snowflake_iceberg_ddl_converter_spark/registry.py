@@ -796,7 +796,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(cq)                       # ddl_* ×3
     q.update(sq)                       # streaming_dedup, streaming_user_stats
     q.update({
-        "ann_ivf_topk": similarity.ann_ivf_topk,
+        # partial-oracle (r9): exact brute-force pair count hash-gated +
+        # recall-floor / shared-score-exactness booleans (raw cores keep
+        # their recall pytests)
+        "ann_ivf_topk": similarity.ann_ivf_topk_checked,
         # partial-oracle (r9): exact byte length hash-gated + norm
         # invariants; raw core keeps its determinism pytest
         "multimodal_features": _multimodal_features_checked,
@@ -957,7 +960,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             similarity.all_pairs_cosine_blocked(
                 spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
                 threshold=0.4).orderBy("id1", "id2"),
-        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk_checked,
     })
     # ---- NEW round-4 entries: past the cap by construction (the reorder
     # below keeps non-window entries in this order), forming the start of
@@ -1461,7 +1464,8 @@ def _round6_queries():
         # unigram-LM commonness + rare-token share per doc
         "corpus_doc_commonness": _co6.corpus_doc_commonness,
         # FAISS-style IVFPQ: probe cells, ADC-score codes, exact re-rank
-        "ann_ivf_pq_topk": _si6.ann_ivf_pq_topk,
+        # partial-oracle (r9): the shared ANN recall gate
+        "ann_ivf_pq_topk": _si6.ann_ivf_pq_topk_checked,
         # directional containment pairs — the asymmetric twin of Jaccard
         "dedup_containment": dedup.dedup_containment,
         # DSIR-style importance weights: target-vs-corpus bigram mass ratio
@@ -1979,7 +1983,8 @@ def _round3_queries():
     q.update(validate.QUERIES)
     # PQ/ADC ANN: approximate by construction → rows-only driver check;
     # recall-vs-brute-force pinned in tests/test_behavior.py
-    q["ann_pq_topk"] = similarity.ann_pq_topk
+    # partial-oracle (r9): the shared ANN recall gate
+    q["ann_pq_topk"] = similarity.ann_pq_topk_checked
     q.update({
         "text_gopher_filters": textstats.text_gopher_filters,
         "text_repetition_metrics": textstats.text_repetition_metrics,
@@ -2085,6 +2090,9 @@ def build_oracles() -> dict[str, str]:
     oracles["embedding_triplet_margin"] = \
         similarity.ORACLE_TRIPLET_MARGIN_CHECKED
     oracles["diag_curve_locality"] = scale.ORACLE_CURVE_LOCALITY_CHECKED
+    for _ann in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+                 "ann_ivf_pq_topk"):
+        oracles[_ann] = similarity.ORACLE_ANN_RECALL_GATE
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE

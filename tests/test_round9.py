@@ -171,6 +171,28 @@ class TestRound9WrapperInvariants:
                    for r in rows)
 
 
+class TestAnnRecallGates:
+    def test_all_four_gates_green_and_census_exact(self, spark, sf_dir):
+        """The shared ANN recall gate (r9): exact brute-force pair count
+        + recall-floor and shared-score-exactness booleans, one wrapper
+        per index family. Floors are fixture-measured minima with
+        margin (lsh 0.25, ivf 0.7, pq 0.45, ivfpq 0.5) — the raw cores'
+        recall pytests stay stricter at their own scales."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        n_true = similarity.ann_brute_force_topk(spark, sf_dir).count()
+        for fn in (similarity.ann_lsh_topk_checked,
+                   similarity.ann_ivf_topk_checked,
+                   similarity.ann_pq_topk_checked,
+                   similarity.ann_ivf_pq_topk_checked):
+            row = _one(fn(spark, sf_dir))
+            assert row.n_true_pairs == n_true, fn.__name__
+            assert row.recall_in_band, fn.__name__
+            assert row.shared_scores_exact, fn.__name__
+
+
 class TestApproxQuantilesChecked:
     def test_rank_band_true_and_minmax_exact(self, spark, sf_dir):
         df = approx.approx_quantiles_checked(spark, sf_dir)
