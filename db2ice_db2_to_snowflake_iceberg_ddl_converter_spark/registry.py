@@ -223,6 +223,12 @@ def _streaming_queries():
             "n_events", "total_value")
 
     def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FULL oracle since round 9: the doubled stream's copies are
+        byte-identical rows, so whichever duplicate wins, the surviving
+        row's CONTENT is the events row itself — the drain equals
+        SELECT * FROM events exactly (protocol-formatted ts). Only the
+        statement "which copy won" is arrival-order dependent; the
+        emitted bytes are not."""
         name = f"s_dedup_{uuid.uuid4().hex[:8]}"
         src = ev.read_events_stream(spark, sf_dir)
         doubled = src.union(ev.read_events_stream(spark, sf_dir))
@@ -233,7 +239,10 @@ def _streaming_queries():
              .trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-        return spark.table(name)
+        return spark.table(name).select(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value")
 
     def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Stream-stream watermarked interval join, drained AvailableNow.
@@ -253,17 +262,58 @@ def _streaming_queries():
     def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Stream-stream LEFT OUTER interval join, drained AvailableNow.
         Unmatched purchases inside the final watermark horizon stay in
-        state when the drain stops (inherent to outer streaming joins)
-        → rows-only driver check; tests/test_streaming.py pins matched
-        ≡ batch inner join, unmatched ⊆ batch anti join, and
-        completeness past the horizon."""
+        state when the drain stops (inherent to outer streaming joins),
+        so the NULL-padded row set is horizon-dependent — but the
+        MATCHED rows are exactly the batch inner join. Partial-oracle
+        since round 9: the census row carries n_purchases and n_matched
+        on the DuckDB hash gate (batch interval-join twins), plus two
+        oracle-asserted booleans — ``unmatched_subset_ok`` (no emitted
+        NULL-click purchase also has a batch match: outer padding never
+        fabricates a miss for a matchable purchase) and
+        ``matched_pairs_unique`` (no duplicate (purchase, click)
+        emission). tests/test_streaming.py still pins the full matched ≡
+        inner / unmatched ⊆ anti / horizon-completeness properties on
+        the raw drain."""
+        from .operators.relational import load_events as _le
+
         drained = _drain(spark, ev.purchase_click_left_join(
             ev.read_events_stream(spark, sf_dir)), "s_lojoin",
-            mode="append")
-        return drained.select(
-            "purchase_id", "click_id", "user_id",
-            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"))
+            mode="append").localCheckpoint()  # 3 consumers below
+        e = _le(spark, sf_dir)
+        p = e.filter(F.col("event_type") == "purchase") \
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+        c = e.filter(F.col("event_type") == "click") \
+             .select(F.col("event_id").alias("click_id"),
+                     F.col("user_id").alias("c_user"),
+                     F.col("ts").alias("c_ts"))
+        cond = ((F.col("p_user") == F.col("c_user"))
+                & (F.col("c_ts") <= F.col("p_ts"))
+                & (F.col("c_ts") >= F.col("p_ts")
+                   - F.expr("INTERVAL 30 minutes")))
+        inner = p.join(c, cond).select("purchase_id", "click_id") \
+                 .localCheckpoint()           # 2 consumers below
+        n_purch = p.agg(F.count(F.lit(1)).alias("n_purchases"))
+        matched = drained.filter(F.col("click_id").isNotNull())
+        n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+        bad_unmatched = (drained.filter(F.col("click_id").isNull())
+                         .select("purchase_id")
+                         .join(inner.select("purchase_id").distinct(),
+                               "purchase_id", "semi")
+                         .agg(F.count(F.lit(1)).alias("n_bad")))
+        dup_pairs = (matched.groupBy("purchase_id", "click_id")
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .agg(F.coalesce(
+                         F.max((F.col("c") > 1).cast("int")),
+                         F.lit(0)).alias("any_dup")))
+        return (n_purch.crossJoin(F.broadcast(n_matched))
+                .crossJoin(F.broadcast(bad_unmatched))
+                .crossJoin(F.broadcast(dup_pairs))
+                .select("n_purchases", "n_matched",
+                        (F.col("n_bad") == 0).alias("unmatched_subset_ok"),
+                        (F.col("any_dup") == 0)
+                        .alias("matched_pairs_unique")))
 
     def streaming_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Stream-static anomaly alerts drained AvailableNow; append mode
@@ -289,8 +339,12 @@ def _streaming_queries():
     def streaming_user_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Same contract as streaming_user_stats but through the modern
         Spark 4 stateful API (``transformWithStateInPandas`` + ValueState)
-        when the runtime supports it (rows-only, like v1; the batch-
-        equivalence pytest covers whichever path the environment takes)."""
+        when the runtime supports it. FULL oracle since round 9: the
+        emitted (user_id, n_events) final state is an exact per-user
+        count — arrival order only affects the dropped float column —
+        so DuckDB's GROUP BY twin hash-gates the state plumbing; the
+        batch-equivalence pytest still covers whichever API path the
+        environment takes."""
         from pyspark.sql import Window
 
         drained = _drain(spark, ev.user_running_stats_v2(
@@ -304,9 +358,12 @@ def _streaming_queries():
     def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """applyInPandasWithState running totals, update-mode: the memory
         sink keeps every update, so take the LAST emitted row per user —
-        that's the state each key ends the drain with (floats summed in
-        arrival order → rows-only check; the batch-equivalence pytest pins
-        the values)."""
+        that's the state each key ends the drain with. FULL oracle since
+        round 9: the emitted (user_id, n_events) final state is an exact
+        per-user count (the arrival-order-summed float total is dropped
+        from the projection), so DuckDB's GROUP BY twin hash-gates the
+        state plumbing; the batch-equivalence pytest still pins the float
+        totals on the raw drain."""
         from pyspark.sql import Window
 
         drained = _drain(spark, ev.user_running_stats(
@@ -321,15 +378,37 @@ def _streaming_queries():
         """Stateful two-sided CUSUM drift alarms (online Welford
         standardization carried in the state store — deliberately NOT the
         batch entry's retrospective standardization; see
-        streaming/events.py). Iterative float recurrence → rows-only;
-        the pytest pins the drained rows against a pure-Python replay of
-        the same online semantics."""
+        streaming/events.py). Partial-oracle since round 9: the per-type
+        event count rides the DuckDB hash gate and the alarm stream
+        collapses to two oracle-asserted invariants —
+        ``ordinals_valid`` (every alarm ordinal in [warmup+1, n]: the
+        detector cannot alarm during its 30-observation warmup or past
+        the stream) and ``stats_exceed_h`` (every alarm's statistic
+        crossed the h=4 threshold). The exact alarm rows stay pinned by
+        the pure-Python online-replay pytest on the raw drain."""
+        from .operators.relational import load_events as _le
+
         drained = _drain(spark, ev.cusum_drift_alerts(
             ev.read_events_stream(spark, sf_dir)), "s_cusum",
             mode="append")
-        return (drained.select("event_type", "ordinal", "side",
-                               F.round("stat", 9).alias("stat"))
-                .orderBy("event_type", "ordinal", "side"))
+        counts = (_le(spark, sf_dir).groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n_events")))
+        per_type = (drained.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n_alarms"),
+                         F.min("ordinal").alias("min_ord"),
+                         F.max("ordinal").alias("max_ord"),
+                         F.min("stat").alias("min_stat")))
+        return (counts.join(per_type, "event_type", "left")
+                .select(
+                    "event_type", "n_events",
+                    F.when(F.col("n_alarms").isNull(), F.lit(True))
+                    .otherwise((F.col("min_ord") >= 31)
+                               & (F.col("max_ord") <= F.col("n_events")))
+                    .alias("ordinals_valid"),
+                    F.when(F.col("n_alarms").isNull(), F.lit(True))
+                    .otherwise(F.col("min_stat") > 4.0)
+                    .alias("stats_exceed_h"))
+                .orderBy("event_type"))
 
     def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Misra-Gries heavy-hitter users per event type, maintained in
@@ -342,16 +421,62 @@ def _streaming_queries():
         counter set, so a multi-batch drain leaves stale (possibly
         since-evicted) rows from earlier snapshots in the table; keep
         only the max-``snap`` snapshot per event_type (the per-key
-        ordinal the operator stamps each emission with)."""
+        ordinal the operator stamps each emission with).
+
+        Partial-oracle since round 9 (the corpus_frequent_tokens_mg
+        pattern, over USERS per type): per-type event count and
+        guaranteed-heavy count (c·(k+1) > n, integer-compared) ride the
+        DuckDB hash gate, and the drained counter set collapses to the
+        three MG invariants as oracle-asserted booleans — support
+        guarantee, never-overcount, n/(k+1) undercount bound. The exact
+        counter values stay pinned by the pure-Python replay pytest on
+        the raw drain."""
+        from .operators.relational import load_events as _le
+
+        k = 8
         drained = _drain(spark, ev.heavy_hitter_users(
-            ev.read_events_stream(spark, sf_dir)), "s_mg",
+            ev.read_events_stream(spark, sf_dir), k=k), "s_mg",
             mode="update")
         from pyspark.sql import Window
         last = F.max("snap").over(Window.partitionBy("event_type"))
-        return (drained.withColumn("last_snap", last)
+        snap = (drained.withColumn("last_snap", last)
                 .filter(F.col("snap") == F.col("last_snap"))
-                .select("event_type", "user_id", "mg_count")
-                .orderBy("event_type", "user_id"))
+                .select("event_type", "user_id", "mg_count"))
+        e = _le(spark, sf_dir)
+        exact = e.groupBy("event_type", "user_id") \
+                 .agg(F.count(F.lit(1)).alias("c"))
+        tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+        guar = (exact.join(F.broadcast(tot), "event_type")
+                .filter(F.col("c") * (k + 1) > F.col("n_events"))
+                .select("event_type", "user_id", "c"))
+        n_guar = guar.groupBy("event_type") \
+                     .agg(F.count(F.lit(1)).alias("n_guaranteed"))
+        missing = (guar.join(snap, ["event_type", "user_id"], "left_anti")
+                   .groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_missing")))
+        joined = (snap.join(exact, ["event_type", "user_id"])
+                  .join(F.broadcast(tot), "event_type")
+                  .groupBy("event_type")
+                  .agg(F.max((F.col("mg_count") > F.col("c")).cast("int"))
+                       .alias("any_over"),
+                       F.max(((F.col("c") - F.col("mg_count")) * (k + 1)
+                              > F.col("n_events")).cast("int"))
+                       .alias("any_oob")))
+        return (tot
+                .join(n_guar, "event_type", "left")
+                .join(missing, "event_type", "left")
+                .join(joined, "event_type", "left")
+                .select(
+                    "event_type", "n_events",
+                    F.coalesce("n_guaranteed", F.lit(0))
+                    .alias("n_guaranteed"),
+                    (F.coalesce("n_missing", F.lit(0)) == 0)
+                    .alias("all_guaranteed_present"),
+                    (F.coalesce("any_over", F.lit(0)) == 0)
+                    .alias("est_le_exact"),
+                    (F.coalesce("any_oob", F.lit(0)) == 0)
+                    .alias("undercount_in_bound"))
+                .orderBy("event_type"))
 
     return {"streaming_interval_join": streaming_interval_join,
             "streaming_left_outer_join": streaming_left_outer_join,
@@ -367,11 +492,12 @@ def _streaming_queries():
             "streaming_static_enrich": streaming_static_enrich}
 
 
-def _streaming_p2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming P² median estimate per event type: O(1) five-marker
-    state per key forever. Floating recurrence → rows-only; the pytest
-    replays the exact marker trajectory in pure Python and pins the
-    estimate's accuracy vs the exact median. Append mode emits one
+def _streaming_p2_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw P² drain (the pre-r9 registry output, kept for the replay
+    pytests): streaming P² median estimate per event type, O(1)
+    five-marker state per key forever. The pytest replays the exact
+    marker trajectory in pure Python and pins the estimate's accuracy
+    vs the exact median. Append mode emits one
     snapshot per key per batch — keep the max-n_seen row per key (the
     streaming_user_stats snapshot-dedup contract)."""
     import tempfile
@@ -394,6 +520,26 @@ def _streaming_p2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _streaming_p2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-oracle form of the P² drain (round 9): ``n_seen`` is the
+    exact per-type count (hash-gated vs DuckDB), and the float estimate
+    collapses to its structural marker-range invariant — the middle
+    marker always lies within the observed [min, max] — as an
+    oracle-asserted boolean. The exact marker trajectory stays pinned by
+    the pure-Python replay pytests on :func:`_streaming_p2_final`."""
+    from .operators.relational import load_events as _le
+
+    final = _streaming_p2_final(spark, sf_dir)
+    rng = (_le(spark, sf_dir).groupBy("event_type")
+           .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+    return (final.join(rng, "event_type")
+            .select("event_type", "n_seen",
+                    ((F.col("q_estimate") >= F.col("vmin"))
+                     & (F.col("q_estimate") <= F.col("vmax")))
+                    .alias("est_in_range"))
+            .orderBy("event_type"))
+
+
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over the text-derived payloads (byte-stride fake on
     non-image payloads; the REAL BMP path is pinned in
@@ -410,6 +556,60 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    target=(16, 16))
     return (out.select("doc_id", F.length("payload").alias("n_bytes"),
                        "width", "height").orderBy("doc_id"))
+
+
+#: Streaming oracles added in round 9 — see each entry's docstring.
+ORACLE_STREAMING_DEDUP = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+FROM events
+"""
+
+ORACLE_STREAMING_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+ORACLE_STREAMING_P2 = """
+SELECT event_type, COUNT(*) AS n_seen, TRUE AS est_in_range
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_STREAMING_CUSUM = """
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS ordinals_valid, TRUE AS stats_exceed_h
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_STREAMING_MG = """
+WITH tot AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type),
+guar AS (
+  SELECT e.event_type, e.user_id, COUNT(*) AS c
+  FROM events e GROUP BY e.event_type, e.user_id)
+SELECT t.event_type, t.n_events,
+       CAST(COALESCE(SUM(CASE WHEN g.c * 9 > t.n_events
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_guaranteed,
+       TRUE AS all_guaranteed_present,
+       TRUE AS est_le_exact,
+       TRUE AS undercount_in_bound
+FROM tot t LEFT JOIN guar g ON g.event_type = t.event_type
+GROUP BY t.event_type, t.n_events
+ORDER BY t.event_type
+"""
+
+ORACLE_STREAMING_LOJ = """
+SELECT (SELECT COUNT(*) FROM events
+        WHERE event_type = 'purchase') AS n_purchases,
+       (SELECT COUNT(*)
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+         AS n_matched,
+       TRUE AS unmatched_subset_ok,
+       TRUE AS matched_pairs_unique
+"""
 
 
 ORACLE_MULTIMODAL_RESIZE = """
@@ -2083,6 +2283,15 @@ def build_oracles() -> dict[str, str]:
     oracles["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
     oracles["multimodal_frame_sample"] = ORACLE_MULTIMODAL_FRAME_SAMPLE
     oracles["multimodal_features"] = ORACLE_MULTIMODAL_FEATURES
+    # streaming entries gated in round 9 (exact anchors + invariant
+    # booleans; see each _streaming_queries closure's docstring)
+    oracles["streaming_dedup"] = ORACLE_STREAMING_DEDUP
+    oracles["streaming_user_stats"] = ORACLE_STREAMING_USER_STATS
+    oracles["streaming_user_stats_v2"] = ORACLE_STREAMING_USER_STATS
+    oracles["streaming_p2_quantile"] = ORACLE_STREAMING_P2
+    oracles["streaming_cusum_alerts"] = ORACLE_STREAMING_CUSUM
+    oracles["streaming_heavy_hitters"] = ORACLE_STREAMING_MG
+    oracles["streaming_left_outer_join"] = ORACLE_STREAMING_LOJ
     oracles["events_markov_stationary"] = \
         behavior.ORACLE_MARKOV_STATIONARY_CHECKED
     oracles["embedding_pca_project"] = \

@@ -2083,7 +2083,7 @@ class TestStreamingP2Quantile:
             load_events,
         )
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
-            _streaming_p2_quantile,
+            _streaming_p2_final,
         )
         from pyspark.sql import functions as F
 
@@ -2095,7 +2095,7 @@ class TestStreamingP2Quantile:
             by_type.setdefault(r.event_type, []).append(
                 (r.us, r.event_id, float(r.value)))
         out = {r.event_type: r for r in
-               _streaming_p2_quantile(spark, sf_dir).collect()}
+               _streaming_p2_final(spark, sf_dir).collect()}
         assert sorted(out) == sorted(by_type)
         for et, rows in by_type.items():
             rows.sort()

@@ -124,10 +124,10 @@ class TestMultiBatchDrains:
             if r.n_seen >= got.get(r.event_type, (0, 0.0))[0]:
                 got[r.event_type] = (r.n_seen, r.q_estimate)
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
-            _streaming_p2_quantile,
+            _streaming_p2_final,
         )
         exp = {r.event_type: (r.n_seen, r.q_estimate) for r in
-               _streaming_p2_quantile(spark, sf_dir).collect()}
+               _streaming_p2_final(spark, sf_dir).collect()}
         assert set(got) == set(exp)
         for et, (n, est) in exp.items():
             assert got[et][0] == n

@@ -353,20 +353,21 @@ class TestCdcUpsertStream:
 
 
 class TestStreamingCusum:
-    def test_alerts_match_online_python_replay(self, spark, sf_dir):
+    def test_alerts_match_online_python_replay(self, spark, sf_dir,
+                                               tmp_path):
         """The drained CUSUM alarms must equal a pure-Python replay of
         the SAME online semantics (Welford pre-update standardization
         after a 30-event warmup, alarm resets its side) over the events
-        in (ts, event_id) order."""
+        in (ts, event_id) order. Drains the RAW stream (the registry
+        entry became a partial-oracle census in r9; this test keeps the
+        exact alarm values pinned)."""
         import duckdb
 
-        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
-            build_queries,
-        )
-
-        got = [(r.event_type, r.ordinal, r.side, r.stat) for r in
-               build_queries()["streaming_cusum_alerts"](
-                   spark, sf_dir).collect()]
+        raw = _drain(spark, ev.cusum_drift_alerts(
+            ev.read_events_stream(spark, sf_dir)), "t_cusum_raw",
+            tmp_path, mode="append")
+        got = sorted((r.event_type, r.ordinal, r.side, round(r.stat, 9))
+                     for r in raw)
 
         series: dict = {}
         for et, v in duckdb.sql(
@@ -399,21 +400,27 @@ class TestStreamingCusum:
 
 
 class TestStreamingHeavyHitters:
-    def test_sketch_matches_python_mg_replay(self, spark, sf_dir):
+    def test_sketch_matches_python_mg_replay(self, spark, sf_dir,
+                                             tmp_path):
         """The drained Misra-Gries snapshot must equal a pure-Python MG
         replay (k=8, decrement-all admission) over the events in
         (ts, event_id) order, and honor the n/(k+1) survival guarantee
-        plus the undercount bound vs exact counts."""
+        plus the undercount bound vs exact counts. Drains the RAW stream
+        (the registry entry became a partial-oracle invariant census in
+        r9; this test keeps the exact counter values pinned)."""
         import duckdb
 
-        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
-            build_queries,
-        )
-
+        raw = _drain(spark, ev.heavy_hitter_users(
+            ev.read_events_stream(spark, sf_dir), k=8), "t_mg_raw",
+            tmp_path, mode="update")
+        last_snap: dict = {}
+        for r in raw:
+            last_snap[r.event_type] = max(last_snap.get(r.event_type, 0),
+                                          r.snap)
         got = {}
-        for r in build_queries()["streaming_heavy_hitters"](
-                spark, sf_dir).collect():
-            got.setdefault(r.event_type, {})[r.user_id] = r.mg_count
+        for r in raw:
+            if r.snap == last_snap[r.event_type]:
+                got.setdefault(r.event_type, {})[r.user_id] = r.mg_count
 
         series: dict = {}
         for et, u in duckdb.sql(
