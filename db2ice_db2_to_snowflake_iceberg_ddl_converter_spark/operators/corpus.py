@@ -936,6 +936,92 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
             .orderBy("doc_id"))
 
 
+def bpe_train_merges_checked(spark: SparkSession, sf_dir: str,
+                             n_merges: int = 10) -> DataFrame:
+    """Partial-oracle form of :func:`bpe_train_merges` (round 9): the
+    FIRST merge is pure SQL — the adjacent-character pair with the
+    highest frequency-weighted count over the distinct-token vocabulary
+    (ties to ascending (left, right)) — so its (left, right, merged,
+    weight) ride the DuckDB hash gate together with the merge count,
+    anchoring the vocabulary build, pair census and tie-break order.
+    The remaining sequence collapses to two structural booleans the
+    oracle asserts: ``merged_identity`` (merged ≡ left||right on every
+    step) and ``steps_contiguous`` (steps are exactly 1..n). The full
+    sequence stays pinned by the pure-Python BPE pytest on the raw
+    core."""
+    m = bpe_train_merges(spark, sf_dir, n_merges)
+    first = m.filter(F.col("step") == 1).select(
+        F.col("left").alias("step1_left"),
+        F.col("right").alias("step1_right"),
+        F.col("merged").alias("step1_merged"),
+        F.col("weight").alias("step1_weight"))
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n_merges"),
+        F.max((F.col("merged") != F.concat("left", "right")).cast("int"))
+        .alias("any_bad_merge"),
+        F.sum("step").alias("step_sum"))
+    return (first.crossJoin(F.broadcast(stats))
+            .select("n_merges", "step1_left", "step1_right",
+                    "step1_merged", "step1_weight",
+                    (F.col("any_bad_merge") == 0).alias("merged_identity"),
+                    (F.col("step_sum")
+                     == F.col("n_merges") * (F.col("n_merges") + 1) / 2)
+                    .alias("steps_contiguous")))
+
+
+ORACLE_BPE_TRAIN_CHECKED = """
+WITH vocab AS (
+  SELECT tok, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0 GROUP BY tok),
+pairs AS (
+  SELECT substr(v.tok, g.i, 1) AS l, substr(v.tok, g.i + 1, 1) AS r,
+         v.freq
+  FROM vocab v,
+       LATERAL (SELECT UNNEST(generate_series(1, length(v.tok) - 1))
+                AS i) g),
+top1 AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS w
+  FROM pairs GROUP BY l, r
+  ORDER BY w DESC, l, r LIMIT 1)
+SELECT CAST(10 AS BIGINT) AS n_merges,
+       l AS step1_left, r AS step1_right, l || r AS step1_merged,
+       w AS step1_weight,
+       TRUE AS merged_identity,
+       TRUE AS steps_contiguous
+FROM top1
+"""
+
+
+def bpe_encode_stats_checked(spark: SparkSession, sf_dir: str,
+                             n_merges: int = 10) -> DataFrame:
+    """Partial-oracle form of :func:`bpe_encode_stats` (round 9): the
+    per-doc token and character counts are exact (DuckDB twins), so
+    they ride the hash gate with doc_id, and the merge-dependent symbol
+    count collapses to its compression-bounds invariant as an
+    oracle-asserted boolean: n_tokens ≤ n_symbols ≤ n_chars (every
+    token is at least one symbol and merging never grows past the
+    character count). Per-token encodings stay pinned by the
+    pure-Python encoder pytest on the raw core."""
+    base = bpe_encode_stats(spark, sf_dir, n_merges)
+    return base.select(
+        "doc_id", "n_tokens", "n_chars",
+        ((F.col("n_symbols") >= F.col("n_tokens"))
+         & (F.col("n_symbols") <= F.col("n_chars")))
+        .alias("symbols_in_bounds")).orderBy("doc_id")
+
+
+ORACLE_BPE_ENCODE_CHECKED = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+       TRUE AS symbols_in_bounds
+FROM toks WHERE length(tok) > 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str,
                           size: int = 64, stride: int = 48,
                           n_shards: int = 8) -> DataFrame:

@@ -1087,6 +1087,47 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
             .orderBy("vec_id"))
 
 
+def dedup_semdedup_checked(spark: SparkSession, sf_dir: str,
+                           n_cells: int = 16, threshold: float = 0.4,
+                           max_cell_rows: int = 4096) -> DataFrame:
+    """Partial-oracle form of :func:`dedup_semdedup` (round 9): the
+    decision-pass cardinality is exact — one row per corpus vector — so
+    ``n_vectors`` rides the DuckDB hash gate, and the float-dependent
+    keep-set collapses to the greedy sweep's structural invariants as
+    oracle-asserted booleans: every non-empty cell keeps at least one
+    vector (the greedy sweep always keeps its first row), cells lie in
+    [0, n_cells), and kept ≤ total. Both greedy invariants vs the
+    brute-force numpy sweep stay pinned by the pytest on the raw
+    core."""
+    base = dedup_semdedup(spark, sf_dir, n_cells=n_cells,
+                          threshold=threshold,
+                          max_cell_rows=max_cell_rows)
+    per_cell = base.groupBy("cell").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep"))
+    cell_stats = per_cell.agg(
+        F.min("n_keep").alias("min_keep"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"))
+    totals = base.agg(F.count(F.lit(1)).alias("n_vectors"),
+                      F.sum(F.col("keep").cast("long")).alias("n_kept"))
+    return (totals.crossJoin(F.broadcast(cell_stats))
+            .select("n_vectors",
+                    (F.col("min_keep") >= 1).alias("every_cell_keeps_one"),
+                    ((F.col("min_cell") >= 0)
+                     & (F.col("max_cell") < n_cells))
+                    .alias("cells_in_range"),
+                    (F.col("n_kept") <= F.col("n_vectors"))
+                    .alias("kept_le_total")))
+
+
+ORACLE_SEMDEDUP_CHECKED = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       TRUE AS every_cell_keeps_one,
+       TRUE AS cells_in_range,
+       TRUE AS kept_le_total
+"""
+
+
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
                               new_source: str = "src19",
                               threshold: float = 0.5) -> DataFrame:

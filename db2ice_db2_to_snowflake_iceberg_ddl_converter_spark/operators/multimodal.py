@@ -466,6 +466,75 @@ def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
         .orderBy("doc_id"))
 
 
+def multimodal_audio_energy_checked(spark, sf_dir, frame: int = 64,
+                                    silence_rms: float = 1.0) -> DataFrame:
+    """Partial-oracle form of :func:`multimodal_audio_energy` (round 9):
+    the synth WAV's shape is an exact function of the text — n_samples =
+    16·min(chars, 128), rate 8000, n_frames = n_samples div 64 — so
+    those ride the DuckDB hash gate per asset (a codec header/framing
+    bug turns the row red), and the float energy profile collapses to
+    its structural invariants as oracle-asserted booleans:
+    silence_ratio ∈ [0,1]; peak_rms ∈ [0, 16256] (the synth amplitude
+    range |(ord%64)·512 − 16000|); segment count in [0, n_frames] and
+    ≥1 exactly when some frame is active (silence_ratio < 1). The exact
+    RMS/VAD values stay pinned by the pure-Python replay pytest on the
+    raw core."""
+    base = multimodal_audio_energy(spark, sf_dir, frame=frame,
+                                   silence_rms=silence_rms)
+    active_iff = F.when(
+        F.col("n_frames") > 0,
+        (F.col("silence_ratio") < 1.0) == (F.col("n_active_segments") >= 1)
+    ).otherwise(F.col("n_active_segments") == 0)
+    return base.select(
+        "doc_id", "n_samples", "sample_rate", "n_frames",
+        ((F.col("silence_ratio") >= 0) & (F.col("silence_ratio") <= 1))
+        .alias("silence_in_unit"),
+        ((F.col("peak_rms") >= 0) & (F.col("peak_rms") <= 16256))
+        .alias("peak_in_range"),
+        ((F.col("n_active_segments") >= 0)
+         & (F.col("n_active_segments") <= F.col("n_frames"))
+         & active_iff).alias("segments_consistent")).orderBy("doc_id")
+
+
+ORACLE_AUDIO_ENERGY_CHECKED = """
+SELECT doc_id,
+       CAST(16 * LEAST(length(text), 128) AS BIGINT) AS n_samples,
+       8000 AS sample_rate,
+       CAST((16 * LEAST(length(text), 128)) // 64 AS BIGINT) AS n_frames,
+       TRUE AS silence_in_unit,
+       TRUE AS peak_in_range,
+       TRUE AS segments_consistent
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_image_stats_checked(spark, sf_dir) -> DataFrame:
+    """Partial-oracle form of :func:`multimodal_image_stats` (round 9):
+    the synth BMP dimensions are fixed (16×8), so doc_id/width/height
+    ride the DuckDB hash gate per asset (a decode-geometry bug turns
+    the row red), and the float statistics collapse to their byte-range
+    invariants: channel means ∈ [0, 255], contrast ∈ [0, 255]. The
+    exact means/contrast stay pinned by the pure-numpy replay pytest on
+    the raw core."""
+    base = multimodal_image_stats(spark, sf_dir)
+    in_byte = [
+        ((F.col(c) >= 0) & (F.col(c) <= 255)) for c in
+        ("mean_r", "mean_g", "mean_b")]
+    means_ok = in_byte[0] & in_byte[1] & in_byte[2]
+    return base.select(
+        "doc_id", "width", "height",
+        means_ok.alias("means_in_byte_range"),
+        ((F.col("contrast") >= 0) & (F.col("contrast") <= 255))
+        .alias("contrast_in_range")).orderBy("doc_id")
+
+
+ORACLE_IMAGE_STATS_CHECKED = """
+SELECT doc_id, 16 AS width, 8 AS height,
+       TRUE AS means_in_byte_range, TRUE AS contrast_in_range
+FROM documents ORDER BY doc_id
+"""
+
+
 def synth_bmp_from_text(text: str, width: int = 16, height: int = 8):
     """Deterministic 24-bit image synthesizer: text bytes tile the pixel
     grid (R = byte, G = byte of the reversed text, B = position mix), so

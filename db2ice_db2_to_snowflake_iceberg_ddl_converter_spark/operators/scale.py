@@ -1046,3 +1046,41 @@ def diag_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str,
                      | (F.col("stat_max") < F.col("mid")))
                     .cast("int").alias("skips_midpoint_probe"))
             .orderBy("file", "row_group"))
+
+
+def diag_parquet_rowgroup_stats_checked(spark: SparkSession, sf_dir: str,
+                                        table: str = "lineitem",
+                                        column: str = "l_orderkey"
+                                        ) -> DataFrame:
+    """Partial-oracle form of :func:`diag_parquet_rowgroup_stats`
+    (round 9): the footer metadata must agree with the TABLE ITSELF, and
+    that agreement is DuckDB-checkable — Σ row-group rows = COUNT(*),
+    min/max of the zone-map stats = MIN/MAX of the key column (parquet
+    stats for the whole file partition are exact for int64). Those three
+    exact anchors ride the hash gate; the per-group layout collapses to
+    ``groups_well_formed`` (every group's min ≤ max, positive rows and
+    compressed bytes). The full per-group table stays pinned by the
+    pytest that cross-checks pyarrow against DuckDB's
+    parquet_metadata() on the raw core."""
+    base = diag_parquet_rowgroup_stats(spark, sf_dir, table=table,
+                                       column=column)
+    census = base.agg(
+        F.sum("n_rows").alias("n_rows_total"),
+        F.min("stat_min").alias("key_min"),
+        F.max("stat_max").alias("key_max"),
+        F.max(((F.col("stat_min") > F.col("stat_max"))
+               | (F.col("n_rows") <= 0)
+               | (F.col("compressed_bytes") <= 0)).cast("int"))
+        .alias("any_bad"))
+    return census.select("n_rows_total", "key_min", "key_max",
+                         (F.col("any_bad") == 0)
+                         .alias("groups_well_formed"))
+
+
+ORACLE_ROWGROUP_STATS_CHECKED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+       CAST(MIN(l_orderkey) AS BIGINT) AS key_min,
+       CAST(MAX(l_orderkey) AS BIGINT) AS key_max,
+       TRUE AS groups_well_formed
+FROM lineitem
+"""

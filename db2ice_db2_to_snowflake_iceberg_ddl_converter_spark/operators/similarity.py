@@ -733,6 +733,127 @@ def embedding_pca_project(spark, sf_dir, k: int = 4) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def embedding_kmeans_clusters_checked(spark, sf_dir, k: int = 8,
+                                      n_iters: int = 5) -> DataFrame:
+    """Partial-oracle form of :func:`embedding_kmeans_clusters`
+    (round 9): the corpus vector count rides the DuckDB hash gate via
+    the census row, and the float Lloyd fit collapses to its structural
+    invariants as oracle-asserted booleans — cluster sizes sum to n
+    (no vector lost or double-assigned by the Arrow pass), at most k
+    clusters, non-negative inertia, and the mean_d2 ≡ inertia/size
+    emission identity (bitwise — same doubles). The exact
+    centroids/assignments stay pinned by the numpy Lloyd-replay pytest
+    on the raw core."""
+    base = embedding_kmeans_clusters(spark, sf_dir, k=k, n_iters=n_iters)
+    stats = base.agg(
+        F.sum("size").alias("size_sum"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("inertia").alias("min_inertia"),
+        F.max((F.col("mean_d2") != F.col("inertia") / F.col("size"))
+              .cast("int")).alias("any_bad_ratio"))
+    n = ld(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    return (n.crossJoin(F.broadcast(stats))
+            .select("n_vectors",
+                    (F.col("size_sum") == F.col("n_vectors"))
+                    .alias("sizes_sum_to_n"),
+                    (F.col("n_clusters") <= k).alias("k_bound"),
+                    (F.col("min_inertia") >= 0).alias("inertia_nonneg"),
+                    (F.col("any_bad_ratio") == 0).alias("ratio_identity")))
+
+
+ORACLE_KMEANS_CHECKED = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       TRUE AS sizes_sum_to_n, TRUE AS k_bound,
+       TRUE AS inertia_nonneg, TRUE AS ratio_identity
+"""
+
+
+def ann_pq_encode_checked(spark, sf_dir, m: int = 8,
+                          n_cents: int = 16) -> DataFrame:
+    """Partial-oracle form of the PQ index manifest (round 9): the
+    encoded vec_id set rides the DuckDB hash gate (one row per corpus
+    vector — a dropped Arrow batch turns the row red), and the
+    float-dependent code/error collapse to range invariants:
+    packed_code ∈ [0, n_cents^m) and recon_err ∈ [0, 2 + ε] (unit
+    vectors vs mean-of-unit-vector centroids: ‖x − c‖ ≤ ‖x‖ + ‖c‖ ≤ 2).
+    Exact codes/errors stay pinned by the numpy brute-force encode
+    pytest on the raw core."""
+    base = pq_encode(spark, sf_dir, m=m, n_cents=n_cents)
+    code_cap = float(n_cents) ** m
+    return base.select(
+        "vec_id",
+        ((F.col("packed_code") >= 0)
+         & (F.col("packed_code").cast("double") < code_cap))
+        .alias("code_in_range"),
+        ((F.col("recon_err") >= 0)
+         & (F.col("recon_err") <= 2.0 + 1e-9)).alias("err_in_range")) \
+        .orderBy("vec_id")
+
+
+ORACLE_PQ_ENCODE_CHECKED = """
+SELECT vec_id, TRUE AS code_in_range, TRUE AS err_in_range
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def dedup_embedding_blocked_checked(spark, sf_dir,
+                                    threshold: float = 0.4) -> DataFrame:
+    """Partial-oracle form of the blocked all-pairs cosine dedup
+    (round 9, the dedup_simhash_checked pattern over VECTORS): vectors
+    with byte-identical embeddings have cosine exactly 1 ≥ threshold,
+    so every identical-embedding pair (of non-zero vectors) MUST appear
+    in the blocked pair set — the exact identical-pair count rides the
+    DuckDB hash gate (lists are groupable keys in both engines), plus
+    ``all_exact_pairs_found``, ``found_ge_exact`` and
+    ``scores_in_range`` (threshold ≤ cosine ≤ 1 + ε) booleans. The
+    pair-set ≡ two-phase-exact-path equality stays pinned by its
+    pytest."""
+    e = ld(spark, sf_dir, "embeddings")
+    pairs = (all_pairs_cosine_blocked(e, threshold=threshold)
+             .localCheckpoint())          # 3 bounded consumers below
+    nz = e.filter(dot_expr("embedding", "embedding") > 0) \
+          .select("vec_id", "embedding")
+    grp = nz.groupBy("embedding").agg(F.count(F.lit(1)).alias("c"))
+    n_exact = grp.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
+                   F.lit(0)).alias("n_exact_vec_pairs"))
+    va = nz.select(F.col("vec_id").alias("id1"),
+                   F.col("embedding").alias("ea"))
+    vb = nz.select(F.col("vec_id").alias("id2"),
+                   F.col("embedding").alias("eb"))
+    found_exact = (pairs.join(va, "id1").join(vb, "id2")
+                   .filter(F.col("ea") == F.col("eb"))
+                   .agg(F.count(F.lit(1)).alias("n_found_exact")))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_found_total"),
+        F.max(((F.col("cosine") < threshold)
+               | (F.col("cosine") > 1.0 + 1e-9)).cast("int"))
+        .alias("any_oob"))
+    return (n_exact.crossJoin(F.broadcast(found_exact))
+            .crossJoin(F.broadcast(stats))
+            .select("n_exact_vec_pairs",
+                    (F.col("n_found_exact") == F.col("n_exact_vec_pairs"))
+                    .alias("all_exact_pairs_found"),
+                    (F.col("n_found_total") >= F.col("n_exact_vec_pairs"))
+                    .alias("found_ge_exact"),
+                    (F.coalesce("any_oob", F.lit(0)) == 0)
+                    .alias("scores_in_range")))
+
+
+ORACLE_EMBEDDING_BLOCKED_CHECKED = """
+WITH nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+         AS n_exact_vec_pairs,
+       TRUE AS all_exact_pairs_found,
+       TRUE AS found_ge_exact,
+       TRUE AS scores_in_range
+FROM (SELECT COUNT(*) AS c FROM nz GROUP BY embedding)
+"""
+
+
 def _ann_recall_gate(ann_df: DataFrame, brute_df: DataFrame,
                      min_recall: float) -> DataFrame:
     """Shared partial-oracle gate for the ANN family (round 9): the exact

@@ -1,13 +1,17 @@
 """Query registry: every implemented operator exposed as a (spark, sf_dir) →
-DataFrame callable, with its DuckDB oracle SQL twin where SQL can express it.
+DataFrame callable, with a DuckDB oracle SQL twin for EVERY entry.
 
 This is the single source of truth behind ``__spark_entry__.py`` — the
 driver's correctness gate runs each entry against its oracle at sf0.01
-(row count + schema + order-insensitive value hash). Entries without an
-oracle are genuinely non-SQL-expressible (LSH candidate generation, UDF
-plumbing) and get the driver's weaker rows-only check; each one has a pytest
-asserting its semantic property instead (recall vs brute force, determinism).
-"""
+(row count + schema + order-insensitive value hash). Since round 9 the
+registry carries ZERO rows-only entries: operators whose core outputs are
+non-SQL-expressible (LSH candidate generation, iterative float fits,
+stateful streaming, binary codecs) are registered through ``_checked``
+wrappers that hash-gate their exact deterministic anchors (counts,
+censuses, SQL-recomputable columns) and collapse the engine-specific part
+to oracle-asserted invariant booleans — while each RAW core keeps its
+value-pinning pytest (numpy/pure-Python replays, recall vs brute force,
+batch-stream equivalence)."""
 
 from __future__ import annotations
 
@@ -1156,10 +1160,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partial-oracle (r9): exact identical-text pair count hash-gated
         # + structural recall booleans; raw pair core keeps its pytest
         "dedup_simhash": dedup.dedup_simhash_checked,
-        "dedup_embedding_blocked": lambda spark, sf_dir:
-            similarity.all_pairs_cosine_blocked(
-                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-                threshold=0.4).orderBy("id1", "id2"),
+        # partial-oracle (r9): exact identical-embedding pair count
+        # hash-gated + recall/range booleans; pair-set == exact-path
+        # equality stays pytest-pinned
+        "dedup_embedding_blocked":
+            similarity.dedup_embedding_blocked_checked,
         "ann_lsh_topk": similarity.ann_lsh_topk_checked,
     })
     # ---- NEW round-4 entries: past the cap by construction (the reorder
@@ -1171,9 +1176,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .operators import traindata as _td4
     q["export_training_shards"] = _td4.export_training_shards
     q["corpus_mixture_sample"] = _td4.corpus_mixture_sample
-    # iterative tokenizer training (driver-looped over the vocab table)
-    # → rows-only; pytest pins the merge sequence vs a pure-Python BPE
-    q["bpe_train_merges"] = corpus.bpe_train_merges
+    # iterative tokenizer training (driver-looped over the vocab table);
+    # partial-oracle (r9): SQL-exact first merge + census anchors; pytest
+    # still pins the full merge sequence vs a pure-Python BPE
+    q["bpe_train_merges"] = corpus.bpe_train_merges_checked
     q["merge_into_customers"] = cdc.merge_into_customers
     from .streaming.events import streaming_cdc_upsert
     q["streaming_cdc_upsert"] = streaming_cdc_upsert
@@ -1183,12 +1189,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_linear_interp_daily"] = timeseries.events_linear_interp_daily
     from .sources.registry import source_dpp_star_join
     q["source_dpp_star_join"] = source_dpp_star_join
-    # tokenizer application (trained rules drive the vocab-table encode)
-    # → rows-only; pytest pins per-token encodings vs a pure-Python BPE
-    q["bpe_encode_stats"] = corpus.bpe_encode_stats
-    # k-means-scoped greedy semantic dedup: approximate by construction
-    # → rows-only; pytest pins both greedy invariants vs brute force
-    q["dedup_semdedup"] = dedup.dedup_semdedup
+    # tokenizer application; partial-oracle (r9): exact per-doc
+    # token/char counts hash-gated + compression-bounds boolean; pytest
+    # still pins per-token encodings vs a pure-Python BPE
+    q["bpe_encode_stats"] = corpus.bpe_encode_stats_checked
+    # k-means-scoped greedy semantic dedup; partial-oracle (r9):
+    # exact cardinality + greedy-sweep invariants; pytest still pins
+    # both greedy invariants vs brute force
+    q["dedup_semdedup"] = dedup.dedup_semdedup_checked
     # outer streaming join: final-watermark-bounded emission → rows-only;
     # pytest pins matched ≡ inner batch join + horizon completeness
     q["streaming_left_outer_join"] = loj
@@ -1675,9 +1683,12 @@ def _round6_queries():
         # k-anonymity governance audit over quasi-identifiers
         "privacy_k_anonymity": _vd6.privacy_k_anonymity,
         # distributed Lloyd over the full embedding table (MLlib shape)
-        "embedding_kmeans_clusters": _si6.embedding_kmeans_clusters,
+        # partial-oracle (r9): census anchors + Lloyd invariants
+        "embedding_kmeans_clusters":
+            _si6.embedding_kmeans_clusters_checked,
         # WAV frame-RMS / silence / VAD-segment triage via mapInPandas
-        "multimodal_audio_energy": _mm6.multimodal_audio_energy,
+        # partial-oracle (r9): exact synth-shape anchors + range booleans
+        "multimodal_audio_energy": _mm6.multimodal_audio_energy_checked,
         # mT5-style T=2 sampling mixture (sqrt is the one portable power)
         "corpus_temperature_mixture": _td6.corpus_temperature_mixture,
         # KMV distinct sketch per source with auditable error
@@ -1687,7 +1698,8 @@ def _round6_queries():
         # pandas GROUPED_AGG UDAF — the last uncovered pandas-UDF class
         "udaf_trimmed_sum": _fn6.udaf_trimmed_sum,
         # real-BMP decode stats — image twin of the audio energy triage
-        "multimodal_image_stats": _mm6.multimodal_image_stats,
+        # partial-oracle (r9): exact BMP-dims anchors + byte-range booleans
+        "multimodal_image_stats": _mm6.multimodal_image_stats_checked,
         # k-core peel over the shared supplier co-sourcing edge list
         # partial-oracle (r9): census node/edge counts hash-gated +
         # degree-floor/handshake/containment invariants; the raw
@@ -1846,7 +1858,9 @@ def _round6_queries():
         # real parquet row-group zone maps from the file footers —
         # pyarrow stat typing has no stable DuckDB twin → rows-only,
         # pytest cross-checks duckdb parquet_metadata()
-        "diag_parquet_rowgroup_stats": _sc6.diag_parquet_rowgroup_stats,
+        # partial-oracle (r9): footer totals vs the table itself
+        "diag_parquet_rowgroup_stats":
+            _sc6.diag_parquet_rowgroup_stats_checked,
     }
 
 
@@ -2058,7 +2072,8 @@ def _round5_queries():
         "corpus_gopher_rules": corpus.corpus_gopher_rules,
         # product-quantization encode (float k-means codebooks →
         # rows-only; codes + errors pinned vs numpy in pytest)
-        "ann_pq_encode": similarity.pq_encode,
+        # partial-oracle (r9): vec_id set exact + code/error range booleans
+        "ann_pq_encode": similarity.ann_pq_encode_checked,
         # global-stream concat-and-chunk packing manifest riding the
         # scalable prefix scan (no single-partition window)
         "corpus_pack_global_stream": _td5.corpus_pack_global_stream,
@@ -2302,6 +2317,19 @@ def build_oracles() -> dict[str, str]:
     for _ann in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
                  "ann_ivf_pq_topk"):
         oracles[_ann] = similarity.ORACLE_ANN_RECALL_GATE
+    # the final nine (r9): every registry entry now carries an oracle
+    oracles["bpe_train_merges"] = corpus.ORACLE_BPE_TRAIN_CHECKED
+    oracles["bpe_encode_stats"] = corpus.ORACLE_BPE_ENCODE_CHECKED
+    oracles["dedup_semdedup"] = dedup.ORACLE_SEMDEDUP_CHECKED
+    oracles["dedup_embedding_blocked"] = \
+        similarity.ORACLE_EMBEDDING_BLOCKED_CHECKED
+    oracles["ann_pq_encode"] = similarity.ORACLE_PQ_ENCODE_CHECKED
+    oracles["embedding_kmeans_clusters"] = similarity.ORACLE_KMEANS_CHECKED
+    oracles["multimodal_audio_energy"] = \
+        _mm6.ORACLE_AUDIO_ENERGY_CHECKED
+    oracles["multimodal_image_stats"] = _mm6.ORACLE_IMAGE_STATS_CHECKED
+    oracles["diag_parquet_rowgroup_stats"] = \
+        scale.ORACLE_ROWGROUP_STATS_CHECKED
     oracles["corpus_top_tokens"] = corpus.ORACLE_TOP_TOKENS
     oracles["corpus_tfidf_top_terms"] = corpus.ORACLE_TFIDF_TOP_TERMS
     oracles["events_asof_tolerance"] = asof.ORACLE_EVENTS_ASOF_TOLERANCE
@@ -2402,14 +2430,9 @@ def build_oracles() -> dict[str, str]:
         "ddl_schema_catalog": ORACLE_DDL_SCHEMA_CATALOG,
         "ddl_assess_catalog": ORACLE_DDL_ASSESS_CATALOG,
         "ddl_type_distribution": ORACLE_DDL_TYPE_DISTRIBUTION,
-        # no oracle (non-SQL-expressible; rows-only driver check + pytest):
-        # ann_lsh_topk, ann_ivf_topk
-        # (xxhash64 has no DuckDB twin),
-        # streaming_dedup (arrival-order dependent which duplicate wins),
-        # approx_distinct_counts, approx_quantiles (sketches — approximate
-        # by design; error bounds pinned in tests/test_operators.py),
-        # dedup_embedding_blocked (BLAS-reassociated scores; pair-set
-        # equality vs the exact path pinned in tests/test_operators.py)
+        # (historical note: until round 9 this block listed the
+        # rows-only entries; all of them now carry oracles via their
+        # _checked wrappers — see build_oracles' round-9 section)
     })
     # ---- new round-4 entries ----
     from .operators import rerank

@@ -193,6 +193,127 @@ class TestAnnRecallGates:
             assert row.shared_scores_exact, fn.__name__
 
 
+class TestFinalNineGates:
+    """Booleans-all-true + exact-anchor probes for the last nine entries
+    to leave rows-only (raw cores keep their value-pinning pytests)."""
+
+    def test_bpe_train_checked_first_merge_is_sql_top_pair(self, spark,
+                                                           sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        row = _one(corpus.bpe_train_merges_checked(spark, sf_dir))
+        assert row.merged_identity and row.steps_contiguous
+        assert row.n_merges == 10
+        assert row.step1_merged == row.step1_left + row.step1_right
+        # independent recomputation of the top pair
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = (d.selectExpr("explode(split(text, ' ')) AS tok")
+                 .filter("length(tok) > 0")
+                 .groupBy("tok").count()
+                 .selectExpr("explode(arrays_zip(slice(split(tok, ''), 1, "
+                             "length(tok) - 1), slice(split(tok, ''), 2, "
+                             "length(tok) - 1))) AS p", "count")
+                 .selectExpr("p['0'] AS l", "p['1'] AS r", "count")
+                 .groupBy("l", "r").agg(F.sum("count").alias("w"))
+                 .orderBy(F.desc("w"), "l", "r").first())
+        assert (row.step1_left, row.step1_right, row.step1_weight) == \
+            (pairs.l, pairs.r, pairs.w)
+
+    def test_bpe_encode_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rows = corpus.bpe_encode_stats_checked(spark, sf_dir).collect()
+        assert rows and all(r.symbols_in_bounds for r in rows)
+
+    def test_semdedup_checked(self, spark, sf_dir):
+        row = _one(dedup.dedup_semdedup_checked(spark, sf_dir))
+        assert row.every_cell_keeps_one and row.cells_in_range \
+            and row.kept_le_total
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert row.n_vectors == n
+
+    def test_embedding_blocked_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        row = _one(similarity.dedup_embedding_blocked_checked(spark,
+                                                              sf_dir))
+        assert row.all_exact_pairs_found and row.found_ge_exact \
+            and row.scores_in_range
+
+    def test_pq_encode_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        rows = similarity.ann_pq_encode_checked(spark, sf_dir).collect()
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert len(rows) == n
+        assert all(r.code_in_range and r.err_in_range for r in rows)
+
+    def test_kmeans_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        row = _one(similarity.embedding_kmeans_clusters_checked(spark,
+                                                                sf_dir))
+        assert row.sizes_sum_to_n and row.k_bound \
+            and row.inertia_nonneg and row.ratio_identity
+
+    def test_audio_energy_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        rows = multimodal.multimodal_audio_energy_checked(spark, sf_dir) \
+            .collect()
+        assert rows
+        assert all(r.silence_in_unit and r.peak_in_range
+                   and r.segments_consistent for r in rows)
+        d = {r.doc_id: r.text for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet").collect()}
+        for r in rows:
+            assert r.n_samples == 16 * min(len(d[r.doc_id]), 128)
+            assert r.sample_rate == 8000
+            assert r.n_frames == r.n_samples // 64
+
+    def test_image_stats_checked(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            multimodal,
+        )
+
+        rows = multimodal.multimodal_image_stats_checked(spark, sf_dir) \
+            .collect()
+        assert rows
+        assert all(r.width == 16 and r.height == 8
+                   and r.means_in_byte_range and r.contrast_in_range
+                   for r in rows)
+
+    def test_rowgroup_stats_checked(self, spark, sf_dir):
+        row = _one(scale.diag_parquet_rowgroup_stats_checked(spark,
+                                                             sf_dir))
+        assert row.groups_well_formed
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        mn, mx, n = li.agg(F.min("l_orderkey"), F.max("l_orderkey"),
+                           F.count(F.lit(1))).collect()[0]
+        assert (row.n_rows_total, row.key_min, row.key_max) == (n, mn, mx)
+
+    def test_registry_has_zero_rows_only(self):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
+            build_oracles,
+            build_queries,
+        )
+
+        q, o = build_queries(), build_oracles()
+        assert sorted(k for k in q if k not in o) == []
+
+
 class TestApproxQuantilesChecked:
     def test_rank_band_true_and_minmax_exact(self, spark, sf_dir):
         df = approx.approx_quantiles_checked(spark, sf_dir)
