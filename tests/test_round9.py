@@ -1,6 +1,10 @@
-"""Round-9 additions: partial-oracle wrappers for the remaining
-rows-only entries (verdict task 2), the literal-catalog ddl_* oracles,
-and the r8 ADVICE guards (kmv small-regime gate, k<=2 rail)."""
+"""Round-9 additions: oracle gates for every formerly rows-only entry
+(the registry ends the round 292/292 oracle-backed — verdict task 2,
+taken to completion), the literal-catalog ddl_* oracles, the
+Misra-Gries checkpoint-restart proof (task 3), the reliable
+boundary-pin mode (task 5), the unpartitioned-Window closed-set gate
+(task 6), the round-9 rotation pin (task 1), and the r8 ADVICE guards
+(kmv small-regime gate, k<=2 rail)."""
 
 import pytest
 from pyspark.sql import functions as F
