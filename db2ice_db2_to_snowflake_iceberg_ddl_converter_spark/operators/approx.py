@@ -65,7 +65,10 @@ def approx_quantiles_checked(spark, sf_dir,
     convention). The rank probe is ONE orders scan joined to the 5
     broadcast quantile rows. The raw sketch core stays as
     :func:`approx_quantiles` for the bound pytest."""
-    base = approx_quantiles(spark, sf_dir, accuracy=accuracy)
+    # pin: the 5-row GK result feeds the rank probe AND the final
+    # join — without it the percentile_approx agg runs twice
+    base = approx_quantiles(spark, sf_dir,
+                            accuracy=accuracy).localCheckpoint()
     o = ld(spark, sf_dir, "orders").select("o_totalprice")
     n = o.agg(F.count(F.lit(1)).alias("n"))
     ranks = (o.crossJoin(F.broadcast(base.select("quantile",
@@ -210,7 +213,10 @@ def frequent_tokens_mg_checked(spark: SparkSession, sf_dir: str,
     The probe joins the (≤ partitions × k)-row sketch to the exact
     vocab-sized counts — one extra hash-agg over the token stream, the
     same shape the support pytest runs."""
-    sketch = frequent_tokens_misra_gries(spark, sf_dir, k=k)
+    # pin: the (<= partitions x k)-row sketch feeds two consumers
+    # below (the multi-consumer rule); tiny frame, cheap pin
+    sketch = frequent_tokens_misra_gries(spark, sf_dir,
+                                         k=k).localCheckpoint()
     d = ld(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))

@@ -345,7 +345,9 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     gate, but not portable to the driver's hash compare)."""
     from .relational import ld
 
-    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold)
+    # pin: two consumers below (the multi-consumer rule)
+    pairs = dedup_minhash_lsh(spark, sf_dir,
+                              threshold=threshold).localCheckpoint()
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
@@ -461,7 +463,11 @@ def dedup_simhash_checked(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     recall pytest."""
     from .relational import ld
 
-    pairs = dedup_simhash(spark, sf_dir, max_hamming=max_hamming)
+    # pin: the pair list (the expensive band join + verify) feeds TWO
+    # consumers below — without the pin each would replay the whole
+    # pipeline (the multi-consumer rule)
+    pairs = dedup_simhash(spark, sf_dir,
+                          max_hamming=max_hamming).localCheckpoint()
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
@@ -1215,9 +1221,11 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
     oracle asserts TRUE: ``all_exact_dups_flagged`` (each verbatim-dup
     batch doc came back ``is_neardup``) and ``flagged_ge_exact``. The
     decision-pass core stays for the brute-force Jaccard pytest."""
-    decisions = dedup_incremental_minhash(spark, sf_dir,
-                                          new_source=new_source,
-                                          threshold=threshold)
+    # pin: the decision pass feeds two consumers below (the
+    # multi-consumer rule)
+    decisions = dedup_incremental_minhash(
+        spark, sf_dir, new_source=new_source,
+        threshold=threshold).localCheckpoint()
     d = ld_py(spark, sf_dir, "documents")
     batch = d.filter(F.col("source") == new_source) \
              .select(F.col("doc_id").alias("new_doc"), "text")

@@ -423,7 +423,8 @@ def supplier_coproduct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
-                max_rounds: int | None = 1000) -> DataFrame:
+                max_rounds: int | None = 1000,
+                edges: DataFrame | None = None) -> DataFrame:
     """k-core of the supplier co-sourcing graph: the maximal subgraph in
     which every node keeps degree ≥ k — the standard peel for isolating
     the densely-interconnected supplier cluster (and, on document/user
@@ -443,8 +444,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     fixpoint loop has no SQL twin; pytest replays the peel in pure
     python and pins the degree-≥-k invariant).
     """
-    edges = (supplier_coproduct_edges(spark, sf_dir)
-             .select("s1", "s2").localCheckpoint())
+    # ``edges``: pass a PINNED (checkpointed/persisted) (s1, s2) frame to
+    # reuse an already-materialized census (graph_kcore_checked shares
+    # one census between the peel and its anchor aggregations — the
+    # census is the entry's single most expensive stage, ~1.5 s at
+    # sf0.1); default builds and pins its own.
+    if edges is None:
+        edges = (supplier_coproduct_edges(spark, sf_dir)
+                 .select("s1", "s2").localCheckpoint())
     n_prev = edges.count()
     # peel to FIXPOINT, not a round budget: each non-final round strictly
     # shrinks the edge set, so the loop terminates in at most |E| rounds
@@ -489,8 +496,10 @@ def graph_kcore_checked(spark: SparkSession, sf_dir: str, k: int = 3,
     ``core_within_census`` (survivors ⊆ census nodes). The (node,
     core_degree) core stays as :func:`graph_kcore` for the pure-Python
     peel-replay pytest."""
-    core = graph_kcore(spark, sf_dir, k=k, max_rounds=max_rounds)
-    edges = supplier_coproduct_edges(spark, sf_dir)
+    edges = (supplier_coproduct_edges(spark, sf_dir)
+             .select("s1", "s2").localCheckpoint())  # shared: peel + anchors
+    core = graph_kcore(spark, sf_dir, k=k, max_rounds=max_rounds,
+                       edges=edges)
     nodes_census = (edges.select(F.col("s1").alias("s"))
                     .union(edges.select(F.col("s2").alias("s")))
                     .distinct()
