@@ -67,8 +67,8 @@ def approx_quantiles_checked(spark, sf_dir,
     :func:`approx_quantiles` for the bound pytest."""
     # pin: the 5-row GK result feeds the rank probe AND the final
     # join — without it the percentile_approx agg runs twice
-    base = approx_quantiles(spark, sf_dir,
-                            accuracy=accuracy).localCheckpoint()
+    from .scale import pin
+    base = pin(approx_quantiles(spark, sf_dir, accuracy=accuracy))
     o = ld(spark, sf_dir, "orders").select("o_totalprice")
     n = o.agg(F.count(F.lit(1)).alias("n"))
     ranks = (o.crossJoin(F.broadcast(base.select("quantile",
@@ -215,8 +215,8 @@ def frequent_tokens_mg_checked(spark: SparkSession, sf_dir: str,
     same shape the support pytest runs."""
     # pin: the (<= partitions x k)-row sketch feeds two consumers
     # below (the multi-consumer rule); tiny frame, cheap pin
-    sketch = frequent_tokens_misra_gries(spark, sf_dir,
-                                         k=k).localCheckpoint()
+    from .scale import pin
+    sketch = pin(frequent_tokens_misra_gries(spark, sf_dir, k=k))
     d = ld(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))

@@ -346,8 +346,8 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     from .relational import ld
 
     # pin: two consumers below (the multi-consumer rule)
-    pairs = dedup_minhash_lsh(spark, sf_dir,
-                              threshold=threshold).localCheckpoint()
+    from .scale import pin
+    pairs = pin(dedup_minhash_lsh(spark, sf_dir, threshold=threshold))
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
@@ -466,8 +466,8 @@ def dedup_simhash_checked(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     # pin: the pair list (the expensive band join + verify) feeds TWO
     # consumers below — without the pin each would replay the whole
     # pipeline (the multi-consumer rule)
-    pairs = dedup_simhash(spark, sf_dir,
-                          max_hamming=max_hamming).localCheckpoint()
+    from .scale import pin
+    pairs = pin(dedup_simhash(spark, sf_dir, max_hamming=max_hamming))
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
@@ -1223,9 +1223,9 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
     decision-pass core stays for the brute-force Jaccard pytest."""
     # pin: the decision pass feeds two consumers below (the
     # multi-consumer rule)
-    decisions = dedup_incremental_minhash(
-        spark, sf_dir, new_source=new_source,
-        threshold=threshold).localCheckpoint()
+    from .scale import pin
+    decisions = pin(dedup_incremental_minhash(
+        spark, sf_dir, new_source=new_source, threshold=threshold))
     d = ld_py(spark, sf_dir, "documents")
     batch = d.filter(F.col("source") == new_source) \
              .select(F.col("doc_id").alias("new_doc"), "text")

@@ -123,8 +123,9 @@ def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
     a broadcast anti-join against the k selected nodes."""
     edges = customer_supplier_edges(spark, sf_dir)
     ranks = pagerank(edges, damping=damping)
-    top = (ranks.orderBy(F.desc("rank"), "node").limit(k)
-           .localCheckpoint())           # ≤k rows; read by 2 consumers
+    from .scale import pin
+    top = pin(ranks.orderBy(F.desc("rank"), "node")
+              .limit(k))                 # ≤k rows; read by 2 consumers
     totals = ranks.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("rank").alias("total_mass"),
@@ -496,8 +497,9 @@ def graph_kcore_checked(spark: SparkSession, sf_dir: str, k: int = 3,
     ``core_within_census`` (survivors ⊆ census nodes). The (node,
     core_degree) core stays as :func:`graph_kcore` for the pure-Python
     peel-replay pytest."""
-    edges = (supplier_coproduct_edges(spark, sf_dir)
-             .select("s1", "s2").localCheckpoint())  # shared: peel + anchors
+    from .scale import pin
+    edges = pin(supplier_coproduct_edges(spark, sf_dir)
+                .select("s1", "s2"))        # shared: peel + anchors
     core = graph_kcore(spark, sf_dir, k=k, max_rounds=max_rounds,
                        edges=edges)
     nodes_census = (edges.select(F.col("s1").alias("s"))

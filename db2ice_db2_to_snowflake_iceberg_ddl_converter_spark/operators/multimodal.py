@@ -717,8 +717,9 @@ def multimodal_phash_neardup_checked(spark, sf_dir,
 
     # pin (r9): the decode->hash->band->verify pair list feeds two
     # consumers below (the multi-consumer rule)
-    pairs = multimodal_phash_neardup(
-        spark, sf_dir, max_hamming=max_hamming).localCheckpoint()
+    from .scale import pin
+    pairs = pin(multimodal_phash_neardup(spark, sf_dir,
+                                         max_hamming=max_hamming))
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     # exact-text pairs (doc_a < doc_b), computed group-wise — no all-pairs
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))

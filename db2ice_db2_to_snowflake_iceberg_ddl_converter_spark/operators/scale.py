@@ -130,6 +130,14 @@ def pin_boundaries(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+#: Generic reliable-pin seam: the SAME checkpoint-dir-aware pin the rank
+#: primitives use, reused by the round-9 checked wrappers for their
+#: multi-consumer frames — with a session checkpoint dir configured every
+#: pinned census/pair-list survives executor loss; without one the pin is
+#: a local checkpoint (fail-stop, the documented local-mode tradeoff).
+pin = pin_boundaries
+
+
 #: Widest per-partition offset table folded back as a LITERAL create_map
 #: expression; past this the fold becomes a broadcast equi-join on
 #: __pid instead — a 50k-entry literal map would blow up the analyzed

@@ -810,8 +810,9 @@ def dedup_embedding_blocked_checked(spark, sf_dir,
     pair-set ≡ two-phase-exact-path equality stays pinned by its
     pytest."""
     e = ld(spark, sf_dir, "embeddings")
-    pairs = (all_pairs_cosine_blocked(e, threshold=threshold)
-             .localCheckpoint())          # 3 bounded consumers below
+    from .scale import pin
+    pairs = pin(all_pairs_cosine_blocked(
+        e, threshold=threshold))          # 3 bounded consumers below
     nz = e.filter(dot_expr("embedding", "embedding") > 0) \
           .select("vec_id", "embedding")
     grp = nz.groupBy("embedding").agg(F.count(F.lit(1)).alias("c"))

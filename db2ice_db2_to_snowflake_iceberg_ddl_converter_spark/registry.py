@@ -280,9 +280,10 @@ def _streaming_queries():
         the raw drain."""
         from .operators.relational import load_events as _le
 
-        drained = _drain(spark, ev.purchase_click_left_join(
+        from .operators.scale import pin as _pin
+        drained = _pin(_drain(spark, ev.purchase_click_left_join(
             ev.read_events_stream(spark, sf_dir)), "s_lojoin",
-            mode="append").localCheckpoint()  # 3 consumers below
+            mode="append"))                   # 3 consumers below
         e = _le(spark, sf_dir)
         p = e.filter(F.col("event_type") == "purchase") \
              .select(F.col("event_id").alias("purchase_id"),
@@ -296,8 +297,8 @@ def _streaming_queries():
                 & (F.col("c_ts") <= F.col("p_ts"))
                 & (F.col("c_ts") >= F.col("p_ts")
                    - F.expr("INTERVAL 30 minutes")))
-        inner = p.join(c, cond).select("purchase_id", "click_id") \
-                 .localCheckpoint()           # 2 consumers below
+        inner = _pin(p.join(c, cond)
+                     .select("purchase_id", "click_id"))  # 2 consumers
         n_purch = p.agg(F.count(F.lit(1)).alias("n_purchases"))
         matched = drained.filter(F.col("click_id").isNotNull())
         n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
