@@ -353,18 +353,28 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left joins: a sink node (no out-edges) has no adjacency row; AQE
     # broadcasts adj when it is small and falls back to a shuffle join on
     # huge graphs — no forced broadcast, arrays stay O(√m) regardless.
+    # coalesce to 0 on an EMPTY edge list (sum over zero rows is NULL,
+    # but the triangle count of an empty graph is 0 — the oracle's
+    # COUNT(*) formulation says 0, and sf0.001's thresholded census IS
+    # empty; found by the round-9 three-scale sweep)
     tri = (oriented.join(au, "u", "left").join(av, "v", "left")
            .select(F.size(F.array_intersect(
                F.coalesce("nu", F.array()),
                F.coalesce("nv", F.array()))).alias("c"))
-           .agg(F.sum("c").cast("long").alias("n_triangles")))
+           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                .alias("n_triangles")))
     wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2)
                      .cast("long").alias("n_wedges"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # wedges can legitimately be 0 on a perfect-matching graph (every
+    # degree 1) — under Spark's ANSI default a double x/0 ABORTS the
+    # job, so the zero case must be NULL (r7 zero-denominator rule;
+    # NULL-wedges empty graphs already divide to NULL in both engines)
     return (n_edges.join(F.broadcast(tri)).join(F.broadcast(wedges))
             .select("n_edges", "n_wedges", "n_triangles",
-                    (F.col("n_triangles").cast("double") * 3
-                     / F.col("n_wedges").cast("double"))
+                    F.when(F.col("n_wedges") > 0,
+                           F.col("n_triangles").cast("double") * 3
+                           / F.col("n_wedges").cast("double"))
                     .alias("clustering_coeff")))
 
 
