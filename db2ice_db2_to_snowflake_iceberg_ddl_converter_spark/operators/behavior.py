@@ -480,6 +480,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
            .agg(F.count(F.lit(1)).alias("n_obs")))
     rows = trans.collect()                      # types² rows — bounded
     obs_rows = obs.collect()
+    if not obs_rows:
+        # stationary distribution of NO observations is no rows — an
+        # empty events feed is reachable (empty partition/day), not an
+        # error (empty-input contract; found by the r9 empty probe)
+        return spark.createDataFrame(
+            [], "event_type string, stationary_p double, "
+                "observed_share double, gap double")
     types = sorted({r.src for r in obs_rows})
     ix = {t: i for i, t in enumerate(types)}
     k = len(types)

@@ -183,6 +183,12 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(F.split("text", " "))).alias("ttok")).collect()[0]
     n_docs = scal["n"]
+    if n_docs == 0:
+        # BM25 over an empty corpus retrieves nothing — reachable
+        # (empty shard/partition), not an error (empty-input contract;
+        # found by the r9 empty probe)
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, n_query_terms_hit long")
     avgdl = scal["ttok"] / n_docs  # exact ints -> one IEEE divide
     hits = (d.select("doc_id",
                      F.size(F.split("text", " ")).alias("dl"),

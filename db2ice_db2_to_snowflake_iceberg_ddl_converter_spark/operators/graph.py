@@ -41,6 +41,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
              .distinct().localCheckpoint())  # node-set-sized; re-read
     #                                          every power iteration
     n = nodes.count()
+    if n == 0:
+        # PageRank of the empty graph is the empty distribution — a
+        # legitimately reachable input (an empty thresholded census, an
+        # empty partition's subgraph), not an error; 1/n below would
+        # ZeroDivisionError (found by the round-9 empty-fixture probe)
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
@@ -137,6 +143,9 @@ def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
                           "node", "left_anti")
                .agg(F.coalesce(F.max("rank"), F.lit(0.0))
                     .alias("outside_max")))
+    empty = F.col("n_nodes") == 0
+    # empty graph: the invariants hold vacuously — and the floor divide
+    # by n_nodes must not run (ANSI ÷0 aborts the job)
     floor = (F.lit(1.0 - damping) / F.col("n_nodes").cast("double")
              - F.lit(1e-12))
     return (totals.crossJoin(F.broadcast(n_edges))
@@ -144,10 +153,14 @@ def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
             .crossJoin(F.broadcast(outside))
             .select(
                 "n_nodes", "n_edges", "k_rows",
-                (F.abs(F.col("total_mass") - F.lit(1.0)) <= F.lit(1e-6))
-                .alias("mass_in_band"),
-                (F.col("min_rank") >= floor).alias("min_rank_ge_floor"),
-                (F.col("kth_rank") >= F.col("outside_max"))
+                F.when(empty, F.lit(True))
+                .otherwise(F.abs(F.col("total_mass") - F.lit(1.0))
+                           <= F.lit(1e-6)).alias("mass_in_band"),
+                F.when(empty, F.lit(True))
+                .otherwise(F.col("min_rank") >= floor)
+                .alias("min_rank_ge_floor"),
+                F.when(empty, F.lit(True))
+                .otherwise(F.col("kth_rank") >= F.col("outside_max"))
                 .alias("topk_dominates")))
 
 

@@ -343,6 +343,11 @@ def ivf_centroids(df: DataFrame, n_cells: int = 16, sample_n: int = 2048,
 
     rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample_n)
             .collect())
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: empty embedding table — a codebook cannot be "
+            "fit on zero vectors (empty-input contract: fitters raise "
+            "loudly; fix the upstream feed)")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:n_cells].copy()
@@ -475,6 +480,11 @@ def pq_codebooks(e: DataFrame, m: int = 8, n_cents: int = 16,
 
     rows = (e.filter(F.col("vec_id") < sample_rows)
             .select("vec_id", "embedding").collect())
+    if not rows:
+        raise ValueError(
+            "pq_codebooks: empty embedding sample — a PQ codebook cannot "
+            "be fit on zero vectors (empty-input contract: fitters raise "
+            "loudly; fix the upstream feed)")
     X = np.array([r.embedding for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     d = X.shape[1]
@@ -680,6 +690,11 @@ def pca_components(e: DataFrame, vec_col: str = "embedding", k: int = 4):
         partials, schema="n long, s array<double>, xtx array<double>"
     ).collect()                       # bounded: ≤ one row per partition
     n = sum(r.n for r in rows)
+    if n == 0:
+        raise ValueError(
+            "pca_components: empty embedding table — principal components "
+            "cannot be fit on zero vectors (empty-input contract: fitters "
+            "raise loudly; fix the upstream feed)")
     s = np.sum([np.array(r.s) for r in rows], axis=0)
     d = s.shape[0]
     xtx = np.sum([np.array(r.xtx).reshape(d, d) for r in rows], axis=0)
@@ -1135,6 +1150,11 @@ def kmeans_fit_distributed(df: DataFrame, k: int = 8, n_iters: int = 5,
 
     dim = embedding_dim(df, vec_col)
     init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    if not init:
+        raise ValueError(
+            "kmeans_fit_distributed: empty embedding table — k-means "
+            "cannot be fit on zero vectors (empty-input contract: "
+            "fitters raise loudly; fix the upstream feed)")
     C = np.array([r[1] for r in init], dtype=np.float64)
     for _ in range(n_iters):
         Cb = C  # rebind for closure capture of this iteration's centroids

@@ -143,6 +143,13 @@ def source_roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("o_orderkey") <= 4000)
            .select("o_orderkey", "o_custkey", "o_totalprice",
                    "o_orderpriority"))
+    if src.limit(1).count() == 0:
+        raise ValueError(
+            "source_roundtrip_formats: empty orders slice — the text "
+            "formats lose their schema on an empty write (csv inference "
+            "has nothing to infer), so the round-trip cannot be "
+            "demonstrated on zero rows (empty-input contract: loud "
+            "typed error)")
     per_fmt = []
     for fmt in ("csv", "json", "orc"):
         path = _scratch_dir(f"roundtrip_{fmt}_")
@@ -201,6 +208,12 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded scalar: min(day) is one row; the +2 offset keeps the probe
     # inside the data range on every fixture regeneration
     min_day = e.agg(F.min("day")).collect()[0][0]
+    if min_day is None:
+        raise ValueError(
+            "sink_partitioned_prune: empty events feed — a partitioned "
+            "write/prune round-trip cannot be demonstrated on zero rows "
+            "(empty-input contract: loud typed error, not a deep "
+            "TypeError; found by the r9 empty probe)")
     probe = min_day + datetime.timedelta(days=2)
     back = spark.read.parquet(path).filter(F.col("day") == F.lit(probe))
     return (back.groupBy("event_type")
@@ -247,6 +260,11 @@ def sink_dynamic_partition_overwrite(spark: SparkSession,
     # bounded scalar (1-row min) to pick a restatement day inside the
     # data range on every fixture regeneration
     min_day = e.agg(F.min("day")).collect()[0][0]
+    if min_day is None:
+        raise ValueError(
+            "sink_dynamic_partition_overwrite: empty events feed — a "
+            "partition restatement cannot be demonstrated on zero rows "
+            "(empty-input contract: loud typed error)")
     restate_day = min_day + datetime.timedelta(days=1)
     restated = (e.filter(F.col("day") == F.lit(restate_day))
                 .withColumn("value", F.col("value") * 2))
@@ -402,6 +420,12 @@ def dpp_star_join_parts(spark: SparkSession, sf_dir: str):
     from ..operators.relational import load_events
 
     e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    if e.limit(1).count() == 0:
+        raise ValueError(
+            "dpp_star_join_parts: empty events feed — an empty "
+            "hive-partitioned write leaves no footers to re-read, so the "
+            "DPP star join cannot be demonstrated on zero rows "
+            "(empty-input contract: loud typed error)")
     path = _scratch_dir("dpp_star_")
     write_table(e, f"{path}/fact", partition_by=["day"], sort_by=["ts"])
     dim = (e.select("day").distinct()

@@ -618,6 +618,76 @@ class TestRound9Window:
             assert k in o, k
 
 
+class TestEmptyInputContract:
+    """Round-9 empty-input contract: an all-empty fixture (the shape of an
+    empty partition/shard/day at 100 TB) must yield either a well-typed
+    empty result or a LOUD ValueError from the operator itself — never a
+    deep numpy AxisError / NoneType TypeError / ANSI ÷0 abort. A probe of
+    all 292 entries found 13 violators (fixed); this pins the contract on
+    one representative per failure class plus the graceful-empty group."""
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, spark, sf_dir, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sf_empty"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{base}/{t}.parquet"))
+        return base
+
+    def test_fitters_raise_loudly(self, spark, empty_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        e = spark.read.parquet(f"{empty_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="empty embedding table"):
+            similarity.ivf_centroids(e)
+        with pytest.raises(ValueError, match="empty embedding"):
+            similarity.pq_codebooks(e)
+        with pytest.raises(ValueError, match="empty embedding table"):
+            similarity.kmeans_fit_distributed(e)
+        with pytest.raises(ValueError, match="empty embedding table"):
+            similarity.pca_components(e)
+
+    def test_sinks_and_sources_raise_loudly(self, spark, empty_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.sources import (
+            registry as src,
+        )
+
+        with pytest.raises(ValueError, match="empty events feed"):
+            src.sink_partitioned_prune(spark, empty_dir)
+        with pytest.raises(ValueError, match="empty events feed"):
+            src.sink_dynamic_partition_overwrite(spark, empty_dir)
+        with pytest.raises(ValueError, match="empty orders slice"):
+            src.source_roundtrip_formats(spark, empty_dir)
+        with pytest.raises(ValueError, match="empty events feed"):
+            src.dpp_star_join_parts(spark, empty_dir)
+
+    def test_graceful_empty_results(self, spark, empty_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            behavior,
+            corpus,
+        )
+
+        assert corpus.retrieval_bm25_topk(spark, empty_dir).count() == 0
+        assert behavior.events_markov_stationary(
+            spark, empty_dir).count() == 0
+        # pagerank of the empty graph = the empty distribution; the
+        # checked wrapper's invariants hold vacuously
+        row = _one(graph.graph_pagerank_top_checked(spark, empty_dir))
+        assert row.n_nodes == 0 and row.k_rows == 0
+        assert row.mass_in_band and row.min_rank_ge_floor \
+            and row.topk_dominates
+        # triangle census of the empty thresholded graph: 0 triangles
+        # (the sf0.001 find), NULL wedges, NULL coefficient — no ÷0
+        t = _one(graph.graph_triangle_stats(spark, empty_dir))
+        assert t.n_edges == 0 and t.n_triangles == 0
+        assert t.n_wedges is None and t.clustering_coeff is None
+
+
 class TestDdlLiteralOracles:
     def test_values_literals_match_computed_catalog(self, spark):
         """The literal-VALUES oracles pin the fixture corpus's expected
