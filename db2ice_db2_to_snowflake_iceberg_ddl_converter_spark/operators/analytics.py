@@ -326,8 +326,15 @@ def agg_histogram_equi_width(spark, sf_dir, n_bins: int = 10):
     stats = o.agg(F.min("o_totalprice").alias("mn"),
                   F.max("o_totalprice").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / float(n_bins)
-    b = F.least(F.floor((F.col("o_totalprice") - F.col("mn")) / width),
-                F.lit(n_bins - 1)).cast("int")
+    # a constant column (mx == mn — one row, one distinct value) makes
+    # width 0 and the bin divide an ANSI job ABORT; everything lands in
+    # bin 0 instead (r7 zero-denominator rule; guard all-true on any
+    # non-constant feed, so oracle hashes are unchanged)
+    b = F.when(F.col("mx") > F.col("mn"),
+               F.least(F.floor((F.col("o_totalprice") - F.col("mn"))
+                               / width),
+                       F.lit(n_bins - 1))) \
+        .otherwise(F.lit(0)).cast("int")
     return (o.crossJoin(F.broadcast(stats))
             .groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n_orders"),

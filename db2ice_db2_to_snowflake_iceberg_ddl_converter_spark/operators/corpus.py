@@ -1456,11 +1456,19 @@ def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = srcs.agg(F.sum("n_src").alias("n_total"))
     k = (cum.join(g, "x").crossJoin(F.broadcast(tot))
          .withColumn("n_rest", F.col("n_total") - F.col("n_src"))
+         # a single-source corpus (one shard, one doc) has n_rest = 0
+         # and no rest-CDF to compare against: KS is undefined there →
+         # NULL, not an ANSI ÷0 job abort (the source then drops from
+         # the output — nothing to drift against). Guard all-true on
+         # any ≥2-source corpus, so oracle hashes are unchanged.
          .withColumn(
-             "ks", F.abs(
-                 F.col("cum_s").cast("double") / F.col("n_src").cast("double")
-                 - (F.col("cum_g") - F.col("cum_s")).cast("double")
-                 / F.col("n_rest").cast("double")))
+             "ks", F.when(
+                 F.col("n_rest") > 0,
+                 F.abs(
+                     F.col("cum_s").cast("double")
+                     / F.col("n_src").cast("double")
+                     - (F.col("cum_g") - F.col("cum_s")).cast("double")
+                     / F.col("n_rest").cast("double"))))
          .localCheckpoint())    # grid-sized; max-KS rollup + argmax read it
     per = (k.groupBy("source", "n_src", "n_rest")
            .agg(F.max("ks").alias("ks_stat")))

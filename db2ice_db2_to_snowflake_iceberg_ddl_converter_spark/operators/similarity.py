@@ -1150,11 +1150,12 @@ def kmeans_fit_distributed(df: DataFrame, k: int = 8, n_iters: int = 5,
 
     dim = embedding_dim(df, vec_col)
     init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
-    if not init:
+    if len(init) < k:
         raise ValueError(
-            "kmeans_fit_distributed: empty embedding table — k-means "
-            "cannot be fit on zero vectors (empty-input contract: "
-            "fitters raise loudly; fix the upstream feed)")
+            f"kmeans_fit_distributed: {len(init)} vector(s) < k={k} "
+            "clusters — k-means cannot seed more centroids than vectors "
+            "(empty-input contract: fitters raise loudly; fix the "
+            "upstream feed or lower k)")
     C = np.array([r[1] for r in init], dtype=np.float64)
     for _ in range(n_iters):
         Cb = C  # rebind for closure capture of this iteration's centroids

@@ -647,8 +647,8 @@ class TestEmptyInputContract:
             similarity.ivf_centroids(e)
         with pytest.raises(ValueError, match="empty embedding"):
             similarity.pq_codebooks(e)
-        with pytest.raises(ValueError, match="empty embedding table"):
-            similarity.kmeans_fit_distributed(e)
+        with pytest.raises(ValueError, match="< k="):
+            similarity.kmeans_fit_distributed(e)   # 0 vectors < k seeds
         with pytest.raises(ValueError, match="empty embedding table"):
             similarity.pca_components(e)
 
@@ -665,6 +665,31 @@ class TestEmptyInputContract:
             src.source_roundtrip_formats(spark, empty_dir)
         with pytest.raises(ValueError, match="empty events feed"):
             src.dpp_star_join_parts(spark, empty_dir)
+
+    def test_single_row_contract(self, spark, sf_dir, tmp_path):
+        """The n=1 twin of the empty probe (constant columns, one source,
+        fewer vectors than k): no ANSI ÷0 job aborts, no deep numpy
+        errors — the three violators the probe found are pinned here."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            analytics,
+            corpus,
+            similarity,
+        )
+
+        base = str(tmp_path / "sf_one")
+        for t in ("orders", "documents", "embeddings"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{base}/{t}.parquet"))
+        # constant column → all rows in bin 0, not a ÷0 abort
+        rows = analytics.agg_histogram_equi_width(spark, base).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 \
+            and rows[0].n_orders == 1
+        # single source → KS undefined → the source drops, no ÷0 abort
+        assert corpus.corpus_source_ks_drift(spark, base).count() == 0
+        # fewer vectors than k → loud fitter error, not a numpy IndexError
+        with pytest.raises(ValueError, match="< k="):
+            similarity.embedding_kmeans_clusters_checked(spark, base)
 
     def test_graceful_empty_results(self, spark, empty_dir):
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
