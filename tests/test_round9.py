@@ -733,3 +733,168 @@ class TestDdlLiteralOracles:
             got = [tuple(r) for r in cq[name](spark, "unused").collect()]
             exp = con.sql(oracle).fetchall()
             assert sorted(map(repr, got)) == sorted(map(repr, exp)), name
+
+
+class TestDriverSideInventory:
+    """Closed-set source audit of the driver-side / materialization
+    anti-pattern surface, the AST twin of TestWindowInventory: every
+    ``.collect()`` / ``.crossJoin()`` / ``.localCheckpoint()`` /
+    ``.persist()`` site in the non-test package was audited by hand in
+    the r8 verdict ("all 21 collect sites bounded, all crossJoins
+    broadcast 1-row totals or catalog/grid-bounded"); this freezes that
+    audit so a NEW site (or a new call at an existing site) fails the
+    suite until it is audited and added here. Row-at-a-time ``udf()``,
+    ``toPandas()``, ``toLocalIterator()`` and bare ``cache()`` are
+    pinned at ZERO — the engine's Python surface is Arrow-batched only.
+
+    Audit key: (file, enclosing function, method) -> call count.
+    Justifications, by category:
+      * collect: k-row/codebook/sample/scalar-agg pulls only (ANN query
+        sets, 1024-row codebook samples, per-partition counts, catalog
+        probes) — each bounded by construction, none data-scaled.
+      * crossJoin: broadcast 1-row totals (the checked wrappers' census
+        anchors), catalog/grid-bounded frames, or the registry's
+        explicit join_cross demo.
+      * localCheckpoint: the iterative-loop contract (peel/fixpoint
+        rounds) and multi-consumer pins; reliable-mode seam is
+        scale.pin_boundaries (the one .checkpoint site).
+      * persist: the seven dedup pair-graph reuse points, explicit
+        StorageLevel, all unpersisted on exit.
+    """
+
+    METHODS = ("collect", "crossJoin", "toPandas", "localCheckpoint",
+               "checkpoint", "cache", "persist", "toLocalIterator")
+
+    EXPECTED = {
+        "collect": {
+            ("operators/analytics.py", "orders_keyset_page"): 1,
+            ("operators/behavior.py", "events_markov_stationary"): 2,
+            ("operators/corpus.py", "_bpe_train"): 1,
+            ("operators/corpus.py", "corpus_tfidf_top_terms"): 1,
+            ("operators/corpus.py", "retrieval_bm25_topk"): 1,
+            ("operators/relational.py", "agg_pivot"): 1,
+            ("operators/scale.py", "global_prefix_window"): 1,
+            ("operators/scale.py", "global_ranks"): 1,
+            ("operators/similarity.py", "ann_block_numpy_topk"): 1,
+            ("operators/similarity.py", "ann_ivf_pq_topk"): 1,
+            ("operators/similarity.py", "ann_ivf_topk"): 1,
+            ("operators/similarity.py", "ann_pq_topk"): 1,
+            ("operators/similarity.py", "ivf_centroids"): 1,
+            ("operators/similarity.py", "kmeans_fit_distributed"): 2,
+            ("operators/similarity.py", "pca_components"): 1,
+            ("operators/similarity.py", "pq_codebooks"): 1,
+            ("sources/registry.py", "sink_dynamic_partition_overwrite"): 1,
+            ("sources/registry.py", "sink_partitioned_prune"): 1,
+            ("sources/registry.py", "source_schema_evolution"): 1,
+        },
+        "checkpoint": {
+            ("operators/scale.py", "pin_boundaries"): 1,
+        },
+        "persist": {
+            ("operators/dedup.py", "connected_components"): 2,
+            ("operators/dedup.py", "dedup_containment"): 1,
+            ("operators/dedup.py", "dedup_incremental_minhash"): 1,
+            ("operators/dedup.py", "dedup_minhash_lsh"): 1,
+            ("operators/dedup.py", "dedup_ngram_jaccard"): 1,
+            ("operators/dedup.py", "dedup_ngram_jaccard_pruned"): 1,
+            ("operators/dedup.py", "dedup_simhash"): 1,
+        },
+        # crossJoin/localCheckpoint sets are larger; pinned as
+        # (site-count, call-count) totals plus the per-file breakdown
+        # below — a new site changes both.
+    }
+
+    CROSSJOIN_BY_FILE = {
+        "operators/analytics.py": 13, "operators/approx.py": 13,
+        "operators/behavior.py": 2, "operators/corpus.py": 5,
+        "operators/dedup.py": 9, "operators/graph.py": 7,
+        "operators/multimodal.py": 2, "operators/relational.py": 1,
+        "operators/scale.py": 2, "operators/similarity.py": 4,
+        "operators/textstats.py": 1, "operators/timeseries.py": 1,
+        "operators/traindata.py": 3, "operators/validate.py": 2,
+        "registry.py": 3,
+    }
+    LOCALCHECKPOINT_BY_FILE = {
+        "operators/analytics.py": 6, "operators/approx.py": 2,
+        "operators/behavior.py": 1, "operators/corpus.py": 8,
+        "operators/dedup.py": 3, "operators/eventtime.py": 2,
+        "operators/graph.py": 8, "operators/multimodal.py": 1,
+        "operators/scale.py": 2, "operators/similarity.py": 1,
+        "streaming/events.py": 1,
+    }
+
+    @staticmethod
+    def _inventory():
+        import ast
+        import collections
+        import os
+
+        import db2ice_db2_to_snowflake_iceberg_ddl_converter_spark as pkg
+
+        pkg_dir = os.path.dirname(pkg.__file__)
+        inv = collections.Counter()
+        raw_udfs = []
+        methods = set(TestDriverSideInventory.METHODS)
+
+        class V(ast.NodeVisitor):
+            def __init__(self, rel):
+                self.rel = rel
+                self.stack = ["<module>"]
+
+            def visit_FunctionDef(self, n):
+                self.stack.append(n.name)
+                self.generic_visit(n)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, n):
+                f = n.func
+                if isinstance(f, ast.Attribute) and f.attr in methods:
+                    inv[(self.rel, self.stack[-1], f.attr)] += 1
+                if (isinstance(f, ast.Attribute) and f.attr == "udf") or \
+                        (isinstance(f, ast.Name) and f.id == "udf"):
+                    raw_udfs.append((self.rel, self.stack[-1], n.lineno))
+                self.generic_visit(n)
+
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    rel = os.path.relpath(p, pkg_dir)
+                    with open(p) as fh:
+                        V(rel).visit(ast.parse(fh.read()))
+        return inv, raw_udfs
+
+    def test_closed_set(self):
+        import collections
+
+        inv, raw_udfs = self._inventory()
+        assert raw_udfs == [], \
+            f"row-at-a-time udf() appeared: {raw_udfs}"
+        for m in ("toPandas", "cache", "toLocalIterator"):
+            hits = {k: v for k, v in inv.items() if k[2] == m}
+            assert not hits, f"forbidden {m}() appeared: {hits}"
+        for m in ("collect", "checkpoint", "persist"):
+            got = {(rel, fn): c for (rel, fn, mm), c in inv.items()
+                   if mm == m}
+            exp = self.EXPECTED[m]
+            assert got == exp, (
+                f"{m}() inventory drifted.\n new/changed: "
+                f"{ {k: v for k, v in got.items() if exp.get(k) != v} }\n"
+                f" removed: { {k: v for k, v in exp.items() if k not in got} }\n"
+                "Audit the site (bounded? broadcastable? data-scaled?) "
+                "and update TestDriverSideInventory."
+            )
+        for m, exp_by_file in (("crossJoin", self.CROSSJOIN_BY_FILE),
+                               ("localCheckpoint",
+                                self.LOCALCHECKPOINT_BY_FILE)):
+            got = collections.Counter()
+            for (rel, _fn, mm), c in inv.items():
+                if mm == m:
+                    got[rel] += c
+            assert dict(got) == exp_by_file, (
+                f"{m}() per-file inventory drifted: "
+                f"{ {k: (dict(got).get(k), exp_by_file.get(k)) for k in set(got) | set(exp_by_file) if dict(got).get(k) != exp_by_file.get(k)} } "
+                "— audit and update."
+            )

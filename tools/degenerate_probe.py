@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Degenerate-input probe: run every registry entry against a corrupted
+fixture and classify the outcome under the round-9 degenerate-input
+contract (BASELINE.md "empty-input contract"): an entry must either
+
+  * return a well-typed result (possibly empty / NULL-valued), or
+  * raise a LOUD ``ValueError`` from the operator itself,
+
+never a deep numpy AxisError / NoneType TypeError / ANSI divide-by-zero
+job abort / IndexError out of a pandas UDF.
+
+Fixture modes (all built from ``--base``, default sf0.001, into a temp
+dir; keys survive, payloads are corrupted — the shape of a corrupted
+shard at 100 TB):
+
+  nullpayload  documents(text/lang/source/n_chars), embeddings
+               (embedding/label), events(ts/event_type/value/props)
+               all NULL, full row counts. TPC-H tables pass through
+               untouched: their entries are pure Catalyst/DuckDB SQL
+               whose NULL propagation is already defined; the failure
+               surface this probe targets is the Python/pandas-UDF and
+               fitter code over the LLM-pipeline tables.
+  mixednull    same columns NULL on every other row (odd keys) — NaN-
+               contaminated UDF batches rather than empty-after-dropna.
+
+Usage:
+    python tools/degenerate_probe.py nullpayload
+    python tools/degenerate_probe.py mixednull dedup text   # name filter
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TPCH = ("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem")
+
+# column -> Spark cast type for the NULLed payloads
+PAYLOADS = {
+    "documents": {"text": "string", "lang": "string", "source": "string",
+                  "n_chars": "bigint"},
+    "embeddings": {"embedding": "array<float>", "label": "int"},
+    "events": {"ts": "timestamp", "event_type": "string",
+               "value": "double", "props": "string"},
+}
+KEYS = {"documents": ["doc_id"], "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"]}
+
+
+def build_fixture(spark, base: str, out: str, mode: str) -> None:
+    from pyspark.sql import functions as F
+
+    for t in TPCH:
+        (spark.read.parquet(f"{base}/{t}.parquet")
+         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+    for t, cols in PAYLOADS.items():
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        key = KEYS[t][0]
+        for c, typ in cols.items():
+            null = F.lit(None).cast(typ)
+            if mode == "nullpayload":
+                df = df.withColumn(c, null)
+            else:  # mixednull: odd keys lose the payload
+                df = df.withColumn(
+                    c, F.when(F.col(key) % 2 == 1, null)
+                        .otherwise(F.col(c).cast(typ)))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def classify(exc: BaseException) -> str:
+    """'contract' for a loud operator-raised ValueError, else 'DEEP'."""
+    if isinstance(exc, ValueError):
+        return "contract"
+    return "DEEP"
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args or args[0] not in ("nullpayload", "mixednull"):
+        print(__doc__)
+        return 2
+    mode, filters = args[0], args[1:]
+    base = os.environ.get("PROBE_BASE", "/root/testdata/sf0.001")
+
+    from __spark_entry__ import queries
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(f"degenerate-probe-{mode}")
+    out = tempfile.mkdtemp(prefix=f"probe_{mode}_")
+    build_fixture(spark, base, out, mode)
+    print(f"fixture [{mode}] at {out} from {base}\n")
+
+    qs = queries()
+    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    violations, contract_errs = [], []
+    for name in names:
+        t0 = time.time()
+        try:
+            rows = qs[name](spark, out).collect()
+            print(f"ok        {name}: {len(rows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+        except Exception as exc:
+            kind = classify(exc)
+            first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+            if kind == "contract":
+                contract_errs.append(name)
+                print(f"contract  {name}: ValueError: {first[:140]}")
+            else:
+                violations.append(name)
+                print(f"DEEP      {name}: {type(exc).__name__}: "
+                      f"{first[:200]}")
+                if "-v" in filters:
+                    traceback.print_exc()
+
+    print(f"\n{len(names) - len(violations)}/{len(names)} within contract "
+          f"({len(contract_errs)} loud ValueErrors); "
+          f"{len(violations)} DEEP violations")
+    if violations:
+        print("violators:", " ".join(sorted(violations)))
+    spark.stop()
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
