@@ -450,9 +450,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
                 .alias("est_union"),
                 (F.col("n_common").cast("double") / F.col("theta"))
                 .alias("est_intersect"),
-                (F.col("n_common").cast("double")
-                 / F.least(F.lit(float(k)),
-                           F.col("n_union_hashes").cast("double")))
+                # 0 union hashes (both tag sets empty — a corrupted
+                # shard's NULL event_type): Jaccard of Ø,Ø is undefined;
+                # emit NULL, not an ANSI 0/0 abort
+                F.when(F.col("n_union_hashes") > 0,
+                       F.col("n_common").cast("double")
+                       / F.least(F.lit(float(k)),
+                                 F.col("n_union_hashes").cast("double")))
                 .alias("est_jaccard")))
 
 # ---------------------------------------------------------------------------

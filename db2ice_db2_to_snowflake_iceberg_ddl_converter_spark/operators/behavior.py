@@ -469,7 +469,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
 
     from .relational import load_events
 
-    e = load_events(spark, sf_dir)
+    # NULL event_type (a corrupted shard's rows) is not an observable
+    # state: keep it out of the chain — a mixed NULL/str state set would
+    # also crash the driver-side sorted() below (degenerate contract)
+    e = load_events(spark, sf_dir).filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (e.select("user_id", F.col("event_type").alias("src"),
                       F.lead("event_type").over(w).alias("dst"))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import DEC, ld
+from .relational import DEC, ld, ld_docs
 
 
 def corpus_token_histogram(spark: SparkSession, sf_dir: str,
@@ -178,7 +178,9 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str,
     TakeOrderedAndProject — per-partition heads, no global sort. At
     100 TB nothing here is corpus-sized except the initial scan.
     """
-    d = ld(spark, sf_dir, "documents")
+    # ld_docs: NULL-text rows carry no terms and would turn ttok (and so
+    # avgdl) into NULL -> a NoneType divide on a corrupted shard
+    d = ld_docs(spark, sf_dir)
     scal = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(F.split("text", " "))).alias("ttok")).collect()[0]

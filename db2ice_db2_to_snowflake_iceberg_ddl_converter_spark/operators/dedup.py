@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import ArrayType, StringType
 
-from .relational import ld, ld_py
+from .relational import ld, ld_docs, ld_py
 
 NUM_MINHASHES = 64
 LSH_BANDS = 16
@@ -108,7 +108,7 @@ def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
     """doc_id → distinct word n-grams. Arrow/pandas path: shingling is a
     per-row string op — embarrassingly parallel, no shuffle — and the
     vectorized UDF keeps it off the interpreted HOF evaluator."""
-    d = ld_py(spark, sf_dir, "documents")
+    d = ld_docs(spark, sf_dir, py=True)   # NULL text: no shingles — drop
     return d.select("doc_id", _shingle_udf(n)("text").alias("shingles"))
 
 
@@ -343,12 +343,13 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     stays as :func:`dedup_minhash_lsh` for the brute-force pair-set
     pytest (which pins full recall on fixtures — stronger than this
     gate, but not portable to the driver's hash compare)."""
-    from .relational import ld
-
     # pin: two consumers below (the multi-consumer rule)
     from .scale import pin
     pairs = pin(dedup_minhash_lsh(spark, sf_dir, threshold=threshold))
-    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    # census over the SAME universe the core shingles: NULL-text rows are
+    # dropped on both sides (degenerate-input contract), else a corrupted
+    # shard's NULL group would mint exact pairs no shingle path can find
+    d = ld_docs(spark, sf_dir).select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
         F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
@@ -389,7 +390,7 @@ def simhash_fingerprints(spark, sf_dir) -> DataFrame:
     bands so LSH banding and hamming math stay in plain integer columns.
     One explode + one groupBy — the 64 per-bit sums are map-side partial aggs.
     """
-    d = ld(spark, sf_dir, "documents")
+    d = ld_docs(spark, sf_dir)            # NULL text: no votes — drop
     # hash each word ONCE in the projection — embedding xxhash64(w) inside
     # all 64 aggregate expressions would re-hash the string 64× per row
     words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -468,7 +469,8 @@ def dedup_simhash_checked(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     # pipeline (the multi-consumer rule)
     from .scale import pin
     pairs = pin(dedup_simhash(spark, sf_dir, max_hamming=max_hamming))
-    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    # same-universe census as the fingerprint path: NULL text drops
+    d = ld_docs(spark, sf_dir).select("doc_id", "text")
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
         F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
@@ -636,9 +638,10 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
     collect()ed the table to the driver — the one scale-killer; the
     blocked scan is now the default.)
     """
+    from .relational import ld_vecs
     from .similarity import all_pairs_cosine_blocked, cosine_expr, norm_expr
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     # emit_scores=False: only the pair ids are consumed here (the exact
     # verify recomputes cosine), and dropping an output column downstream
     # trips a Catalyst input-pruning hazard on the cogroup — see
@@ -1078,9 +1081,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str,
     fixture embeddings are near-orthogonal (max off-diagonal cosine
     ≈ 0.5), so the paper's 0.9x regime would never fire here.
     """
+    from .relational import ld_vecs
     from .similarity import ivf_assign, ivf_centroids
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
     tagged = ivf_assign(e.select("vec_id", "embedding"), C)
 

@@ -22,7 +22,7 @@ import pandas as pd  # module-top: pandas_udf type hints must resolve at def tim
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import ld
+from .relational import ld_docs
 
 FEATURE_DIM = 8
 
@@ -30,7 +30,7 @@ FEATURE_DIM = 8
 def attach_binary_payload(spark, sf_dir) -> DataFrame:
     """Manufacture a binary asset column from document text (UTF-8 bytes)
     plus the typed metadata struct a real media table would carry."""
-    d = ld(spark, sf_dir, "documents")
+    d = ld_docs(spark, sf_dir)   # NULL text: no asset to manufacture
     payload = F.encode("text", "utf-8")
     return d.select(
         "doc_id",
@@ -410,7 +410,7 @@ def attach_audio_payload(spark, sf_dir) -> DataFrame:
         return texts.map(
             lambda t: encode_wav_pcm16(synth_pcm_from_text(t)))
 
-    d = ld(spark, sf_dir, "documents")
+    d = ld_docs(spark, sf_dir)   # NULL text: no asset to manufacture
     return d.select("doc_id", to_wav("text").alias("payload"))
 
 
@@ -561,7 +561,7 @@ def attach_image_payload(spark, sf_dir) -> DataFrame:
     def to_bmp(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: encode_bmp(synth_bmp_from_text(t)))
 
-    d = ld(spark, sf_dir, "documents")
+    d = ld_docs(spark, sf_dir)   # NULL text: no asset to manufacture
     return d.select("doc_id", to_bmp("text").alias("payload"))
 
 
@@ -713,14 +713,12 @@ def multimodal_phash_neardup_checked(spark, sf_dir,
     verify chain preserved exact duplicates) and ``near_ge_exact``
     (found pairs ⊇ exact pairs in count). The pair-list core stays for
     the brute-force pytests."""
-    from .relational import ld
-
     # pin (r9): the decode->hash->band->verify pair list feeds two
     # consumers below (the multi-consumer rule)
     from .scale import pin
     pairs = pin(multimodal_phash_neardup(spark, sf_dir,
                                          max_hamming=max_hamming))
-    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    d = ld_docs(spark, sf_dir).select("doc_id", "text")
     # exact-text pairs (doc_a < doc_b), computed group-wise — no all-pairs
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(

@@ -105,6 +105,35 @@ def ld_py(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ld_docs(spark: SparkSession, sf_dir: str,
+            py: bool = False) -> DataFrame:
+    """Load ``documents`` for text-payload consumers (shingling, BM25,
+    quality UDFs): rows whose ``text`` is NULL are dropped at the scan.
+
+    Degenerate-input contract (round 9): a corrupted shard at 100 TB can
+    carry full row counts with NULL payloads; a NULL-text document has no
+    shingles/tokens and cannot participate in text-keyed work, so the
+    contract is to skip it — not to crash a pandas UDF with a NoneType.
+    The filter is an IsNotNull pushed into the parquet scan (free), and a
+    no-op on the real fixtures (no NULL text exists), so oracle parity is
+    unchanged. ``py=True`` uses the :func:`ld_py` fan-out for row-heavy
+    UDF stages."""
+    base = ld_py(spark, sf_dir, "documents") if py \
+        else ld(spark, sf_dir, "documents")
+    return base.filter(F.col("text").isNotNull())
+
+
+def ld_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``embeddings`` for vector-math consumers: rows whose
+    ``embedding`` array is NULL are dropped at the scan. Same corrupted-
+    shard contract as :func:`ld_docs` — a NULL vector cannot be scored,
+    stacked, or quantized, and letting it reach ``np.array(...tolist())``
+    yields an object matrix and a deep AxisError. No-op on the real
+    fixtures; IsNotNull reaches the scan."""
+    return (ld(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull()))
+
+
 def _dsum(expr) -> F.Column:
     """Exact, order-independent sum of a double money expression.
 

@@ -27,7 +27,7 @@ import pandas as pd  # module-top: pandas_udf type hints must resolve at def tim
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import ld
+from .relational import ld, ld_vecs
 
 
 def dot_expr(a: str | F.Column, b: str | F.Column,
@@ -82,8 +82,11 @@ def cosine_expr(a: str | F.Column, b: str | F.Column,
 
 
 def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
-    """Fixed embedding width from one row (tiny driver-side peek)."""
-    row = df.select(F.size(vec_col).alias("d")).first()
+    """Fixed embedding width from one row (tiny driver-side peek).
+    NULL vectors are skipped — ``size(NULL)`` is NULL and would turn the
+    peek into an ``int(None)`` TypeError on a corrupted shard."""
+    row = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.size(vec_col).alias("d")).first())
     return int(row["d"]) if row else None
 
 
@@ -93,7 +96,7 @@ def ann_brute_force_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     The query side is tiny → broadcast; candidates stream through one scan.
     Ties broken by candidate id so LIMIT/rank is stable across engines.
     """
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
@@ -189,7 +192,7 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     """
     bits_per_band = n_planes // n_bands
     mask = (1 << bits_per_band) - 1
-    e = sign_lsh_signatures(ld(spark, sf_dir, "embeddings"),
+    e = sign_lsh_signatures(ld_vecs(spark, sf_dir),
                             n_planes=n_planes)
     bands = e.select(
         "vec_id", "embedding",
@@ -210,7 +213,7 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     cands = (q.join(c, ["band_idx", "band_val"])
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id").distinct())
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     qe = e.select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qe"))
     ce = e.select(F.col("vec_id").alias("neighbor_id"),
@@ -341,7 +344,10 @@ def ivf_centroids(df: DataFrame, n_cells: int = 16, sample_n: int = 2048,
     """
     import numpy as np
 
-    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample_n)
+    # degenerate-input contract: NULL vectors (corrupted-shard rows) are
+    # unfittable — drop them so an all-NULL feed hits the loud error below
+    rows = (df.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col).orderBy(id_col).limit(sample_n)
             .collect())
     if not rows:
         raise ValueError(
@@ -398,7 +404,7 @@ def ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     """
     import numpy as np
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
     tagged = ivf_assign(e, C)
 
@@ -435,7 +441,7 @@ def ann_block_numpy_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     import numpy as np
     import pandas as pd
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     qrows = e.filter(F.col("vec_id") < n_queries).collect()
     qids = np.array([r.vec_id for r in qrows])
     qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
@@ -479,6 +485,7 @@ def pq_codebooks(e: DataFrame, m: int = 8, n_cents: int = 16,
     import numpy as np
 
     rows = (e.filter(F.col("vec_id") < sample_rows)
+            .filter(F.col("embedding").isNotNull())   # degenerate contract
             .select("vec_id", "embedding").collect())
     if not rows:
         raise ValueError(
@@ -552,7 +559,7 @@ def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     books = pq_codebooks(e, m=m, n_cents=n_cents)
     coded = pq_assign_codes(e, books)
 
@@ -627,7 +634,7 @@ def pq_encode(spark, sf_dir, m: int = 8, n_cents: int = 16) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     B = pq_codebooks(e, m=m, n_cents=n_cents)
     sub = B.shape[2]
 
@@ -686,9 +693,10 @@ def pca_components(e: DataFrame, vec_col: str = "embedding", k: int = 4):
             yield pd.DataFrame({"n": [n], "s": [s.tolist()],
                                 "xtx": [xtx.ravel().tolist()]})
 
-    rows = e.select(vec_col).mapInPandas(
-        partials, schema="n long, s array<double>, xtx array<double>"
-    ).collect()                       # bounded: ≤ one row per partition
+    rows = (e.filter(F.col(vec_col).isNotNull())     # degenerate contract
+            .select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, xtx array<double>")
+            .collect())               # bounded: ≤ one row per partition
     n = sum(r.n for r in rows)
     if n == 0:
         raise ValueError(
@@ -726,7 +734,7 @@ def embedding_pca_project(spark, sf_dir, k: int = 4) -> DataFrame:
     """
     import numpy as np
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     comps, _, mean = pca_components(e, k=k)
     bc = spark.sparkContext.broadcast((comps, mean))
 
@@ -766,7 +774,7 @@ def embedding_kmeans_clusters_checked(spark, sf_dir, k: int = 8,
         F.min("inertia").alias("min_inertia"),
         F.max((F.col("mean_d2") != F.col("inertia") / F.col("size"))
               .cast("int")).alias("any_bad_ratio"))
-    n = ld(spark, sf_dir, "embeddings").agg(
+    n = ld_vecs(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_vectors"))
     return (n.crossJoin(F.broadcast(stats))
             .select("n_vectors",
@@ -824,7 +832,7 @@ def dedup_embedding_blocked_checked(spark, sf_dir,
     ``scores_in_range`` (threshold ≤ cosine ≤ 1 + ε) booleans. The
     pair-set ≡ two-phase-exact-path equality stays pinned by its
     pytest."""
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     from .scale import pin
     pairs = pin(all_pairs_cosine_blocked(
         e, threshold=threshold))          # 3 bounded consumers below
@@ -979,7 +987,7 @@ def embedding_pca_project_checked(spark, sf_dir, k: int = 4) -> DataFrame:
     path), with 1e−6·(1+‖x−μ‖²) float slack. Exact projections,
     orthonormality and explained ratios stay pinned by the numpy PCA
     pytest on the raw core."""
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     comps, _, mean = pca_components(e, k=k)
     proj = embedding_pca_project(spark, sf_dir, k=k)
     mu = F.array(*[F.lit(float(v)) for v in mean])
@@ -1068,7 +1076,7 @@ def ann_ivf_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
     tagged = ivf_assign(e, C)                      # (vec_id, embedding, cell)
     books = pq_codebooks(e, m=m, n_cents=n_cents)
@@ -1148,6 +1156,7 @@ def kmeans_fit_distributed(df: DataFrame, k: int = 8, n_iters: int = 5,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    df = df.filter(F.col(vec_col).isNotNull())       # degenerate contract
     dim = embedding_dim(df, vec_col)
     init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
     if len(init) < k:
@@ -1200,7 +1209,7 @@ def embedding_kmeans_clusters(spark, sf_dir, k: int = 8,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     C = kmeans_fit_distributed(e, k=k, n_iters=n_iters)
 
     @pandas_udf("struct<cluster: int, d2: double>")
@@ -1242,7 +1251,7 @@ def embedding_source_drift(spark, sf_dir, dims: int = 64) -> DataFrame:
     bitwise; cosine is one divide of a product of two exactly-rounded
     sqrts. Scale: corpus touched once; everything after is catalog-sized.
     """
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     d = ld(spark, sf_dir, "documents").select("doc_id", "source")
     j = e.join(d, e["vec_id"] == d["doc_id"])
 
@@ -1327,7 +1336,7 @@ def embedding_triplet_margin(spark, sf_dir, n_anchors: int = 50
     aggregation — no window at all. Float cosine chains → rows-only;
     the pytest replays anchors × corpus in numpy exactly.
     """
-    e = ld(spark, sf_dir, "embeddings")
+    e = ld_vecs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -898,3 +898,137 @@ class TestDriverSideInventory:
                 f"{ {k: (dict(got).get(k), exp_by_file.get(k)) for k in set(got) | set(exp_by_file) if dict(got).get(k) != exp_by_file.get(k)} } "
                 "— audit and update."
             )
+
+
+class TestNullPayloadContract:
+    """Third leg of the degenerate-input contract (after empty and
+    single-row): full row counts with NULL payloads — the shape of a
+    corrupted shard at 100 TB. The all-NULL probe
+    (tools/degenerate_probe.py nullpayload) found 20 entries dying with
+    deep numpy/NoneType/ANSI-÷0 errors; the fix routes text consumers
+    through ld_docs and vector consumers through ld_vecs (NULL payloads
+    drop at the scan — an IsNotNull, free, and a no-op on real
+    fixtures), guards the four fitters, and NULL-guards kmv's 0/0
+    Jaccard. This pins one representative per failure class plus the
+    rows-are-transparent property on a mixed fixture."""
+
+    @pytest.fixture(scope="class")
+    def null_dir(self, spark, sf_dir, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sf_nullpay"))
+        self._build(spark, sf_dir, base, mixed=False)
+        return base
+
+    @pytest.fixture(scope="class")
+    def mixed_dir(self, spark, sf_dir, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sf_mixedpay"))
+        self._build(spark, sf_dir, base, mixed=True)
+        return base
+
+    @staticmethod
+    def _build(spark, sf_dir, out, mixed):
+        payloads = {
+            "documents": (("text", "string"), ("lang", "string"),
+                          ("source", "string"), ("n_chars", "bigint")),
+            "embeddings": (("embedding", "array<float>"), ("label", "int")),
+            "events": (("ts", "timestamp"), ("event_type", "string"),
+                       ("value", "double"), ("props", "string")),
+        }
+        keys = {"documents": "doc_id", "embeddings": "vec_id",
+                "events": "event_id"}
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+             .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+        for t, cols in payloads.items():
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            for c, typ in cols:
+                null = F.lit(None).cast(typ)
+                if mixed:
+                    df = df.withColumn(
+                        c, F.when(F.col(keys[t]) % 2 == 1, null)
+                            .otherwise(F.col(c).cast(typ)))
+                else:
+                    df = df.withColumn(c, null)
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    def test_text_paths_graceful(self, spark, null_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+            dedup,
+            multimodal,
+        )
+
+        # shingle family: an all-NULL corpus has no shingles, no pairs
+        assert dedup.dedup_ngram_jaccard(spark, null_dir).count() == 0
+        # census wrapper: same universe as the core — zero exact pairs,
+        # booleans hold vacuously (not FALSE via a NULL mega-group)
+        row = _one(dedup.dedup_minhash_lsh_checked(spark, null_dir))
+        assert row.n_exact_text_pairs == 0 and row.all_exact_pairs_found
+        # BM25: no real docs -> graceful empty (not NoneType/int divide)
+        assert corpus.retrieval_bm25_topk(spark, null_dir).count() == 0
+        # multimodal: no asset is manufactured from a NULL text
+        assert multimodal.multimodal_features(spark, null_dir).count() == 0
+        assert multimodal.multimodal_audio_energy(
+            spark, null_dir).count() == 0
+
+    def test_vector_paths_loud_or_empty(self, spark, null_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            similarity,
+        )
+
+        # streaming scorers: NULL vectors drop -> empty result
+        assert similarity.ann_brute_force_topk(
+            spark, null_dir).count() == 0
+        # fitter-backed paths: loud typed errors, not numpy AxisErrors
+        with pytest.raises(ValueError, match="empty embedding table"):
+            similarity.ann_ivf_topk(spark, null_dir)
+        with pytest.raises(ValueError, match="empty embedding sample"):
+            similarity.ann_pq_topk(spark, null_dir)
+        with pytest.raises(ValueError, match="< k="):
+            similarity.embedding_kmeans_clusters_checked(spark, null_dir)
+        with pytest.raises(ValueError, match="empty embedding table"):
+            similarity.embedding_pca_project(spark, null_dir)
+
+    def test_kmv_jaccard_null_not_div0(self, spark, null_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            approx,
+        )
+
+        row = _one(approx.kmv_set_ops(spark, null_dir))
+        assert row.est_jaccard is None          # Ø∪Ø: undefined, not 0/0
+        assert row.exact_union == 0 and row.est_union == 0.0
+
+    def test_corrupted_rows_are_transparent(self, spark, sf_dir,
+                                            mixed_dir, tmp_path):
+        """A mixed shard (alternating NULL payloads) must give exactly
+        the result of the same query over only its valid rows — corrupted
+        rows are skipped, never silently folded into the math."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+            similarity,
+        )
+
+        valid = str(tmp_path / "sf_validonly")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+             .write.mode("overwrite").parquet(f"{valid}/{t}.parquet"))
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("doc_id") % 2 == 0)
+         .write.mode("overwrite").parquet(f"{valid}/documents.parquet"))
+        (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter(F.col("vec_id") % 2 == 0)
+         .write.mode("overwrite").parquet(f"{valid}/embeddings.parquet"))
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .write.mode("overwrite").parquet(f"{valid}/events.parquet"))
+
+        got = {tuple(r) for r in
+               dedup.dedup_ngram_jaccard(spark, mixed_dir).collect()}
+        exp = {tuple(r) for r in
+               dedup.dedup_ngram_jaccard(spark, valid).collect()}
+        assert got == exp
+        got = {tuple(r) for r in similarity.ann_brute_force_topk(
+            spark, mixed_dir).collect()}
+        exp = {tuple(r) for r in similarity.ann_brute_force_topk(
+            spark, valid).collect()}
+        assert got == exp
