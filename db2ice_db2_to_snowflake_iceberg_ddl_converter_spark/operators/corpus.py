@@ -260,7 +260,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str,
     of per-row double products and the final expression evaluated in the
     same IEEE op order as the oracle — bitwise-identical output.
     """
-    e = ld(spark, sf_dir, "embeddings")
+    from .relational import ld_vecs
+
+    # ld_vecs: a single NaN/huge component would abort the exact decimal
+    # product sums (poisoned-values contract); no-op on real fixtures
+    e = ld_vecs(spark, sf_dir)
 
     def x(i: int) -> F.Column:
         return F.element_at("embedding", i).cast("double")
@@ -344,7 +348,8 @@ def corpus_curate(spark: SparkSession, sf_dir: str,
         .otherwise("und"))
     punct = (F.length("text")
              - F.length(F.translate("text", _PUNCT_CHARS, ""))).cast("double")
-    punct_ratio = punct / F.length("text")
+    # NULL for empty text, not an ANSI 0/0 abort (poisoned contract)
+    punct_ratio = punct / F.nullif(F.length("text"), F.lit(0))
     length_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000)
     score = (F.when(length_ok, 40).otherwise(10)
              + ttr * 30

@@ -128,10 +128,15 @@ def ld_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding`` array is NULL are dropped at the scan. Same corrupted-
     shard contract as :func:`ld_docs` — a NULL vector cannot be scored,
     stacked, or quantized, and letting it reach ``np.array(...tolist())``
-    yields an object matrix and a deep AxisError. No-op on the real
-    fixtures; IsNotNull reaches the scan."""
+    yields an object matrix and a deep AxisError. Vectors carrying a
+    NaN/±Inf or |x| > 1e6 component are equally corrupt (no real
+    embedding has them; one such component poisons every BLAS dot it
+    touches and overflows the exact decimal covariance sums) and drop
+    too. No-op on the real fixtures; both predicates reach the scan."""
+    bad = F.exists("embedding",
+                   lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e6)))
     return (ld(spark, sf_dir, "embeddings")
-            .filter(F.col("embedding").isNotNull()))
+            .filter(F.col("embedding").isNotNull() & ~bad))
 
 
 def _dsum(expr) -> F.Column:
@@ -189,19 +194,52 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# Corrupted-shard bounds for the events feed (poisoned-values contract).
+# A metric value that is NaN/±Inf or |v| ≥ 1e15 cannot be a real
+# measurement, and the exact-sum protocol's DECIMAL(28,6) cast is
+# ANSI-fatal on such doubles — one poisoned row would abort every money
+# aggregation in the job. An event time outside the validity window is
+# clock-reset (epoch-zero) / far-future corruption — one such row
+# inflates every sequence()-densified event-time grid by decades and
+# turns the linear imputation windows quadratic (measured: a single
+# 1970 + 2199 pair hung events_linear_interp_daily for 25+ minutes).
+EVENT_VALUE_SANE = 1e15
+EVENT_TIME_VALID = ("1990-01-01", "2100-01-01")
+
+
+def sanitize_events(df: DataFrame) -> DataFrame:
+    """Apply the corrupted-shard contract to an events frame: non-finite
+    or absurd ``value`` → NULL (SQL aggregates skip it — identical
+    semantics in DuckDB), rows with out-of-validity ``ts`` drop (NULL ts
+    stays; the NULL-payload contract covers it). Streaming-safe (pure
+    filter + projection). No-op on the real fixtures, so oracle parity
+    is unchanged; pinned by TestPoisonedValuesContract."""
+    v = F.col("value")
+    clean_v = (F.when(F.isnan(v) | (F.abs(v) >= F.lit(EVENT_VALUE_SANE)),
+                      F.lit(None).cast("double"))
+               .otherwise(v))
+    ok_ts = F.col("ts").isNull() | (
+        (F.col("ts") >= F.lit(EVENT_TIME_VALID[0]).cast("timestamp"))
+        & (F.col("ts") < F.lit(EVENT_TIME_VALID[1]).cast("timestamp")))
+    return df.filter(ok_ts).withColumn("value", clean_v)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize the fixture's event-time column to a session-zoned (UTC)
     TIMESTAMP regardless of how the parquet stores it: TIMESTAMP(NANOS)
     arrives as long under the legacy flag and is rebuilt via exact integer
     ns→µs division; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is cast
-    (UTC session → identical wall clock). Downstream operators see one type."""
+    (UTC session → identical wall clock). Downstream operators see one
+    type, already passed through :func:`sanitize_events`."""
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sanitize_events(raw)
 
 
 # ---------------------------------------------------------------------------
@@ -1198,7 +1236,12 @@ def scalar_variant_fns(spark, sf_dir):
         F.try_variant_get(v, "$.t", "string").alias("t"),
         F.try_variant_get(v, "$.u", "long").alias("u"),
         F.try_variant_get(v, "$.nested.v", "double").alias("vv"),
-        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        # try_parse_json: props is UNTRUSTED input — a corrupted shard's
+        # empty/malformed JSON must yield NULL, not a parse abort
+        # (poisoned-values contract); the constructed doc above stays on
+        # strict parse_json (we built it, malformed = our bug, fail loud)
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+        .alias("k"),
     ).orderBy("event_id")
 
 

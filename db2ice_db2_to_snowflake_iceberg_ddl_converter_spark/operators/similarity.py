@@ -1288,7 +1288,10 @@ def embedding_source_drift(spark, sf_dir, dims: int = 64) -> DataFrame:
         F.col("a.source").alias("source_a"),
         F.col("b.source").alias("source_b"),
         F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
-        (dot / (F.sqrt(qa) * F.sqrt(qb))).alias("centroid_cosine"),
+        # zero centroid (a source whose surviving vectors are all zero —
+        # poisoned contract): cosine undefined -> NULL, not an ANSI 0/0
+        F.when((qa > 0) & (qb > 0), dot / (F.sqrt(qa) * F.sqrt(qb)))
+        .alias("centroid_cosine"),
         F.sqrt(l2sq).alias("centroid_l2"))
         .orderBy("source_a", "source_b"))
 

@@ -89,7 +89,9 @@ def quality_score_expr(text_col: str = "text",
     punct = (F.length(text_col)
              - F.length(F.translate(text_col, _PUNCT_CHARS, ""))
              ).cast("double")
-    punct_ratio = punct / F.length(text_col)
+    # empty text: punct density is undefined (0/0 is ANSI-fatal) — NULL,
+    # which the <= 0.1 band treats as not-met (poisoned-values contract)
+    punct_ratio = punct / F.nullif(F.length(text_col), F.lit(0))
     length_ok = (F.col(n_chars_col) >= 100) & (F.col(n_chars_col) <= 5000)
     return (F.when(length_ok, 40).otherwise(10)
             + ttr * 30
@@ -106,7 +108,8 @@ def text_quality_score(spark, sf_dir):
     ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
     punct = (F.length("text")
              - F.length(F.translate("text", _PUNCT_CHARS, ""))).cast("double")
-    punct_ratio = punct / F.length("text")
+    # NULL for empty text, not an ANSI 0/0 abort (poisoned contract)
+    punct_ratio = punct / F.nullif(F.length("text"), F.lit(0))
     return d.select("doc_id", ttr.alias("type_token_ratio"),
                     punct_ratio.alias("punct_ratio"),
                     quality_score_expr().alias("quality_score"))

@@ -215,9 +215,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str,
     bucket = _hex_bucket(F.md5(F.col("text")), 2)
     tagged = d.select("doc_id", "text",
                       (bucket >= 243).alias("is_eval"))
-    grams = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))")
+    # guard like corpus_decontaminate/dedup_substring_spans: below n
+    # tokens, sequence(1, size-n+1) would DESCEND (Spark defaults the
+    # step to -1 when start > stop) and slice(…, 0, n) is fatal — a
+    # sub-n-token doc simply has no n-grams (poisoned-values contract)
+    grams = F.when(
+        F.size(F.split(F.col("text"), " ")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+            f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
     ex = tagged.select("doc_id", "is_eval",
                        F.explode(F.array_distinct(grams)).alias("g"))
     ev = (ex.filter(F.col("is_eval"))
@@ -581,9 +588,11 @@ def embedding_standardize(spark: SparkSession, sf_dir: str,
     and DuckDB disagree on float x/0 — NULL vs inf — so the guard is
     load-bearing, same class as the MAD=0 fix).
     """
-    from .relational import DEC
+    from .relational import DEC, ld_vecs
 
-    e = ld(spark, sf_dir, "embeddings")
+    # ld_vecs: a NaN/huge component would abort the exact decimal sums
+    # (poisoned-values contract); no-op on real fixtures
+    e = ld_vecs(spark, sf_dir)
     pairs = e.select(
         "vec_id",
         F.explode(F.arrays_zip(

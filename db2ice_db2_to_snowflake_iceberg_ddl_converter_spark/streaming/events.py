@@ -70,9 +70,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
     if isinstance(stored_ts, LongType):
-        return stream.withColumn(
+        stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # same corrupted-shard contract as the batch loader (pure filter +
+    # projection — streaming-safe): poisoned values/timestamps must not
+    # abort the decimal protocol or blow up watermarked window state
+    from ..operators.relational import sanitize_events
+
+    return sanitize_events(stream)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

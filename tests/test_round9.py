@@ -1032,3 +1032,111 @@ class TestNullPayloadContract:
         exp = {tuple(r) for r in similarity.ann_brute_force_topk(
             spark, valid).collect()}
         assert got == exp
+
+
+class TestPoisonedValuesContract:
+    """Fourth leg of the degenerate-input contract: non-NULL but extreme
+    payloads (NaN/±Inf/1e308 event values, epoch-1970 / year-2199
+    timestamps, zero / NaN-component / 1e30-component vectors, empty /
+    whitespace / sub-n-token texts) — garbage a corrupted shard can
+    carry at 100 TB. The poisoned probe (tools/degenerate_probe.py
+    poisoned) found 19 entries aborting on the ANSI decimal protocol or
+    slice/parse edges, and one 25-minute runaway (a single 1970+2199
+    timestamp pair inflated events_linear_interp_daily's dense grid by
+    decades, turning its fill windows quadratic). Fixes are central:
+    sanitize_events (batch + streaming loaders), component-finiteness
+    in ld_vecs, nullif-guarded punct ratios, the descending-sequence
+    n-gram guard, try_parse_json on untrusted props, and the
+    zero-centroid cosine guard."""
+
+    def test_sanitize_events_unit(self, spark):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (
+            sanitize_events,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-06-01 00:00:00", 1.5),     # clean -> kept as-is
+             (2, "2024-06-01 00:00:00", float("nan")),   # value -> NULL
+             (3, "2024-06-01 00:00:00", float("inf")),   # value -> NULL
+             (4, "2024-06-01 00:00:00", 1e308),          # value -> NULL
+             (5, "2024-06-01 00:00:00", None),           # NULL stays NULL
+             (6, "1970-01-01 00:00:00", 2.0),    # epoch reset -> dropped
+             (7, "2199-12-31 23:59:59", 2.0),    # far future -> dropped
+             (8, None, 3.0)],                    # NULL ts -> kept
+            "event_id long, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r.event_id: r.value for r in sanitize_events(df).collect()}
+        assert got == {1: 1.5, 2: None, 3: None, 4: None, 5: None, 8: 3.0}
+
+    @pytest.fixture(scope="class")
+    def poison_dir(self, spark, sf_dir, tmp_path_factory):
+        from tools.degenerate_probe import _build_poisoned
+
+        base = str(tmp_path_factory.mktemp("sf_poison"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+             .write.mode("overwrite").parquet(f"{base}/{t}.parquet"))
+        _build_poisoned(spark, sf_dir, base)
+        return base
+
+    def test_decimal_protocol_survives_poison(self, spark, poison_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            relational,
+        )
+
+        # the exact-sum protocol must not abort on NaN/Inf/1e308 values —
+        # they sanitize to NULL and SQL aggregation skips them
+        rows = relational.window_running_sum(spark, poison_dir).collect()
+        assert rows and all(
+            r.running_value is None or r.running_value < 1e15
+            for r in rows)
+
+    def test_text_edges(self, spark, poison_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            textstats,
+            traindata,
+        )
+
+        q = {r.doc_id: r for r in
+             textstats.text_quality_score(spark, poison_dir).collect()}
+        empty = q[0]          # doc_id 0 % 6 == 0 -> text ""
+        assert empty.punct_ratio is None          # undefined, not 0/0
+        assert empty.quality_score is not None    # score still composes
+        # sub-n-token docs have no n-grams: the audit completes instead
+        # of dying on slice(..., 0, n) via the descending sequence()
+        traindata.contamination_ngram_overlap(spark, poison_dir).count()
+
+    def test_vector_edges(self, spark, poison_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+            relational,
+            similarity,
+        )
+
+        # ld_vecs drops NaN-component (vec_id%5==1), Inf-component
+        # (%5==2) and 1e30 (%5==3) vectors; zero vectors (%5==0) stay
+        total = spark.read.parquet(
+            f"{poison_dir}/embeddings.parquet").count()
+        kept = relational.ld_vecs(spark, poison_dir).count()
+        expected_dropped = sum(
+            1 for i in range(total) if i % 5 in (1, 2, 3))
+        assert kept == total - expected_dropped
+        # decimal covariance/standardize run on the surviving set
+        assert corpus.embedding_covariance(spark, poison_dir).count() > 0
+        # zero centroids yield NULL cosine, never an ANSI 0/0
+        drift = similarity.embedding_source_drift(spark, poison_dir)
+        assert drift.count() > 0
+
+    def test_variant_props_edge(self, spark, poison_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            relational,
+        )
+
+        rows = relational.scalar_variant_fns(spark, poison_dir).collect()
+        # event_id % 5 == 0 -> props "" -> k must be NULL, not a parse
+        # abort; the constructed doc still roundtrips
+        assert rows
+        for r in rows:
+            if r.event_id % 5 == 0:
+                assert r.k is None

@@ -22,10 +22,18 @@ shard at 100 TB):
                fitter code over the LLM-pipeline tables.
   mixednull    same columns NULL on every other row (odd keys) — NaN-
                contaminated UDF batches rather than empty-after-dropna.
+  poisoned     non-NULL but extreme payloads: NaN/±Inf/1e308/0 event
+               values, empty-string event types, epoch-1970 / year-2199
+               timestamps, zero / NaN-component / Inf-component / 1e30
+               vectors, empty / whitespace / single-char / 8k-repeated /
+               unicode texts — interleaved with original rows by key.
+               The contract here: garbage-in may give NaN-out or a loud
+               ValueError, but never a deep crash.
 
 Usage:
     python tools/degenerate_probe.py nullpayload
     python tools/degenerate_probe.py mixednull dedup text   # name filter
+    python tools/degenerate_probe.py poisoned
 """
 
 from __future__ import annotations
@@ -59,6 +67,9 @@ def build_fixture(spark, base: str, out: str, mode: str) -> None:
     for t in TPCH:
         (spark.read.parquet(f"{base}/{t}.parquet")
          .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+    if mode == "poisoned":
+        _build_poisoned(spark, base, out)
+        return
     for t, cols in PAYLOADS.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
         key = KEYS[t][0]
@@ -73,6 +84,60 @@ def build_fixture(spark, base: str, out: str, mode: str) -> None:
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
+def _build_poisoned(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{base}/documents.parquet")
+    big = " ".join(["tok"] * 2000)
+    text = (F.when(F.col("doc_id") % 6 == 0, F.lit(""))
+            .when(F.col("doc_id") % 6 == 1, F.lit(" \t\n "))
+            .when(F.col("doc_id") % 6 == 2, F.lit("x"))
+            .when(F.col("doc_id") % 6 == 3, F.lit(big))
+            .when(F.col("doc_id") % 6 == 4, F.lit("émoji 😀 漢字 ñ — « » 🜚"))
+            .otherwise(F.col("text")))
+    (d.withColumn("text", text)
+     .withColumn("n_chars", F.length(text).cast("bigint"))
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    e = spark.read.parquet(f"{base}/embeddings.parquet")
+    dim = e.selectExpr("size(embedding) d").first()["d"]
+    emb = (F.when(F.col("vec_id") % 5 == 0,
+                  F.expr(f"array_repeat(CAST(0.0 AS FLOAT), {dim})"))
+           .when(F.col("vec_id") % 5 == 1, F.expr(
+               "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+               "THEN CAST('NaN' AS FLOAT) ELSE x END)"))
+           .when(F.col("vec_id") % 5 == 2, F.expr(
+               "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+               "THEN CAST('Infinity' AS FLOAT) ELSE x END)"))
+           .when(F.col("vec_id") % 5 == 3,
+                 F.expr(f"array_repeat(CAST(1e30 AS FLOAT), {dim})"))
+           .otherwise(F.col("embedding")))
+    (e.withColumn("embedding", emb)
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    val = (F.when(F.col("event_id") % 6 == 0, F.expr("CAST('NaN' AS DOUBLE)"))
+           .when(F.col("event_id") % 6 == 1,
+                 F.expr("CAST('Infinity' AS DOUBLE)"))
+           .when(F.col("event_id") % 6 == 2,
+                 F.expr("CAST('-Infinity' AS DOUBLE)"))
+           .when(F.col("event_id") % 6 == 3, F.lit(1e308))
+           .when(F.col("event_id") % 6 == 4, F.lit(0.0))
+           .otherwise(F.col("value")))
+    et = F.when(F.col("event_id") % 7 == 0, F.lit("")) \
+        .otherwise(F.col("event_type"))
+    ts = (F.when(F.col("event_id") % 11 == 0,
+                 F.expr("TIMESTAMP'1970-01-01 00:00:00'"))
+          .when(F.col("event_id") % 13 == 0,
+                F.expr("TIMESTAMP'2199-12-31 23:59:59'"))
+          .otherwise(F.col("ts")))
+    props = F.when(F.col("event_id") % 5 == 0, F.lit("")) \
+        .otherwise(F.col("props"))
+    (ev.withColumn("value", val).withColumn("event_type", et)
+       .withColumn("ts", ts).withColumn("props", props)
+       .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
+
 def classify(exc: BaseException) -> str:
     """'contract' for a loud operator-raised ValueError, else 'DEEP'."""
     if isinstance(exc, ValueError):
@@ -82,7 +147,7 @@ def classify(exc: BaseException) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    if not args or args[0] not in ("nullpayload", "mixednull"):
+    if not args or args[0] not in ("nullpayload", "mixednull", "poisoned"):
         print(__doc__)
         return 2
     mode, filters = args[0], args[1:]
