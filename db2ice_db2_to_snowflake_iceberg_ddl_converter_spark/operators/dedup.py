@@ -112,40 +112,48 @@ def doc_shingles(spark, sf_dir, n: int = 3) -> DataFrame:
     return d.select("doc_id", _shingle_udf(n)("text").alias("shingles"))
 
 
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via an
-    inverted-index join. Jaccard = |∩| / (|A|+|B|−|∩|) over distinct
-    shingles — integer counts, so the double division is bitwise-exact."""
-    # The shingle frame feeds both join sides — without a pin the
-    # shingling UDF executes twice. persist(DISK_ONLY), not
-    # localCheckpoint: shingling is a pure per-row function of the
-    # parquet scan, so a lost partition RECOMPUTES identically from
-    # lineage (cluster-fault-safe), whereas a checkpoint pins blocks to
-    # executor storage that executor loss cannot rebuild.
-    sh = (doc_shingles(spark, sf_dir)
-          .withColumn("n_shingles", F.size("shingles"))
-          .persist(StorageLevel.DISK_ONLY))
-    inv = sh.select("doc_id", "n_shingles",
-                    F.explode("shingles").alias("shingle"))
+def _jaccard_pair_graph(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold`` pairs over a pinned
+    ``(doc_id, shingles)`` frame via an inverted-index join.
+    Jaccard = |∩| / (|A|+|B|−|∩|) over distinct shingles — integer
+    counts, so the double division is bitwise-exact. Shared by
+    :func:`dedup_ngram_jaccard` (all docs) and the exact-collapsed
+    cluster entries (distinct shingle sets only)."""
+    sized = sh.withColumn("n_shingles", F.size("shingles"))
+    inv = sized.select("doc_id", "n_shingles",
+                       F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id1"),
                    F.col("n_shingles").alias("n1"), "shingle")
     b = inv.select(F.col("doc_id").alias("id2"),
                    F.col("n_shingles").alias("n2"), "shingle")
-    # Size-bound pushdown: J ≥ 0.5 ⇒ |∩| ≥ (n1+n2)/3 and |∩| ≤ min(n1,n2)
-    # ⇒ max(n1,n2) ≤ 2·min(n1,n2). Evaluated at the join probe, it prunes
+    # Size-bound pushdown: J ≥ t ⇒ |∩| ≤ min(n1,n2) and |∩| ≥ t·union ⇒
+    # t·max(n1,n2) ≤ min(n1,n2). Evaluated at the join probe, it prunes
     # hopeless pairs before the aggregation — exactness preserved.
     pairs = (a.join(b, (a.shingle == b.shingle)
                     & (F.col("id1") < F.col("id2"))
-                    & (F.col("n1") <= 2 * F.col("n2"))
-                    & (F.col("n2") <= 2 * F.col("n1")))
+                    & (F.lit(threshold) * F.col("n1") <= F.col("n2"))
+                    & (F.lit(threshold) * F.col("n2") <= F.col("n1")))
              .groupBy("id1", "id2", "n1", "n2")
              .agg(F.count(F.lit(1)).alias("n_common")))
     return (pairs
             .withColumn("jaccard",
                         F.col("n_common").cast("double")
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))
-            .filter(F.col("jaccard") >= 0.5)
+            .filter(F.col("jaccard") >= threshold)
             .select("id1", "id2", "jaccard"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via an
+    inverted-index join (see :func:`_jaccard_pair_graph`)."""
+    # The shingle frame feeds both join sides — without a pin the
+    # shingling UDF executes twice. persist(DISK_ONLY), not
+    # localCheckpoint: shingling is a pure per-row function of the
+    # parquet scan, so a lost partition RECOMPUTES identically from
+    # lineage (cluster-fault-safe), whereas a checkpoint pins blocks to
+    # executor storage that executor loss cannot rebuild.
+    sh = doc_shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    return _jaccard_pair_graph(sh, threshold=0.5)
 
 
 ORACLE_DEDUP_NGRAM = """
@@ -571,17 +579,81 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return labels
 
 
+def exact_collapse_shingles(sh: DataFrame) -> DataFrame:
+    """Quotient the corpus by identical shingle SETS before any pair
+    join: ``(doc_id, sset, rep_id)`` where ``rep_id`` is the min doc_id
+    among docs sharing the same non-empty sorted shingle set (docs with
+    an empty or NULL shingle set stay their own rep — they never enter
+    the pair graph today, and collapsing them would invent edges).
+
+    This is the duplicate-flood rail: a boilerplate page copied m times
+    puts m rows in every posting list it touches, so the inverted-index
+    self-join (and LSH band buckets alike) emits Θ(m²) candidate rows.
+    Collapsing first makes the flood cost ONE representative in the pair
+    graph plus an O(m) membership expansion at the end. Output-exact for
+    any Jaccard threshold ≤ 1.0: identical shingle sets have Jaccard
+    exactly 1.0 (always an edge), and for members a∈G₁, b∈G₂,
+    J(a,b) = J(rep₁, rep₂), so components are the quotient-graph
+    components and the min-label of a component equals the min over its
+    reps (each rep is its group's min doc_id).
+
+    One extra shuffle, keyed by the sorted shingle array itself (exact —
+    no hash-collision risk; the shuffle payload is no wider than the
+    inverted index's exploded postings). The window is PARTITIONED by
+    ``sset`` — group-local, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    sized = sh.select("doc_id", F.array_sort("shingles").alias("sset"))
+    w = Window.partitionBy("sset")
+    return sized.withColumn(
+        "rep_id",
+        F.when(F.col("sset").isNull() | (F.size("sset") <= 0),
+               F.col("doc_id"))
+         .otherwise(F.min("doc_id").over(w)))
+
+
+def _collapsed_component_labels(spark, sf_dir,
+                                threshold: float = 0.5) -> DataFrame:
+    """(doc_id, rep_id, label) for every document: exact-collapse by
+    shingle set, run the Jaccard pair graph + connected components over
+    representatives only, then expand labels back over the membership.
+    See :func:`exact_collapse_shingles` for the output-exactness
+    argument (requires threshold ≤ 1.0, asserted)."""
+    if threshold > 1.0:
+        raise ValueError(
+            f"exact-collapse requires threshold <= 1.0 (got {threshold}): "
+            "identical shingle sets must always form an edge")
+    # persist(DISK_ONLY): per-row deterministic from the scan plus one
+    # deterministic group-min — lineage recompute is exact on loss. The
+    # frame feeds three consumers (rep extraction, CC node list via reps,
+    # final label expansion).
+    member = (exact_collapse_shingles(doc_shingles(spark, sf_dir))
+              .persist(StorageLevel.DISK_ONLY))
+    reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id", F.col("sset").alias("shingles"))
+            .persist(StorageLevel.DISK_ONLY))
+    pairs = _jaccard_pair_graph(reps, threshold).select("id1", "id2")
+    labels = connected_components(reps.select("doc_id"), pairs,
+                                  node_col="doc_id")
+    return (member.select("doc_id", "rep_id")
+            .join(labels.select(F.col("node").alias("rep_id"), "label"),
+                  "rep_id"))
+
+
 def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
     """Near-dup cluster assignment: connected components over the exact
     3-gram-Jaccard ≥ 0.5 pair graph; every document gets the min doc_id of
     its component as ``cluster_id`` (singletons keep their own id). This is
     the step that turns pairwise dedup into "keep one per cluster" at
-    pipeline scale."""
-    d = ld(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    labels = connected_components(d, pairs, node_col="doc_id")
-    return (labels.select(F.col("node").alias("doc_id"),
-                          F.col("label").alias("cluster_id"))
+    pipeline scale.
+
+    Runs exact-collapse-first (:func:`_collapsed_component_labels`): the
+    pair join and label propagation see one row per distinct shingle set,
+    so a duplicate flood costs O(m), not Θ(m²) candidate rows. Output is
+    provably identical to pairing over the raw corpus."""
+    return (_collapsed_component_labels(spark, sf_dir, threshold)
+            .select("doc_id", F.col("label").alias("cluster_id"))
             .orderBy("doc_id"))
 
 
@@ -757,11 +829,12 @@ def dedup_keep_representatives(spark, sf_dir, threshold: float = 0.5):
     full "dedupe the corpus" shape a 100 TB curation run executes; the
     output is the keep-list a downstream filter joins against (semi-join,
     no shuffle of the big side's payload columns).
+
+    Exact-collapse-first like :func:`dedup_clusters` — the flood-linear
+    form of the same pipeline; cluster sizes count members, not reps.
     """
-    d = ld(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    labels = connected_components(d, pairs, node_col="doc_id")
-    return (labels.groupBy(F.col("label").alias("keep_id"))
+    return (_collapsed_component_labels(spark, sf_dir, threshold)
+            .groupBy(F.col("label").alias("keep_id"))
             .agg(F.count(F.lit(1)).alias("cluster_size"))
             .orderBy("keep_id"))
 

@@ -792,6 +792,12 @@ class TestDriverSideInventory:
         },
         "persist": {
             ("operators/dedup.py", "connected_components"): 2,
+            # exact-collapse-first cluster path (r9 dupflood rail): the
+            # member frame feeds rep extraction + final label expansion,
+            # the rep frame feeds the pair graph + CC nodes; both are
+            # DISK_ONLY and per-row deterministic from the scan (window
+            # group-min included), so lineage recompute on loss is exact
+            ("operators/dedup.py", "_collapsed_component_labels"): 2,
             ("operators/dedup.py", "dedup_containment"): 1,
             ("operators/dedup.py", "dedup_incremental_minhash"): 1,
             ("operators/dedup.py", "dedup_minhash_lsh"): 1,
@@ -1140,3 +1146,90 @@ class TestPoisonedValuesContract:
         for r in rows:
             if r.event_id % 5 == 0:
                 assert r.k is None
+
+
+class TestDuplicateFloodCollapse:
+    """Round-9 duplicate-flood rail: a boilerplate page copied m times
+    used to put m rows in every posting list it touches, making the
+    cluster entries' inverted-index self-join Θ(m²). The cluster path now
+    exact-collapses identical shingle sets to one representative first
+    (``dedup.exact_collapse_shingles``), which is output-exact (identical
+    sets ⇒ Jaccard 1.0 edges; cross-group Jaccard is rep-invariant). These
+    tests pin (a) the quotient is flood-invariant, (b) labels equal the
+    uncollapsed path's labels on a flooded corpus, (c) shingle-less docs
+    never collapse."""
+
+    FLOOD = 60            # identical clones of one long document
+    SHORT_FLOOD = 20      # identical 2-word docs (no 3-gram shingles)
+
+    @pytest.fixture(scope="class")
+    def flood_dir(self, spark, sf_dir, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sf_dupflood"))
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        donor_df = (d.filter(F.col("text").isNotNull())
+                    .orderBy(F.length("text").desc(), "doc_id").limit(1))
+        donor = donor_df.collect()[0]
+        clones = (spark.range(10_000, 10_000 + self.FLOOD)
+                  .crossJoin(F.broadcast(
+                      donor_df.select("text", "lang", "n_chars")))
+                  .selectExpr("id AS doc_id", "text", "lang",
+                              "'flood' AS source", "n_chars"))
+        shorts = spark.range(20_000, 20_000 + self.SHORT_FLOOD).selectExpr(
+            "id AS doc_id", "'tiny doc' AS text", "'en' AS lang",
+            "'flood' AS source", "CAST(8 AS BIGINT) AS n_chars")
+        (d.unionByName(clones).unionByName(shorts)
+         .coalesce(4).write.mode("overwrite")
+         .parquet(f"{base}/documents.parquet"))
+        return base, donor.doc_id
+
+    def test_quotient_is_flood_invariant(self, spark, flood_dir):
+        base, donor_id = flood_dir
+        member = dedup.exact_collapse_shingles(
+            dedup.doc_shingles(spark, base))
+        flood = member.filter(F.col("doc_id") >= 10_000) \
+                      .filter(F.col("doc_id") < 20_000)
+        # every clone collapses onto the donor (min doc_id of the group)
+        assert flood.filter(F.col("rep_id") != donor_id).count() == 0
+        # the rep-level pair graph never pairs two flood members: at most
+        # the donor survives as a rep, so candidate work is O(reps²) of
+        # the DISTINCT corpus — flood size m never enters the join
+        reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
+                .select("doc_id", F.col("sset").alias("shingles")))
+        assert reps.filter((F.col("doc_id") >= 10_000)
+                           & (F.col("doc_id") < 20_000)).count() == 0
+        pairs = dedup._jaccard_pair_graph(reps, 0.5)
+        assert pairs.filter((F.col("id1") >= 10_000)
+                            & (F.col("id1") < 20_000)).count() == 0
+
+    def test_labels_match_uncollapsed_path(self, spark, flood_dir):
+        base, _ = flood_dir
+        got = {(r.doc_id, r.cluster_id)
+               for r in dedup.dedup_clusters(spark, base).collect()}
+        # the pre-collapse formulation, run on the same flooded corpus
+        d = spark.read.parquet(f"{base}/documents.parquet").select("doc_id")
+        pairs = dedup.dedup_ngram_jaccard(spark, base).select("id1", "id2")
+        labels = dedup.connected_components(d, pairs, node_col="doc_id")
+        want = {(r.node, r.label) for r in labels.collect()}
+        assert got == want
+
+    def test_keep_representatives_counts_members(self, spark, flood_dir):
+        base, donor_id = flood_dir
+        sizes = {r.keep_id: r.cluster_size
+                 for r in dedup.dedup_keep_representatives(spark, base)
+                 .collect()}
+        # the donor's cluster holds the donor + all clones (and any
+        # organic near-dups of the donor) — never less
+        donor_label = min(k for k, v in sizes.items()
+                          if v >= self.FLOOD + 1)
+        assert donor_label <= donor_id
+        # total membership covers the corpus exactly once
+        assert sum(sizes.values()) == 500 + self.FLOOD + self.SHORT_FLOOD
+
+    def test_shingleless_docs_never_collapse(self, spark, flood_dir):
+        base, _ = flood_dir
+        clusters = {r.doc_id: r.cluster_id
+                    for r in dedup.dedup_clusters(spark, base).collect()}
+        for i in range(20_000, 20_000 + self.SHORT_FLOOD):
+            assert clusters[i] == i   # identical 2-word docs: no
+            # shingles, no edges — singletons today; collapsing them
+            # would invent a cluster the pair graph never had

@@ -29,11 +29,33 @@ shard at 100 TB):
                unicode texts — interleaved with original rows by key.
                The contract here: garbage-in may give NaN-out or a loud
                ValueError, but never a deep crash.
+  dupflood     duplicate flood: 60 byte-identical clones of the longest
+               document (+20 identical shingle-less short docs), 60
+               exact copies of one embedding vector, and 3000 identical
+               events under one user — the boilerplate-page / hot-shard
+               shape that turns naive posting-list and LSH-bucket
+               self-joins quadratic at 100 TB.
+  skewed       key skew: 95% of documents under one source, 95% of
+               events under one user_id, 95% of embeddings under one
+               label, 95% of orders under one custkey and lineitems
+               under one suppkey (payloads intact, keys remapped
+               deterministically by id % 20) — the hot-key shape AQE
+               skew-join and salting exist for.
+
+The strongest check for the two adversarial modes is ORACLE PARITY, not
+mere completion: build the fixture with ``build`` and point the parity
+gate at it — every oracle-backed entry must hash-match DuckDB on the
+adversarial corpus too:
+
+    python tools/degenerate_probe.py build dupflood /tmp/fx_flood
+    python tools/check_oracle_parity.py --sf-dir /tmp/fx_flood
 
 Usage:
     python tools/degenerate_probe.py nullpayload
     python tools/degenerate_probe.py mixednull dedup text   # name filter
     python tools/degenerate_probe.py poisoned
+    python tools/degenerate_probe.py dupflood
+    python tools/degenerate_probe.py build <mode> <outdir>  # fixture only
 """
 
 from __future__ import annotations
@@ -64,11 +86,17 @@ KEYS = {"documents": ["doc_id"], "embeddings": ["vec_id"],
 def build_fixture(spark, base: str, out: str, mode: str) -> None:
     from pyspark.sql import functions as F
 
+    if mode == "skewed":
+        _build_skewed(spark, base, out)
+        return
     for t in TPCH:
         (spark.read.parquet(f"{base}/{t}.parquet")
          .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
     if mode == "poisoned":
         _build_poisoned(spark, base, out)
+        return
+    if mode == "dupflood":
+        _build_dupflood(spark, base, out)
         return
     for t, cols in PAYLOADS.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
@@ -138,6 +166,75 @@ def _build_poisoned(spark, base: str, out: str) -> None:
        .write.mode("overwrite").parquet(f"{out}/events.parquet"))
 
 
+def _build_dupflood(spark, base: str, out: str) -> None:
+    """Append exact duplicates: the boilerplate-page shape. IDs extend
+    past the base key space so original rows survive untouched."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{base}/documents.parquet")
+    donor = (d.filter(F.col("text").isNotNull())
+             .orderBy(F.length("text").desc(), "doc_id").limit(1))
+    clones = (spark.range(10_000, 10_060)
+              .crossJoin(F.broadcast(donor.select("text", "lang", "n_chars")))
+              .selectExpr("id AS doc_id", "text", "lang",
+                          "'flood' AS source", "n_chars"))
+    shorts = spark.range(20_000, 20_020).selectExpr(
+        "id AS doc_id", "'tiny doc' AS text", "'en' AS lang",
+        "'flood' AS source", "CAST(8 AS BIGINT) AS n_chars")
+    (d.unionByName(clones).unionByName(shorts).coalesce(4)
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    e = spark.read.parquet(f"{base}/embeddings.parquet")
+    vmax = e.agg(F.max("vec_id")).first()[0]
+    vdonor = e.orderBy("vec_id").limit(1)
+    others = [c for c in e.columns if c != "vec_id"]
+    vclones = (spark.range(vmax + 1, vmax + 61)
+               .crossJoin(F.broadcast(vdonor.select(*others)))
+               .selectExpr("id AS vec_id", *others))
+    (e.unionByName(vclones.select(*e.columns)).coalesce(4)
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    emax = ev.agg(F.max("event_id")).first()[0]
+    edonor = ev.orderBy("event_id").limit(1)
+    ecols = [c for c in ev.columns if c != "event_id"]
+    # 3000 events identical in every payload column INCLUDING ts — the
+    # hot-shard replay shape (sessionizers, dedup, watermarking all see it)
+    eclones = (spark.range(emax + 1, emax + 3001)
+               .crossJoin(F.broadcast(edonor.select(*ecols)))
+               .selectExpr("id AS event_id", *ecols))
+    (ev.unionByName(eclones.select(*ev.columns)).coalesce(8)
+     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
+
+def _build_skewed(spark, base: str, out: str) -> None:
+    """Remap grouping/join keys so one value holds ~95% of rows
+    (id % 20 != 0), payloads untouched. Hot values are real existing
+    keys, so referential integrity survives."""
+    from pyspark.sql import functions as F
+
+    plans = {
+        # table -> (id col, skew col)
+        "documents": ("doc_id", "source"),
+        "events": ("event_id", "user_id"),
+        "embeddings": ("vec_id", "label"),
+        "orders": ("o_orderkey", "o_custkey"),
+        "lineitem": ("l_orderkey", "l_suppkey"),
+    }
+    for t in TPCH + ("events", "documents", "embeddings"):
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        if t in plans:
+            idc, kc = plans[t]
+            hot = df.orderBy(kc).limit(1).select(kc).first()[0]
+            lit = (F.lit(hot) if not isinstance(hot, str)
+                   else F.lit(str(hot)))
+            df = df.withColumn(
+                kc, F.when(F.col(idc) % 20 != 0,
+                           lit.cast(df.schema[kc].dataType))
+                      .otherwise(F.col(kc)))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
 def classify(exc: BaseException) -> str:
     """'contract' for a loud operator-raised ValueError, else 'DEEP'."""
     if isinstance(exc, ValueError):
@@ -145,9 +242,26 @@ def classify(exc: BaseException) -> str:
     return "DEEP"
 
 
+MODES = ("nullpayload", "mixednull", "poisoned", "dupflood", "skewed")
+
+
 def main() -> int:
     args = sys.argv[1:]
-    if not args or args[0] not in ("nullpayload", "mixednull", "poisoned"):
+    if args and args[0] == "build":
+        if len(args) != 3 or args[1] not in MODES:
+            print(__doc__)
+            return 2
+        base = os.environ.get("PROBE_BASE", "/root/testdata/sf0.001")
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.session import (
+            get_spark,
+        )
+
+        spark = get_spark(f"probe-build-{args[1]}")
+        build_fixture(spark, base, args[2], args[1])
+        print(f"fixture [{args[1]}] at {args[2]} from {base}")
+        spark.stop()
+        return 0
+    if not args or args[0] not in MODES:
         print(__doc__)
         return 2
     mode, filters = args[0], args[1:]
