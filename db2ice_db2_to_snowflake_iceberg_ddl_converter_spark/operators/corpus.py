@@ -1079,7 +1079,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str,
 
     d = ld(spark, sf_dir, "documents")
     dup_w = Window.partitionBy(F.trim(F.lower("text"))).orderBy("doc_id")
-    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    # try_cast: a source with no trailing number yields '' here, and an
+    # ANSI cast would abort the whole job (r9 dupflood sweep); NULL
+    # falls through pmod/when to the 0.25 branch deterministically
+    src_num = F.expr(
+        "try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS int)")
     weight_hi = F.when(F.pmod(src_num, F.lit(2)) == 0, F.lit(65536)) \
         .otherwise(F.lit(16384))                       # 1.0 vs 0.25
     mix_bucket = _hex_bucket(F.md5(F.concat(F.lit("mix:"),
@@ -1154,7 +1158,7 @@ WITH t AS (
          + (strpos('0123456789abcdef', md5('mix:' || text)[2:2]) - 1) * 256
          + (strpos('0123456789abcdef', md5('mix:' || text)[3:3]) - 1) * 16
          + (strpos('0123456789abcdef', md5('mix:' || text)[4:4]) - 1))
-        < (CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
+        < (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
                      % 2 = 0
                 THEN 65536 ELSE 16384 END)
 ), chunked AS (

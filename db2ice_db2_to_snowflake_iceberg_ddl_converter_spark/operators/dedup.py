@@ -294,9 +294,15 @@ def minhash_lsh_candidates(signatures: DataFrame,
     """Band the signature, equi-join on (band_idx, band_hash).
 
     Docs agreeing on any band become candidates. The join key is
-    (band_idx, band_hash) so bucket sizes stay tiny and the shuffle is
-    uniform — this is what makes near-dup search linear-ish at 100 TB
-    instead of quadratic.
+    (band_idx, band_hash) so bucket sizes stay tiny on a DISTINCT corpus
+    and the shuffle is uniform — this is what makes near-dup search
+    linear-ish at 100 TB instead of quadratic. Caveat: the pair OUTPUT
+    is Θ(m²) under an m-clone duplicate flood (identical texts share
+    every band, and every clone pair is a true near-dup pair, so any
+    correct pair-emitting operator pays it). The flood-linear production
+    path is the cluster form — ``dedup_clusters`` /
+    ``dedup_keep_representatives`` exact-collapse identical shingle sets
+    to one representative BEFORE any pair join.
     """
     band_rows = minhash_band_rows(signatures, bands, rows_per_band)
     a = band_rows.select(F.col("doc_id").alias("id1"), "band_idx", "band_hash")
@@ -342,10 +348,10 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     """Partial-oracle form of :func:`dedup_minhash_lsh` (round 9 — the
     last of the near-dup family to leave rows-only; same pattern as
     :func:`dedup_simhash_checked`): the banded candidate set is
-    xxhash64-derived, but byte-identical texts have identical shingle
-    sets, identical signatures, every band colliding, and exact
-    Jaccard 1 ≥ threshold — so each identical-text pair MUST be in the
-    verified pair set. The census row carries ``n_exact_text_pairs``
+    xxhash64-derived, but byte-identical texts with a NON-EMPTY shingle
+    set (≥ 3 space-split words) have identical signatures, every band
+    colliding, and exact Jaccard 1 ≥ threshold — so each such
+    identical-text pair MUST be in the verified pair set. The census row carries ``n_exact_text_pairs``
     (DuckDB: Σ c·(c−1)/2 over text groups) on the hash gate plus the two
     structural booleans the oracle asserts TRUE. The pair-list core
     stays as :func:`dedup_minhash_lsh` for the brute-force pair-set
@@ -356,8 +362,14 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     pairs = pin(dedup_minhash_lsh(spark, sf_dir, threshold=threshold))
     # census over the SAME universe the core shingles: NULL-text rows are
     # dropped on both sides (degenerate-input contract), else a corrupted
-    # shard's NULL group would mint exact pairs no shingle path can find
-    d = ld_docs(spark, sf_dir).select("doc_id", "text")
+    # shard's NULL group would mint exact pairs no shingle path can find.
+    # Likewise docs with < 3 space-split words (r9 dupflood sweep): their
+    # shingle set is EMPTY, so byte-identical pairs among them are
+    # invisible to ANY shingle-based method by construction — their dedup
+    # path is dedup_exact, not LSH — and counting them would fail the
+    # gate on a corpus flooded with identical short docs.
+    d = (ld_docs(spark, sf_dir).select("doc_id", "text")
+         .filter(F.size(F.split("text", " ")) >= 3))
     grp = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     n_exact = grp.agg(
         F.coalesce(F.sum(F.expr("c * (c - 1) / 2").cast("long")),
@@ -382,7 +394,8 @@ SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
          AS n_exact_text_pairs,
        TRUE AS all_exact_pairs_found,
        TRUE AS near_ge_exact
-FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+FROM (SELECT COUNT(*) AS c FROM documents
+      WHERE len(string_split(text, ' ')) >= 3 GROUP BY text)
 """
 
 
@@ -964,42 +977,88 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     eval data between corpus slices, so curation reviews read that
     column first; a cross pair counts toward BOTH its sources).
 
-    Pair generation reuses ``dedup_ngram_jaccard`` (inverted-index join
-    with the size-bound prune — at 100 TB swap in the MinHash+LSH
-    candidate stage, same (id1, id2) contract); everything after is
-    dimension-sized per-source aggregation. The oracle recomputes the
-    pair set with the NAIVE quadratic formulation, so the driver check
-    proves the index rewrite AND the rollup at once. Counts are exact
-    integers; the one rate division runs on exact operands.
+    Flood-linear formulation (round 9): the outputs are pair COUNTS, not
+    pairs, so the Θ(m²) pair materialization under an m-clone duplicate
+    flood is avoidable — exact-collapse identical shingle sets
+    (:func:`exact_collapse_shingles`), run the Jaccard pair graph over
+    representatives only, and recover every count by group-size
+    arithmetic over per-(group, source) member counts c[g,s]:
+
+    - within-group (J = 1.0 by construction): within-source pairs
+      Σ_g C(c[g,s], 2); cross-source contribution to s
+      Σ_g c[g,s]·(sz_g − c[g,s])  — shingle-less docs are singleton
+      groups (sz = 1), so both terms vanish for them, matching the old
+      path where they never entered the inverted index;
+    - cross-group, for each rep pair (g1, g2) with J ≥ 0.5:
+      within-source c1[s]·c2[s]; cross-source contribution to s
+      c1[s]·(sz2 − c2[s]) + c2[s]·(sz1 − c1[s])  — a cross pair counts
+      toward BOTH its sources, matching the old explode;
+    - a doc is a near-dup member iff its group has sz ≥ 2 or any rep
+      edge, so n_neardup_docs[s] = Σ_{paired g} c[g,s].
+
+    All counts stay exact integers (C(c,2) = c·(c−1)/2 is exact — the
+    product is even); the one rate division runs on exact operands. The
+    oracle recomputes the pair set with the NAIVE quadratic formulation,
+    so the driver check proves the collapse arithmetic AND the index
+    rewrite at once.
     """
     from .relational import ld
 
-    # localCheckpoint is deliberate here: the frame is PAIR-sized (near-
-    # dup pairs, not the corpus) and it enters the connected-components
-    # loop, which re-references its plan every iteration — truncation
-    # keeps the per-round analysis flat; at this size re-derivability
-    # is irrelevant.
-    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
     docs = ld(spark, sf_dir, "documents").select("doc_id", "source")
-    p = (pairs
-         .join(docs.select(F.col("doc_id").alias("id1"),
-                           F.col("source").alias("src1")), "id1")
-         .join(docs.select(F.col("doc_id").alias("id2"),
-                           F.col("source").alias("src2")), "id2"))
-    members = (p.select(F.col("id1").alias("doc_id"),
-                        F.col("src1").alias("source"))
-               .union(p.select(F.col("id2").alias("doc_id"),
-                               F.col("src2").alias("source")))
-               .distinct()
-               .groupBy("source")
-               .agg(F.count(F.lit(1)).alias("n_neardup_docs")))
-    within = (p.filter(F.col("src1") == F.col("src2"))
-              .groupBy(F.col("src1").alias("source"))
-              .agg(F.count(F.lit(1)).alias("n_pairs_within")))
-    cross = (p.filter(F.col("src1") != F.col("src2"))
-             .select(F.explode(F.array("src1", "src2")).alias("source"))
+    member = (exact_collapse_shingles(doc_shingles(spark, sf_dir))
+              .persist(StorageLevel.DISK_ONLY))
+    reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id", F.col("sset").alias("shingles")))
+    # c[g, s]: per-(group, source) member counts — at most corpus-sized,
+    # in practice |distinct texts| × |sources|; the hub every term reads.
+    c = (member.select("doc_id", "rep_id").join(docs, "doc_id")
+         .groupBy("rep_id", "source")
+         .agg(F.count(F.lit(1)).alias("c"))
+         .persist(StorageLevel.DISK_ONLY))
+    sz = c.groupBy("rep_id").agg(F.sum("c").alias("sz"))
+    cs = c.join(sz, "rep_id")
+    # rep-level pair graph: pair-sized over DISTINCT texts; two consumers
+    # (term expansion + paired-degree), deterministic from the scan.
+    p = (_jaccard_pair_graph(reps, 0.5).select("id1", "id2")
+         .persist(StorageLevel.DISK_ONLY))
+    # per-(pair, source) counts for both sides, zero-filled via union-sum
+    u = (p.join(cs.select(F.col("rep_id").alias("id1"), "source",
+                          F.col("c").alias("c1")), "id1")
+         .select("id1", "id2", "source", "c1", F.lit(0).alias("c2"))
+         .unionByName(
+             p.join(cs.select(F.col("rep_id").alias("id2"), "source",
+                              F.col("c").alias("c2")), "id2")
+             .select("id1", "id2", "source", F.lit(0).alias("c1"), "c2")))
+    t = (u.groupBy("id1", "id2", "source")
+         .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+         .join(sz.select(F.col("rep_id").alias("id1"),
+                         F.col("sz").alias("sz1")), "id1")
+         .join(sz.select(F.col("rep_id").alias("id2"),
+                         F.col("sz").alias("sz2")), "id2"))
+    cross_group = (t.groupBy("source").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("w"),
+        F.sum(F.col("c1") * (F.col("sz2") - F.col("c2"))
+              + F.col("c2") * (F.col("sz1") - F.col("c1"))).alias("x")))
+    in_group = (cs.groupBy("source").agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("w"),
+        F.sum(F.col("c") * (F.col("sz") - F.col("c"))).alias("x")))
+    within = (in_group.select("source", F.col("w").alias("n_pairs_within"))
+              .unionByName(cross_group.select(
+                  "source", F.col("w").alias("n_pairs_within")))
+              .groupBy("source")
+              .agg(F.sum("n_pairs_within").alias("n_pairs_within")))
+    cross = (in_group.select("source", F.col("x").alias("n_pairs_cross"))
+             .unionByName(cross_group.select(
+                 "source", F.col("x").alias("n_pairs_cross")))
              .groupBy("source")
-             .agg(F.count(F.lit(1)).alias("n_pairs_cross")))
+             .agg(F.sum("n_pairs_cross").alias("n_pairs_cross")))
+    # groups with any rep edge; sz >= 2 groups are paired by J = 1.0
+    edged = (p.select(F.col("id1").alias("rep_id"))
+             .union(p.select(F.col("id2").alias("rep_id"))).distinct())
+    paired = (cs.join(edged.withColumn("e", F.lit(True)), "rep_id", "left")
+              .filter((F.col("sz") >= 2) | F.col("e").isNotNull()))
+    members = (paired.groupBy("source")
+               .agg(F.sum("c").alias("n_neardup_docs")))
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (base
             .join(members, "source", "left")

@@ -531,7 +531,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (one exact integer division).
     """
     d = ld(spark, sf_dir, "documents")
-    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    # try_cast: a source with no trailing number yields '' here, and an
+    # ANSI cast would abort the whole job (r9 dupflood sweep); NULL
+    # falls through pmod/when to the 0.25 branch deterministically
+    src_num = F.expr(
+        "try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS int)")
     weight_hi = F.when(F.pmod(src_num, F.lit(2)) == 0, F.lit(65536)) \
         .otherwise(F.lit(16384))                       # 1.0 vs 0.25
     bucket = _hex_bucket(F.md5(F.concat(F.lit("mix:"), F.col("text"))), 4)
@@ -553,7 +557,7 @@ WITH per_doc AS (
            + (strpos('0123456789abcdef', md5('mix:' || text)[2:2]) - 1) * 256
            + (strpos('0123456789abcdef', md5('mix:' || text)[3:3]) - 1) * 16
            + (strpos('0123456789abcdef', md5('mix:' || text)[4:4]) - 1))
-           < (CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
+           < (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
                         % 2 = 0
                    THEN 65536 ELSE 16384 END)
            THEN 1 ELSE 0 END AS kept

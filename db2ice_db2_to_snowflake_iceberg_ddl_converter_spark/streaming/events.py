@@ -62,13 +62,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         f if f.name != "ts" else StructField("ts", stored_ts)
         for f in EVENT_SCHEMA.fields
     ])
-    # File-stream sources take a directory; pathGlobFilter narrows it to the
-    # events table (in production this is the stream's landing directory).
-    reader = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet"))
+    # File-stream sources take a directory. The driver testdata lays the
+    # table out as ONE FILE (`events.parquet`), so we stream the parent
+    # dir narrowed by pathGlobFilter; a pipeline-written table is a
+    # DIRECTORY of part files — stream it directly (the glob filter
+    # matches LEAF file names, so filtering the parent dir by
+    # "events.parquet" would silently read zero part files: the r9
+    # dupflood parity sweep caught exactly that as 13 empty streams).
+    import os as _os
+
+    table = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(raw_schema)
+    if _os.path.isdir(table):
+        src_dir = table
+    else:
+        src_dir = sf_dir
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(src_dir)
     if isinstance(stored_ts, LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))

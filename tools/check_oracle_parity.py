@@ -122,7 +122,11 @@ def main() -> int:
     spark = get_spark("oracle-parity")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; probe-built fixtures are
+        # Spark-written DIRECTORIES — glob the part files for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     qs, oracles = queries(), oracle_sql()
     pool = list(qs)[:first_n] if first_n else list(qs)
