@@ -789,6 +789,14 @@ def p2_quantile_estimates(events: DataFrame, q: float = 0.5,
                if frames else None)
         if pdf is not None:
             for x in pdf["value"].astype(float):
+                # NULL value arrives as NaN here (sanitize_events maps
+                # non-finite/absurd to NULL; aggregates skip NULL — same
+                # contract). Without this, NaN falls through every marker
+                # comparison and the cell-locator next() StopIterations —
+                # the r9 probe caught it once the directory-layout fix
+                # let streams actually SEE corrupted fixtures.
+                if x != x:
+                    continue
                 if n < 5:
                     buf.append(x)
                     n += 1

@@ -1305,3 +1305,29 @@ class TestAdversarialParityContract:
         # the 190 'tiny doc' pairs are excluded from the census
         base_row = _one(dedup.dedup_minhash_lsh_checked(spark, sf_dir))
         assert row.n_exact_text_pairs == base_row.n_exact_text_pairs
+
+    def test_p2_stream_skips_null_values(self, spark, sf_dir, tmp_path):
+        """NULL value arrives in the P² state updater as NaN; it must be
+        skipped like an aggregate skips NULL — before the fix NaN fell
+        through every marker comparison and the cell-locator next()
+        raised StopIteration, aborting the stream. Masked until r9: the
+        directory-layout fix was what let streams see corrupted fixtures
+        at all."""
+        from __spark_entry__ import queries
+
+        base = str(tmp_path / "p2nullfx")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        nulled = ev.withColumn(
+            "value", F.when(F.col("event_id") % 2 == 1,
+                            F.lit(None).cast("double"))
+                      .otherwise(F.col("value")))
+        nulled.write.mode("overwrite").parquet(f"{base}/events.parquet")
+        rows = queries()["streaming_p2_quantile"](spark, base).collect()
+        assert rows
+        # n_seen counts only the finite observations per type
+        exp = {r.event_type: r.n for r in
+               ev.filter(F.col("event_id") % 2 == 0)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        got = {r.event_type: r.n_seen for r in rows}
+        assert got == exp
