@@ -36,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import ArrayType, StringType
 
 from .relational import ld, ld_docs, ld_py
+from .scale import pin
 
 NUM_MINHASHES = 64
 LSH_BANDS = 16
@@ -538,9 +539,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     graphs have tiny diameters (dup clusters are near-cliques). Each round
     is ``localCheckpoint``-ed: persisting alone keeps the data but lets the
     logical plan grow exponentially across iterations (analysis time blows
-    up after ~10 rounds); checkpointing truncates lineage. On a real
-    cluster, prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
-    for fault-tolerant truncation.
+    up after ~10 rounds); checkpointing truncates lineage. The truncation
+    routes through the reliable-pin seam (``scale.pin``, r9): with a
+    session checkpoint dir configured the per-round state survives
+    executor loss; without one it is a localCheckpoint (fail-stop, the
+    documented local-mode tradeoff).
 
     The loop runs to FIXPOINT (labels only decrease and are bounded
     below, so the decreasing label-sum witness guarantees termination
@@ -571,10 +574,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         neighbor_min = (sym.join(labels, sym.b == labels.node)
                         .groupBy(F.col("a").alias("node"))
                         .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(neighbor_min, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label"))).localCheckpoint()
+        new_labels = pin(labels.join(neighbor_min, "node", "left")
+                         .select("node",
+                                 F.least("label",
+                                         F.coalesce("nbr_label", "label"))
+                                 .alias("label")))  # reliable-pin seam (r9)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .relational import ld
+from .scale import pin
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
@@ -72,8 +73,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           + F.lit(damping) * F.col("dangling_mass") / n
                           + F.lit(damping)
                           * F.coalesce(F.col("contrib"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint())
+                         .alias("rank")))
+        # reliable-pin seam (r9): with a session checkpoint dir the
+        # per-round truncation survives executor loss; else local
+        ranks = pin(ranks)
     return ranks
 
 
@@ -259,7 +262,7 @@ def _transitive_roots(parents: DataFrame, n_rounds: int) -> DataFrame:
         # per-round → alternate ≈ −0.4 s of scheduling; at cluster scale
         # the saved job is a whole stage barrier).
         if i % 2 == 1 or i == n_rounds - 1:
-            amap = amap.localCheckpoint()
+            amap = pin(amap)   # reliable-pin seam (r9)
     return amap.select("node", F.col("anc").alias("root"),
                        F.col("d").alias("depth"))
 
@@ -457,7 +460,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     Iterative peeling, each round ONE degree aggregation + ONE semi-join
     restriction — O(peel-depth) shuffles, no all-pairs work beyond the
     shared thresholded edge census. The surviving edge frame is
-    ``localCheckpoint``-ed per round (deliberate, the iterative-loop
+    pinned per round via the reliable seam (deliberate, the iterative-loop
     contract from :func:`pagerank`/:func:`transitive_roots`: the loop
     re-references its own output, so without truncation the analyzed
     plan doubles each round); the frame is edge-census-sized, not
@@ -490,10 +493,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
                .unionAll(edges.select(F.col("s2").alias("s")))
                .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
         keep = deg.filter(F.col("d") >= k).select("s")
-        edges = (edges
-                 .join(keep.withColumnRenamed("s", "s1"), "s1", "semi")
-                 .join(keep.withColumnRenamed("s", "s2"), "s2", "semi")
-                 .select("s1", "s2").localCheckpoint())
+        edges = pin(edges
+                    .join(keep.withColumnRenamed("s", "s1"), "s1", "semi")
+                    .join(keep.withColumnRenamed("s", "s2"), "s2", "semi")
+                    .select("s1", "s2"))   # reliable-pin seam (r9)
         n = edges.count()
         if n == n_prev:
             break

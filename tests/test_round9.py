@@ -830,8 +830,12 @@ class TestDriverSideInventory:
         # dedup.py: 3 -> 2 (r9): corpus_neardup_report no longer
         # materializes the pair frame at all — flood-linear group
         # arithmetic replaced its pair localCheckpoint
-        "operators/dedup.py": 2, "operators/eventtime.py": 2,
-        "operators/graph.py": 8, "operators/multimodal.py": 1,
+        # dedup.py 2 -> 1, graph.py 8 -> 5 (r9): the per-round
+        # truncations in connected_components / pagerank /
+        # transitive_roots / kcore now route through the reliable
+        # seam (scale.pin) — checkpoint-dir-aware, audited there
+        "operators/dedup.py": 1, "operators/eventtime.py": 2,
+        "operators/graph.py": 5, "operators/multimodal.py": 1,
         "operators/scale.py": 2, "operators/similarity.py": 1,
         "streaming/events.py": 1,
     }
@@ -1331,3 +1335,33 @@ class TestAdversarialParityContract:
                .agg(F.count(F.lit(1)).alias("n")).collect()}
         got = {r.event_type: r.n_seen for r in rows}
         assert got == exp
+
+
+class TestIterativeLoopsReliablePin:
+    """r9: the per-round truncations inside connected_components /
+    pagerank / transitive_roots / kcore route through scale.pin — with a
+    session checkpoint dir the round state is RELIABLY checkpointed
+    (survives executor loss on a cluster), without one it stays a
+    localCheckpoint. Results must be identical either way."""
+
+    def test_connected_components_reliable(self, spark, tmp_path):
+        sc = spark.sparkContext
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(8)], "id long")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4), (6, 7)], "id1 long, id2 long")
+        base = {(r.node, r.label) for r in
+                dedup.connected_components(nodes, edges).collect()}
+        assert base == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3),
+                        (5, 5), (6, 6), (7, 6)}
+        ckpt = str(tmp_path / "ckpt")
+        sc.setCheckpointDir(ckpt)
+        try:
+            rel = {(r.node, r.label) for r in
+                   dedup.connected_components(nodes, edges).collect()}
+            assert rel == base
+            import os
+            found = any(files for _, _, files in os.walk(ckpt))
+            assert found, "reliable mode engaged but wrote no blocks"
+        finally:
+            sc.setCheckpointDir(None)
