@@ -1044,7 +1044,9 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
         F.sum(F.col("c1") * (F.col("sz2") - F.col("c2"))
               + F.col("c2") * (F.col("sz1") - F.col("c1"))).alias("x")))
     in_group = (cs.groupBy("source").agg(
-        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("w"),
+        # integer DIV: c·(c−1) is even, so this is exact at ANY count —
+        # a double division would lose exactness past 2^53
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("w"),
         F.sum(F.col("c") * (F.col("sz") - F.col("c"))).alias("x")))
     within = (in_group.select("source", F.col("w").alias("n_pairs_within"))
               .unionByName(cross_group.select(

@@ -214,24 +214,33 @@ def _build_skewed(spark, base: str, out: str) -> None:
     from pyspark.sql import functions as F
 
     plans = {
-        # table -> (id col, skew col)
-        "documents": ("doc_id", "source"),
-        "events": ("event_id", "user_id"),
-        "embeddings": ("vec_id", "label"),
-        "orders": ("o_orderkey", "o_custkey"),
-        "lineitem": ("l_orderkey", "l_suppkey"),
+        # table -> (row-id col for the deterministic 95% rule,
+        #           [skew cols — grouping AND join keys: o_custkey is the
+        #            orders→customer probe key, l_suppkey/l_orderkey the
+        #            lineitem→supplier/orders keys — the classic
+        #            AQE-skew-join pathologies])
+        "documents": ("doc_id", ["source"]),
+        "events": ("event_id", ["user_id"]),
+        "embeddings": ("vec_id", ["label"]),
+        "orders": ("o_orderkey", ["o_custkey"]),
+        "lineitem": ("l_linenumber", ["l_suppkey", "l_orderkey"]),
     }
     for t in TPCH + ("events", "documents", "embeddings"):
         df = spark.read.parquet(f"{base}/{t}.parquet")
         if t in plans:
-            idc, kc = plans[t]
-            hot = df.orderBy(kc).limit(1).select(kc).first()[0]
-            lit = (F.lit(hot) if not isinstance(hot, str)
-                   else F.lit(str(hot)))
-            df = df.withColumn(
-                kc, F.when(F.col(idc) % 20 != 0,
-                           lit.cast(df.schema[kc].dataType))
-                      .otherwise(F.col(kc)))
+            idc, cols = plans[t]
+            # l_linenumber is not unique — fold the orderkey in so the
+            # 95% rule stays row-deterministic for lineitem too
+            rid = (F.col(idc) if t != "lineitem"
+                   else F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+            for kc in cols:
+                hot = df.orderBy(kc).limit(1).select(kc).first()[0]
+                lit = (F.lit(hot) if not isinstance(hot, str)
+                       else F.lit(str(hot)))
+                df = df.withColumn(
+                    kc, F.when(rid % 20 != 0,
+                               lit.cast(df.schema[kc].dataType))
+                          .otherwise(F.col(kc)))
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
