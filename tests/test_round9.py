@@ -4,7 +4,11 @@ taken to completion), the literal-catalog ddl_* oracles, the
 Misra-Gries checkpoint-restart proof (task 3), the reliable
 boundary-pin mode (task 5), the unpartitioned-Window closed-set gate
 (task 6), the round-9 rotation pin (task 1), and the r8 ADVICE guards
-(kmv small-regime gate, k<=2 rail)."""
+(kmv small-regime gate, k<=2 rail). Session 2: the duplicate-flood
+exact-collapse rail for the cluster entries, the adversarial-parity
+contract (full oracle gate on dupflood/skewed fixtures) with its three
+failure-class pins, the streaming P2 NaN-skip, and the reliable-pin
+routing of the iterative loops' per-round truncations."""
 
 import pytest
 from pyspark.sql import functions as F
