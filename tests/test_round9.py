@@ -1369,3 +1369,18 @@ class TestIterativeLoopsReliablePin:
             assert found, "reliable mode engaged but wrote no blocks"
         finally:
             sc.setCheckpointDir(None)
+
+    def test_kcore_reliable_roundtrip(self, spark, sf_dir, tmp_path):
+        """Same seam, different loop shape: the k-core peel's per-round
+        edge set. Results must be identical with and without a
+        checkpoint dir configured."""
+        base = {tuple(r) for r in graph.graph_kcore(spark, sf_dir)
+                .collect()}
+        sc = spark.sparkContext
+        sc.setCheckpointDir(str(tmp_path / "kckpt"))
+        try:
+            rel = {tuple(r) for r in graph.graph_kcore(spark, sf_dir)
+                   .collect()}
+        finally:
+            sc.setCheckpointDir(None)
+        assert rel == base
