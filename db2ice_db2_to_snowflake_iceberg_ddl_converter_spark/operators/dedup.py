@@ -359,7 +359,6 @@ def dedup_minhash_lsh_checked(spark, sf_dir,
     pytest (which pins full recall on fixtures — stronger than this
     gate, but not portable to the driver's hash compare)."""
     # pin: two consumers below (the multi-consumer rule)
-    from .scale import pin
     pairs = pin(dedup_minhash_lsh(spark, sf_dir, threshold=threshold))
     # census over the SAME universe the core shingles: NULL-text rows are
     # dropped on both sides (degenerate-input contract), else a corrupted
@@ -489,7 +488,6 @@ def dedup_simhash_checked(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     # pin: the pair list (the expensive band join + verify) feeds TWO
     # consumers below — without the pin each would replay the whole
     # pipeline (the multi-consumer rule)
-    from .scale import pin
     pairs = pin(dedup_simhash(spark, sf_dir, max_hamming=max_hamming))
     # same-universe census as the fingerprint path: NULL text drops
     d = ld_docs(spark, sf_dir).select("doc_id", "text")
@@ -622,11 +620,17 @@ def exact_collapse_shingles(sh: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     sized = sh.select("doc_id", F.array_sort("shingles").alias("sset"))
-    w = Window.partitionBy("sset")
+    # Shingle-less docs are their own reps, so give each its OWN window
+    # partition (salt = doc_id): without the salt every empty/NULL sset
+    # row hashes to one window task — a single-task hotspot that grows
+    # linearly with a short-doc flood, computing a group min the
+    # projection below discards anyway (r9 self-review find).
+    empty = F.col("sset").isNull() | (F.size("sset") <= 0)
+    salt = F.when(empty, F.col("doc_id")).otherwise(F.lit(0))
+    w = Window.partitionBy("sset", salt)
     return sized.withColumn(
         "rep_id",
-        F.when(F.col("sset").isNull() | (F.size("sset") <= 0),
-               F.col("doc_id"))
+        F.when(empty, F.col("doc_id"))
          .otherwise(F.min("doc_id").over(w)))
 
 
@@ -653,9 +657,19 @@ def _collapsed_component_labels(spark, sf_dir,
     pairs = _jaccard_pair_graph(reps, threshold).select("id1", "id2")
     labels = connected_components(reps.select("doc_id"), pairs,
                                   node_col="doc_id")
-    return (member.select("doc_id", "rep_id")
-            .join(labels.select(F.col("node").alias("rep_id"), "label"),
-                  "rep_id"))
+    expanded = (member.select("doc_id", "rep_id")
+                .join(labels.select(F.col("node").alias("rep_id"),
+                                    "label"), "rep_id"))
+    # The node universe is EVERY document, not just the shingled ones:
+    # doc_shingles drops NULL-text rows (degenerate-input contract), but
+    # the cluster entries have always emitted those docs as singletons
+    # (own doc_id as label) and the naive oracles seed reach from the
+    # full documents table — left-join them back (r9 self-review find).
+    full = ld(spark, sf_dir, "documents").select("doc_id")
+    return (full.join(expanded, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+                    F.coalesce("label", F.col("doc_id")).alias("label")))
 
 
 def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
@@ -1021,33 +1035,44 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
          .persist(StorageLevel.DISK_ONLY))
     sz = c.groupBy("rep_id").agg(F.sum("c").alias("sz"))
     cs = c.join(sz, "rep_id")
+    # Pair terms run on the NON-NULL-source counts only: in the pairwise
+    # formulation (and the oracle) src1 = src2 / src1 <> src2 are NULL —
+    # hence dropped — whenever either side's source is NULL, so a
+    # NULL-source member contributes to NO within/cross count (it still
+    # counts as a near-dup MEMBER below, exactly like the old explode
+    # path). szn is the per-group non-NULL member count the cross terms
+    # must use as "the other side" (r9 self-review find).
+    cn = c.filter(F.col("source").isNotNull())
+    szn = cn.groupBy("rep_id").agg(F.sum("c").alias("szn"))
+    csn = cn.join(szn, "rep_id")
     # rep-level pair graph: pair-sized over DISTINCT texts; two consumers
     # (term expansion + paired-degree), deterministic from the scan.
     p = (_jaccard_pair_graph(reps, 0.5).select("id1", "id2")
          .persist(StorageLevel.DISK_ONLY))
     # per-(pair, source) counts for both sides, zero-filled via union-sum
-    u = (p.join(cs.select(F.col("rep_id").alias("id1"), "source",
-                          F.col("c").alias("c1")), "id1")
+    u = (p.join(csn.select(F.col("rep_id").alias("id1"), "source",
+                           F.col("c").alias("c1")), "id1")
          .select("id1", "id2", "source", "c1", F.lit(0).alias("c2"))
          .unionByName(
-             p.join(cs.select(F.col("rep_id").alias("id2"), "source",
-                              F.col("c").alias("c2")), "id2")
+             p.join(csn.select(F.col("rep_id").alias("id2"), "source",
+                               F.col("c").alias("c2")), "id2")
              .select("id1", "id2", "source", F.lit(0).alias("c1"), "c2")))
     t = (u.groupBy("id1", "id2", "source")
          .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
-         .join(sz.select(F.col("rep_id").alias("id1"),
-                         F.col("sz").alias("sz1")), "id1")
-         .join(sz.select(F.col("rep_id").alias("id2"),
-                         F.col("sz").alias("sz2")), "id2"))
+         .join(szn.select(F.col("rep_id").alias("id1"),
+                          F.col("szn").alias("sz1")), "id1", "left")
+         .join(szn.select(F.col("rep_id").alias("id2"),
+                          F.col("szn").alias("sz2")), "id2", "left")
+         .fillna(0, subset=["sz1", "sz2"]))
     cross_group = (t.groupBy("source").agg(
         F.sum(F.col("c1") * F.col("c2")).alias("w"),
         F.sum(F.col("c1") * (F.col("sz2") - F.col("c2"))
               + F.col("c2") * (F.col("sz1") - F.col("c1"))).alias("x")))
-    in_group = (cs.groupBy("source").agg(
+    in_group = (csn.groupBy("source").agg(
         # integer DIV: c·(c−1) is even, so this is exact at ANY count —
         # a double division would lose exactness past 2^53
         F.sum(F.expr("c * (c - 1) DIV 2")).alias("w"),
-        F.sum(F.col("c") * (F.col("sz") - F.col("c"))).alias("x")))
+        F.sum(F.col("c") * (F.col("szn") - F.col("c"))).alias("x")))
     within = (in_group.select("source", F.col("w").alias("n_pairs_within"))
               .unionByName(cross_group.select(
                   "source", F.col("w").alias("n_pairs_within")))
@@ -1365,7 +1390,6 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
     decision-pass core stays for the brute-force Jaccard pytest."""
     # pin: the decision pass feeds two consumers below (the
     # multi-consumer rule)
-    from .scale import pin
     decisions = pin(dedup_incremental_minhash(
         spark, sf_dir, new_source=new_source, threshold=threshold))
     d = ld_py(spark, sf_dir, "documents")

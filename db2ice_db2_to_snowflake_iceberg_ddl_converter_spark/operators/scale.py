@@ -126,7 +126,19 @@ def pin_boundaries(df: DataFrame) -> DataFrame:
     except AttributeError:          # very old pyspark
         ckpt_dir = None
     if ckpt_dir:
-        return df.checkpoint(eager=True)
+        # persist → checkpoint → unpersist: an unpersisted reliable
+        # checkpoint RECOMPUTES the frame to write the checkpoint files
+        # after the eager materialization job — 2× every pinned stage
+        # (and per ROUND in the iterative loops that route here). The
+        # transient persist lets the write read the just-computed
+        # blocks. Checkpoint files accumulate per pin; long-lived
+        # cluster apps should set
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true.
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint()
 
 

@@ -44,6 +44,21 @@ EVENT_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
+def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
+    """Directory test through the path's own Hadoop FileSystem (local,
+    HDFS, s3a, ... — whatever the scheme resolves to); falls back to
+    os.path for plain local paths if the JVM gateway is unavailable."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(jpath).isDirectory())
+    except Exception:
+        import os
+        return os.path.isdir(path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (explicit schema —
@@ -69,11 +84,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # matches LEAF file names, so filtering the parent dir by
     # "events.parquet" would silently read zero part files: the r9
     # dupflood parity sweep caught exactly that as 13 empty streams).
-    import os as _os
-
+    # The layout check goes through the Hadoop FileSystem for the path's
+    # scheme — os.path.isdir is blind to s3a://hdfs:// URIs and would
+    # quietly reinstate the zero-rows branch on exactly the production
+    # landing directories the directory branch exists for.
     table = f"{sf_dir}/events.parquet"
     reader = spark.readStream.schema(raw_schema)
-    if _os.path.isdir(table):
+    if _hadoop_is_dir(spark, table):
         src_dir = table
     else:
         src_dir = sf_dir

@@ -811,6 +811,10 @@ class TestDriverSideInventory:
             ("operators/dedup.py", "dedup_minhash_lsh"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard_pruned"): 1,
+            # transient persist inside the reliable-checkpoint branch:
+            # unpersisted reliable checkpoints recompute the frame to
+            # write the files; released in the finally (r9)
+            ("operators/scale.py", "pin_boundaries"): 1,
             ("operators/dedup.py", "dedup_simhash"): 1,
         },
         # crossJoin/localCheckpoint sets are larger; pinned as
@@ -1384,3 +1388,52 @@ class TestIterativeLoopsReliablePin:
         finally:
             sc.setCheckpointDir(None)
         assert rel == base
+
+    def test_cluster_entries_null_semantics(self, spark, sf_dir,
+                                            tmp_path):
+        """r9 self-review finds: (a) the collapse path must still emit
+        NULL-text docs as singleton clusters (doc_shingles drops them,
+        but the entries and the naive oracles never did); (b) the
+        neardup report's group arithmetic must not count NULL-source
+        pairs — in the pairwise formulation src1=src2 / src1<>src2 are
+        NULL, hence dropped, whenever either side's source is NULL."""
+        import duckdb
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            traindata,
+        )
+
+        base = str(tmp_path / "nullsem")
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        donor = (d.filter(F.col("text").isNotNull())
+                 .orderBy(F.length("text").desc(), "doc_id").limit(1))
+        clones = (spark.range(10_000, 10_030)
+                  .crossJoin(F.broadcast(
+                      donor.select("text", "lang", "n_chars")))
+                  .selectExpr("id AS doc_id", "text", "lang",
+                              "CAST(NULL AS STRING) AS source", "n_chars"))
+        (d.withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                     F.lit(None)).otherwise(F.col("text")))
+         .withColumn("source", F.when(F.col("doc_id") % 5 == 0,
+                                      F.lit(None))
+                     .otherwise(F.col("source")))
+         .unionByName(clones)
+         .coalesce(2).write.mode("overwrite")
+         .parquet(f"{base}/documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{base}/documents.parquet/*.parquet')")
+        for fn, osql in [
+            (dedup.dedup_clusters, dedup.ORACLE_DEDUP_CLUSTERS),
+            (dedup.dedup_keep_representatives,
+             dedup.ORACLE_DEDUP_KEEP_REPRESENTATIVES),
+            (dedup.corpus_neardup_report, dedup.ORACLE_NEARDUP_REPORT),
+            (traindata.split_leakage_safe,
+             traindata.ORACLE_SPLIT_LEAKAGE_SAFE),
+        ]:
+            srows = sorted((tuple(str(x) for x in r)
+                            for r in fn(spark, base).collect()))
+            orows = sorted((tuple(str(x) for x in r)
+                            for r in con.execute(osql).fetchall()))
+            assert srows == orows, fn.__name__
