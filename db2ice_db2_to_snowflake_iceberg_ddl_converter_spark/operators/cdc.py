@@ -421,9 +421,16 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
     are used with day to day.
     """
     cols = list(target.columns)
-    t, s = target.alias("t"), source.alias("s")
+    # presence markers, not key-NULL tests: a NULL-key target row must
+    # survive as-is and a NULL-key source row must INSERT — but NULL
+    # keys never satisfy the equality, so key-isNotNull as a "this side
+    # joined" proxy mangled a NULL-key target row into all-NULLs and
+    # its non-matching source twin into a duplicate (r9 self-review
+    # find; exact ANSI MERGE semantics: NULL keys simply never match).
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
     j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
     delete = (matched & when_matched_delete) if when_matched_delete \
         is not None else F.lit(False)
     upd = when_matched_update or {}
@@ -437,11 +444,11 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
             inserted = F.col(f"t.{c}")   # unreachable: row filtered below
         out_cols.append(
             F.when(matched, updated)
-            .when(F.col(f"t.{key}").isNotNull(), F.col(f"t.{c}"))
+            .when(F.col("t.__t").isNotNull(), F.col(f"t.{c}"))
             .otherwise(inserted).alias(c))
     keep = ~delete
     if when_not_matched_insert is None:
-        keep = keep & F.col(f"t.{key}").isNotNull()
+        keep = keep & F.col("t.__t").isNotNull()
     return j.filter(keep).select(*out_cols)
 
 

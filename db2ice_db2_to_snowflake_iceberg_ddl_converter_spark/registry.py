@@ -448,8 +448,12 @@ def _streaming_queries():
                 .filter(F.col("snap") == F.col("last_snap"))
                 .select("event_type", "user_id", "mg_count"))
         e = _le(spark, sf_dir)
-        exact = e.groupBy("event_type", "user_id") \
-                 .agg(F.count(F.lit(1)).alias("c"))
+        # the sketch cannot count a NULL user (corrupted rows drop in
+        # the updater), so the guarantee census must not nominate one —
+        # the oracle's guar subquery filters identically
+        exact = (e.filter(F.col("user_id").isNotNull())
+                 .groupBy("event_type", "user_id")
+                 .agg(F.count(F.lit(1)).alias("c")))
         tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
         guar = (exact.join(F.broadcast(tot), "event_type")
                 .filter(F.col("c") * (k + 1) > F.col("n_events"))
@@ -574,8 +578,14 @@ ORACLE_STREAMING_USER_STATS = """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 """
 
+# n_seen mirrors the updater: it skips non-finite observations (NULL
+# value arrives as NaN after sanitize_events maps non-finite/absurd to
+# NULL) — the oracle must count the same finite universe (r9)
 ORACLE_STREAMING_P2 = """
-SELECT event_type, COUNT(*) AS n_seen, TRUE AS est_in_range
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)
+                        AND abs(value) < 1e15) AS n_seen,
+       TRUE AS est_in_range
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -590,7 +600,8 @@ WITH tot AS (
   SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type),
 guar AS (
   SELECT e.event_type, e.user_id, COUNT(*) AS c
-  FROM events e GROUP BY e.event_type, e.user_id)
+  FROM events e WHERE e.user_id IS NOT NULL
+  GROUP BY e.event_type, e.user_id)
 SELECT t.event_type, t.n_events,
        CAST(COALESCE(SUM(CASE WHEN g.c * 9 > t.n_events
                               THEN 1 ELSE 0 END), 0) AS BIGINT)

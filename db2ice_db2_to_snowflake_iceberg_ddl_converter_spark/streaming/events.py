@@ -54,9 +54,19 @@ def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
         fs = jpath.getFileSystem(
             spark.sparkContext._jsc.hadoopConfiguration())
         return bool(fs.getFileStatus(jpath).isDirectory())
-    except Exception:
+    except AttributeError:
+        # no JVM gateway (mocked session) — local filesystems only
         import os
         return os.path.isdir(path)
+    except Exception as exc:
+        # FileNotFound → not a directory (the glob branch handles the
+        # nonexistent-table case identically); any OTHER FS error must
+        # propagate — swallowing it would silently select the glob
+        # branch and stream ZERO rows from a directory-layout table, the
+        # exact failure class this helper exists to prevent.
+        if "FileNotFoundException" in str(type(exc)) + str(exc):
+            return False
+        raise
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -150,11 +160,17 @@ def sliding_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFram
 
 # DuckDB twins for the DRAINED (AvailableNow) streams: draining finalizes
 # every window, so the batch SQL over the same file is a fair oracle.
+# WHERE ts IS NOT NULL in all three window oracles: Spark's event-time
+# window operators plan an isnotnull(ts) filter (a row without event
+# time belongs to no window), while a bare SQL GROUP BY would keep a
+# NULL group — the oracle must follow the window semantics (r9
+# self-review find; NULL-ts rows are a corrupted-shard shape that
+# sanitize_events deliberately passes through).
 ORACLE_STREAMING_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 ORACLE_STREAMING_SLIDING = """
@@ -165,7 +181,7 @@ WITH hits AS (
            date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
            date_trunc('hour', ts - INTERVAL 45 MINUTE) + INTERVAL 45 MINUTE
          ]) AS win_start
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
          AS window_end,
@@ -206,7 +222,7 @@ WITH marked AS (
                    > INTERVAL 30 MINUTE OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 sessions AS (
   SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
@@ -436,13 +452,24 @@ def supports_transform_with_state() -> bool:
     protobuf; without a working ``google.protobuf`` the streaming Python
     runner crashes at init (measured in this container:
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError
-    'descriptor'). Capability-gate callers the same way the Iceberg write
-    path gates on the runtime jar."""
+    'descriptor'). It ALSO requires the RocksDB state store provider —
+    under the default HDFS-backed provider the query fails at start
+    (STATE_STORE_INVALID_PROVIDER), so a protobuf-equipped runtime with
+    the default provider must take the applyInPandasWithState fallback,
+    not crash (r9 self-review find). Capability-gate callers the same
+    way the Iceberg write path gates on the runtime jar."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-        return True
     except ImportError:
         return False
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+    return "RocksDB" in (provider or "")
 
 
 def user_running_stats_v2(events: DataFrame,
@@ -566,6 +593,12 @@ def upsert_latest_state(spark: SparkSession, source_stream: DataFrame,
     cols = [f.name for f in STATE_SCHEMA.fields]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # A keyed state table cannot carry a NULL key: the MERGE's key
+        # equality never matches NULL, so each batch would INSERT a
+        # fresh NULL row instead of upserting (r9 self-review find).
+        # Corrupted NULL-key rows drop at the sink — the oracle filters
+        # identically.
+        batch_df = batch_df.filter(F.col("user_id").isNotNull())
         latest = (batch_df.groupBy("user_id")
                   .agg(F.max_by(F.struct("ts", "event_id", "event_type",
                                          "value"),
@@ -576,10 +609,19 @@ def upsert_latest_state(spark: SparkSession, source_stream: DataFrame,
                           F.col("c.event_type").alias("last_type"),
                           F.col("c.value").alias("last_value")))
         cur = spark.read.schema(STATE_SCHEMA).parquet(target_dir)
+        # NULL-safe total order, NULL ts = "unknown, oldest" — mirrors
+        # the oracle's ORDER BY ts DESC (DuckDB NULLS LAST) and max_by's
+        # struct comparison (NULL field smallest). The naive s.ts > t.ts
+        # guard is NULL-poisoned: a key whose FIRST event carried a NULL
+        # ts would block every later real event forever (r9 self-review
+        # find).
+        s_ts, t_ts = F.col("s.last_ts"), F.col("t.last_ts")
+        s_id, t_id = F.col("s.last_event_id"), F.col("t.last_event_id")
         newer = (
-            (F.col("s.last_ts") > F.col("t.last_ts"))
-            | ((F.col("s.last_ts") == F.col("t.last_ts"))
-               & (F.col("s.last_event_id") > F.col("t.last_event_id"))))
+            F.when(s_ts.isNotNull() & t_ts.isNull(), F.lit(True))
+            .when(s_ts.isNull() & t_ts.isNotNull(), F.lit(False))
+            .when(s_ts.isNull() & t_ts.isNull(), s_id > t_id)
+            .otherwise((s_ts > t_ts) | ((s_ts == t_ts) & (s_id > t_id))))
         merged = merge_into(
             cur, latest, key="user_id",
             when_matched_update={
@@ -628,7 +670,7 @@ SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ) WHERE rn = 1
 ORDER BY user_id
 """
@@ -666,6 +708,14 @@ def cusum_drift_alerts(events: DataFrame, k_slack: float = 0.25,
                if frames else None)
         if pdf is not None:
             for x in pdf["value"].astype(float):
+                # NULL value arrives as NaN (sanitize_events maps
+                # non-finite to NULL; aggregates skip NULL). Without the
+                # skip a single NaN poisons the Welford mean/m2 forever
+                # and SILENTLY disables drift detection for the key —
+                # worse than the crash class (r9 self-review find; same
+                # contract as the P² updater below).
+                if x != x:
+                    continue
                 if n >= warmup and m2 > 0:
                     std = (m2 / n) ** 0.5
                     z = (x - mean) / std
@@ -735,7 +785,11 @@ def heavy_hitter_users(events: DataFrame, k: int = 8,
         frames = [pdf for pdf in pdf_iter]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
-            for u in pdf["user_id"].astype(int):
+            # NULL user_id arrives as NaN (Arrow → float64 column) and
+            # .astype(int) would ABORT the whole stream; an unknown user
+            # cannot be counted, so corrupted rows drop here (r9
+            # self-review find)
+            for u in pdf["user_id"].dropna().astype(int):
                 if u in counters:
                     counters[u] += 1
                 elif len(counters) < k:

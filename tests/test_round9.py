@@ -1437,3 +1437,101 @@ class TestIterativeLoopsReliablePin:
             orows = sorted((tuple(str(x) for x in r)
                             for r in con.execute(osql).fetchall()))
             assert srows == orows, fn.__name__
+
+
+class TestStreamingNullContract:
+    """r9 self-review finds over streaming/events.py: NULL/NaN payloads
+    must behave like aggregate-skipped NULLs (transparent), never poison
+    state, never crash the stream, and never wedge a keyed MERGE."""
+
+    @pytest.fixture(scope="class")
+    def nullev_dir(self, spark, sf_dir, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sf_nullev"))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (ev.withColumn("ts", F.when(F.col("event_id") % 11 == 0,
+                                    F.lit(None).cast("timestamp"))
+            .otherwise(F.col("ts")))
+           .withColumn("user_id", F.when(F.col("event_id") % 13 == 0,
+                                         F.lit(None).cast("bigint"))
+            .otherwise(F.col("user_id")))
+           .withColumn("value", F.when(F.col("event_id") % 7 == 0,
+                                       F.lit(None).cast("double"))
+            .otherwise(F.col("value")))
+           .coalesce(2).write.mode("overwrite")
+           .parquet(f"{base}/events.parquet"))
+        return base
+
+    def test_cusum_state_survives_nan(self, spark, sf_dir, nullev_dir):
+        """One NaN observation used to set the Welford mean/m2 to NaN
+        forever — silently disabling drift detection. NaN rows must be
+        transparent: alarms on the mixed feed equal alarms on the
+        finite-only feed."""
+        from __spark_entry__ import queries
+
+        got = {tuple(r) for r in
+               queries()["streaming_cusum_alerts"](spark, nullev_dir)
+               .collect()}
+        assert got  # per-type census rows present
+        for r in got:
+            assert r[2] and r[3]   # ordinals_valid, stats_exceed_h
+
+    def test_heavy_hitters_null_user(self, spark, nullev_dir):
+        """NULL user_id arrives as NaN; .astype(int) used to abort the
+        whole stream. Unknown users drop; the guarantee census must
+        nominate only countable (non-NULL) users."""
+        from __spark_entry__ import queries
+
+        rows = queries()["streaming_heavy_hitters"](spark, nullev_dir) \
+            .collect()
+        assert rows
+        assert all(r.all_guaranteed_present and r.est_le_exact
+                   and r.undercount_in_bound for r in rows)
+
+    def test_upsert_null_ts_never_blocks(self, spark, tmp_path):
+        """A key whose FIRST event has NULL ts must be upgraded by a
+        later real-ts event (NULL ts = oldest, the oracle's NULLS LAST
+        under ts DESC); the naive s.ts > t.ts guard kept the NULL row
+        forever. NULL-key rows drop (a keyed MERGE can never dedup
+        them)."""
+        import datetime
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import (
+            events as ev,
+        )
+
+        base = str(tmp_path / "upsertfx")
+        real_ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+        rows = [
+            (1, None, 7, "a", 1.0, ""),          # batch order: NULL ts first
+            (2, real_ts, 7, "b", 2.0, ""),
+            (3, real_ts, None, "c", 3.0, ""),    # NULL key -> dropped
+        ]
+        df = spark.createDataFrame(rows, schema=ev.EVENT_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/events.parquet")
+        from __spark_entry__ import queries
+
+        out = {r.user_id: (r.last_ts, r.last_event_id)
+               for r in queries()["streaming_cdc_upsert"](spark, base)
+               .collect()}
+        assert set(out) == {7}
+        assert out[7][1] == 2      # the real-ts event won
+
+    def test_merge_into_null_keys(self, spark):
+        """ANSI MERGE semantics for NULL keys: a NULL-key target row
+        survives as-is (it used to degrade to all-NULLs), a NULL-key
+        source row INSERTs, and they never match each other."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.cdc import (
+            merge_into,
+        )
+
+        tgt = spark.createDataFrame(
+            [(1, "t1"), (None, "tnull")], "k int, v string")
+        src = spark.createDataFrame(
+            [(1, "s1"), (None, "snull")], "k int, v string")
+        out = {(r.k, r.v) for r in merge_into(
+            tgt, src, key="k",
+            when_matched_update={"v": F.col("s.v")},
+            when_not_matched_insert={"k": F.col("s.k"),
+                                     "v": F.col("s.v")}).collect()}
+        assert out == {(1, "s1"), (None, "tnull"), (None, "snull")}
