@@ -224,6 +224,21 @@ def sanitize_events(df: DataFrame) -> DataFrame:
     return df.filter(ok_ts).withColumn("value", clean_v)
 
 
+def normalize_event_ts(df: DataFrame, stored_ts) -> DataFrame:
+    """The ONE physical-ts decode rule (shared by the batch loader and
+    the streaming reader — r9 self-review: the two copies could silently
+    diverge): TIMESTAMP(NANOS) arrives as long under the legacy flag and
+    is rebuilt via exact integer ns→µs division; TIMESTAMP(MICROS)
+    arrives as TIMESTAMP_NTZ and is cast (UTC session → identical wall
+    clock)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(stored_ts, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize the fixture's event-time column to a session-zoned (UTC)
     TIMESTAMP regardless of how the parquet stores it: TIMESTAMP(NANOS)
@@ -231,15 +246,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns→µs division; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is cast
     (UTC session → identical wall clock). Downstream operators see one
     type, already passed through :func:`sanitize_events`."""
-    from pyspark.sql.types import LongType
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return sanitize_events(raw)
+    return sanitize_events(
+        normalize_event_ts(raw, raw.schema["ts"].dataType))
 
 
 # ---------------------------------------------------------------------------

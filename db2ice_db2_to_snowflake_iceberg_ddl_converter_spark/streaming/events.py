@@ -80,6 +80,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     ns→µs division; TIMESTAMP(MICROS) fixtures arrive as TIMESTAMP_NTZ and
     are cast (UTC session → identical wall clock). Either way downstream
     sees the session-zoned TIMESTAMP of ``EVENT_SCHEMA``."""
+    from ..operators.relational import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stored_ts = (spark.read.parquet(f"{sf_dir}/events.parquet")
                  .schema["ts"].dataType)
@@ -107,12 +109,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(src_dir)
-    if isinstance(stored_ts, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = normalize_event_ts(reader.parquet(src_dir), stored_ts)
     # same corrupted-shard contract as the batch loader (pure filter +
     # projection — streaming-safe): poisoned values/timestamps must not
     # abort the decimal protocol or blow up watermarked window state
@@ -237,18 +234,11 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
-def purchase_click_interval_join(events: DataFrame,
-                                 watermark: str = "10 minutes",
-                                 lookback: str = "30 minutes") -> DataFrame:
-    """Stream-stream inner join: each purchase matched to the same user's
-    clicks in the preceding ``lookback`` window.
-
-    The hardest streaming op to get right at scale: BOTH sides buffer
-    state, and only the pair of watermarks plus the time-interval condition
-    lets Spark evict it — an unbounded-time equi-join would grow state
-    forever. The interval condition (click ≤ purchase < click+lookback)
-    gives the state store the eviction bound.
-    """
+def _purchase_click_join(events: DataFrame, watermark: str,
+                         lookback: str, how: str) -> DataFrame:
+    """Shared body of the purchase←clicks interval joins — one place for
+    the projections, watermarks, and 3-term interval condition so the
+    inner and leftOuter variants can never drift (r9 self-review)."""
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .select(F.col("user_id").alias("p_user"),
                          F.col("event_id").alias("purchase_id"),
@@ -263,9 +253,24 @@ def purchase_click_interval_join(events: DataFrame,
             & (F.col("c_ts") <= F.col("p_ts"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr(
                 f"INTERVAL {lookback}")))
-    return (purchases.join(clicks, cond)
+    return (purchases.join(clicks, cond, how)
             .select("purchase_id", "click_id",
                     F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
+
+
+def purchase_click_interval_join(events: DataFrame,
+                                 watermark: str = "10 minutes",
+                                 lookback: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``lookback`` window.
+
+    The hardest streaming op to get right at scale: BOTH sides buffer
+    state, and only the pair of watermarks plus the time-interval condition
+    lets Spark evict it — an unbounded-time equi-join would grow state
+    forever. The interval condition (click ≤ purchase < click+lookback)
+    gives the state store the eviction bound.
+    """
+    return _purchase_click_join(events, watermark, lookback, "inner")
 
 
 def purchase_click_left_join(events: DataFrame,
@@ -289,23 +294,7 @@ def purchase_click_left_join(events: DataFrame,
     rows ⊆ the batch anti join, and completeness for purchases older
     than the final-watermark horizon.
     """
-    purchases = (events.filter(F.col("event_type") == "purchase")
-                 .select(F.col("user_id").alias("p_user"),
-                         F.col("event_id").alias("purchase_id"),
-                         F.col("ts").alias("p_ts"))
-                 .withWatermark("p_ts", watermark))
-    clicks = (events.filter(F.col("event_type") == "click")
-              .select(F.col("user_id").alias("c_user"),
-                      F.col("event_id").alias("click_id"),
-                      F.col("ts").alias("c_ts"))
-              .withWatermark("c_ts", watermark))
-    cond = ((F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr(
-                f"INTERVAL {lookback}")))
-    return (purchases.join(clicks, cond, "leftOuter")
-            .select("purchase_id", "click_id",
-                    F.col("p_user").alias("user_id"), "p_ts", "c_ts"))
+    return _purchase_click_join(events, watermark, lookback, "leftOuter")
 
 
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
