@@ -804,7 +804,13 @@ SELECT p_brand, p_partkey, price_rank, price_dense_rank FROM (
 def window_lag_lead(spark, sf_dir):
     """lag/lead over event time per user — microsecond-exact gaps."""
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: Spark orders NULLs FIRST by default, DuckDB LAST —
+    # on a corrupted shard with NULL event-times the sequence positions
+    # (hence every lag/lead value) diverge between the engines unless
+    # the order is pinned explicitly (r9 corrupted-events sweep; the
+    # NULL-ordering alignment recipe for the sequence entries)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
     return (e.select("user_id", "event_id",
                      (F.unix_micros("ts")
                       - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
@@ -825,7 +831,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def window_running_sum(spark, sf_dir):
     """Cumulative per-user value: frame-ordered decimal sum (exact)."""
     e = load_events(spark, sf_dir)
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: see window_lag_lead (NULL-ordering alignment)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (e.filter(F.col("user_id") < 5)
             .select("user_id", "event_id",
