@@ -392,8 +392,8 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
     w_first = Window.partitionBy("user_id", "event_type") \
-        .orderBy("ts", "event_id")
-    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
+    w_run = (Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (e.select(
         "user_id", "event_id", "ts",

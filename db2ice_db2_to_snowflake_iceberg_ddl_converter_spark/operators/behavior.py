@@ -134,7 +134,7 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str,
     doubles are bitwise portable.
     """
     e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     return (e.select(
         "event_id", "user_id",
@@ -167,7 +167,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer ratio (portable double division).
     """
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     pairs = (e.select("user_id", "ts", "event_id", "event_type",
                       F.lag("event_type").over(w).alias("prev_type"))
              .filter(F.col("prev_type").isNotNull()))
@@ -355,7 +355,7 @@ def events_trigram_journeys(spark: SparkSession, sf_dir: str,
     TakeOrderedAndProject for the top-k — no global sort.
     """
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     tri = (e.select(
         "user_id",
         F.col("event_type").alias("step1"),
@@ -473,7 +473,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
     # state: keep it out of the chain — a mixed NULL/str state set would
     # also crash the driver-side sorted() below (degenerate contract)
     e = load_events(spark, sf_dir).filter(F.col("event_type").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     trans = (e.select("user_id", F.col("event_type").alias("src"),
                       F.lead("event_type").over(w).alias("dst"))
              .filter(F.col("dst").isNotNull())
@@ -600,7 +600,7 @@ def events_error_conversion(spark: SparkSession, sf_dir: str
     from .relational import load_events
 
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(w)

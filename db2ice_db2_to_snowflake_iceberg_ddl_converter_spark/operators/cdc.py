@@ -352,11 +352,11 @@ def scd2_history_from_events(spark, sf_dir) -> DataFrame:
 
     e = load_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     changes = (e.withColumn("prev_type", F.lag("event_type").over(w))
                .filter(F.col("prev_type").isNull()
                        | (F.col("prev_type") != F.col("event_type"))))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     hist = changes.withColumn("valid_to_ts", F.lead("ts").over(w2))
     return (hist.select(
         "user_id", F.col("event_type").alias("state"),

@@ -565,7 +565,7 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     l1, l2, l3, l4 = (F.lag("value", i).over(w) for i in (1, 2, 3, 4))
     is_v = (l4.isNotNull()
             & (l3 < l4) & (l2 < l3)          # two falling steps
@@ -941,7 +941,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer output.
     """
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros("ts")
     gap_us = us - F.lag(us).over(w)

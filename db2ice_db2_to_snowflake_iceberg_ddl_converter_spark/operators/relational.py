@@ -1136,7 +1136,7 @@ def events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap → session ids per user
     (lag + cumulative flag sum), then per-user session stats."""
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1) \
