@@ -245,13 +245,20 @@ class _SessionizePtf:
     def eval(self, row):  # noqa: D102 — contract documented above
         self.uid = row["user_id"]
         us = row["us"]
-        if self.prev is None or us - self.prev > self.GAP_US:
+        # NULL gap (first row, corrupted NULL ts on either side) opens a
+        # session — the oracle's CASE WHEN gap IS NULL rule. Every NULL-
+        # ts row therefore contributes one session regardless of sort
+        # position, so Spark's NULLS FIRST routing and DuckDB's NULLS
+        # LAST window agree on the per-user count (r10).
+        if self.prev is None or us is None or us - self.prev > self.GAP_US:
             self.sessions += 1
         self.prev = us
         self.events += 1
 
     def terminate(self):  # noqa: D102
-        if self.uid is not None:
+        # emit iff any row was routed here — the NULL-user partition is
+        # a real partition (uid None) and must not be swallowed (r10)
+        if self.events:
             yield self.uid, self.sessions, self.events
 
 

@@ -1180,9 +1180,12 @@ def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import grouped_ranks
 
     e = load_events(spark, sf_dir)
+    # asc_nulls_last: corrupted NULL values must rank AFTER every real
+    # value (DuckDB's ROW_NUMBER default) or the percentile cut indices
+    # shift engine-to-engine; inert on NULL-free data (r10)
     rk = grouped_ranks(e.select("event_type", "value", "event_id"),
                        ["event_type"],
-                       [F.asc("value"), F.asc("event_id")],
+                       [F.asc_nulls_last("value"), F.asc("event_id")],
                        rank_col="rk")
     counts = rk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ranked = rk.join(F.broadcast(counts), "event_type")
@@ -1197,10 +1200,13 @@ def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.join(F.broadcast(cuts), "event_type")
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum((F.col("value") < F.col("p01")).cast("int"))
-                 .alias("n_clipped_lo"),
-                 F.sum((F.col("value") > F.col("p99")).cast("int"))
-                 .alias("n_clipped_hi"),
+                 # when/otherwise, not boolean cast: a NULL cut (all-NULL
+                 # tail) or NULL value must count 0 like the oracle's
+                 # CASE ... ELSE 0, never sum NULLs to NULL (r10)
+                 F.sum(F.when(F.col("value") < F.col("p01"), 1)
+                       .otherwise(0)).alias("n_clipped_lo"),
+                 F.sum(F.when(F.col("value") > F.col("p99"), 1)
+                       .otherwise(0)).alias("n_clipped_hi"),
                  F.first("p01").alias("p01"),
                  F.first("p99").alias("p99"),
                  F.sum(clipped.cast(DEC)).cast("double")
@@ -1321,7 +1327,10 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (e.select("user_id",
                      F.date_trunc("day", "ts").cast("date").alias("day"))
             .distinct())
-    w = Window.partitionBy("user_id").orderBy("day")
+    # asc_nulls_last pins the NULL-day (corrupted NULL ts) group to sort
+    # after every real day like DuckDB, so its status is 'resurrected'
+    # (seen before, no adjacent previous day) on both engines (r10)
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("day"))
     tagged = days.withColumn("prev_day", F.lag("day").over(w))
     status = (F.when(F.col("prev_day").isNull(), "new")
               .when(F.date_add("prev_day", 1) == F.col("day"), "retained")

@@ -395,7 +395,12 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
     from .relational import load_events
 
     e = load_events(spark, sf_dir)
-    tagged = (e.filter(F.col("event_type").isin("click", "purchase"))
+    # a corrupted NULL user_id is not a set member: xxhash64(NULL) is a
+    # REAL hash (the seed), which would smuggle one phantom member into
+    # BOTH sketches while the exact set algebra (null-unsafe joins)
+    # drops it — filter identity-less rows before ingest (r10)
+    tagged = (e.filter(F.col("event_type").isin("click", "purchase")
+                       & F.col("user_id").isNotNull())
               .select(F.col("event_type").alias("tag"),
                       F.xxhash64("user_id").alias("h"),
                       "user_id")
@@ -430,10 +435,12 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = 256,
               .crossJoin(F.broadcast(theta))
               .filter(u < F.col("theta"))
               .agg(F.count(F.lit(1)).alias("n_common")))
-    # exact baselines
-    au = e.filter(F.col("event_type") == "click") \
+    # exact baselines (same NULL-member rule as the sketch ingest)
+    au = e.filter((F.col("event_type") == "click")
+                  & F.col("user_id").isNotNull()) \
           .select("user_id").distinct()
-    bu = e.filter(F.col("event_type") == "purchase") \
+    bu = e.filter((F.col("event_type") == "purchase")
+                  & F.col("user_id").isNotNull()) \
           .select("user_id").distinct()
     exact = (au.unionAll(bu).distinct().agg(
         F.count(F.lit(1)).alias("exact_union"))
@@ -592,9 +599,11 @@ def kmv_set_ops_checked(spark: SparkSession, sf_dir: str, k: int = 256,
 
 ORACLE_KMV_SET_OPS_CHECKED = """
 WITH a AS (
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL
 ), b AS (
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
 )
 SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM a
                               UNION SELECT user_id FROM b))

@@ -56,9 +56,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
     # right rows (side=0) sort before left rows at equal timestamps, so an
-    # exactly-simultaneous right row is visible to the left row ("<=")
-    order = [F.col(on), F.col("__side")] + \
-        [F.col(f"{c}{suffix}") for c in (tiebreak or [])]
+    # exactly-simultaneous right row is visible to the left row ("<=").
+    # asc_nulls_last on EVERY order key pins the cross-engine total order
+    # (Spark defaults NULLS FIRST, DuckDB NULLS LAST): corrupted NULL-ts
+    # rows sort after all real rows on both engines, so a NULL-ts left
+    # row carries the same right row everywhere; inert on NULL-free data
+    # (r10, ADVICE item closed).
+    order = [F.asc_nulls_last(on), F.col("__side")] + \
+        [F.asc_nulls_last(f"{c}{suffix}") for c in (tiebreak or [])]
     w = (Window.partitionBy(by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     row_struct = F.when(

@@ -287,7 +287,12 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard denominator via a broadcast join.
     """
     e = load_events(spark, sf_dir)
-    membership = e.select("event_type", "user_id").distinct()
+    # a corrupted NULL user_id is not an audience member: groupBy would
+    # otherwise unify every NULL into one phantom user that generates
+    # pairs while SQL's null-unsafe self-join drops them — filter on
+    # BOTH engines so membership means an identified user (r10)
+    membership = (e.filter(F.col("user_id").isNotNull())
+                  .select("event_type", "user_id").distinct())
     sizes = (membership.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("seg_size")))
     per_user = (membership.groupBy("user_id")
@@ -317,6 +322,7 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_AUDIENCE_OVERLAP = """
 WITH membership AS (
   SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
 ), sizes AS (
   SELECT event_type, COUNT(*) AS seg_size FROM membership
   GROUP BY event_type

@@ -657,6 +657,10 @@ def _collapsed_component_labels(spark, sf_dir,
     pairs = _jaccard_pair_graph(reps, threshold).select("id1", "id2")
     labels = connected_components(reps.select("doc_id"), pairs,
                                   node_col="doc_id")
+    # connected_components is EAGER (fixpoint agg per round), so reps has
+    # no remaining consumer once it returns — release its blocks now
+    # instead of leaking them for the session lifetime (r10, ADVICE).
+    reps.unpersist()
     expanded = (member.select("doc_id", "rep_id")
                 .join(labels.select(F.col("node").alias("rep_id"),
                                     "label"), "rep_id"))
@@ -666,10 +670,17 @@ def _collapsed_component_labels(spark, sf_dir,
     # (own doc_id as label) and the naive oracles seed reach from the
     # full documents table — left-join them back (r9 self-review find).
     full = ld(spark, sf_dir, "documents").select("doc_id")
-    return (full.join(expanded, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
-                    F.coalesce("label", F.col("doc_id")).alias("label")))
+    out = (full.join(expanded, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+                   F.coalesce("label", F.col("doc_id")).alias("label")))
+    # Eager pin (3-int-wide, corpus-sized) lets member's cache be
+    # released HERE rather than leaking until session end — persist
+    # without unpersist is CacheManager-pinned forever; pinned blocks
+    # are GC-scoped to the returned frame (r10, ADVICE item closed).
+    out = pin(out)
+    member.unpersist()
+    return out
 
 
 def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
@@ -1091,20 +1102,30 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     members = (paired.groupBy("source")
                .agg(F.sum("c").alias("n_neardup_docs")))
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (base
-            .join(members, "source", "left")
-            .join(within, "source", "left")
-            .join(cross, "source", "left")
-            .select("source", "n_docs",
-                    F.coalesce("n_neardup_docs", F.lit(0))
-                    .alias("n_neardup_docs"),
-                    (F.coalesce("n_neardup_docs", F.lit(0)).cast("double")
-                     / F.col("n_docs")).alias("neardup_rate"),
-                    F.coalesce("n_pairs_within", F.lit(0))
-                    .alias("n_pairs_within"),
-                    F.coalesce("n_pairs_cross", F.lit(0))
-                    .alias("n_pairs_cross"))
-            .orderBy("source"))
+    out = (base
+           .join(members, "source", "left")
+           .join(within, "source", "left")
+           .join(cross, "source", "left")
+           .select("source", "n_docs",
+                   F.coalesce("n_neardup_docs", F.lit(0))
+                   .alias("n_neardup_docs"),
+                   (F.coalesce("n_neardup_docs", F.lit(0)).cast("double")
+                    / F.col("n_docs")).alias("neardup_rate"),
+                   F.coalesce("n_pairs_within", F.lit(0))
+                   .alias("n_pairs_within"),
+                   F.coalesce("n_pairs_cross", F.lit(0))
+                   .alias("n_pairs_cross"))
+           .orderBy("source"))
+    # Eager pin of the sources-sized report, then release the three
+    # DISK_ONLY intermediates: persist without unpersist leaks disk
+    # blocks for the session lifetime (CacheManager holds the plan until
+    # unpersist), while the pin's blocks are GC-scoped to the returned
+    # frame (r10, ADVICE item closed).
+    out = pin(out)
+    member.unpersist()
+    c.unpersist()
+    p.unpersist()
+    return out
 
 
 ORACLE_NEARDUP_REPORT = """

@@ -110,7 +110,11 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = rk.select("event_type", (F.col("rn") - 1).alias("rn"),
                     F.col("us").alias("next_us"))
     spans = (rk.join(nxt, ["event_type", "rn"])
-             .withColumn("dur_us", F.col("next_us") - F.col("us")))
+             .withColumn("dur_us", F.col("next_us") - F.col("us"))
+             # a span with a NULL endpoint (corrupted NULL ts on either
+             # side) carries no time weight — drop it like the oracle's
+             # WHERE dur_us IS NOT NULL; inert on NULL-free data (r10)
+             .filter(F.col("dur_us").isNotNull()))
     weighted = F.col("value") * F.col("dur_us").cast("double")
     return (spans.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_spans"),
@@ -157,7 +161,13 @@ def _user_islands(point_events: DataFrame, hold_us: int) -> DataFrame:
     base = (point_events
             .select("user_id", "event_id", F.unix_micros("ts").alias("st"))
             .withColumn("en", F.col("st") + F.lit(hold_us)))
-    w = Window.partitionBy("user_id").orderBy("st", "event_id")
+    # asc_nulls_last pins the cross-engine NULL ordering (Spark defaults
+    # NULLS FIRST, DuckDB NULLS LAST): corrupted NULL-ts rows sort after
+    # every real interval and fold into the user's last island on both
+    # engines instead of each opening a phantom island (r10). Inert on
+    # NULL-free data by construction.
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("st"),
+                                              "event_id")
     prev_max_end = F.max("en").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = base.withColumn(
@@ -813,7 +823,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("us").alias("prev_us"))
     gaps = (rk.join(prv, ["event_type", "rn"])
             .select("event_type",
-                    F.expr("(us - prev_us) div 1000000").alias("gap_s")))
+                    F.expr("(us - prev_us) div 1000000").alias("gap_s"))
+            # a gap against a corrupted NULL-ts endpoint is no gap —
+            # match the oracle's WHERE gap_s IS NOT NULL (the surviving
+            # real-pair set is order-insensitive); inert on clean data
+            .filter(F.col("gap_s").isNotNull()))
     agg = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum("gap_s").alias("s1"),

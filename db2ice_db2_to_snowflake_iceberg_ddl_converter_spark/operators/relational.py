@@ -1310,10 +1310,15 @@ def scalar_xml_fns(spark, sf_dir):
     The JSON extraction is coalesced to '' so a row whose props lacks
     ``$.k`` degrades to an empty ``<k/>`` element (xpath_int → 0, the
     oracle mirrors with COALESCE) instead of nulling the whole concat —
-    and with it t and u — for that row."""
+    and with it t and u — for that row. The user_id gets the same
+    treatment (r10, corrupted-events contract): XML has no NULL scalar,
+    so a corrupted NULL user serializes as an empty ``<u/>`` and reads
+    back as 0 via xpath_long — one corrupted field must never erase the
+    row's other extractions."""
     e = load_events(spark, sf_dir).filter(F.col("event_id") < 1500)
     xml = F.concat(F.lit("<e><t>"), F.col("event_type"),
-                   F.lit("</t><u>"), F.col("user_id").cast("string"),
+                   F.lit("</t><u>"),
+                   F.coalesce(F.col("user_id").cast("string"), F.lit("")),
                    F.lit("</u><k>"),
                    F.coalesce(F.get_json_object("props", "$.k"),
                               F.lit("")),
@@ -1327,7 +1332,7 @@ def scalar_xml_fns(spark, sf_dir):
 
 
 ORACLE_SCALAR_XML = """
-SELECT event_id, event_type AS t, user_id AS u,
+SELECT event_id, event_type AS t, COALESCE(user_id, 0) AS u,
        COALESCE(CAST(json_extract(props, '$.k') AS INT), 0) AS k
 FROM events WHERE event_id < 1500 ORDER BY event_id
 """

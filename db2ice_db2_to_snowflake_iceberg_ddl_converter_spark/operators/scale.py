@@ -131,9 +131,11 @@ def pin_boundaries(df: DataFrame) -> DataFrame:
         # after the eager materialization job — 2× every pinned stage
         # (and per ROUND in the iterative loops that route here). The
         # transient persist lets the write read the just-computed
-        # blocks. Checkpoint files accumulate per pin; long-lived
-        # cluster apps should set
-        # spark.cleaner.referenceTracking.cleanCheckpoints=true.
+        # blocks. Checkpoint-file accumulation is handled by the
+        # session factory: get_spark sets
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true, so the
+        # ContextCleaner deletes a pin's files once its RDD is GC'd
+        # (pinned by tests/test_round10.py::TestCheckpointHygiene).
         df = df.persist()
         try:
             return df.checkpoint(eager=True)

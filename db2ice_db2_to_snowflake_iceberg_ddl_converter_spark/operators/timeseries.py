@@ -163,8 +163,17 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.col("value").cast(DEC)).alias("s")))
 
+    # NULL-ts events fail BOTH cutoff predicates (3VL) — route them to
+    # the delta side explicitly so merge(base, delta) still covers every
+    # input row and the NULL hour bucket survives, exactly like the
+    # full-recompute oracle's GROUP BY (corrupted-events contract, r10).
     base = _rollup(tagged.filter(F.col("ts") < F.col("cutoff")))
-    delta = _rollup(tagged.filter(F.col("ts") >= F.col("cutoff")))
+    delta = _rollup(tagged.filter((F.col("ts") >= F.col("cutoff"))
+                                  | F.col("ts").isNull()))
+    # SUM over an all-NULL group is NULL on both engines — keep it NULL
+    # through the merge instead of coalescing the pair to 0.
+    msum = (F.coalesce(F.col("bs"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col("ds"), F.lit(0).cast(DEC)))
     merged = (base.withColumnsRenamed({"n": "bn", "s": "bs"})
               .join(delta.withColumnsRenamed({"n": "dn", "s": "ds"}),
                     ["event_type", "hour_start"], "full_outer")
@@ -172,9 +181,9 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "event_type", "hour_start",
                   (F.coalesce("bn", F.lit(0))
                    + F.coalesce("dn", F.lit(0))).alias("n_events"),
-                  (F.coalesce(F.col("bs"), F.lit(0).cast(DEC))
-                   + F.coalesce(F.col("ds"), F.lit(0).cast(DEC)))
-                  .cast("double").alias("total_value")))
+                  F.when(F.col("bs").isNull() & F.col("ds").isNull(),
+                         F.lit(None).cast(DEC))
+                  .otherwise(msum).cast("double").alias("total_value")))
     return (merged.select("event_type",
                           _fmt_ts("hour_start").alias("hour_start"),
                           "n_events", "total_value")
@@ -224,6 +233,12 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agree bit-for-bit.
     okey = ((F.unix_micros("ts") % 86400000000).cast("decimal(38,0)")
             * F.lit(1000000000000) + F.col("event_id"))
+    # NULL observations are not observations (corrupted-events contract,
+    # r10): masking the ordering key makes max_by skip NULL-value rows —
+    # the exact semantics of DuckDB's arg_max, which ignores NULL-arg
+    # rows. A day whose events all carry NULL stays on the grid with
+    # day_value NULL (observed = false, value carried).
+    okey = F.when(F.col("value").isNotNull(), okey)
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
              .agg(F.max_by("value", okey).alias("day_value")))
     spans = (daily.groupBy("user_id")
@@ -306,6 +321,8 @@ def events_linear_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids; the widened key is collision-free to 10^12).
     okey = ((F.unix_micros("ts") % 86400000000).cast("decimal(38,0)")
             * F.lit(1000000000000) + F.col("event_id"))
+    # NULL observations are not observations — see events_locf_daily.
+    okey = F.when(F.col("value").isNotNull(), okey)
     daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
              .agg(F.max_by("value", okey).alias("day_value")))
     spans = (daily.groupBy("user_id")

@@ -974,6 +974,36 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``_window_r10()`` as (1) any red r9 entry (fix first), (2) new
     round-10 entries, (3) that due list. Same verification command
     before committing.
+
+    ROUND-10 ROTATION (executes the plan above, per the r9 verdict): no
+    r9 entry came back red (CORRECTNESS_r09: 50/50 hash-matches — the
+    first fully green window), so ``_window_r10()`` is (1) every new
+    round-10 entry (``_ROUND10_NEW`` — zero debuts, third consecutive
+    debut-freeze round), then (2) the recorded due list
+    ``_CANARIES_R10`` filling to exactly 50. ``_CANARIES_R10`` is built
+    BY CONSTRUCTION as ``_CANARIES_R09[50 − len(_ROUND9_NEW):]`` (with
+    len(_ROUND9_NEW)=0 that is the 41 r04-checked entries the r9 fill
+    could not reach, = ``_R04_CHECKED[9:]``), then ONE plan correction
+    found at build time — ``approx_quantiles``, whose most recent
+    driver row is the r02 ``err: no_oracle`` marker (parked past the
+    cap since; oracle-backed since r9 but never re-windowed), is the
+    single oldest entry and slots before the restart — then
+    ``_R05_CHECKED`` (the 50 entries last driver-checked in round 5, in
+    their exact CORRECTNESS_r05.json order; verified this round that
+    none of the 50 was re-checked in any r06–r09 window). Arithmetic:
+    0 debuts + 41 due-tail + approx_quantiles + _R05_CHECKED[:8] = 50;
+    the due tail (42 + len(_ROUND10_NEW) entries: _R05_CHECKED[8:] =
+    42 r05-checked) stays due for round 11.
+
+    ROUND-11 ROTATION PLAN: the fill above reaches only
+    approx_quantiles + the first (9 − len(_ROUND10_NEW)) entries of
+    ``_R05_CHECKED``; the remaining (42 + len(_ROUND10_NEW))
+    r05-checked entries stay due and are first in line for round 11 in
+    list order, followed by the entries last driver-checked in round 6
+    (the ``CORRECTNESS_r06.json`` window, oldest-first, minus any
+    re-checked in r07–r10), filling to 50. Build ``_window_r11()`` as
+    (1) any red r10 entry (fix first), (2) new round-11 entries, (3)
+    that due list. Same verification command before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -1224,9 +1254,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_round6_queries())
     # ---- NEW round-7 entries ----
     q.update(_round7_queries())
-    # ---- ROUND-9 REORDER: window first, everything else keeps its
+    # ---- ROUND-10 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    window = _window_r09()
+    window = _window_r10()
     missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
     in_window = set(window)
@@ -1304,6 +1334,28 @@ def _window_r09() -> list:
     assert fill >= 0, "round-9 additions overflow the 50-slot window"
     return [*window, *_CANARIES_R09[:fill]]
 
+
+def _window_r10() -> list:
+    """The round-10 driver window (first 50 ``queries()`` keys),
+    executing the rotation plan recorded in the r9 verdict: no r9 entry
+    came back red (CORRECTNESS_r09: 50/50 hash-matches, the first fully
+    green window), so the window is (1) every new round-10 entry
+    (``_ROUND10_NEW`` — zero debuts again by design; the round's work is
+    the corrupted-events NULL-semantics closure on EXISTING keys), then
+    (2) the recorded due list ``_CANARIES_R10`` filling to exactly 50.
+    Adding a round-10 entry to ``_ROUND10_NEW`` automatically displaces
+    the trailing due entry."""
+    window = [*_ROUND10_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-10 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R10[:fill]]
+
+
+#: New round-10 entries. Zero debuts (third consecutive debut-freeze
+#: round): landing the 41-entry r04-checked due tail fully clears the
+#: staleness debt this round, and the round's engineering went into the
+#: corrupted-events residue closure — same keys, no new slots needed.
+_ROUND10_NEW: list = []
 
 #: New round-9 entries. Zero debuts by design (second consecutive
 #: debut-freeze round): the 91-entry due list needs two full windows to
@@ -1957,6 +2009,81 @@ _R04_CHECKED: list = [
 #: cleared.
 _CANARIES_R09: list = (
     _CANARIES_R08[_WINDOW_SIZE - len(_ROUND8_NEW):] + _R04_CHECKED
+)
+
+#: The 50 entries last driver-checked in round 5, in their exact
+#: CORRECTNESS_r05.json window order. Verified at round-10 build time
+#: (tools-free: latest-round map over CORRECTNESS_r01..r09): none of
+#: these was re-checked in any r06–r09 window, so r5 is each one's most
+#: recent driver row — the restart block once the r04 tail lands.
+_R05_CHECKED: list = [
+    "rerank_ann_shortlist",
+    "corpus_curation_report",
+    "export_training_shards",
+    "corpus_mixture_sample",
+    "bpe_train_merges",
+    "merge_into_customers",
+    "streaming_cdc_upsert",
+    "corpus_neardup_report",
+    "corpus_chunk_overlap",
+    "corpus_doc_lm_coverage",
+    "events_linear_interp_daily",
+    "source_dpp_star_join",
+    "bpe_encode_stats",
+    "dedup_semdedup",
+    "streaming_left_outer_join",
+    "events_winsorize_clip",
+    "corpus_token_countmin",
+    "embedding_standardize",
+    "corpus_build_pipeline",
+    "corpus_decontaminate",
+    "corpus_gopher_rules",
+    "ann_pq_encode",
+    "corpus_pack_global_stream",
+    "validate_star_expectations",
+    "source_bloom_runtime_filter",
+    "agg_histogram_equi_depth",
+    "events_cusum_drift",
+    "dedup_incremental_minhash",
+    "streaming_cusum_alerts",
+    "gdpr_delete_cascade",
+    "corpus_lang_drift_chi2",
+    "classifier_quality_linear",
+    "classifier_gains_deciles",
+    "corpus_source_ks_drift",
+    "split_leakage_safe",
+    "corpus_source_similarity",
+    "embedding_pca_project",
+    "streaming_heavy_hitters",
+    "scan_filter_projection",
+    "join_left_outer",
+    "join_anti",
+    "join_semi",
+    "join_cross",
+    "join_range_nonequi",
+    "agg_cube",
+    "agg_pivot",
+    "agg_stats",
+    "agg_distinct_counts",
+    "window_lag_lead",
+    "window_rank_dense",
+]
+
+#: The round-10 due list, BY CONSTRUCTION per the recorded plan: the r9
+#: canary fill stopped at _CANARIES_R09[50] (len(_ROUND9_NEW)=0 debuts),
+#: so the unreached 41 r04-checked entries come first (in list order =
+#: _R04_CHECKED[9:]) — after they land, the r03/r04 staleness debt is
+#: fully cleared. One correction to the recorded plan discovered at
+#: build time: ``approx_quantiles``'s most recent driver row is the r02
+#: ``err: no_oracle`` by-design marker (parked past the cap ever since;
+#: it gained a full oracle wrapper in r9 but never re-entered a window),
+#: so it is the single oldest entry in the registry and precedes the
+#: round-5 restart block (``_R05_CHECKED``, oldest driver rows after it,
+#: in CORRECTNESS_r05.json order). The tail that misses the r10 window
+#: stays due for round 11 in this order.
+_CANARIES_R10: list = (
+    _CANARIES_R09[_WINDOW_SIZE - len(_ROUND9_NEW):]
+    + ["approx_quantiles"] + _R05_CHECKED
 )
 
 #: The 18 registry entries with no CORRECTNESS row in any of r01–r04

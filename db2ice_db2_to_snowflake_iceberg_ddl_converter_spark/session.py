@@ -42,6 +42,14 @@ def get_spark(app_name: str = "db2ice-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics; matches the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Reliable-checkpoint hygiene (r10, ADVICE item closed): the
+        # scale.pin_boundaries seam writes one checkpoint dir per pin and
+        # the iterative loops (connected components, pagerank, k-core)
+        # pin every round — without the cleaner, a long-lived app with a
+        # checkpoint dir configured accumulates checkpoint files
+        # unboundedly. With it, the ContextCleaner deletes a pin's files
+        # as soon as the checkpointed RDD is garbage-collected.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Parquet scans: vectorized reader + aggregate pushdown.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

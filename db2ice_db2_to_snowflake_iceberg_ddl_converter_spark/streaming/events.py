@@ -55,16 +55,37 @@ def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
             spark.sparkContext._jsc.hadoopConfiguration())
         return bool(fs.getFileStatus(jpath).isDirectory())
     except AttributeError:
-        # no JVM gateway (mocked session) — local filesystems only
+        # No JVM gateway (mocked session) — safe for LOCAL paths only.
+        # A remote URI (s3a://, hdfs://, ...) cannot be answered by
+        # os.path: isdir would return False and silently select the
+        # pathGlobFilter branch, streaming ZERO rows from a
+        # directory-layout table — the exact failure this helper exists
+        # to prevent. Fail loudly instead (r10, ADVICE item closed).
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"cannot determine directory layout of remote path "
+                f"{path!r} without a JVM gateway — refusing to guess "
+                f"(os.path is blind to the {scheme} scheme)")
         import os
-        return os.path.isdir(path)
+        return os.path.isdir(path.removeprefix("file://"))
     except Exception as exc:
         # FileNotFound → not a directory (the glob branch handles the
         # nonexistent-table case identically); any OTHER FS error must
         # propagate — swallowing it would silently select the glob
         # branch and stream ZERO rows from a directory-layout table, the
-        # exact failure class this helper exists to prevent.
-        if "FileNotFoundException" in str(type(exc)) + str(exc):
+        # exact failure class this helper exists to prevent. Match the
+        # py4j java_exception CLASS name, not the stringified message
+        # (which varies across py4j wrappings — r10, ADVICE item).
+        jexc = getattr(exc, "java_exception", None)
+        jcls = ""
+        if jexc is not None:
+            try:
+                jcls = jexc.getClass().getName()
+            except Exception:
+                jcls = ""
+        if "FileNotFoundException" in jcls or \
+                "FileNotFoundException" in str(type(exc)) + str(exc):
             return False
         raise
 
@@ -456,9 +477,18 @@ def supports_transform_with_state() -> bool:
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
-    provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", "")
-    return "RocksDB" in (provider or "")
+    # Canonical class-name comparison (r10, ADVICE item closed): the
+    # old 'RocksDB' substring test misclassified any custom provider
+    # that merely MENTIONS RocksDB in its name. Spark's
+    # transformWithState support is keyed to the built-in provider
+    # class, so gate on exactly that; a per-QUERY provider override
+    # (set in the writeStream options rather than the session conf) is
+    # NOT detected here — documented limitation, the fallback path is
+    # functionally identical.
+    provider = (spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "") or "").strip()
+    return provider == ("org.apache.spark.sql.execution.streaming.state"
+                        ".RocksDBStateStoreProvider")
 
 
 def user_running_stats_v2(events: DataFrame,

@@ -571,10 +571,11 @@ class TestWindowInventory:
 
 class TestRound9Window:
     def test_window_executes_recorded_rotation(self):
-        """First 50 queries() keys == _ROUND9_NEW debuts (zero again —
-        the due list needs two full windows to clear), then the recorded
-        due list: the 41 unreached r03-checked entries, then the
-        r04-checked block in its exact CORRECTNESS_r04.json order,
+        """Historical pin (round-10 rotation superseded the first-50
+        placement; the r10 twin in test_round10.py owns that now): the
+        r9 window COMPOSITION stays _ROUND9_NEW debuts (zero), then the
+        recorded due list: the 41 unreached r03-checked entries, then
+        the r04-checked block in its exact CORRECTNESS_r04.json order,
         filling to 50 — the r8 verdict's task 1."""
         import json
 
@@ -591,7 +592,7 @@ class TestRound9Window:
 
         q = build_queries()
         w = _window_r09()
-        assert list(q)[:50] == w
+        assert set(w) <= set(q)
         assert len(w) == 50 and len(set(w)) == 50
         # due-list construction arithmetic (the judge re-derives this)
         assert _CANARIES_R09 == [

@@ -41,6 +41,16 @@ shard at 100 TB):
                under one suppkey (payloads intact, keys remapped
                deterministically by id % 20) — the hot-key shape AQE
                skew-join and salting exist for.
+  nullev       corrupted events: ts NULL on event_id %% 11, user_id NULL
+               on %% 13, value NULL on %% 7, other tables verbatim — the
+               exact rule of ``TestStreamingNullContract.nullev_dir``.
+               This is the fourth standing adversarial oracle gate
+               (round 10): every sequence/window/sessionization entry
+               must agree with DuckDB even when event timestamps,
+               actors, and payloads go missing — the NULL-ordering and
+               NULL-bucket divergence class that r9 fixed for the
+               12 ts-ordered window sites and r10 for the remaining
+               14 batch entries.
 
 The strongest check for the two adversarial modes is ORACLE PARITY, not
 mere completion: build the fixture with ``build`` and point the parity
@@ -97,6 +107,9 @@ def build_fixture(spark, base: str, out: str, mode: str) -> None:
         return
     if mode == "dupflood":
         _build_dupflood(spark, base, out)
+        return
+    if mode == "nullev":
+        _build_nullev(spark, base, out)
         return
     for t, cols in PAYLOADS.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
@@ -207,6 +220,30 @@ def _build_dupflood(spark, base: str, out: str) -> None:
      .write.mode("overwrite").parquet(f"{out}/events.parquet"))
 
 
+def _build_nullev(spark, base: str, out: str) -> None:
+    """Corrupted events (the ``TestStreamingNullContract.nullev_dir``
+    rule): ts NULL on event_id % 11, user_id NULL on % 13, value NULL on
+    % 7; documents/embeddings verbatim. Keys deliberately overlap (77,
+    91, 143-multiples lose two fields; 1001-multiples all three)."""
+    from pyspark.sql import functions as F
+
+    for t in ("documents", "embeddings"):
+        (spark.read.parquet(f"{base}/{t}.parquet")
+         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    (ev.withColumn("ts", F.when(F.col("event_id") % 11 == 0,
+                                F.lit(None).cast("timestamp"))
+                          .otherwise(F.col("ts")))
+       .withColumn("user_id", F.when(F.col("event_id") % 13 == 0,
+                                     F.lit(None).cast("bigint"))
+                               .otherwise(F.col("user_id")))
+       .withColumn("value", F.when(F.col("event_id") % 7 == 0,
+                                   F.lit(None).cast("double"))
+                             .otherwise(F.col("value")))
+       .coalesce(2).write.mode("overwrite")
+       .parquet(f"{out}/events.parquet"))
+
+
 def _build_skewed(spark, base: str, out: str) -> None:
     """Remap grouping/join keys so one value holds ~95% of rows
     (id % 20 != 0), payloads untouched. Hot values are real existing
@@ -251,7 +288,8 @@ def classify(exc: BaseException) -> str:
     return "DEEP"
 
 
-MODES = ("nullpayload", "mixednull", "poisoned", "dupflood", "skewed")
+MODES = ("nullpayload", "mixednull", "poisoned", "dupflood", "skewed",
+         "nullev")
 
 
 def main() -> int:
