@@ -295,17 +295,68 @@ def main() -> int:
         "sentinel_sec": sentinel,
         "runs_merged": runs_merged,
     }
-    # Complete record: file beside the script + first stdout line.
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_local.json")
+    prev = {}
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+
+    # Full-registry tail record (round 10, r9 verdict task 3): the
+    # headline suite times 140 of 292 entries — a 10× regression in any
+    # of the 152 cheap-tail entries was invisible to the bench gate.
+    # SPARK_GRAFT_BENCH_FULL=1 runs every non-headline entry ONCE
+    # (single-run, sentinel-calibrated; min-of-3 would triple a
+    # multi-minute pass for entries whose job is regression visibility,
+    # not headline precision) and records a per-entry map plus a
+    # ≥1.5×-AND-≥0.3s-vs-prior alarm list. Runs WITHOUT the flag carry
+    # the prior record forward so the driver's plain bench run never
+    # drops the section.
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
+        tail: dict[str, float] = {}
+        for name in qs:
+            if name in timings:
+                continue
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            tail[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        full = {**timings, **tail}
+        prior_full = prev.get("full_registry", {})
+        if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1" and \
+                set(prior_full) == set(full):
+            full = {k: min(full[k], prior_full[k]) for k in full}
+        alarms = sorted(
+            k for k in full if k in prior_full
+            and full[k] >= 1.5 * prior_full[k]
+            and full[k] - prior_full[k] >= 0.3)
+        payload["full_registry"] = full
+        payload["full_registry_total"] = round(sum(full.values()), 3)
+        payload["full_registry_alarms"] = alarms
+        payload["full_registry_sentinel_sec"] = sentinel
+    elif "full_registry" in prev:
+        for k in ("full_registry", "full_registry_total",
+                  "full_registry_alarms", "full_registry_sentinel_sec"):
+            if k in prev:
+                payload[k] = prev[k]
+
+    # Complete record: file beside the script + first stdout line.
     with open(local, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
     # LAST line: must survive a ~2000-char captured tail. Keep every
     # scalar; fill "queries" with the most expensive entries that fit.
-    line = json.dumps(payload)
+    # The full-registry map never rides the tail line (file-only).
+    tail_payload = {k: v for k, v in payload.items()
+                    if k not in ("full_registry",)}
+    if "full_registry" in payload:
+        tail_payload["full_registry_n"] = len(payload["full_registry"])
+    line = json.dumps(tail_payload)
     if len(line) > _TAIL_BUDGET:
-        slim = {**payload, "queries": {}, "queries_truncated": True,
+        slim = {**tail_payload, "queries": {}, "queries_truncated": True,
                 "queries_full": "BENCH_local.json"}
         for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
             slim["queries"][name] = secs

@@ -212,7 +212,7 @@ class TestRegistryGuard:
             d.update({"x": 3})
 
     def test_window_is_first_50_and_all_resolvable(self):
-        """Round-9 rotation superseded the r8 window (each round's
+        """Round-10 rotation superseded the r9 window (each round's
         membership assertion lives on in its own twin as history): here
         keep the invariants that outlive rotations — the first 50 keys
         ARE the current window, unique, and every r6 debut stays
@@ -220,13 +220,13 @@ class TestRegistryGuard:
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
             _CANARIES_R06,
             _ROUND6_NEW,
-            _window_r09,
+            _window_r10,
             build_oracles,
             build_queries,
         )
 
         q = build_queries()
-        w = _window_r09()
+        w = _window_r10()
         assert list(q)[:50] == w
         assert len(w) == 50
         assert len(set(w)) == 50
