@@ -37,6 +37,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     pytest checks against numpy with tolerance).
     """
     spark = edges.sparkSession
+    # Pin the edge list ONCE: contribs re-joins it every power
+    # iteration, and without the pin the caller's edge-building lineage
+    # (e.g. the orders⋈lineitem distinct behind customer_supplier_edges)
+    # re-executes per round — measured 27.6 s → ~8 s at sf0.1 for
+    # graph_pagerank_top (r10, full-registry bench find). Same for
+    # out_deg (nodes-sized), which both contribs and the dangling-mass
+    # anti-join read per round.
+    edges = pin(edges.select("src", "dst"))
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())  # node-set-sized; re-read
@@ -48,7 +56,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         # empty partition's subgraph), not an error; 1/n below would
         # ZeroDivisionError (found by the round-9 empty-fixture probe)
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iters):
@@ -75,7 +83,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           * F.coalesce(F.col("contrib"), F.lit(0.0)))
                          .alias("rank")))
         # reliable-pin seam (r9): with a session checkpoint dir the
-        # per-round truncation survives executor loss; else local
+        # per-round truncation survives executor loss; else local.
+        # Deliberately pinned EVERY round, unlike transitive_roots'
+        # alternate-round pattern: a pagerank iteration's work is one
+        # edge-sized join + agg, so letting two rounds of lineage stack
+        # re-executes that join inside the next pin — measured r10 at
+        # sf0.1, alternate pins were ~4 s SLOWER (19.8 vs 15.8 s); the
+        # recompute costs more than the saved scheduling barrier.
         ranks = pin(ranks)
     return ranks
 
@@ -130,9 +144,14 @@ def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
     The raw (node, rank) core stays as :func:`graph_pagerank_top` for the
     numpy power-iteration pytest. All probes are bounded: 1-row aggs and
     a broadcast anti-join against the k selected nodes."""
-    edges = customer_supplier_edges(spark, sf_dir)
-    ranks = pagerank(edges, damping=damping)
     from .scale import pin
+
+    # pin the edge build here too: the census's n_edges count would
+    # otherwise re-run the orders⋈lineitem distinct one more time
+    # (pagerank pins its own copy for the iterations; re-pinning a
+    # pinned scan is one cheap pass) — r10 full-registry bench find
+    edges = pin(customer_supplier_edges(spark, sf_dir))
+    ranks = pagerank(edges, damping=damping)
     top = pin(ranks.orderBy(F.desc("rank"), "node")
               .limit(k))                 # ≤k rows; read by 2 consumers
     totals = ranks.agg(
