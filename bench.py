@@ -254,6 +254,13 @@ def main() -> int:
         # regime of the recorded baselines.
         spark.catalog.clearCache()
 
+    # Fresh (pre-merge) headline mins: the full-registry alarm check
+    # below must compare THIS run's measurements against the prior
+    # record — comparing post-merge values is provably alarm-free
+    # (min(new, prior) can never exceed 1.5× prior) and would erase a
+    # real regression from the record (r10 review find).
+    fresh_timings = dict(timings)
+
     # Merge mode (round 9): SPARK_GRAFT_BENCH_MERGE=1 folds this run's
     # per-query mins with the existing BENCH_local.json (same membership
     # required) — the closing protocol runs bench 3× with merge on for
@@ -324,24 +331,34 @@ def main() -> int:
             qs[name](spark, sf_dir).collect()
             tail[name] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
-        full = {**timings, **tail}
+        # Alarms compare the FRESH measurements against the prior
+        # record — BEFORE any min-merge (a merged value is bounded by
+        # the prior, so post-merge alarms are structurally empty and a
+        # 10× tail regression would vanish; r10 review find).
+        fresh_full = {**fresh_timings, **tail}
         prior_full = prev.get("full_registry", {})
+        alarms = sorted(
+            k for k in fresh_full if k in prior_full
+            and fresh_full[k] >= 1.5 * prior_full[k]
+            and fresh_full[k] - prior_full[k] >= 0.3)
+        full = {**timings, **tail}
         if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1" and \
                 set(prior_full) == set(full):
             full = {k: min(full[k], prior_full[k]) for k in full}
-        alarms = sorted(
-            k for k in full if k in prior_full
-            and full[k] >= 1.5 * prior_full[k]
-            and full[k] - prior_full[k] >= 0.3)
         payload["full_registry"] = full
         payload["full_registry_total"] = round(sum(full.values()), 3)
         payload["full_registry_alarms"] = alarms
         payload["full_registry_sentinel_sec"] = sentinel
+        payload["full_registry_from_prior_run"] = False
     elif "full_registry" in prev:
+        # carry the prior record forward so a plain run never drops the
+        # section — flagged STALE so a reader can't mistake the copied
+        # alarm list for this run's output (r10 review find)
         for k in ("full_registry", "full_registry_total",
                   "full_registry_alarms", "full_registry_sentinel_sec"):
             if k in prev:
                 payload[k] = prev[k]
+        payload["full_registry_from_prior_run"] = True
 
     # Complete record: file beside the script + first stdout line.
     with open(local, "w") as fh:

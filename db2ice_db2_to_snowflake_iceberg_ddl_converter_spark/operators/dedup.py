@@ -653,18 +653,27 @@ def exact_collapse_shingles(sh: DataFrame) -> tuple:
                .agg(F.count(F.lit(1)).alias("n_sets"))
                .filter(F.col("n_sets") >= 2)
                .select("h"))
-    safe = (probe.join(F.broadcast(collide), "h", "left_anti")
-            .join(grouped.join(F.broadcast(collide), "h", "left_anti")
-                  .select("h", "rep_id"), "h")
-            .select("doc_id", "rep_id"))
-    # Colliding buckets re-derive their members' shingle sets from the
-    # UNPERSISTED sized lineage — with AQE on, an empty collide side
-    # propagates emptiness through the semi join, so the recompute only
-    # ever runs when a genuine 64-bit collision exists.
-    rare = (sized.join(F.broadcast(collide), "h", "left_semi")
-            .join(grouped.select("h", "sset", "rep_id"), ["h", "sset"])
-            .select("doc_id", "rep_id"))
-    member = safe.unionByName(rare)
+    # One bounded scalar job over the PINNED quotient decides whether a
+    # 64-bit collision exists at all. In the (overwhelmingly normal)
+    # collision-free case, member is just the hash-key probe join — the
+    # rare branch is never even planned, so its re-derivation of the
+    # members' shingle sets from the UNPERSISTED sized lineage cannot
+    # run regardless of AQE settings (r10 review find: the previous
+    # always-unioned form relied on AQE empty-relation propagation to
+    # skip the scan; with AQE off it re-ran the whole shingle UDF for
+    # an empty join on every call).
+    if collide.limit(1).count() == 0:
+        member = probe.join(grouped.select("h", "rep_id"), "h") \
+                      .select("doc_id", "rep_id")
+    else:
+        safe = (probe.join(F.broadcast(collide), "h", "left_anti")
+                .join(grouped.join(F.broadcast(collide), "h", "left_anti")
+                      .select("h", "rep_id"), "h")
+                .select("doc_id", "rep_id"))
+        rare = (sized.join(F.broadcast(collide), "h", "left_semi")
+                .join(grouped.select("h", "sset", "rep_id"), ["h", "sset"])
+                .select("doc_id", "rep_id"))
+        member = safe.unionByName(rare)
     reps = grouped.select(F.col("rep_id").alias("doc_id"),
                           F.col("sset").alias("shingles"))
     return member, reps

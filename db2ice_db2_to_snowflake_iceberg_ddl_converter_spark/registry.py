@@ -996,14 +996,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     42 r05-checked) stays due for round 11.
 
     ROUND-11 ROTATION PLAN: the fill above reaches only
-    approx_quantiles + the first (9 − len(_ROUND10_NEW)) entries of
-    ``_R05_CHECKED``; the remaining (42 + len(_ROUND10_NEW))
-    r05-checked entries stay due and are first in line for round 11 in
-    list order, followed by the entries last driver-checked in round 6
-    (the ``CORRECTNESS_r06.json`` window, oldest-first, minus any
-    re-checked in r07–r10), filling to 50. Build ``_window_r11()`` as
-    (1) any red r10 entry (fix first), (2) new round-11 entries, (3)
-    that due list. Same verification command before committing.
+    approx_quantiles + the first (8 − len(_ROUND10_NEW)) entries of
+    ``_R05_CHECKED`` (approx_quantiles itself takes one of the 9 fill
+    slots, so the r05 block contributes 8 with zero debuts — verified:
+    ``_window_r10()[42:] == _R05_CHECKED[:8]``); the remaining
+    (42 + len(_ROUND10_NEW)) r05-checked entries (``_R05_CHECKED[8 −
+    len(_ROUND10_NEW):]``, starting at ``corpus_chunk_overlap``) stay
+    due and are first in line for round 11 in list order, followed by
+    the entries last driver-checked in round 6 (the
+    ``CORRECTNESS_r06.json`` window, oldest-first, minus any re-checked
+    in r07–r10), filling to 50. Build ``_window_r11()`` as (1) any red
+    r10 entry (fix first), (2) new round-11 entries, (3) that due list.
+    Same verification command before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----

@@ -56,36 +56,46 @@ def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
         return bool(fs.getFileStatus(jpath).isDirectory())
     except AttributeError:
         # No JVM gateway (mocked session) — safe for LOCAL paths only.
-        # A remote URI (s3a://, hdfs://, ...) cannot be answered by
-        # os.path: isdir would return False and silently select the
-        # pathGlobFilter branch, streaming ZERO rows from a
-        # directory-layout table — the exact failure this helper exists
-        # to prevent. Fail loudly instead (r10, ADVICE item closed).
-        scheme = path.split("://", 1)[0] if "://" in path else ""
-        if scheme not in ("", "file"):
+        # A remote URI (s3a://..., and the equally legal single-slash
+        # hdfs:/path form) cannot be answered by os.path: isdir would
+        # return False and silently select the pathGlobFilter branch,
+        # streaming ZERO rows from a directory-layout table — the exact
+        # failure this helper exists to prevent. Parse the scheme with
+        # urlparse (catches both slash forms; a bare /tmp/x has no
+        # scheme) and fail loudly on anything non-local (r10, ADVICE
+        # item + review find).
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.scheme not in ("", "file"):
             raise ValueError(
                 f"cannot determine directory layout of remote path "
                 f"{path!r} without a JVM gateway — refusing to guess "
-                f"(os.path is blind to the {scheme} scheme)")
+                f"(os.path is blind to the {parsed.scheme} scheme)")
         import os
-        return os.path.isdir(path.removeprefix("file://"))
+        local = parsed.path if parsed.scheme == "file" else path
+        return os.path.isdir(local)
     except Exception as exc:
         # FileNotFound → not a directory (the glob branch handles the
         # nonexistent-table case identically); any OTHER FS error must
         # propagate — swallowing it would silently select the glob
         # branch and stream ZERO rows from a directory-layout table, the
-        # exact failure class this helper exists to prevent. Match the
-        # py4j java_exception CLASS name, not the stringified message
-        # (which varies across py4j wrappings — r10, ADVICE item).
+        # exact failure class this helper exists to prevent. When py4j
+        # gives us the java exception, trust ONLY its class name — a
+        # non-FNF error whose MESSAGE mentions FileNotFoundException
+        # (e.g. an S3 access failure wrapping one in its cause chain)
+        # must still propagate (r10 review find). The stringified-type
+        # fallback remains only for py4j-free exception classes.
         jexc = getattr(exc, "java_exception", None)
-        jcls = ""
         if jexc is not None:
             try:
                 jcls = jexc.getClass().getName()
             except Exception:
-                jcls = ""
-        if "FileNotFoundException" in jcls or \
-                "FileNotFoundException" in str(type(exc)) + str(exc):
+                raise exc
+            if jcls.endswith("FileNotFoundException"):
+                return False
+            raise
+        if "FileNotFoundException" in str(type(exc)):
             return False
         raise
 
