@@ -1008,6 +1008,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in r07–r10), filling to 50. Build ``_window_r11()`` as (1) any red
     r10 entry (fix first), (2) new round-11 entries, (3) that due list.
     Same verification command before committing.
+
+    ROUND-11 ROTATION (executes the plan above, per the r10 verdict): no
+    r10 entry came back red (CORRECTNESS_r10: 50/50 hash-matches — the
+    second consecutive fully green window), so ``_window_r11()`` is
+    (1) every new round-11 entry (``_ROUND11_NEW`` — zero debuts, fourth
+    consecutive debut-freeze round), then (2) the recorded due list
+    ``_CANARIES_R11`` filling to exactly 50. ``_CANARIES_R11`` is built
+    BY CONSTRUCTION as ``_CANARIES_R10[50 − len(_ROUND10_NEW):]`` (with
+    len(_ROUND10_NEW)=0 that is the 42 r05-checked entries the r10 fill
+    could not reach, = ``_R05_CHECKED[8:]``, starting at
+    ``corpus_chunk_overlap``), then ``_R06_CHECKED`` (the 50 entries
+    last driver-checked in round 6, in their exact CORRECTNESS_r06.json
+    order; verified at build time that none of the 50 was re-checked in
+    any r07–r10 window — no plan corrections needed this round).
+    Arithmetic: 0 debuts + 42 due-tail + _R06_CHECKED[:8] = 50; the due
+    tail (42 + len(_ROUND11_NEW) entries: _R06_CHECKED[8:] = 42
+    r06-checked) stays due for round 12.
+
+    ROUND-12 ROTATION PLAN: the fill above reaches only the first
+    (8 − len(_ROUND11_NEW)) entries of ``_R06_CHECKED`` (verified:
+    ``_window_r11()[42:] == _R06_CHECKED[:8]``); the remaining
+    (42 + len(_ROUND11_NEW)) r06-checked entries (``_R06_CHECKED[8 −
+    len(_ROUND11_NEW):]``, starting at ``corpus_curriculum_phases``
+    with zero debuts — in list order), followed by the entries last
+    driver-checked in round 7 (the ``CORRECTNESS_r07.json`` window,
+    oldest-first, minus any re-checked in r08–r11), fill round 12 to
+    50. Build ``_window_r12()`` as (1) any red r11 entry (fix first),
+    (2) new round-12 entries, (3) that due list. Same verification
+    command before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -1258,9 +1287,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_round6_queries())
     # ---- NEW round-7 entries ----
     q.update(_round7_queries())
-    # ---- ROUND-10 REORDER: window first, everything else keeps its
+    # ---- ROUND-11 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    window = _window_r10()
+    window = _window_r11()
     missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
     in_window = set(window)
@@ -1354,6 +1383,32 @@ def _window_r10() -> list:
     assert fill >= 0, "round-10 additions overflow the 50-slot window"
     return [*window, *_CANARIES_R10[:fill]]
 
+
+def _window_r11() -> list:
+    """The round-11 driver window (first 50 ``queries()`` keys),
+    executing the rotation plan recorded in the r10 verdict: no r10
+    entry came back red (CORRECTNESS_r10: 50/50 hash-matches, the
+    second consecutive fully green window), so the window is (1) every
+    new round-11 entry (``_ROUND11_NEW`` — zero debuts, fourth
+    consecutive debut-freeze; the round's work is the
+    corrupted-documents gate, streaming-drain profiling, and the
+    collapse-rail memo seam on EXISTING keys), then (2) the recorded
+    due list ``_CANARIES_R11`` filling to exactly 50. Adding a
+    round-11 entry to ``_ROUND11_NEW`` automatically displaces the
+    trailing due entry."""
+    window = [*_ROUND11_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-11 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R11[:fill]]
+
+
+#: New round-11 entries. Zero debuts (fourth consecutive debut-freeze
+#: round): the 92-entry r10 due list needs two windows to clear (42
+#: r05-checked entries remain), and the round's engineering goes into
+#: the corrupted-documents adversarial gate, the streaming-drain cost
+#: breakdown, and the collapse-rail shared seam — same keys, no new
+#: slots needed.
+_ROUND11_NEW: list = []
 
 #: New round-10 entries. Zero debuts (third consecutive debut-freeze
 #: round): landing the 41-entry r04-checked due tail fully clears the
@@ -2088,6 +2143,76 @@ _R05_CHECKED: list = [
 _CANARIES_R10: list = (
     _CANARIES_R09[_WINDOW_SIZE - len(_ROUND9_NEW):]
     + ["approx_quantiles"] + _R05_CHECKED
+)
+
+#: The 50 entries last driver-checked in round 6, in their exact
+#: CORRECTNESS_r06.json window order. Verified at round-11 build time
+#: (latest-round map over CORRECTNESS_r01..r10): none of these was
+#: re-checked in any r07–r10 window, so r6 is each one's most recent
+#: driver row — the restart block once the r05 tail lands.
+_R06_CHECKED: list = [
+    "orders_cohort_retention",
+    "events_user_lifecycle",
+    "graph_triangle_stats",
+    "text_readability_scores",
+    "corpus_doc_commonness",
+    "ann_ivf_pq_topk",
+    "dedup_containment",
+    "corpus_dsir_importance",
+    "corpus_curriculum_phases",
+    "privacy_k_anonymity",
+    "embedding_kmeans_clusters",
+    "multimodal_audio_energy",
+    "corpus_temperature_mixture",
+    "vocab_kmv_distinct",
+    "corpus_ngram_novelty",
+    "udaf_trimmed_sum",
+    "streaming_static_enrich",
+    "multimodal_image_stats",
+    "graph_kcore",
+    "sql_recursive_hierarchy",
+    "sink_pydatasource_roundtrip",
+    "retrieval_bm25_topk",
+    "diag_join_key_skew",
+    "events_acf_daily",
+    "events_interarrival_stats",
+    "diag_blocking_pair_census",
+    "corpus_token_cooccurrence",
+    "forecast_seasonal_naive_eval",
+    "quality_quantile_calibrate",
+    "events_trigram_journeys",
+    "diag_layout_zonemap",
+    "assoc_cramers_v",
+    "events_holt_linear",
+    "revenue_gini_lorenz",
+    "corpus_heaps_law",
+    "events_peak_concurrency",
+    "agg_weighted_percentiles",
+    "benford_price_audit",
+    "events_user_predictability",
+    "ann_lsh_topk",
+    "approx_distinct_counts",
+    "case_when_bucketing",
+    "dedup_clusters",
+    "dedup_embedding_blocked",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_pairs",
+    "events_asof_last_click",
+    "filter_null_safe",
+]
+
+#: The round-11 due list, BY CONSTRUCTION per the recorded plan: the
+#: r10 canary fill stopped at _CANARIES_R10[50] (len(_ROUND10_NEW)=0
+#: debuts), so the unreached 42 r05-checked entries come first (in list
+#: order = _R05_CHECKED[8:], starting at ``corpus_chunk_overlap``) —
+#: after they land, every r05 row is refreshed — then the round-6
+#: restart block (``_R06_CHECKED``, oldest driver rows after them, in
+#: CORRECTNESS_r06.json order). The tail that misses the r11 window
+#: stays due for round 12 in this order.
+_CANARIES_R11: list = (
+    _CANARIES_R10[_WINDOW_SIZE - len(_ROUND10_NEW):] + _R06_CHECKED
 )
 
 #: The 18 registry entries with no CORRECTNESS row in any of r01–r04
