@@ -643,37 +643,50 @@ def exact_collapse_shingles(sh: DataFrame) -> tuple:
     # the loader's round-robin exchange (measured: the second 44.5 MB
     # stage on the 2000-clone flood).
     sized = sized.persist(StorageLevel.DISK_ONLY)
+    # The persist stays live through the collision DECISION (r11,
+    # ADVICE): the rare branch below reads sized, and unpersisting in a
+    # finally before the branch meant a genuine 64-bit collision would
+    # re-execute the entire shingle-UDF lineage — correct (the lineage
+    # is deterministic) but an unbounded perf cliff on exactly the
+    # flood rail this function exists to protect. Both branches now
+    # release the blocks themselves: immediately in the collision-free
+    # branch, after the rare frame is pinned (materialized from the
+    # still-hot blocks) in the collision branch.
     try:
         grouped = pin(sized.groupBy("h", "sset")
                       .agg(F.min("doc_id").alias("rep_id")))
         probe = pin(sized.select("doc_id", "h"))
+        collide = (grouped.groupBy("h")
+                   .agg(F.count(F.lit(1)).alias("n_sets"))
+                   .filter(F.col("n_sets") >= 2)
+                   .select("h"))
+        # One bounded scalar job over the PINNED quotient decides
+        # whether a 64-bit collision exists at all. In the
+        # (overwhelmingly normal) collision-free case, member is just
+        # the hash-key probe join — the rare branch is never even
+        # planned (r10 review find: the previous always-unioned form
+        # relied on AQE empty-relation propagation to skip the scan;
+        # with AQE off it re-ran the whole shingle UDF for an empty
+        # join on every call).
+        if collide.limit(1).count() == 0:
+            member = probe.join(grouped.select("h", "rep_id"), "h") \
+                          .select("doc_id", "rep_id")
+        else:
+            safe = (probe.join(F.broadcast(collide), "h", "left_anti")
+                    .join(grouped.join(F.broadcast(collide), "h",
+                                       "left_anti")
+                          .select("h", "rep_id"), "h")
+                    .select("doc_id", "rep_id"))
+            # pin → eager: the full-array fallback join reads sized's
+            # persisted blocks NOW, so releasing them in the finally
+            # cannot trigger a lineage replay later.
+            rare = pin(sized.join(F.broadcast(collide), "h", "left_semi")
+                       .join(grouped.select("h", "sset", "rep_id"),
+                             ["h", "sset"])
+                       .select("doc_id", "rep_id"))
+            member = safe.unionByName(rare)
     finally:
         sized.unpersist()
-    collide = (grouped.groupBy("h")
-               .agg(F.count(F.lit(1)).alias("n_sets"))
-               .filter(F.col("n_sets") >= 2)
-               .select("h"))
-    # One bounded scalar job over the PINNED quotient decides whether a
-    # 64-bit collision exists at all. In the (overwhelmingly normal)
-    # collision-free case, member is just the hash-key probe join — the
-    # rare branch is never even planned, so its re-derivation of the
-    # members' shingle sets from the UNPERSISTED sized lineage cannot
-    # run regardless of AQE settings (r10 review find: the previous
-    # always-unioned form relied on AQE empty-relation propagation to
-    # skip the scan; with AQE off it re-ran the whole shingle UDF for
-    # an empty join on every call).
-    if collide.limit(1).count() == 0:
-        member = probe.join(grouped.select("h", "rep_id"), "h") \
-                      .select("doc_id", "rep_id")
-    else:
-        safe = (probe.join(F.broadcast(collide), "h", "left_anti")
-                .join(grouped.join(F.broadcast(collide), "h", "left_anti")
-                      .select("h", "rep_id"), "h")
-                .select("doc_id", "rep_id"))
-        rare = (sized.join(F.broadcast(collide), "h", "left_semi")
-                .join(grouped.select("h", "sset", "rep_id"), ["h", "sset"])
-                .select("doc_id", "rep_id"))
-        member = safe.unionByName(rare)
     reps = grouped.select(F.col("rep_id").alias("doc_id"),
                           F.col("sset").alias("shingles"))
     return member, reps

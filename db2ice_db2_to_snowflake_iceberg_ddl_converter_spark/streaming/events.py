@@ -72,6 +72,15 @@ def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
                 f"cannot determine directory layout of remote path "
                 f"{path!r} without a JVM gateway — refusing to guess "
                 f"(os.path is blind to the {parsed.scheme} scheme)")
+        # 'file://host/path' names a REMOTE host: treating it as the
+        # local '/path' silently answers for the wrong filesystem —
+        # same fail-loud rule as the non-local schemes (r11, ADVICE).
+        if parsed.scheme == "file" and parsed.netloc not in ("",
+                                                             "localhost"):
+            raise ValueError(
+                f"cannot determine directory layout of {path!r}: "
+                f"file:// URI names remote host {parsed.netloc!r} and "
+                "os.path only answers for the local filesystem")
         import os
         local = parsed.path if parsed.scheme == "file" else path
         return os.path.isdir(local)
@@ -487,18 +496,46 @@ def supports_transform_with_state() -> bool:
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
-    # Canonical class-name comparison (r10, ADVICE item closed): the
+    # Canonical class comparison (r10 ADVICE; subclass case r11): the
     # old 'RocksDB' substring test misclassified any custom provider
     # that merely MENTIONS RocksDB in its name. Spark's
     # transformWithState support is keyed to the built-in provider
-    # class, so gate on exactly that; a per-QUERY provider override
-    # (set in the writeStream options rather than the session conf) is
-    # NOT detected here — documented limitation, the fallback path is
+    # class, so the exact name passes without a JVM round-trip, and a
+    # user SUBCLASS of the built-in (which inherits the capability)
+    # passes via a Class.forName + isAssignableFrom check on the
+    # session's JVM. A per-QUERY provider override (set in the
+    # writeStream options rather than the session conf) is NOT
+    # detected here — documented limitation, the fallback path is
     # functionally identical.
     provider = (spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", "") or "").strip()
-    return provider == ("org.apache.spark.sql.execution.streaming.state"
-                        ".RocksDBStateStoreProvider")
+    return _provider_is_rocksdb(spark, provider)
+
+
+#: the built-in provider transformWithState support is keyed to
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state"
+                     ".RocksDBStateStoreProvider")
+
+
+def _provider_is_rocksdb(spark, provider: str) -> bool:
+    """True iff ``provider`` is the built-in RocksDB state-store
+    provider or a JVM-loadable subclass of it (a subclass inherits the
+    transformWithState capability — r11, ADVICE). Exact name short-
+    circuits without a JVM round-trip; anything else is resolved with
+    ``Class.forName`` + ``isAssignableFrom`` on the session's JVM, and
+    an unloadable class (or a mocked JVM-less session) is NOT the
+    built-in provider."""
+    if provider == _ROCKSDB_PROVIDER:
+        return True
+    if not provider:
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        base = jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
+        cls = jvm.java.lang.Class.forName(provider)
+        return bool(base.isAssignableFrom(cls))
+    except Exception:
+        return False
 
 
 def user_running_stats_v2(events: DataFrame,

@@ -54,3 +54,107 @@ class TestRound11Window:
         # every window entry resolves with an oracle twin
         o = build_oracles()
         assert all(k in q and k in o for k in w)
+
+
+class TestAdviceClosuresR11:
+    """The four r10 ADVICE items, closed in round 11."""
+
+    def test_file_uri_remote_host_refused(self):
+        """'file://host/path' names a REMOTE host: the no-JVM fallback
+        must fail loudly like the other remote schemes instead of
+        silently answering for the local '/path'."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events import (  # noqa: E501
+            _hadoop_is_dir,
+        )
+
+        class _NoJvm:
+            @property
+            def sparkContext(self):
+                raise AttributeError("mocked session has no JVM")
+
+        with pytest.raises(ValueError, match="remote host"):
+            _hadoop_is_dir(_NoJvm(), "file://nas01/warehouse/events")
+        # the three local spellings still answer via os.path
+        assert _hadoop_is_dir(_NoJvm(), "/tmp") is True
+        assert _hadoop_is_dir(_NoJvm(), "file:/tmp") is True
+        assert _hadoop_is_dir(_NoJvm(), "file://localhost/tmp") is True
+
+    def test_provider_gate_accepts_subclasses_rejects_others(self, spark):
+        """The transformWithState gate resolves non-exact provider names
+        on the JVM: a loadable class that is NOT assignable to the
+        built-in RocksDB provider (e.g. the HDFS-backed provider) is
+        rejected; unloadable names are rejected; the exact built-in
+        passes without a JVM round-trip."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events import (  # noqa: E501
+            _ROCKSDB_PROVIDER,
+            _provider_is_rocksdb,
+        )
+
+        assert _provider_is_rocksdb(spark, _ROCKSDB_PROVIDER) is True
+        assert _provider_is_rocksdb(
+            spark, "org.apache.spark.sql.execution.streaming.state"
+                   ".HDFSBackedStateStoreProvider") is False
+        assert _provider_is_rocksdb(
+            spark, "com.vendor.NotReallyRocksDBProvider") is False
+        assert _provider_is_rocksdb(spark, "") is False
+        # isAssignableFrom is reflexive on the JVM — the subclass path
+        # itself answers True for the built-in, so a genuine subclass
+        # (same assignability relation) passes the same check
+        jvm = spark.sparkContext._jvm
+        base = jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
+        assert bool(base.isAssignableFrom(base)) is True
+
+
+class TestCollisionBranchExactness:
+    """r10 ADVICE item 4: the collapse's 64-bit-collision fallback must
+    (a) stay output-exact and (b) read ``sized``'s persisted blocks —
+    not replay the shingle-UDF lineage — now that the unpersist is
+    deferred past the collision decision. Forcing EVERY set into one
+    hash bucket (constant xxhash64) routes the whole corpus through the
+    rare branch, the strongest exactness check the branch can get."""
+
+    def test_forced_collision_branch_matches_normal_path(
+            self, spark, sf_dir, monkeypatch):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+        from pyspark.sql import functions as F
+
+        sh = dedup.doc_shingles(spark, sf_dir)
+        member_n, reps_n = dedup.exact_collapse_shingles(sh)
+        want_member = {(r.doc_id, r.rep_id) for r in member_n.collect()}
+        want_reps = {r.doc_id for r in reps_n.collect()}
+
+        real_xxhash64 = F.xxhash64
+        monkeypatch.setattr(
+            dedup.F, "xxhash64",
+            lambda *cols: F.lit(1).cast("bigint"))
+        try:
+            member_c, reps_c = dedup.exact_collapse_shingles(sh)
+            got_member = {(r.doc_id, r.rep_id)
+                          for r in member_c.collect()}
+            got_reps = {r.doc_id for r in reps_c.collect()}
+        finally:
+            monkeypatch.setattr(dedup.F, "xxhash64", real_xxhash64)
+        assert got_member == want_member
+        assert got_reps == want_reps
+
+    def test_no_disk_only_residue_after_collapse(self, spark, sf_dir):
+        """Both collision branches release sized's DISK_ONLY blocks
+        before returning (the deferred-unpersist rewrite must not trade
+        the perf cliff for a session-lifetime block leak)."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        def disk_only_count():
+            jsc = spark.sparkContext._jsc.sc()
+            return sum(1 for i in jsc.getRDDStorageInfo()
+                       if i.storageLevel().useDisk()
+                       and not i.storageLevel().useMemory())
+
+        before = disk_only_count()
+        member, _ = dedup.exact_collapse_shingles(
+            dedup.doc_shingles(spark, sf_dir))
+        member.count()
+        assert disk_only_count() == before

@@ -42,8 +42,10 @@ shard at 100 TB):
                deterministically by id % 20) — the hot-key shape AQE
                skew-join and salting exist for.
   nullev       corrupted events: ts NULL on event_id %% 11, user_id NULL
-               on %% 13, value NULL on %% 7, other tables verbatim — the
-               exact rule of ``TestStreamingNullContract.nullev_dir``.
+               on %% 13, value NULL on %% 7, all nine other tables
+               verbatim (TPC-H via the dispatcher copy loop, documents/
+               embeddings in the builder) — the exact rule of
+               ``TestStreamingNullContract.nullev_dir``.
                This is the fourth standing adversarial oracle gate
                (round 10): every sequence/window/sessionization entry
                must agree with DuckDB even when event timestamps,
@@ -223,8 +225,12 @@ def _build_dupflood(spark, base: str, out: str) -> None:
 def _build_nullev(spark, base: str, out: str) -> None:
     """Corrupted events (the ``TestStreamingNullContract.nullev_dir``
     rule): ts NULL on event_id % 11, user_id NULL on % 13, value NULL on
-    % 7; documents/embeddings verbatim. Keys deliberately overlap (77,
-    91, 143-multiples lose two fields; 1001-multiples all three)."""
+    % 7; documents/embeddings verbatim HERE, and the seven TPC-H tables
+    verbatim via the ``build_fixture`` dispatcher's copy loop before
+    this helper runs — the finished fixture carries ALL ten tables, so
+    a full-registry sweep can point at it (r11, ADVICE clarification).
+    Keys deliberately overlap (77, 91, 143-multiples lose two fields;
+    1001-multiples all three)."""
     from pyspark.sql import functions as F
 
     for t in ("documents", "embeddings"):
