@@ -655,6 +655,16 @@ def exact_collapse_shingles(sh: DataFrame) -> tuple:
     try:
         grouped = pin(sized.groupBy("h", "sset")
                       .agg(F.min("doc_id").alias("rep_id")))
+        # The probe pin is UNCONDITIONAL — a size gate was proposed
+        # (r10 verdict task 4, hypothesis: fixed pin cost dominates at
+        # small scale) and REFUTED by measurement (r11, BASELINE.md):
+        # warm alternating runs put pin FASTER at sf0.1 too (5.7 s vs
+        # 6.5 s end-to-end split_leakage_safe — skipping the pin makes
+        # every member consumer replay the probe lineage after the
+        # finally-unpersist, which costs more than the 16-byte
+        # checkpoint at every measured size). The sf0.1 r9→r10 bench
+        # delta lives in the per-round CC checkpoints + the collide
+        # scalar job, not here; the collapse-memo seam is the remedy.
         probe = pin(sized.select("doc_id", "h"))
         collide = (grouped.groupBy("h")
                    .agg(F.count(F.lit(1)).alias("n_sets"))
