@@ -241,16 +241,30 @@ class _SessionizePtf:
         self.prev = None
         self.sessions = 0
         self.events = 0
+        self._iu = None       # positional indices, resolved on first row
+        self._it = None
 
     def eval(self, row):  # noqa: D102 — contract documented above
-        self.uid = row["user_id"]
-        us = row["us"]
+        # eval runs once per EVENT — at 100 k sf0.1 rows the string-key
+        # Row lookups were ~12 % of the entry's wall (r11 measurement);
+        # resolve the field positions once per instance and index the
+        # underlying tuple. __fields__ keeps this robust to Spark
+        # changing the TABLE-argument struct layout (it appends
+        # partition_by_0 after the view columns today).
+        iu = self._iu
+        if iu is None:
+            fields = row.__fields__
+            iu = self._iu = fields.index("user_id")
+            self._it = fields.index("us")
+        self.uid = row[iu]
+        us = row[self._it]
         # NULL gap (first row, corrupted NULL ts on either side) opens a
         # session — the oracle's CASE WHEN gap IS NULL rule. Every NULL-
         # ts row therefore contributes one session regardless of sort
         # position, so Spark's NULLS FIRST routing and DuckDB's NULLS
         # LAST window agree on the per-user count (r10).
-        if self.prev is None or us is None or us - self.prev > self.GAP_US:
+        prev = self.prev
+        if prev is None or us is None or us - prev > self.GAP_US:
             self.sessions += 1
         self.prev = us
         self.events += 1
@@ -278,6 +292,15 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str
     Scale: one shuffle on user_id (the PARTITION BY), per-instance
     state is two scalars — the applyInPandasWithState story with plain
     SQL invocation syntax.
+
+    Plan audit (r11, verdict task 7): the executed plan is minimal —
+    one hash exchange + one in-partition sort feeding the PTF, one
+    range exchange for the final ORDER BY; the suspected nullev-induced
+    second sort does not exist. The r10 cost creep was per-row Python
+    eval overhead (100 k calls at sf0.1), cut ~12 % by positional Row
+    access. Arrow UDTF execution
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) was measured 4×
+    SLOWER for this per-row-eval shape (10.5 s vs 2.6 s) and rejected.
     """
     from pyspark.sql.functions import udtf
 
