@@ -27,6 +27,7 @@ pipeline stays in whole-stage codegen.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 
@@ -702,45 +703,128 @@ def exact_collapse_shingles(sh: DataFrame) -> tuple:
     return member, reps
 
 
+#: Active collapse-rail memo, or None when the seam is off (the default:
+#: every registry entry runs standalone, the driver correctness contract).
+_COLLAPSE_MEMO = None
+
+
+class collapse_memo_scope:
+    """Opt-in session-scoped reuse of the exact-collapse rail (r11, the
+    r10 verdict's task 5). The rail's four consumers — ``dedup_clusters``,
+    ``dedup_keep_representatives``, ``split_leakage_safe`` (via
+    ``dedup_clusters``), and ``corpus_neardup_report`` — each recompute
+    the corpus collapse, the rep-level Jaccard pair graph, and (the
+    first three) the component labels from scratch: ~19 s of repeated
+    subplans in the r10 full-registry record. Inside this scope those
+    three frames are computed once per (sf_dir, threshold) and shared —
+    shared frames are checkpoint-backed (``pin``), so reuse is a cached
+    scan, and the registry entries themselves stay byte-identical in
+    output (the seam only swaps WHEN a subplan runs, never what it
+    computes; pinned by the seam-parity pytest).
+
+    The DRIVER correctness gate and ``check_oracle_parity`` never enter
+    the scope (standalone contract); ``bench.py`` wraps the collapse
+    consumers in it, mirroring how a real curation pipeline runs these
+    reports back-to-back over one corpus snapshot. Not reentrant, not
+    thread-safe — the bench loop is single-threaded.
+    """
+
+    def __enter__(self):
+        global _COLLAPSE_MEMO
+        if _COLLAPSE_MEMO is not None:
+            raise RuntimeError("collapse_memo_scope is not reentrant")
+        _COLLAPSE_MEMO = {"frames": {}}
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        global _COLLAPSE_MEMO
+        _COLLAPSE_MEMO = None
+        return False
+
+
+def _memo_get(key, build):
+    """Return the memoized frame for ``key``, building it on first use —
+    or just build it when the seam is off."""
+    if _COLLAPSE_MEMO is None:
+        return build()
+    frames = _COLLAPSE_MEMO["frames"]
+    if key not in frames:
+        frames[key] = build()
+    return frames[key]
+
+
+def _pairs_cached(reps, threshold: float, dir_key: str) -> DataFrame:
+    """The rep-level Jaccard pair graph, shared and checkpoint-pinned
+    inside a :class:`collapse_memo_scope` (every later consumer reads
+    the pinned blocks instead of replaying the inverted-index join),
+    plain and lazy when standalone (callers keep their own persist
+    discipline)."""
+    if _COLLAPSE_MEMO is None:
+        return _jaccard_pair_graph(reps, threshold).select("id1", "id2")
+    return _memo_get(
+        ("pairs", dir_key, threshold),
+        lambda: pin(_jaccard_pair_graph(reps, threshold)
+                    .select("id1", "id2")))
+
+
 def _collapsed_component_labels(spark, sf_dir,
                                 threshold: float = 0.5) -> DataFrame:
     """(doc_id, rep_id, label) for every document: exact-collapse by
     shingle set, run the Jaccard pair graph + connected components over
     representatives only, then expand labels back over the membership.
     See :func:`exact_collapse_shingles` for the output-exactness
-    argument (requires threshold ≤ 1.0, asserted)."""
+    argument (requires threshold ≤ 1.0, asserted). Inside a
+    :class:`collapse_memo_scope` the finished frame is checkpoint-pinned
+    and shared across consumers keyed by (sf_dir, threshold)."""
     if threshold > 1.0:
         raise ValueError(
             f"exact-collapse requires threshold <= 1.0 (got {threshold}): "
             "identical shingle sets must always form an edge")
-    # member (doc_id, rep_id) has ONE consumer (the label expansion) and
-    # reps rides the collapse's pinned quotient frame — the r9 member/
-    # reps DISK_ONLY persists are gone with the r10 hash-probe collapse
-    # (shingle arrays cross one map-side-combined shuffle inside it).
-    member, reps = exact_collapse_shingles(doc_shingles(spark, sf_dir))
-    # reps feeds the pair graph AND the CC node list: persist, then
-    # release as soon as the EAGER connected_components returns (r10,
-    # ADVICE — persist without unpersist leaks for the session).
-    reps = reps.persist(StorageLevel.DISK_ONLY)
-    pairs = _jaccard_pair_graph(reps, threshold).select("id1", "id2")
-    labels = connected_components(reps.select("doc_id"), pairs,
-                                  node_col="doc_id")
-    reps.unpersist()
-    expanded = (member.join(labels.select(F.col("node").alias("rep_id"),
-                                          "label"), "rep_id"))
-    # The node universe is EVERY document, not just the shingled ones:
-    # doc_shingles drops NULL-text rows (degenerate-input contract), but
-    # the cluster entries have always emitted those docs as singletons
-    # (own doc_id as label) and the naive oracles seed reach from the
-    # full documents table — left-join them back (r9 self-review find).
-    full = ld(spark, sf_dir, "documents").select("doc_id")
-    # Docs absent from member (empty/NULL shingle sets — the collapse
-    # never sees them) coalesce to their own id here, exactly the
-    # singleton semantics the pre-r10 in-frame form gave them.
-    return (full.join(expanded, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
-                    F.coalesce("label", F.col("doc_id")).alias("label")))
+    dir_key = os.path.abspath(sf_dir)
+
+    def build() -> DataFrame:
+        # member (doc_id, rep_id) has ONE consumer (the label expansion)
+        # and reps rides the collapse's pinned quotient frame — the r9
+        # member/reps DISK_ONLY persists are gone with the r10
+        # hash-probe collapse (shingle arrays cross one map-side-
+        # combined shuffle inside it).
+        member, reps = _memo_get(
+            ("collapse", dir_key),
+            lambda: exact_collapse_shingles(doc_shingles(spark, sf_dir)))
+        # reps feeds the pair graph AND the CC node list: persist, then
+        # release as soon as the EAGER connected_components returns
+        # (r10, ADVICE — persist without unpersist leaks for the
+        # session).
+        reps_p = reps.persist(StorageLevel.DISK_ONLY)
+        pairs = _pairs_cached(reps_p, threshold, dir_key)
+        labels = connected_components(reps_p.select("doc_id"), pairs,
+                                      node_col="doc_id")
+        reps_p.unpersist()
+        expanded = (member.join(
+            labels.select(F.col("node").alias("rep_id"), "label"),
+            "rep_id"))
+        # The node universe is EVERY document, not just the shingled
+        # ones: doc_shingles drops NULL-text rows (degenerate-input
+        # contract), but the cluster entries have always emitted those
+        # docs as singletons (own doc_id as label) and the naive oracles
+        # seed reach from the full documents table — left-join them back
+        # (r9 self-review find).
+        full = ld(spark, sf_dir, "documents").select("doc_id")
+        # Docs absent from member (empty/NULL shingle sets — the
+        # collapse never sees them) coalesce to their own id here,
+        # exactly the singleton semantics the pre-r10 in-frame form gave
+        # them.
+        out = (full.join(expanded, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("rep_id", F.col("doc_id"))
+                       .alias("rep_id"),
+                       F.coalesce("label", F.col("doc_id"))
+                       .alias("label")))
+        # shared across consumers → checkpoint once so each later entry
+        # reads blocks instead of replaying expand + CC lineage
+        return pin(out) if _COLLAPSE_MEMO is not None else out
+
+    return _memo_get(("labels", dir_key, threshold), build)
 
 
 def dedup_clusters(spark, sf_dir, threshold: float = 0.5):
@@ -1099,8 +1183,13 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     # DISK_ONLY persist is gone with the r10 hash-probe collapse.
     # Shingle-less docs are absent from member now; they were singleton
     # sz=1 groups before, contributing zero to every within/cross term
-    # and never passing the paired filter — output-identical.
-    member, reps = exact_collapse_shingles(doc_shingles(spark, sf_dir))
+    # and never passing the paired filter — output-identical. Inside a
+    # collapse_memo_scope the quotient is shared with the cluster
+    # entries (r11 seam).
+    dir_key = os.path.abspath(sf_dir)
+    member, reps = _memo_get(
+        ("collapse", dir_key),
+        lambda: exact_collapse_shingles(doc_shingles(spark, sf_dir)))
     # c[g, s]: per-(group, source) member counts — at most corpus-sized,
     # in practice |distinct texts| × |sources|; the hub every term reads.
     c = (member.join(docs, "doc_id")
@@ -1121,8 +1210,15 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     csn = cn.join(szn, "rep_id")
     # rep-level pair graph: pair-sized over DISTINCT texts; two consumers
     # (term expansion + paired-degree), deterministic from the scan.
-    p = (_jaccard_pair_graph(reps, 0.5).select("id1", "id2")
-         .persist(StorageLevel.DISK_ONLY))
+    # Memo-shared (checkpoint-pinned) inside a collapse_memo_scope —
+    # the cluster entries run the SAME 0.5-threshold graph; standalone,
+    # the local DISK_ONLY persist/unpersist discipline stands.
+    memo_shared = _COLLAPSE_MEMO is not None
+    if memo_shared:
+        p = _pairs_cached(reps, 0.5, dir_key)
+    else:
+        p = (_jaccard_pair_graph(reps, 0.5).select("id1", "id2")
+             .persist(StorageLevel.DISK_ONLY))
     # per-(pair, source) counts for both sides, zero-filled via union-sum
     u = (p.join(csn.select(F.col("rep_id").alias("id1"), "source",
                            F.col("c").alias("c1")), "id1")
@@ -1186,7 +1282,8 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     # ADVICE item closed).
     out = pin(out)
     c.unpersist()
-    p.unpersist()
+    if not memo_shared:        # memo-pinned pairs are checkpoint-scoped
+        p.unpersist()
     return out
 
 
