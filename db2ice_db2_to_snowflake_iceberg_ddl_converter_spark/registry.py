@@ -184,11 +184,20 @@ def _streaming_queries():
 
     from .streaming import events as ev
 
-    def _drain(spark, stream, prefix, mode="complete"):
+    def _drain(spark, stream, prefix, mode="complete", sf_dir=None):
         name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-        q = ev.run_available_now(
-            stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
-            mode=mode)
+        if sf_dir is None:                       # no fixture to size from
+            q = ev.run_available_now(
+                stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+                mode=mode)
+        else:
+            # Size-derived state-partition count (r11, verdict task 3):
+            # per-partition state-store fixed costs dominated these
+            # drains at sf0.1 — see ev.suggest_state_partitions.
+            with ev.drain_conf(spark, sf_dir):
+                q = ev.run_available_now(
+                    stream, name,
+                    tempfile.mkdtemp(prefix=f"ckpt_{name}_"), mode=mode)
         q.stop()
         return spark.table(name)
 
@@ -196,7 +205,8 @@ def _streaming_queries():
         """Oracle-checkable: decimal-protocol sums make the drained rows
         arrival-order independent; timestamps formatted per the protocol."""
         out = _drain(spark, ev.hourly_rollup(
-            ev.read_events_stream(spark, sf_dir)), "s_hourly")
+            ev.read_events_stream(spark, sf_dir)), "s_hourly",
+            sf_dir=sf_dir)
         return out.select(
             F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss")
             .alias("hour_start"),
@@ -210,14 +220,15 @@ def _streaming_queries():
 
         out = _drain(spark, ev.enriched_segment_rollup(
             ev.read_events_stream(spark, sf_dir),
-            _ld(spark, sf_dir, "customer")), "s_enrich")
+            _ld(spark, sf_dir, "customer")), "s_enrich", sf_dir=sf_dir)
         return out.orderBy("segment")
 
     def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Oracle-checkable: the lag/cumsum SQL twin reproduces
         session_window's (first event, last event + gap) boundaries."""
         out = _drain(spark, ev.session_windows(
-            ev.read_events_stream(spark, sf_dir)), "s_sessions")
+            ev.read_events_stream(spark, sf_dir)), "s_sessions",
+            sf_dir=sf_dir)
         return out.select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
@@ -236,12 +247,13 @@ def _streaming_queries():
         name = f"s_dedup_{uuid.uuid4().hex[:8]}"
         src = ev.read_events_stream(spark, sf_dir)
         doubled = src.union(ev.read_events_stream(spark, sf_dir))
-        q = (ev.dedup_stream(doubled).writeStream.format("memory")
-             .queryName(name).outputMode("append")
-             .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        with ev.drain_conf(spark, sf_dir):
+            q = (ev.dedup_stream(doubled).writeStream.format("memory")
+                 .queryName(name).outputMode("append")
+                 .option("checkpointLocation",
+                         tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         q.stop()
         return spark.table(name).select(
             "event_id", "user_id", "event_type",
@@ -257,7 +269,7 @@ def _streaming_queries():
         Timestamps are emitted as formatted strings per the protocol."""
         drained = _drain(spark, ev.purchase_click_interval_join(
             ev.read_events_stream(spark, sf_dir)), "s_ivjoin",
-            mode="append")
+            mode="append", sf_dir=sf_dir)
         return drained.select(
             "purchase_id", "click_id", "user_id",
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
@@ -283,7 +295,7 @@ def _streaming_queries():
         from .operators.scale import pin as _pin
         drained = _pin(_drain(spark, ev.purchase_click_left_join(
             ev.read_events_stream(spark, sf_dir)), "s_lojoin",
-            mode="append"))                   # 3 consumers below
+            mode="append", sf_dir=sf_dir))                   # 3 consumers below
         e = _le(spark, sf_dir)
         p = e.filter(F.col("event_type") == "purchase") \
              .select(F.col("event_id").alias("purchase_id"),
@@ -327,13 +339,14 @@ def _streaming_queries():
         stats = ev.event_type_stats(spark, sf_dir)
         drained = _drain(spark, ev.zscore_alerts(
             ev.read_events_stream(spark, sf_dir), stats), "s_zalerts",
-            mode="append")
+            mode="append", sf_dir=sf_dir)
         return drained.orderBy("event_id")
 
     def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Oracle-checkable like the hourly rollup (decimal-protocol avg)."""
         out = _drain(spark, ev.sliding_rollup(
-            ev.read_events_stream(spark, sf_dir)), "s_sliding")
+            ev.read_events_stream(spark, sf_dir)), "s_sliding",
+            sf_dir=sf_dir)
         return out.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),
@@ -354,7 +367,7 @@ def _streaming_queries():
 
         drained = _drain(spark, ev.user_running_stats_v2(
             ev.read_events_stream(spark, sf_dir)), "s_ustats2",
-            mode="update")
+            mode="update", sf_dir=sf_dir)
         w = F.row_number().over(
             Window.partitionBy("user_id").orderBy(F.desc("n_events")))
         return (drained.withColumn("rn", w).filter(F.col("rn") == 1)
@@ -373,7 +386,7 @@ def _streaming_queries():
 
         drained = _drain(spark, ev.user_running_stats(
             ev.read_events_stream(spark, sf_dir)), "s_ustats",
-            mode="update")
+            mode="update", sf_dir=sf_dir)
         w = F.row_number().over(
             Window.partitionBy("user_id").orderBy(F.desc("n_events")))
         return (drained.withColumn("rn", w).filter(F.col("rn") == 1)
@@ -395,7 +408,7 @@ def _streaming_queries():
 
         drained = _drain(spark, ev.cusum_drift_alerts(
             ev.read_events_stream(spark, sf_dir)), "s_cusum",
-            mode="append")
+            mode="append", sf_dir=sf_dir)
         counts = (_le(spark, sf_dir).groupBy("event_type")
                   .agg(F.count(F.lit(1)).alias("n_events")))
         per_type = (drained.groupBy("event_type")
@@ -441,7 +454,7 @@ def _streaming_queries():
         k = 8
         drained = _drain(spark, ev.heavy_hitter_users(
             ev.read_events_stream(spark, sf_dir), k=k), "s_mg",
-            mode="update")
+            mode="update", sf_dir=sf_dir)
         from pyspark.sql import Window
         last = F.max("snap").over(Window.partitionBy("event_type"))
         snap = (drained.withColumn("last_snap", last)
@@ -515,9 +528,12 @@ def _streaming_p2_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as ev
 
     name = f"s_p2_{uuid.uuid4().hex[:8]}"
-    q = ev.run_available_now(
-        ev.p2_quantile_estimates(ev.read_events_stream(spark, sf_dir)),
-        name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"), mode="append")
+    with ev.drain_conf(spark, sf_dir):
+        q = ev.run_available_now(
+            ev.p2_quantile_estimates(
+                ev.read_events_stream(spark, sf_dir)),
+            name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+            mode="append")
     q.stop()
     from pyspark.sql import Window
     drained = spark.table(name)

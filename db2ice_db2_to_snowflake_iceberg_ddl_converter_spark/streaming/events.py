@@ -44,6 +44,68 @@ EVENT_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
+
+def suggest_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-partition count for an AvailableNow drain of the events
+    fixture. Stateful operators hash-partition their state into
+    ``spark.sql.shuffle.partitions`` stores, and EVERY store pays a
+    fixed open/snapshot/commit cost per micro-batch regardless of row
+    count — at 32 partitions the two stream-stream join drains (4
+    stores each) were the registry's two most expensive entries at
+    10.8 s / 7.5 s wall for <200 k input rows, with ~96 % of summed
+    task time in state-store bookkeeping, not state work; 8 partitions
+    ran 3.0 s / 2.7 s with identical output (r11 profile, BASELINE.md).
+
+    Size-derive the count like ``ld()``'s fanout heuristic in reverse:
+    one state partition per ~8 MiB of source, floored at 8 (real
+    parallelism once state work is nontrivial), capped at the session
+    default — a 100 TB landing directory keeps the cluster's configured
+    width; this helper only shrinks SMALL drains, never widens big
+    ones. Every registry drain starts a fresh checkpoint, so the count
+    is free to choose per run; a long-lived production query must keep
+    it fixed for the checkpoint's lifetime (Spark freezes state
+    partitioning at first start). Non-local storage (no os.path answer)
+    keeps the session default."""
+    import os
+
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default = 200
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return default
+    return max(8, min(default, -(-size // (8 << 20))))
+
+
+class drain_conf:
+    """Context manager: apply the size-derived state-partition count for
+    one drain, restore the session setting after (the conf is read at
+    query START, so setting it around ``.start()``/awaitTermination is
+    exactly the per-checkpoint scope it needs)."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark, self.sf_dir = spark, sf_dir
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self._KEY)
+        self.spark.conf.set(
+            self._KEY, str(suggest_state_partitions(self.spark,
+                                                    self.sf_dir)))
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.spark.conf.set(self._KEY, self.old)
+        return False
+
 def _hadoop_is_dir(spark: SparkSession, path: str) -> bool:
     """Directory test through the path's own Hadoop FileSystem (local,
     HDFS, s3a, ... — whatever the scheme resolves to); falls back to

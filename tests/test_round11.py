@@ -197,6 +197,53 @@ class TestCollapseMemoSeam:
         assert l3 is not l1
 
 
+class TestDrainStatePartitions:
+    """r10 verdict task 3: the two stream-stream join drains were the
+    registry's most expensive entries because EVERY state-store
+    partition pays a fixed open/commit cost per micro-batch — 4 stores
+    × 32 partitions dwarfed the actual state work at sf0.1 (measured:
+    ~96 % of summed task time in store bookkeeping). Drains now derive
+    their state-partition count from source size (fresh checkpoint per
+    drain ⇒ free to choose), floored at 8, capped at the session
+    default: small fixtures shrink, a 100 TB landing dir keeps the
+    cluster width."""
+
+    def test_size_derivation_floor_and_cap(self, spark, sf_dir, tmp_path):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events import (  # noqa: E501
+            suggest_state_partitions,
+        )
+
+        # the sf0.001/0.01/0.1 fixtures are all < 64 MiB -> the floor
+        assert suggest_state_partitions(spark, sf_dir) == 8
+        # missing source (non-local storage shape) -> session default
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert suggest_state_partitions(
+            spark, str(tmp_path / "nope")) == default
+        # a synthetic big file caps at the session default, never above
+        big = tmp_path / "events.parquet"
+        big.write_bytes(b"\0" * (9 << 20))           # 9 MiB -> ceil = 2
+        assert suggest_state_partitions(spark, str(tmp_path)) == 8
+        with open(big, "wb") as fh:
+            fh.truncate((8 << 20) * (default + 5))   # default+5 ceil
+        assert suggest_state_partitions(spark, str(tmp_path)) == default
+
+    def test_drain_conf_restores_session_setting(self, spark, sf_dir):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events import (  # noqa: E501
+            drain_conf,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        with drain_conf(spark, sf_dir):
+            assert spark.conf.get(key) == "8"
+        assert spark.conf.get(key) == before
+        # restore happens on the exception path too
+        with pytest.raises(RuntimeError, match="boom"):
+            with drain_conf(spark, sf_dir):
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == before
+
+
 class TestCollisionBranchExactnessResidue:
     def test_no_disk_only_residue_after_collapse(self, spark, sf_dir):
         """Both collision branches release sized's DISK_ONLY blocks
