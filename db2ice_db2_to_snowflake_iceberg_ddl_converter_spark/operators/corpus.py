@@ -221,11 +221,11 @@ WITH scal AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
          CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
            AS avgdl
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 hits AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          UNNEST(string_split(text, ' ')) AS term
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 fh AS (
   SELECT * FROM hits
   WHERE term IN ('spark', 'window', 'hash', 'vector', 'merge')),
@@ -302,7 +302,8 @@ def _oracle_embedding_covariance(dims: int = 6) -> str:
         f"p{i}_{j}/n - (s{i}/n)*(s{j}/n) AS cov FROM s"
         for i in range(1, dims + 1) for j in range(i, dims + 1)
     ]
-    return (f"WITH s AS (SELECT {', '.join(sums)} FROM embeddings)\n"
+    return (f"WITH s AS (SELECT {', '.join(sums)} FROM embeddings\n"
+            "            WHERE embedding IS NOT NULL)\n"
             + "\nUNION ALL ".join(branches)
             + "\nORDER BY dim_i, dim_j")
 
@@ -519,7 +520,9 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .textstats import predicted_lang_expr, quality_score_expr
 
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: no language, no tokens, no quality to report (ld_docs
+    # contract, r11 nulldoc gate) — mirrored in the oracle
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per_doc = d.select(
         "source",
         predicted_lang_expr().alias("predicted_lang"),
@@ -549,7 +552,7 @@ WITH per_doc AS (
          string_split(text, ' ') AS w,
          list_distinct(string_split(text, ' ')) AS dw,
          md5(text) AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), scored AS (
   SELECT source, h, len(w) AS n_tokens,
          CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h
@@ -801,7 +804,9 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str,
     oracle as constants — non-default values are ad-hoc only, with no
     parity claim.
     """
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: nothing to chunk (the ld_docs corrupted-shard contract,
+    # r11 nulldoc gate) — mirrored in the oracle
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     return (d.select("doc_id", toks.alias("toks"))
             .select("doc_id",
@@ -823,6 +828,7 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str,
 ORACLE_CHUNK_OVERLAP = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ), starts AS (
   SELECT doc_id, t,
          UNNEST(range(1, greatest(len(t), 1) + 1, 48)) AS start

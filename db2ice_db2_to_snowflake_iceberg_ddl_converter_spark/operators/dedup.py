@@ -517,7 +517,8 @@ SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
          AS n_exact_text_pairs,
        TRUE AS all_exact_pairs_found,
        TRUE AS near_ge_exact
-FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+FROM (SELECT COUNT(*) AS c FROM documents
+      WHERE text IS NOT NULL GROUP BY text)
 """
 
 
@@ -1474,7 +1475,8 @@ def dedup_semdedup_checked(spark: SparkSession, sf_dir: str,
 
 
 ORACLE_SEMDEDUP_CHECKED = """
-SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE embedding IS NOT NULL) AS n_vectors,
        TRUE AS every_cell_keeps_one,
        TRUE AS cells_in_range,
        TRUE AS kept_le_total
@@ -1512,8 +1514,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
     d = ld_py(spark, sf_dir, "documents")
     # persist(DISK_ONLY): corpus-sized, one deterministic hop from the
     # scan -> executor loss recomputes exactly (see dedup_ngram_jaccard)
-    sh = (d.select("doc_id", "source",
-                   _shingle_udf(3)("text").alias("shingles"))
+    # NULL-text rows never reach the shingler (the ld_docs corrupted-
+    # shard contract — a NULL text has no shingles and crashed the
+    # pandas UDF on the r11 nulldoc gate); they stay in the batch-doc
+    # universe below and emit is_neardup = false like any other
+    # match-less doc.
+    sh = (d.filter(F.col("text").isNotNull())
+          .select("doc_id", "source",
+                  _shingle_udf(3)("text").alias("shingles"))
           .persist(StorageLevel.DISK_ONLY))
     sigs = minhash_signatures(sh)
     br = minhash_band_rows(sigs).join(
@@ -1559,7 +1567,10 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
                                       threshold: float = 0.5) -> DataFrame:
     """Partial-oracle form of :func:`dedup_incremental_minhash` (round 9):
     the flagged set is xxhash64-derived, but its exact anchor is
-    recomputable — a batch doc whose text appears VERBATIM in the
+    recomputable — a batch doc whose SHINGLE-ABLE text (non-NULL, ≥ 3
+    space-split words — a shorter text has no 3-grams, so MinHash
+    structurally cannot see it; the r11 nulldoc gate's empty-string
+    twins made that precondition explicit) appears VERBATIM in the
     existing corpus has an identical shingle set, hence identical
     signature and bands, hence a surviving candidate with exact
     Jaccard 1 ≥ threshold, hence MUST be flagged. The census row carries
@@ -1577,8 +1588,14 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
              .select(F.col("doc_id").alias("new_doc"), "text")
     corpus_texts = (d.filter(F.col("source") != new_source)
                     .select("text").distinct())
-    exact_dups = batch.join(corpus_texts, "text", "left_semi") \
-                      .select("new_doc")
+    # shingle-able texts only (see docstring): an exact twin of a
+    # shingle-able text is itself shingle-able, so filtering the batch
+    # side alone is exact
+    shingleable = (F.col("text").isNotNull()
+                   & (F.size(F.split(F.col("text"), " ")) >= 3))
+    exact_dups = (batch.filter(shingleable)
+                  .join(corpus_texts, "text", "left_semi")
+                  .select("new_doc"))
     n_stats = (batch.agg(F.count(F.lit(1)).alias("n_batch"))
                .crossJoin(F.broadcast(
                    exact_dups.agg(F.count(F.lit(1))
@@ -1599,7 +1616,8 @@ def dedup_incremental_minhash_checked(spark: SparkSession, sf_dir: str,
 ORACLE_INCREMENTAL_MINHASH_CHECKED = """
 SELECT (SELECT COUNT(*) FROM documents WHERE source = 'src19') AS n_batch,
        (SELECT COUNT(*) FROM documents b
-        WHERE b.source = 'src19'
+        WHERE b.source = 'src19' AND b.text IS NOT NULL
+          AND len(string_split(b.text, ' ')) >= 3
           AND EXISTS (SELECT 1 FROM documents c
                       WHERE c.source <> 'src19' AND c.text = b.text))
          AS n_exact_text_dups,
@@ -1631,7 +1649,11 @@ def dedup_bloom_prefilter(spark, sf_dir, m_bits: int = 65536,
     """
     from .relational import ld
 
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: not a document content to dedup — xxhash64(NULL) is
+    # the seed constant, which silently made every NULL-text pair a
+    # "duplicate" on the r11 nulldoc gate (ld_docs contract; mirrored
+    # in the oracle, where NULL never equi-matches anyway)
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus_hash = d.select(F.xxhash64("text").alias("h")) \
         .localCheckpoint()          # two consumers: bits + exact join
     probes = F.array(*[
@@ -1722,7 +1744,7 @@ WITH batch AS (
          END AS btext
   FROM documents d
   CROSS JOIN (SELECT 'dup' AS variant UNION ALL SELECT 'new') v
-  WHERE d.doc_id % 5 = 0
+  WHERE d.doc_id % 5 = 0 AND d.text IS NOT NULL
 )
 SELECT COUNT(*) AS batch_size,
        CAST(SUM(CASE WHEN btext IN (SELECT text FROM documents)

@@ -54,7 +54,7 @@ def multimodal_metadata(spark, sf_dir) -> DataFrame:
 
 ORACLE_MULTIMODAL_META = """
 SELECT doc_id, 'text/plain' AS modality, octet_length(encode(text)) AS n_bytes
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -504,7 +504,7 @@ SELECT doc_id,
        TRUE AS silence_in_unit,
        TRUE AS peak_in_range,
        TRUE AS segments_consistent
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -531,7 +531,7 @@ def multimodal_image_stats_checked(spark, sf_dir) -> DataFrame:
 ORACLE_IMAGE_STATS_CHECKED = """
 SELECT doc_id, 16 AS width, 8 AS height,
        TRUE AS means_in_byte_range, TRUE AS contrast_in_range
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -745,5 +745,6 @@ SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
          AS n_exact_text_pairs,
        TRUE AS all_exact_pairs_found,
        TRUE AS near_ge_exact
-FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+FROM (SELECT COUNT(*) AS c FROM documents
+      WHERE text IS NOT NULL GROUP BY text)
 """

@@ -140,7 +140,12 @@ def rerank_ann_shortlist(spark: SparkSession, sf_dir: str, k: int = 5,
                                       n_queries=n_queries)
                  .select("query_id", "neighbor_id",
                          F.col("nn_rank").alias("ann_rank")))
-    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text docs cannot be pairwise-scored (the ld_docs corrupted-
+    # shard contract; a NULL reaching the scorer UDF crashed the r11
+    # nulldoc gate) — they drop out of stage 2 on BOTH join sides and
+    # the top-k fills from scoreable candidates, mirrored in the oracle.
+    docs = (ld(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
     pairs = (F.broadcast(shortlist)
              .join(docs.select(F.col("doc_id").alias("query_id"),
                                F.col("text").alias("q_text")), "query_id")
@@ -168,15 +173,16 @@ WITH shortlist AS (
                                              b.embedding::DOUBLE[]) DESC,
                       b.vec_id) AS nn_rank
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id < 10)
+    WHERE a.vec_id < 10
+      AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
   WHERE nn_rank <= 20
 ), pairs AS (
   SELECT s.query_id, s.neighbor_id, s.ann_rank,
          list_distinct(string_split(dq.text, ' ')) AS q_toks,
          list_distinct(string_split(dc.text, ' ')) AS c_toks
   FROM shortlist s
-  JOIN documents dq ON s.query_id = dq.doc_id
-  JOIN documents dc ON s.neighbor_id = dc.doc_id
+  JOIN documents dq ON s.query_id = dq.doc_id AND dq.text IS NOT NULL
+  JOIN documents dc ON s.neighbor_id = dc.doc_id AND dc.text IS NOT NULL
 ), scored AS (
   SELECT query_id, neighbor_id, ann_rank,
          2.0 * len(list_intersect(q_toks, c_toks))

@@ -120,6 +120,7 @@ SELECT query_id, neighbor_id, cosine, nn_rank FROM (
                                      b.vec_id) AS nn_rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
+    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 ) WHERE nn_rank <= 5
 """
 
@@ -786,7 +787,8 @@ def embedding_kmeans_clusters_checked(spark, sf_dir, k: int = 8,
 
 
 ORACLE_KMEANS_CHECKED = """
-SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE embedding IS NOT NULL) AS n_vectors,
        TRUE AS sizes_sum_to_n, TRUE AS k_bound,
        TRUE AS inertia_nonneg, TRUE AS ratio_identity
 """
@@ -816,7 +818,7 @@ def ann_pq_encode_checked(spark, sf_dir, m: int = 8,
 
 ORACLE_PQ_ENCODE_CHECKED = """
 SELECT vec_id, TRUE AS code_in_range, TRUE AS err_in_range
-FROM embeddings ORDER BY vec_id
+FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id
 """
 
 
@@ -868,7 +870,8 @@ def dedup_embedding_blocked_checked(spark, sf_dir,
 ORACLE_EMBEDDING_BLOCKED_CHECKED = """
 WITH nz AS (
   SELECT vec_id, embedding FROM embeddings
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
 SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
          AS n_exact_vec_pairs,
        TRUE AS all_exact_pairs_found,
@@ -967,6 +970,7 @@ WITH brute AS (
                                      b.vec_id) AS nn_rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
+    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_in_band,
@@ -1007,7 +1011,8 @@ def embedding_pca_project_checked(spark, sf_dir, k: int = 4) -> DataFrame:
 
 
 ORACLE_PCA_PROJECT_CHECKED = """
-SELECT vec_id, TRUE AS bessel_ok FROM embeddings ORDER BY vec_id
+SELECT vec_id, TRUE AS bessel_ok FROM embeddings
+WHERE embedding IS NOT NULL ORDER BY vec_id
 """
 
 
@@ -1040,6 +1045,7 @@ SELECT label, COUNT(*) AS n_anchors,
        TRUE AS cosines_in_range,
        TRUE AS margin_in_range
 FROM embeddings WHERE vec_id < 50
+  AND embedding IS NOT NULL AND label IS NOT NULL
 GROUP BY label ORDER BY label
 """
 
@@ -1309,6 +1315,7 @@ def _oracle_embedding_source_drift(dims: int = 64) -> str:
 WITH cent AS (
   SELECT d.source, COUNT(*) AS n, {means}
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.embedding IS NOT NULL
   GROUP BY d.source)
 SELECT a.source AS source_a, b.source AS source_b,
        a.n AS n_a, b.n AS n_b,
@@ -1338,8 +1345,14 @@ def embedding_triplet_margin(spark, sf_dir, n_anchors: int = 50
     per-anchor max-cosine split by same/other label is one conditional
     aggregation — no window at all. Float cosine chains → rows-only;
     the pytest replays anchors × corpus in numpy exactly.
+
+    NULL-label rows (corrupted shard, r11 nulldoc gate) have no class
+    and participate NEITHER as anchors nor as candidates — the
+    same/other split is undefined for them (as an anchor the NULL ==
+    comparison silently produced an all-NULL census row; as a candidate
+    it fell in neither bucket, asymmetrically). Mirrored in the oracle.
     """
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs(spark, sf_dir).filter(F.col("label").isNotNull())
     q = e.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -221,7 +221,10 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic rolling polynomial hash (mod large prime) per document —
     a content fingerprint computable incrementally at ingest. Sequential
     left-fold over characters keeps it engine-portable bit-for-bit."""
-    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # NULL text has no characters to fingerprint (ld_docs contract,
+    # r11 nulldoc gate) — mirrored in the oracle
+    d = (ld(spark, sf_dir, "documents")
+         .filter((F.col("doc_id") < 200) & F.col("text").isNotNull()))
     fp = F.expr(
         "aggregate(transform(sequence(1, length(text)),"
         " i -> ascii(substr(text, i, 1))),"
@@ -235,7 +238,7 @@ SELECT doc_id,
          list_prepend(0::BIGINT,
                       [ascii(text[i])::BIGINT FOR i IN range(1, length(text)+1)]),
          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-FROM documents WHERE doc_id < 200
+FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 """
 
 

@@ -308,7 +308,10 @@ def sample_per_group_topn(spark: SparkSession, sf_dir: str,
     but re-run-stable pick (the same property as ``data_split_assign``,
     applied group-wise). One window over (lang | md5, doc_id).
     """
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: md5(NULL) is engine-dependent sort fodder — the
+    # hash-sample is over real texts only (ld_docs contract, r11);
+    # NULL-LANG groups stay (both engines keep NULL partitions)
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
     return (d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= n)
@@ -320,7 +323,7 @@ SELECT lang, doc_id, rk FROM (
   SELECT lang, doc_id,
          ROW_NUMBER() OVER (PARTITION BY lang
                             ORDER BY md5(text), doc_id) AS rk
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 WHERE rk <= 5 ORDER BY lang, rk
 """
 
@@ -682,7 +685,10 @@ def corpus_pack_global_stream(spark: SparkSession, sf_dir: str,
     """
     from .scale import global_prefix_window
 
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: no tokens to pack (ld_docs contract, r11 nulldoc
+    # gate) — a NULL n_tok row would silently shift every later
+    # sequence boundary; mirrored in the oracle
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per_doc = d.select("doc_id",
                        F.size(F.split("text", " ")).alias("n_tok"))
     with_cum = global_prefix_window(
@@ -709,6 +715,7 @@ def corpus_pack_global_stream(spark: SparkSession, sf_dir: str,
 ORACLE_PACK_GLOBAL_STREAM = """
 WITH per_doc AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+  WHERE text IS NOT NULL
 ), cum AS (
   SELECT doc_id, n_tok,
          SUM(n_tok) OVER (ORDER BY doc_id
@@ -1009,7 +1016,10 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
     from .scale import global_ranks, grouped_ranks
     from .textstats import quality_score_expr
 
-    d = ld(spark, sf_dir, "documents")
+    # NULL text: no quality score to calibrate (ld_docs contract, r11
+    # nulldoc gate) — a NULL raw_score would poison both rank ladders;
+    # mirrored in the oracle
+    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     scored = d.select("doc_id", "source",
                       quality_score_expr().cast("double").alias("raw_score"))
     ranked, n = global_ranks(
@@ -1018,7 +1028,13 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
                         [F.asc("raw_score"), F.asc("doc_id")],
                         rank_col="r", num_partitions=8)
     ns = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    src = (src.join(F.broadcast(ns), "source")
+    # struct-packed join key: a plain "source" equi-join silently drops
+    # the NULL-source group the window oracle keeps as its own
+    # partition (r11 nulldoc gate) — struct equality compares NULL
+    # fields as equal, same rationale as grouped_ranks' offset join
+    src = (src.withColumn("__k", F.struct("source"))
+           .join(F.broadcast(ns.withColumn("__k", F.struct("source"))
+                             .drop("source")), "__k")
            .select("doc_id", "source", "raw_score", "r", "n_s"))
     lookup = ranked.select(F.col("global_rn").alias("g"),
                            F.col("raw_score").alias("norm_score"))
@@ -1032,7 +1048,7 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
 ORACLE_QUANTILE_CALIBRATE = """
 WITH t AS (
   SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS w
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), scored AS (
   SELECT doc_id, source,
          CAST((CASE WHEN n_chars >= 100 AND n_chars <= 5000

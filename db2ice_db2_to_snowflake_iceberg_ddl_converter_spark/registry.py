@@ -646,7 +646,8 @@ SELECT (SELECT COUNT(*) FROM events
 
 ORACLE_MULTIMODAL_RESIZE = """
 WITH a AS (
-  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+  WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id, L,
          GREATEST(1, GREATEST(L, 1) // 256) AS stride FROM a)
@@ -716,7 +717,7 @@ def _multimodal_features_checked(spark: SparkSession,
 ORACLE_MULTIMODAL_FEATURES = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        TRUE AS norm_pos_iff_bytes, TRUE AS norm_in_band
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 

@@ -2,14 +2,125 @@
 
 1. The recorded ROUND-11 rotation executes exactly as the r10 verdict
    planned it (42-entry r05 due tail + the first 8 r06-checked entries).
-Further round-11 tests (streaming-drain profile, split pin size gate,
-collapse memo seam, corrupted-documents gate) are added below as the
-round progresses.
+2. The four r10 ADVICE items.
+3. The collapse-rail memo seam (verdict task 5).
+4. Size-derived drain state partitioning (verdict task 3).
+5. The corrupted-DOCUMENTS gate (verdict task 8): the FIFTH standing
+   adversarial oracle fixture (NULL/empty text, NULL source/lang, NULL
+   embedding/label) and the 30 formerly-divergent entries it exposed,
+   each now hash-matching DuckDB on the corrupted corpus.
 """
 
 import json
+import os
 
+import duckdb
 import pytest
+from pyspark.sql import functions as F
+
+#: The 30 entries the first nulldoc sweep (r11) found divergent — two
+#: genuine Spark-side contract violations (rerank crashed on NULL
+#: candidate text; incremental minhash crashed in the shingle UDF and
+#: its exact-dup census missed shingle-less twins), one DuckDB crash
+#: (list_inner_product over NULL), the xxhash64(NULL)=seed trap in the
+#: bloom prefilter, a NULL-source group dropped by a plain equi-join in
+#: quantile calibration, NULL-label triplet anchors, and 24 oracles
+#: that predated the ld_docs/ld_vecs corrupted-shard contract.
+NULLDOC_ENTRIES = [
+    "corpus_chunk_overlap", "dedup_semdedup", "ann_pq_encode",
+    "corpus_pack_global_stream", "dedup_incremental_minhash",
+    "embedding_pca_project", "ann_ivf_pq_topk", "ann_ivf_topk",
+    "multimodal_features", "ann_pq_topk", "sample_per_group_topn",
+    "text_fingerprint", "multimodal_metadata", "embedding_covariance",
+    "ann_brute_force_topk", "multimodal_resize", "dedup_simhash",
+    "dedup_embedding_blocked", "ann_lsh_topk", "rerank_ann_shortlist",
+    "corpus_curation_report", "embedding_kmeans_clusters",
+    "multimodal_audio_energy", "multimodal_image_stats",
+    "retrieval_bm25_topk", "quality_quantile_calibrate",
+    "embedding_source_drift", "multimodal_phash_neardup",
+    "embedding_triplet_margin", "dedup_bloom_prefilter",
+]
+
+
+@pytest.fixture(scope="module")
+def nulldoc_dir(spark, sf_dir, tmp_path_factory):
+    """Corrupted-documents fixture at sf0.001 via the probe tool's
+    builder (the same code path the standing gate uses)."""
+    import tools.degenerate_probe as dp
+
+    base = str(tmp_path_factory.mktemp("sf_nulldoc_r11"))
+    dp.build_fixture(spark, sf_dir, base, "nulldoc")
+    return base
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    res = con.sql(sql)
+    cols = list(res.columns)
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+class TestCorruptedDocsParity:
+    """Every formerly-divergent entry must hash-match its DuckDB oracle
+    on the corrupted-documents fixture (and stay green on clean data —
+    the full sf0.01 sweep covers that side)."""
+
+    @pytest.mark.parametrize("name", NULLDOC_ENTRIES)
+    def test_entry_matches_oracle_on_nulldoc(self, spark, nulldoc_dir,
+                                             name):
+        from __spark_entry__ import oracle_sql, queries
+
+        df = queries()[name](spark, nulldoc_dir)
+        srows = [tuple(r) for r in df.collect()]
+        ocols, orows = _oracle_rows(oracle_sql()[name], nulldoc_dir)
+        assert sorted(df.columns) == sorted(ocols), (df.columns, ocols)
+        assert _canon(df.columns, srows) == _canon(ocols, orows), \
+            f"{name}: value mismatch on corrupted-documents fixture"
+
+
+class TestNulldocSemanticsUnits:
+    """The sharpest individual r11 semantic decisions, on hand-built
+    frames — fast, local failure messages for the parity class above."""
+
+    def test_xxhash64_null_is_seed_constant(self, spark):
+        """The trap behind the bloom-prefilter fix: Spark's xxhash64
+        maps every NULL input to the SEED constant, so two NULL-text
+        docs silently hash-collide as 'duplicates' unless NULL rows are
+        filtered before hashing."""
+        rows = (spark.createDataFrame([(None,), (None,), ("x",)],
+                                      "t string")
+                .select(F.xxhash64("t").alias("h")).collect())
+        assert rows[0].h == rows[1].h          # NULLs collide...
+        assert rows[0].h is not None           # ...on a real value
+        assert rows[0].h != rows[2].h
+
+    def test_struct_key_join_keeps_null_group(self, spark):
+        """The calibrate fix: a plain equi-join on the group key drops
+        NULL groups; the struct-packed key compares NULL fields as
+        equal (GROUP BY semantics) and keeps them."""
+        left = spark.createDataFrame([("a", 1), (None, 2)],
+                                     "k string, v int")
+        ns = left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        plain = left.join(ns, "k")
+        assert plain.count() == 1              # NULL group dropped
+        packed = (left.withColumn("__k", F.struct("k"))
+                  .join(ns.withColumn("__k", F.struct("k")).drop("k"),
+                        "__k"))
+        assert packed.count() == 2             # NULL group kept
 
 
 class TestRound11Window:

@@ -50,6 +50,16 @@ shard at 100 TB):
                (round 10): every sequence/window/sessionization entry
                must agree with DuckDB even when event timestamps,
                actors, and payloads go missing — the NULL-ordering and
+               NULL-bucket divergence class.
+  nulldoc      corrupted documents + embeddings (round 11, the FIFTH
+               standing adversarial oracle gate): text NULL on
+               doc_id %% 11, text EMPTY STRING on %% 13, source NULL on
+               %% 7, lang NULL on %% 5 (n_chars kept VERBATIM — real
+               corrupt shards have inconsistent metadata); embedding
+               NULL on vec_id %% 9, label NULL on vec_id %% 5. Events
+               and the TPC-H tables verbatim. Every corpus / dedup /
+               text / ANN / training-prep entry must hash-match DuckDB
+               when document text, provenance, and vectors go missing
                NULL-bucket divergence class that r9 fixed for the
                12 ts-ordered window sites and r10 for the remaining
                14 batch entries.
@@ -112,6 +122,9 @@ def build_fixture(spark, base: str, out: str, mode: str) -> None:
         return
     if mode == "nullev":
         _build_nullev(spark, base, out)
+        return
+    if mode == "nulldoc":
+        _build_nulldoc(spark, base, out)
         return
     for t, cols in PAYLOADS.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
@@ -250,6 +263,45 @@ def _build_nullev(spark, base: str, out: str) -> None:
        .parquet(f"{out}/events.parquet"))
 
 
+def _build_nulldoc(spark, base: str, out: str) -> None:
+    """Corrupted documents + embeddings (r11, the fifth standing gate):
+    text NULL on doc_id % 11, text '' on % 13, source NULL on % 7, lang
+    NULL on % 5 — n_chars VERBATIM (inconsistent metadata is exactly
+    what corrupt shards carry); embedding NULL on vec_id % 9, label
+    NULL on % 5. Moduli overlap deliberately (143-multiples lose text
+    twice over, 77-multiples lose text AND source, 385-multiples lose
+    source, lang and the vector label). Events verbatim HERE and the
+    seven TPC-H tables verbatim via the ``build_fixture`` dispatcher's
+    copy loop — the finished fixture carries ALL ten tables."""
+    from pyspark.sql import functions as F
+
+    (spark.read.parquet(f"{base}/events.parquet")
+     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    d = spark.read.parquet(f"{base}/documents.parquet")
+    (d.withColumn("text", F.when(d.doc_id % 11 == 0,
+                                 F.lit(None).cast("string"))
+                           .when(d.doc_id % 13 == 0, F.lit(""))
+                           .otherwise(d.text))
+       .withColumn("source", F.when(d.doc_id % 7 == 0,
+                                    F.lit(None).cast("string"))
+                              .otherwise(d.source))
+       .withColumn("lang", F.when(d.doc_id % 5 == 0,
+                                  F.lit(None).cast("string"))
+                            .otherwise(d.lang))
+       .coalesce(2).write.mode("overwrite")
+       .parquet(f"{out}/documents.parquet"))
+    e = spark.read.parquet(f"{base}/embeddings.parquet")
+    etype = e.schema["embedding"].dataType.simpleString()
+    (e.withColumn("embedding", F.when(e.vec_id % 9 == 0,
+                                      F.lit(None).cast(etype))
+                                .otherwise(e.embedding))
+       .withColumn("label", F.when(e.vec_id % 5 == 0,
+                                   F.lit(None).cast("int"))
+                             .otherwise(e.label))
+       .coalesce(2).write.mode("overwrite")
+       .parquet(f"{out}/embeddings.parquet"))
+
+
 def _build_skewed(spark, base: str, out: str) -> None:
     """Remap grouping/join keys so one value holds ~95% of rows
     (id % 20 != 0), payloads untouched. Hot values are real existing
@@ -295,7 +347,7 @@ def classify(exc: BaseException) -> str:
 
 
 MODES = ("nullpayload", "mixednull", "poisoned", "dupflood", "skewed",
-         "nullev")
+         "nullev", "nulldoc")
 
 
 def main() -> int:
