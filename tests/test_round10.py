@@ -175,7 +175,9 @@ class TestRound10Window:
 
         q = build_queries()
         w = _window_r10()
-        assert list(q)[:50] == w
+        # r11 reordered queries() to ITS window; the r10 window remains
+        # a resolvable, construction-exact subset (the r9 pattern)
+        assert set(w) <= set(q)
         assert len(w) == 50 and len(set(w)) == 50
         # due-list construction arithmetic (the judge re-derives this)
         assert _CANARIES_R10 == [
