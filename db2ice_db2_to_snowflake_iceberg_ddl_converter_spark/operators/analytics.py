@@ -515,10 +515,15 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .scale import global_prefix_window
 
+    from .scale import pin
+
     l = ld(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_part = (l.groupBy("l_partkey")
-                .agg(F.sum(rev.cast(DEC)).alias("revenue")))
+    # pin: the lineitem revenue agg feeds TWO consumers (the exact
+    # total and the prefix scan's range shuffle) — without it the big
+    # fact-table scan+agg executes twice (r11 tail plan audit)
+    per_part = pin(l.groupBy("l_partkey")
+                   .agg(F.sum(rev.cast(DEC)).alias("revenue")))
     total = per_part.agg(F.sum("revenue").alias("total_rev"))
     cum = global_prefix_window(
         per_part, [F.desc("revenue"), F.asc("l_partkey")], "revenue",
@@ -1015,8 +1020,13 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str,
     into the oracle as constants (same trap as scale_zorder_zvalues) —
     non-default values are ad-hoc only, with no parity claim.
     """
+    from .scale import pin
+
     l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    distinct_lp = l.distinct()
+    # pin: the fact-table distinct (a full shuffle) feeds THREE
+    # consumers (order census, per-part totals, basket build) — without
+    # it the scan+distinct executes three times (r11 tail plan audit)
+    distinct_lp = pin(l.distinct())
     n_orders = distinct_lp.select("l_orderkey").distinct() \
         .agg(F.count(F.lit(1)).alias("n_orders"))
     part_counts = (distinct_lp.groupBy("l_partkey")

@@ -879,7 +879,10 @@ def diag_curve_locality(spark: SparkSession, sf_dir: str,
                    "l_orderkey", "l_linenumber"))
     bounds = raw.agg(F.min("xr").alias("x_min"), F.max("xr").alias("x_max"),
                      F.min("yr").alias("y_min"), F.max("yr").alias("y_max"))
-    li = (raw.crossJoin(F.broadcast(bounds))
+    # pin: the normalized grid feeds the THREE layout rankings below
+    # (each global_ranks pins internally but re-executes this lineage —
+    # scan + bounds cross-join — per layout without it; r11 tail audit)
+    li = pin_boundaries(raw.crossJoin(F.broadcast(bounds))
           .select(
               F.expr(f"((xr - x_min) * {mask}L) div "
                      "greatest(x_max - x_min, 1)").alias("x"),
