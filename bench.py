@@ -248,6 +248,20 @@ def main() -> int:
     memo_scope = collapse_memo_scope()
     memo_scope.__enter__()
 
+    # The seam makes the shared collapse/pair-graph/CC build invisible
+    # to every per-query min (the first consumer pays it only on its
+    # first rep, which min-of-3 discards) — time the build EXPLICITLY
+    # so a regression in exactly the deduplicated subplans still moves
+    # a recorded number (r11 review find). Compared against the prior
+    # record below like the full-registry alarms.
+    from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (
+        _collapsed_component_labels,
+    )
+
+    t0 = time.perf_counter()
+    _collapsed_component_labels(spark, sf_dir).count()
+    seam_build_sec = round(time.perf_counter() - t0, 3)
+
     # min-of-3: single-JVM local mode has multi-second GC/JIT noise; the
     # min is the steady-state number a warmed executor fleet would see
     # (observed run-to-run spread at sf0.1 is ±0.3 s per query — two
@@ -283,6 +297,7 @@ def main() -> int:
     # runs 2..3, recording an effective min-of-9 per query so a wide
     # same-day noise band can't mask a real single-query regression.
     runs_merged = 1
+    fresh_seam_build = seam_build_sec   # alarms compare FRESH, never merged
     if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1":
         prev_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
@@ -294,6 +309,9 @@ def main() -> int:
                            for k in timings}
                 runs_merged = prev.get("runs_merged", 1) + 1
                 sentinel = min(sentinel, prev.get("sentinel_sec", sentinel))
+                seam_build_sec = min(
+                    seam_build_sec,
+                    prev.get("collapse_seam_build_sec", seam_build_sec))
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -317,6 +335,7 @@ def main() -> int:
         "n_queries": len(HEADLINE),
         "sentinel_sec": sentinel,
         "runs_merged": runs_merged,
+        "collapse_seam_build_sec": seam_build_sec,
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_local.json")
@@ -357,6 +376,12 @@ def main() -> int:
             k for k in fresh_full if k in prior_full
             and fresh_full[k] >= 1.5 * prior_full[k]
             and fresh_full[k] - prior_full[k] >= 0.3)
+        # seam-build regression rides the same alarm rule (fresh vs the
+        # prior record's scalar — merged values never mask it)
+        prior_seam = prev.get("collapse_seam_build_sec")
+        if (prior_seam and fresh_seam_build >= 1.5 * prior_seam
+                and fresh_seam_build - prior_seam >= 0.3):
+            alarms.append("collapse_seam_build")
         full = {**timings, **tail}
         if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1" and \
                 set(prior_full) == set(full):

@@ -520,9 +520,10 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .textstats import predicted_lang_expr, quality_score_expr
 
-    # NULL text: no language, no tokens, no quality to report (ld_docs
-    # contract, r11 nulldoc gate) — mirrored in the oracle
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text: no language, no tokens, no quality to report —
+    # ld_docs' corrupted-shard contract (r11 nulldoc gate), mirrored in
+    # the oracle
+    d = ld_docs(spark, sf_dir)
     per_doc = d.select(
         "source",
         predicted_lang_expr().alias("predicted_lang"),
@@ -804,9 +805,9 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str,
     oracle as constants — non-default values are ad-hoc only, with no
     parity claim.
     """
-    # NULL text: nothing to chunk (the ld_docs corrupted-shard contract,
-    # r11 nulldoc gate) — mirrored in the oracle
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text: nothing to chunk — ld_docs' corrupted-shard contract
+    # (r11 nulldoc gate), mirrored in the oracle
+    d = ld_docs(spark, sf_dir)
     toks = F.split("text", " ")
     return (d.select("doc_id", toks.alias("toks"))
             .select("doc_id",

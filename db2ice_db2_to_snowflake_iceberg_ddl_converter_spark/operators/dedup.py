@@ -1647,13 +1647,12 @@ def dedup_bloom_prefilter(spark, sf_dir, m_bits: int = 65536,
     pytest pins the zero-false-negative guarantee and the
     (1−e^{−kn/m})^k fpp bound.
     """
-    from .relational import ld
-
     # NULL text: not a document content to dedup — xxhash64(NULL) is
     # the seed constant, which silently made every NULL-text pair a
-    # "duplicate" on the r11 nulldoc gate (ld_docs contract; mirrored
-    # in the oracle, where NULL never equi-matches anyway)
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # "duplicate" on the r11 nulldoc gate (ld_docs' corrupted-shard
+    # contract; mirrored in the oracle, where NULL never equi-matches
+    # anyway)
+    d = ld_docs(spark, sf_dir)
     corpus_hash = d.select(F.xxhash64("text").alias("h")) \
         .localCheckpoint()          # two consumers: bits + exact join
     probes = F.array(*[

@@ -133,19 +133,18 @@ def rerank_ann_shortlist(spark: SparkSession, sf_dir: str, k: int = 5,
     parity claim; a non-default ``scorer`` additionally has no oracle by
     construction.
     """
-    from .relational import ld
+    from .relational import ld_docs
     from .similarity import ann_brute_force_topk
 
     shortlist = (ann_brute_force_topk(spark, sf_dir, k=shortlist_k,
                                       n_queries=n_queries)
                  .select("query_id", "neighbor_id",
                          F.col("nn_rank").alias("ann_rank")))
-    # NULL-text docs cannot be pairwise-scored (the ld_docs corrupted-
+    # NULL-text docs cannot be pairwise-scored (ld_docs' corrupted-
     # shard contract; a NULL reaching the scorer UDF crashed the r11
     # nulldoc gate) — they drop out of stage 2 on BOTH join sides and
     # the top-k fills from scoreable candidates, mirrored in the oracle.
-    docs = (ld(spark, sf_dir, "documents").select("doc_id", "text")
-            .filter(F.col("text").isNotNull()))
+    docs = ld_docs(spark, sf_dir).select("doc_id", "text")
     pairs = (F.broadcast(shortlist)
              .join(docs.select(F.col("doc_id").alias("query_id"),
                                F.col("text").alias("q_text")), "query_id")

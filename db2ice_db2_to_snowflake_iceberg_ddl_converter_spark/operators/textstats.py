@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import ld, ld_py
+from .relational import ld, ld_docs, ld_py
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 LANG_MARKERS = {
@@ -221,10 +221,10 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic rolling polynomial hash (mod large prime) per document —
     a content fingerprint computable incrementally at ingest. Sequential
     left-fold over characters keeps it engine-portable bit-for-bit."""
-    # NULL text has no characters to fingerprint (ld_docs contract,
-    # r11 nulldoc gate) — mirrored in the oracle
-    d = (ld(spark, sf_dir, "documents")
-         .filter((F.col("doc_id") < 200) & F.col("text").isNotNull()))
+    # NULL text has no characters to fingerprint — ld_docs'
+    # corrupted-shard contract (r11 nulldoc gate), mirrored in the
+    # oracle
+    d = ld_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     fp = F.expr(
         "aggregate(transform(sequence(1, length(text)),"
         " i -> ascii(substr(text, i, 1))),"

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import ld, ld_py
+from .relational import ld, ld_docs, ld_py
 
 
 def _hex_bucket(col: F.Column, chars: int = 2) -> F.Column:
@@ -309,9 +309,10 @@ def sample_per_group_topn(spark: SparkSession, sf_dir: str,
     applied group-wise). One window over (lang | md5, doc_id).
     """
     # NULL text: md5(NULL) is engine-dependent sort fodder — the
-    # hash-sample is over real texts only (ld_docs contract, r11);
-    # NULL-LANG groups stay (both engines keep NULL partitions)
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # hash-sample is over real texts only (ld_docs' corrupted-shard
+    # contract, r11); NULL-LANG groups stay (both engines keep NULL
+    # partitions)
+    d = ld_docs(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
     return (d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= n)
@@ -685,10 +686,10 @@ def corpus_pack_global_stream(spark: SparkSession, sf_dir: str,
     """
     from .scale import global_prefix_window
 
-    # NULL text: no tokens to pack (ld_docs contract, r11 nulldoc
-    # gate) — a NULL n_tok row would silently shift every later
-    # sequence boundary; mirrored in the oracle
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text: no tokens to pack — ld_docs' corrupted-shard
+    # contract (r11 nulldoc gate); a NULL n_tok row would silently
+    # shift every later sequence boundary; mirrored in the oracle
+    d = ld_docs(spark, sf_dir)
     per_doc = d.select("doc_id",
                        F.size(F.split("text", " ")).alias("n_tok"))
     with_cum = global_prefix_window(
@@ -1016,10 +1017,10 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str
     from .scale import global_ranks, grouped_ranks
     from .textstats import quality_score_expr
 
-    # NULL text: no quality score to calibrate (ld_docs contract, r11
-    # nulldoc gate) — a NULL raw_score would poison both rank ladders;
-    # mirrored in the oracle
-    d = ld(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text: no quality score to calibrate — ld_docs'
+    # corrupted-shard contract (r11 nulldoc gate); a NULL raw_score
+    # would poison both rank ladders; mirrored in the oracle
+    d = ld_docs(spark, sf_dir)
     scored = d.select("doc_id", "source",
                       quality_score_expr().cast("double").alias("raw_score"))
     ranked, n = global_ranks(

@@ -184,20 +184,15 @@ def _streaming_queries():
 
     from .streaming import events as ev
 
-    def _drain(spark, stream, prefix, mode="complete", sf_dir=None):
+    def _drain(spark, stream, prefix, sf_dir, mode="complete"):
+        # Size-derived state-partition count (r11, verdict task 3):
+        # per-partition state-store fixed costs dominated these drains
+        # at sf0.1 — see ev.suggest_state_partitions.
         name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-        if sf_dir is None:                       # no fixture to size from
+        with ev.drain_conf(spark, sf_dir):
             q = ev.run_available_now(
                 stream, name, tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
                 mode=mode)
-        else:
-            # Size-derived state-partition count (r11, verdict task 3):
-            # per-partition state-store fixed costs dominated these
-            # drains at sf0.1 — see ev.suggest_state_partitions.
-            with ev.drain_conf(spark, sf_dir):
-                q = ev.run_available_now(
-                    stream, name,
-                    tempfile.mkdtemp(prefix=f"ckpt_{name}_"), mode=mode)
         q.stop()
         return spark.table(name)
 

@@ -81,7 +81,10 @@ def suggest_state_partitions(spark: SparkSession, sf_dir: str) -> int:
             size = os.path.getsize(path)
     except OSError:
         return default
-    return max(8, min(default, -(-size // (8 << 20))))
+    # cap OUTSIDE the floor: with a session width below 8 the old
+    # max(8, min(...)) form WIDENED past the configured setting,
+    # violating the never-widen contract (r11 review find)
+    return min(default, max(8, -(-size // (8 << 20))))
 
 
 class drain_conf:

@@ -337,6 +337,15 @@ class TestDrainStatePartitions:
         with open(big, "wb") as fh:
             fh.truncate((8 << 20) * (default + 5))   # default+5 ceil
         assert suggest_state_partitions(spark, str(tmp_path)) == default
+        # the cap must hold even BELOW the floor: a session width of 4
+        # stays 4 — the helper never widens (r11 review find)
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "4")
+            assert suggest_state_partitions(spark, str(tmp_path)) == 4
+        finally:
+            spark.conf.set(key, old)
 
     def test_drain_conf_restores_session_setting(self, spark, sf_dir):
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming.events import (  # noqa: E501

@@ -59,10 +59,10 @@ shard at 100 TB):
                NULL on vec_id %% 9, label NULL on vec_id %% 5. Events
                and the TPC-H tables verbatim. Every corpus / dedup /
                text / ANN / training-prep entry must hash-match DuckDB
-               when document text, provenance, and vectors go missing
-               NULL-bucket divergence class that r9 fixed for the
-               12 ts-ordered window sites and r10 for the remaining
-               14 batch entries.
+               when document text, provenance, and vectors go missing —
+               the ld_docs/ld_vecs corrupted-shard contract, made
+               explicit in every oracle by the r11 debut sweep's 30
+               fixes (list: tests/test_round11.py NULLDOC_ENTRIES).
 
 The strongest check for the two adversarial modes is ORACLE PARITY, not
 mere completion: build the fixture with ``build`` and point the parity
