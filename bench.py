@@ -298,6 +298,7 @@ def main() -> int:
     # same-day noise band can't mask a real single-query regression.
     runs_merged = 1
     fresh_seam_build = seam_build_sec   # alarms compare FRESH, never merged
+    fresh_sentinel = sentinel           # ditto: the run's own floor
     if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1":
         prev_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
@@ -369,19 +370,38 @@ def main() -> int:
         # Alarms compare the FRESH measurements against the prior
         # record — BEFORE any min-merge (a merged value is bounded by
         # the prior, so post-merge alarms are structurally empty and a
-        # 10× tail regression would vanish; r10 review find).
+        # 10× tail regression would vanish; r10 review find) — and the
+        # threshold is SENTINEL-NORMALIZED (r11): the record ratchets
+        # down with every merge while a fresh pass rides the machine of
+        # the day, so a globally hot run fired 53 simultaneous alarms
+        # on untouched codegen-only entries. The sentinel is re-timed
+        # right after the tail pass (machine state drifts over a
+        # 15-minute run) and the worse of the two floors scales both
+        # the ratio and the absolute band; a genuine single-entry
+        # regression still fires because it moves one entry, not the
+        # sentinel.
+        tail_sentinel = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).agg({"id": "sum"}).collect()
+            tail_sentinel = min(tail_sentinel, time.perf_counter() - t0)
+        prior_sent = prev.get("full_registry_sentinel_sec") \
+            or prev.get("sentinel_sec")
+        noise = max(1.0, max(fresh_sentinel, tail_sentinel) / prior_sent) \
+            if prior_sent else 1.0
         fresh_full = {**fresh_timings, **tail}
         prior_full = prev.get("full_registry", {})
         alarms = sorted(
             k for k in fresh_full if k in prior_full
-            and fresh_full[k] >= 1.5 * prior_full[k]
-            and fresh_full[k] - prior_full[k] >= 0.3)
+            and fresh_full[k] >= 1.5 * noise * prior_full[k]
+            and fresh_full[k] - prior_full[k] >= 0.3 * noise)
         # seam-build regression rides the same alarm rule (fresh vs the
         # prior record's scalar — merged values never mask it)
         prior_seam = prev.get("collapse_seam_build_sec")
-        if (prior_seam and fresh_seam_build >= 1.5 * prior_seam
-                and fresh_seam_build - prior_seam >= 0.3):
+        if (prior_seam and fresh_seam_build >= 1.5 * noise * prior_seam
+                and fresh_seam_build - prior_seam >= 0.3 * noise):
             alarms.append("collapse_seam_build")
+        payload["full_registry_noise_factor"] = round(noise, 3)
         full = {**timings, **tail}
         if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1" and \
                 set(prior_full) == set(full):
@@ -389,14 +409,20 @@ def main() -> int:
         payload["full_registry"] = full
         payload["full_registry_total"] = round(sum(full.values()), 3)
         payload["full_registry_alarms"] = alarms
-        payload["full_registry_sentinel_sec"] = sentinel
+        # the FRESH floor of the run that produced this tail (the
+        # worse of headline-time and tail-time) — the next run's noise
+        # normalization divides by this, so a merged min here would
+        # inflate every future noise factor
+        payload["full_registry_sentinel_sec"] = round(
+            max(fresh_sentinel, tail_sentinel), 3)
         payload["full_registry_from_prior_run"] = False
     elif "full_registry" in prev:
         # carry the prior record forward so a plain run never drops the
         # section — flagged STALE so a reader can't mistake the copied
         # alarm list for this run's output (r10 review find)
         for k in ("full_registry", "full_registry_total",
-                  "full_registry_alarms", "full_registry_sentinel_sec"):
+                  "full_registry_alarms", "full_registry_sentinel_sec",
+                  "full_registry_noise_factor"):
             if k in prev:
                 payload[k] = prev[k]
         payload["full_registry_from_prior_run"] = True
