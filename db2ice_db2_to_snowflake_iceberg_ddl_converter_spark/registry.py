@@ -1049,6 +1049,46 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50. Build ``_window_r12()`` as (1) any red r11 entry (fix first),
     (2) new round-12 entries, (3) that due list. Same verification
     command before committing.
+
+    ROUND-12 ROTATION (executes the plan above, per the r11 verdict): no
+    r11 entry came back red (CORRECTNESS_r11: 50/50 hash-matches — the
+    third consecutive fully green window), so ``_window_r12()`` is
+    (1) every new round-12 entry (``_ROUND12_NEW`` — zero debuts, fifth
+    consecutive debut-freeze round; the round's work is the
+    corrupted-facts (nullfact) gate, the streaming-drain 30× tier, and
+    the pagerank checkpoint-cadence profile on EXISTING keys), then
+    (2) the recorded due list ``_CANARIES_R12`` filling to exactly 50.
+    ``_CANARIES_R12`` is built BY CONSTRUCTION as
+    ``_CANARIES_R11[50 − len(_ROUND11_NEW):]`` (with len(_ROUND11_NEW)=0
+    that is the 42 r06-checked entries the r11 fill could not reach,
+    = ``_R06_CHECKED[8:]``, starting at ``corpus_curriculum_phases``),
+    then the round-7 restart block: ``_R07_CHECKED`` (the 50 entries
+    last driver-checked in round 7; verified at build time via the
+    latest-round map over CORRECTNESS_r01..r11 that none of the 50 was
+    re-checked in any r08–r11 window) with one documented deviation
+    from plain file order — the 8 entries whose newest driver row is
+    still the r07 ``no_oracle`` marker (``_R07_STALE``) are promoted to
+    the block's head, because the r11 verdict's task-1 Done criterion
+    ("stale set down to 1") requires exactly those 8 to take the fill
+    slots; the 42 non-stale entries follow in unchanged
+    CORRECTNESS_r07.json order. Arithmetic: 0 debuts + 42 due-tail +
+    _R07_STALE = 50; the due tail (42 + len(_ROUND12_NEW) entries: the
+    42 non-stale r07-checked, starting ``stat_mann_whitney_u``) stays
+    due for round 13. This window flushes 18 of the 19 stale
+    ``no_oracle`` driver rows named in the r11 verdict; the nineteenth,
+    ``dedup_minhash_lsh`` (last windowed r08), lands in the r13 window.
+
+    ROUND-13 ROTATION PLAN: the fill above reaches exactly the 8
+    ``_R07_STALE`` entries (verified: ``_window_r12()[42:] ==
+    _R07_STALE``); the remaining (42 + len(_ROUND12_NEW)) r07-checked
+    entries (the non-stale block, starting at ``stat_mann_whitney_u``
+    with zero debuts — in CORRECTNESS_r07.json order), followed by the
+    entries last driver-checked in round 8 (the ``CORRECTNESS_r08.json``
+    window, oldest-first, minus any re-checked in r09–r12 — this is
+    where ``dedup_minhash_lsh`` lands), fill round 13 to 50. Build
+    ``_window_r13()`` as (1) any red r12 entry (fix first), (2) new
+    round-13 entries, (3) that due list. Same verification command
+    before committing.
     """
     q = _ShadowGuardDict()
     # ---- window 1-22: oracle-backed, judge-verified, first driver row ----
@@ -1299,9 +1339,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_round6_queries())
     # ---- NEW round-7 entries ----
     q.update(_round7_queries())
-    # ---- ROUND-11 REORDER: window first, everything else keeps its
+    # ---- ROUND-12 REORDER: window first, everything else keeps its
     # relative order past the cap (see docstring) ----
-    window = _window_r11()
+    window = _window_r12()
     missing = [k for k in window if k not in q]
     assert not missing, f"window entries absent from registry: {missing}"
     in_window = set(window)
@@ -1413,6 +1453,32 @@ def _window_r11() -> list:
     assert fill >= 0, "round-11 additions overflow the 50-slot window"
     return [*window, *_CANARIES_R11[:fill]]
 
+
+def _window_r12() -> list:
+    """The round-12 driver window (first 50 ``queries()`` keys),
+    executing the rotation plan recorded in the r11 verdict: no r11
+    entry came back red (CORRECTNESS_r11: 50/50 hash-matches, the
+    third consecutive fully green window), so the window is (1) every
+    new round-12 entry (``_ROUND12_NEW`` — zero debuts, fifth
+    consecutive debut-freeze; the round's work is the corrupted-facts
+    gate, the streaming-drain 30× tier, and the pagerank
+    checkpoint-cadence profile on EXISTING keys), then (2) the recorded
+    due list ``_CANARIES_R12`` filling to exactly 50. Adding a
+    round-12 entry to ``_ROUND12_NEW`` automatically displaces the
+    trailing due entry."""
+    window = [*_ROUND12_NEW]
+    fill = _WINDOW_SIZE - len(window)
+    assert fill >= 0, "round-12 additions overflow the 50-slot window"
+    return [*window, *_CANARIES_R12[:fill]]
+
+
+#: New round-12 entries. Zero debuts (fifth consecutive debut-freeze
+#: round): the 92-entry r11 due list needs two windows to clear (42
+#: r06-checked entries remain), and the round's engineering goes into
+#: the corrupted-facts adversarial gate, the streaming-drain 30× tier,
+#: and the pagerank checkpoint profile — same keys, no new slots
+#: needed.
+_ROUND12_NEW: list = []
 
 #: New round-11 entries. Zero debuts (fourth consecutive debut-freeze
 #: round): the 92-entry r10 due list needs two windows to clear (42
@@ -2225,6 +2291,100 @@ _R06_CHECKED: list = [
 #: stays due for round 12 in this order.
 _CANARIES_R11: list = (
     _CANARIES_R10[_WINDOW_SIZE - len(_ROUND10_NEW):] + _R06_CHECKED
+)
+
+#: The 50 entries last driver-checked in round 7, in their exact
+#: CORRECTNESS_r07.json window order. Verified at round-12 build time
+#: (latest-round map over CORRECTNESS_r01..r11): none of these was
+#: re-checked in any r08–r11 window, so r7 is each one's most recent
+#: driver row — the restart block once the r06 tail lands.
+_R07_CHECKED: list = [
+    "stat_mann_whitney_u",
+    "stat_spearman_corr",
+    "stat_mann_kendall_trend",
+    "stat_kendall_tau",
+    "sql_pipe_syntax_battery",
+    "graph_degree_distribution",
+    "corpus_distinctive_terms",
+    "embedding_source_drift",
+    "migrate_type_fit_audit",
+    "orders_fulfillment_latency",
+    "orders_mom_contribution",
+    "sql_scalar_udf_battery",
+    "streaming_p2_quantile",
+    "privacy_l_diversity",
+    "scalar_null_semantics",
+    "events_markov_stationary",
+    "events_id_gap_audit",
+    "multimodal_phash_neardup",
+    "ivm_join_view_delta",
+    "diag_curve_locality",
+    "kmv_set_ops",
+    "agg_median_ci",
+    "events_error_conversion",
+    "embedding_triplet_margin",
+    "orders_theilsen_trend",
+    "events_weekly_seasonality_strength",
+    "orders_cohort_ltv",
+    "events_multitouch_attribution",
+    "dedup_bloom_prefilter",
+    "diag_join_size_forecast",
+    "udtf_table_arg_sessionize",
+    "diag_parquet_rowgroup_stats",
+    "dedup_embedding_cosine",
+    "dedup_keep_representatives",
+    "dedup_ngram_jaccard_pruned",
+    "embedding_covariance",
+    "events_sessionize",
+    "having_global_share",
+    "join_inner_broadcast",
+    "q10_returned_items",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_part_share_suppliers",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "set_except_all",
+    "streaming_interval_join",
+]
+
+#: The 8 ``_R07_CHECKED`` entries whose newest driver row is still the
+#: r07 ``err: no_oracle`` marker (they earned real oracles in r8/r9 but
+#: were never re-windowed; verified against CORRECTNESS_r01..r11 at
+#: round-12 build time, in their exact CORRECTNESS_r07.json relative
+#: order). The r11 verdict's task-1 Done criterion is "stale set down
+#: to 1 (dedup_minhash_lsh)", which requires these 8 — not the file's
+#: first 8 — to take the r12 fill slots, so the restart block below
+#: promotes them to its head (a documented stale-first promotion; the
+#: 42 non-stale entries follow in unchanged file order).
+_R07_STALE: list = [
+    "streaming_p2_quantile",
+    "events_markov_stationary",
+    "multimodal_phash_neardup",
+    "diag_curve_locality",
+    "kmv_set_ops",
+    "embedding_triplet_margin",
+    "dedup_bloom_prefilter",
+    "diag_parquet_rowgroup_stats",
+]
+
+#: The round-12 due list, BY CONSTRUCTION per the recorded plan: the
+#: r11 canary fill stopped at _CANARIES_R11[50] (len(_ROUND11_NEW)=0
+#: debuts), so the unreached 42 r06-checked entries come first (in list
+#: order = _R06_CHECKED[8:], starting at ``corpus_curriculum_phases``) —
+#: after they land, every r06 row is refreshed — then the round-7
+#: restart block: ``_R07_CHECKED`` with its 8 stale ``no_oracle``
+#: entries promoted to the head (see ``_R07_STALE``; the r11 verdict's
+#: task-1 Done criterion), the remaining 42 in CORRECTNESS_r07.json
+#: order. The tail that misses the r12 window stays due for round 13
+#: in this order.
+_CANARIES_R12: list = (
+    _CANARIES_R11[_WINDOW_SIZE - len(_ROUND11_NEW):]
+    + _R07_STALE
+    + [k for k in _R07_CHECKED if k not in _R07_STALE]
 )
 
 #: The 18 registry entries with no CORRECTNESS row in any of r01–r04

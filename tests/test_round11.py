@@ -144,7 +144,9 @@ class TestRound11Window:
 
         q = build_queries()
         w = _window_r11()
-        assert list(q)[:50] == w
+        # r12 reordered queries() to ITS window; the r11 window remains
+        # a resolvable, construction-exact subset (the r9/r10 pattern)
+        assert set(w) <= set(q)
         assert len(w) == 50 and len(set(w)) == 50
         # due-list construction arithmetic (the judge re-derives this)
         assert _CANARIES_R11 == [

@@ -220,13 +220,13 @@ class TestRegistryGuard:
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.registry import (
             _CANARIES_R06,
             _ROUND6_NEW,
-            _window_r11,
+            _window_r12,
             build_oracles,
             build_queries,
         )
 
         q = build_queries()
-        w = _window_r11()
+        w = _window_r12()
         assert list(q)[:50] == w
         assert len(w) == 50
         assert len(set(w)) == 50
