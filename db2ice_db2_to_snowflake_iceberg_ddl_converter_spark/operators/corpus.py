@@ -303,7 +303,9 @@ def _oracle_embedding_covariance(dims: int = 6) -> str:
         for i in range(1, dims + 1) for j in range(i, dims + 1)
     ]
     return (f"WITH s AS (SELECT {', '.join(sums)} FROM embeddings\n"
-            "            WHERE embedding IS NOT NULL)\n"
+            "            WHERE embedding IS NOT NULL AND len(list_filter("
+            "embedding, x -> x IS NULL OR isnan(x) OR"
+            " abs(x) > 1e6)) = 0)\n"
             + "\nUNION ALL ".join(branches)
             + "\nORDER BY dim_i, dim_j")
 

@@ -738,9 +738,51 @@ class collapse_memo_scope:
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        # Release the pinned frames' storage NOW instead of waiting for
+        # the ContextCleaner's GC cycle (r12, ADVICE): a long-lived
+        # session running repeated scopes would otherwise hold executor
+        # blocks / checkpoint files well past scope exit. Frames (and
+        # anything lazily derived from them) must not be used after
+        # exit — the scope contract already requires consumers to run
+        # inside it.
         global _COLLAPSE_MEMO
+        frames = (_COLLAPSE_MEMO or {}).get("frames", {})
         _COLLAPSE_MEMO = None
+        for v in frames.values():
+            # the collapse key memoizes a (member, reps) tuple
+            for df in (v if isinstance(v, (tuple, list)) else (v,)):
+                _release_pin(df)
+        frames.clear()
         return False
+
+
+def _release_pin(df) -> None:
+    """Best-effort storage release for a ``pin()``-backed frame (r12,
+    ADVICE): a pinned frame's analyzed plan is a single ``LogicalRDD``
+    node holding the checkpointed internal RDD — unpersist it (frees
+    localCheckpoint executor blocks immediately) and, when it was a
+    RELIABLE checkpoint, delete its checkpoint files (the
+    ContextCleaner would do both eventually, but only after a GC cycle
+    notices the dropped reference). Every step is wrapped: a frame that
+    is not pin-shaped, a stopped session, or a mocked JVM must never
+    turn scope exit into an error."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            if node.getClass().getSimpleName() != "LogicalRDD":
+                continue
+            rdd = node.rdd()
+            rdd.unpersist(False)
+            ckpt = rdd.getCheckpointFile()
+            if ckpt.isDefined():
+                sc = df.sparkSession.sparkContext
+                jvm = sc._jvm
+                path = jvm.org.apache.hadoop.fs.Path(ckpt.get())
+                fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+                fs.delete(path, True)
+    except Exception:
+        pass
 
 
 def _memo_get(key, build):
@@ -1476,7 +1518,7 @@ def dedup_semdedup_checked(spark: SparkSession, sf_dir: str,
 
 ORACLE_SEMDEDUP_CHECKED = """
 SELECT (SELECT COUNT(*) FROM embeddings
-        WHERE embedding IS NOT NULL) AS n_vectors,
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0) AS n_vectors,
        TRUE AS every_cell_keeps_one,
        TRUE AS cells_in_range,
        TRUE AS kept_le_total
@@ -1715,12 +1757,18 @@ def dedup_bloom_prefilter_checked(spark, sf_dir, m_bits: int = 65536,
     lazy — the old form ran an eager corpus-wide ``.count()`` at build
     time, a full documents scan before the entry's own job (r8 ADVICE).
     exp/pow are fine here: they feed only the in-band boolean, never a
-    hash-compared value column."""
-    from .relational import ld
+    hash-compared value column.
+
+    ``n_corpus`` rides :func:`ld_docs` (r11 ADVICE): the bloom itself is
+    built over the NULL-text-filtered corpus, so the bound's n must count
+    the same rows — the unfiltered ``ld`` counted xxhash64's NULL→seed
+    constant as one extra distinct hash on corrupted shards, loosening
+    the bound's n inconsistently with the census corpus."""
+    from .relational import ld_docs
 
     census = dedup_bloom_prefilter(spark, sf_dir, m_bits=m_bits,
                                    k_hashes=k_hashes)
-    n_corpus = (ld(spark, sf_dir, "documents")
+    n_corpus = (ld_docs(spark, sf_dir)
                 .select(F.xxhash64("text").alias("h")).distinct()
                 .agg(F.count(F.lit(1)).alias("n_corpus")))
     fpp_theory = F.pow(

@@ -173,7 +173,8 @@ WITH shortlist AS (
                       b.vec_id) AS nn_rank
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < 10
-      AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
+      AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+      AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0)
   WHERE nn_rank <= 20
 ), pairs AS (
   SELECT s.query_id, s.neighbor_id, s.ann_rank,

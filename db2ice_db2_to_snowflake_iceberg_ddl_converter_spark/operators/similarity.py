@@ -120,7 +120,8 @@ SELECT query_id, neighbor_id, cosine, nn_rank FROM (
                                      b.vec_id) AS nn_rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
-    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+    AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ) WHERE nn_rank <= 5
 """
 
@@ -788,7 +789,7 @@ def embedding_kmeans_clusters_checked(spark, sf_dir, k: int = 8,
 
 ORACLE_KMEANS_CHECKED = """
 SELECT (SELECT COUNT(*) FROM embeddings
-        WHERE embedding IS NOT NULL) AS n_vectors,
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0) AS n_vectors,
        TRUE AS sizes_sum_to_n, TRUE AS k_bound,
        TRUE AS inertia_nonneg, TRUE AS ratio_identity
 """
@@ -818,7 +819,7 @@ def ann_pq_encode_checked(spark, sf_dir, m: int = 8,
 
 ORACLE_PQ_ENCODE_CHECKED = """
 SELECT vec_id, TRUE AS code_in_range, TRUE AS err_in_range
-FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id
+FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0 ORDER BY vec_id
 """
 
 
@@ -870,7 +871,7 @@ def dedup_embedding_blocked_checked(spark, sf_dir,
 ORACLE_EMBEDDING_BLOCKED_CHECKED = """
 WITH nz AS (
   SELECT vec_id, embedding FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
     AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
 SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
          AS n_exact_vec_pairs,
@@ -970,7 +971,8 @@ WITH brute AS (
                                      b.vec_id) AS nn_rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
-    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+    AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_in_band,
@@ -1012,7 +1014,7 @@ def embedding_pca_project_checked(spark, sf_dir, k: int = 4) -> DataFrame:
 
 ORACLE_PCA_PROJECT_CHECKED = """
 SELECT vec_id, TRUE AS bessel_ok FROM embeddings
-WHERE embedding IS NOT NULL ORDER BY vec_id
+WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0 ORDER BY vec_id
 """
 
 
@@ -1045,7 +1047,7 @@ SELECT label, COUNT(*) AS n_anchors,
        TRUE AS cosines_in_range,
        TRUE AS margin_in_range
 FROM embeddings WHERE vec_id < 50
-  AND embedding IS NOT NULL AND label IS NOT NULL
+  AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0 AND label IS NOT NULL
 GROUP BY label ORDER BY label
 """
 
@@ -1315,7 +1317,7 @@ def _oracle_embedding_source_drift(dims: int = 64) -> str:
 WITH cent AS (
   SELECT d.source, COUNT(*) AS n, {means}
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-  WHERE e.embedding IS NOT NULL
+  WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
   GROUP BY d.source)
 SELECT a.source AS source_a, b.source AS source_b,
        a.n AS n_a, b.n AS n_b,

@@ -587,17 +587,27 @@ def _provider_is_rocksdb(spark, provider: str) -> bool:
     provider or a JVM-loadable subclass of it (a subclass inherits the
     transformWithState capability — r11, ADVICE). Exact name short-
     circuits without a JVM round-trip; anything else is resolved with
-    ``Class.forName`` + ``isAssignableFrom`` on the session's JVM, and
-    an unloadable class (or a mocked JVM-less session) is NOT the
-    built-in provider."""
+    the three-arg ``Class.forName(name, initialize=false, loader)`` +
+    ``isAssignableFrom`` on the session's JVM — initialize=false so a
+    mere capability CHECK never runs the provider's static initializers
+    (r12, ADVICE), with Spark's context classloader so session-jar
+    providers resolve. Caveat: the check runs on the DRIVER JVM, so a
+    provider jar shipped executor-only resolves as unloadable and the
+    conservative applyInPandasWithState fallback is taken (silent, and
+    behavior stays correct — transformWithState is an optimization, not
+    a semantics change); ship the jar on the driver classpath to get
+    the fast path."""
     if provider == _ROCKSDB_PROVIDER:
         return True
     if not provider:
         return False
     try:
         jvm = spark.sparkContext._jvm
-        base = jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
-        cls = jvm.java.lang.Class.forName(provider)
+        loader = (jvm.org.apache.spark.util.Utils
+                  .getContextOrSparkClassLoader())
+        base = jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER, False,
+                                           loader)
+        cls = jvm.java.lang.Class.forName(provider, False, loader)
         return bool(base.isAssignableFrom(cls))
     except Exception:
         return False

@@ -10,7 +10,120 @@ remaining tasks are bench-side and recorded in BASELINE.md.
 
 import json
 
+import duckdb
 import pytest
+from pyspark.sql import functions as F
+
+
+class TestAdviceClosuresR12:
+    """The five r11 ADVICE items, closed in round 12."""
+
+    def test_vec_filter_sql_mirror_agrees_with_ld_vecs(self, spark,
+                                                       tmp_path):
+        """ADVICE 1: ld_vecs drops NULL / NaN / ±Inf / |x|>1e6 vectors
+        (and vectors with NULL elements — exists() over a NULL element
+        is NULL, so the row is filtered); the embedding oracles now
+        mirror the FULL clause (``len(list_filter(e, x -> x IS NULL OR
+        isnan(x) OR abs(x) > 1e6)) = 0``), not just ``IS NOT NULL``.
+        Pin engine agreement on a poisoned mini-corpus."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (  # noqa: E501
+            ld_vecs,
+        )
+
+        rows = [
+            (1, [1.0, 2.0], 0),
+            (2, [float("nan"), 1.0], 0),
+            (3, [float("inf"), 1.0], 0),
+            (4, [1e8, 1.0], 0),
+            (5, [None, 1.0], 0),
+            (6, None, 0),
+            (7, [-2e6, 1.0], 0),
+            (8, [0.5, -0.5], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int")
+        out = str(tmp_path / "embeddings.parquet")
+        df.write.parquet(out)
+        kept = sorted(r.vec_id for r in
+                      ld_vecs(spark, str(tmp_path)).collect())
+        con = duckdb.connect()
+        oracle = sorted(r[0] for r in con.sql(
+            f"SELECT vec_id FROM read_parquet('{out}/*.parquet') "
+            "WHERE embedding IS NOT NULL AND len(list_filter(embedding,"
+            " x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0"
+        ).fetchall())
+        con.close()
+        assert kept == oracle == [1, 8]
+
+    def test_bloom_n_corpus_rides_ld_docs(self):
+        """ADVICE 2: the fpp bound's n must count the bloom's actual
+        (NULL-text-filtered) corpus — source-pinned so a revert to the
+        unfiltered ld() shows up here."""
+        import inspect
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.dedup import (  # noqa: E501
+            dedup_bloom_prefilter_checked,
+        )
+
+        src = inspect.getsource(dedup_bloom_prefilter_checked)
+        assert "ld_docs(spark, sf_dir)" in src
+        assert 'ld(spark, sf_dir, "documents")' not in src
+
+    def test_collapse_memo_exit_releases_pins(self, spark, sf_dir):
+        """ADVICE 3: scope exit must release the pinned frames' storage
+        (localCheckpoint blocks) instead of waiting for a GC cycle."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            dedup,
+        )
+
+        def pin_rdds(v):
+            out = []
+            for df in (v if isinstance(v, (tuple, list)) else (v,)):
+                leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+                for i in range(leaves.length()):
+                    node = leaves.apply(i)
+                    if node.getClass().getSimpleName() == "LogicalRDD":
+                        out.append(node.rdd())
+            return out
+
+        with dedup.collapse_memo_scope():
+            dedup.dedup_clusters(spark, sf_dir).collect()
+            frames = dict(dedup._COLLAPSE_MEMO["frames"])
+            assert frames, "seam never engaged"
+            rdds = [r for v in frames.values() for r in pin_rdds(v)]
+            assert rdds, "no pin-backed memo frames found"
+            assert all(r.getStorageLevel().useMemory()
+                       or r.getStorageLevel().useDisk() for r in rdds)
+        assert dedup._COLLAPSE_MEMO is None
+        # every memoized pin's storage was released at scope exit
+        leaked = [r.id() for r in rdds
+                  if r.getStorageLevel().useMemory()
+                  or r.getStorageLevel().useDisk()]
+        assert not leaked, f"scope exit leaked pinned RDDs: {leaked}"
+
+    def test_provider_check_skips_static_init(self):
+        """ADVICE 4: the capability check resolves classes with the
+        three-arg Class.forName (initialize=false) so checking never
+        runs a provider's static initializers."""
+        import inspect
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.streaming import (
+            events,
+        )
+
+        src = inspect.getsource(events._provider_is_rocksdb)
+        assert "Class.forName(provider, False, loader)" in src
+        assert "getContextOrSparkClassLoader" in src
+
+    def test_persist_inventory_uses_qualified_names(self):
+        """ADVICE 5: nested closures key the driver-side inventory by
+        outer.inner so two nested 'build's stay distinguishable."""
+        from tests.test_round9 import TestDriverSideInventory
+
+        inv, _ = TestDriverSideInventory._inventory()
+        keys = {k[1] for k in inv}
+        assert "_collapsed_component_labels.build" in keys
+        assert "build" not in keys
 
 
 class TestRound12Window:

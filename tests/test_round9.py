@@ -804,11 +804,13 @@ class TestDriverSideInventory:
             ("operators/dedup.py", "exact_collapse_shingles"): 1,
             # exact-collapse-first cluster path (r9 dupflood rail, r10
             # hash-probe rewrite; r11: body moved into the nested
-            # ``build`` closure for the collapse-memo seam): only the
-            # rep frame persists (pair graph + CC nodes), DISK_ONLY,
-            # released right after the eager CC returns; member rides
-            # the collapse's pin
-            ("operators/dedup.py", "build"): 1,
+            # ``build`` closure for the collapse-memo seam; r12: keyed
+            # by the qualified outer.inner name): only the rep frame
+            # persists (pair graph + CC nodes), DISK_ONLY, released
+            # right after the eager CC returns; member rides the
+            # collapse's pin
+            ("operators/dedup.py",
+             "_collapsed_component_labels.build"): 1,
             # flood-linear neardup report (r9; r10 dropped the member
             # persist): the c[group, source] count hub and the rep-level
             # pair graph — DISK_ONLY, released before return
@@ -880,13 +882,21 @@ class TestDriverSideInventory:
 
             visit_AsyncFunctionDef = visit_FunctionDef
 
+            def _qual(self):
+                # qualified outer.inner name for nested closures (r12,
+                # ADVICE): a bare inner name like 'build' would merge
+                # every future nested 'build' in the same file into one
+                # ambiguous inventory key
+                return (self.stack[0] if len(self.stack) == 1
+                        else ".".join(self.stack[1:]))
+
             def visit_Call(self, n):
                 f = n.func
                 if isinstance(f, ast.Attribute) and f.attr in methods:
-                    inv[(self.rel, self.stack[-1], f.attr)] += 1
+                    inv[(self.rel, self._qual(), f.attr)] += 1
                 if (isinstance(f, ast.Attribute) and f.attr == "udf") or \
                         (isinstance(f, ast.Name) and f.id == "udf"):
-                    raw_udfs.append((self.rel, self.stack[-1], n.lineno))
+                    raw_udfs.append((self.rel, self._qual(), n.lineno))
                 self.generic_visit(n)
 
         for root, _, files in os.walk(pkg_dir):

@@ -64,6 +64,28 @@ shard at 100 TB):
                explicit in every oracle by the r11 debut sweep's 30
                fixes (list: tests/test_round11.py NULLDOC_ENTRIES).
 
+  nullfact     corrupted TPC-H FACTS (round 12, the SIXTH standing
+               adversarial oracle gate): the one data family never
+               corrupted before. orders: o_custkey NULL on
+               o_orderkey %% 11 (join key), o_orderdate NULL on %% 13,
+               o_totalprice NULL on %% 7, plus VERBATIM duplicate rows
+               appended for o_orderkey %% 101 == 0 (PK-uniqueness
+               violation; deterministic for both engines). lineitem
+               (rid = l_orderkey*8 + l_linenumber, computed BEFORE
+               corruption): l_orderkey NULL on rid %% 17 (fact→orders
+               join key), l_suppkey NULL on rid %% 23, l_shipdate NULL
+               on rid %% 13, l_extendedprice NULL on rid %% 7,
+               l_quantity NULL on rid %% 19. customer: c_nationkey NULL
+               on c_custkey %% 11, c_acctbal NULL on %% 7, c_mktsegment
+               NULL on %% 5, plus SAME-KEY-DIFFERENT-PAYLOAD duplicates
+               for c_custkey %% 37 == 0 (c_acctbal+1000, '#dup' name —
+               the nondeterministic-survivor hazard for any keep-one
+               logic that lacks a total tie-break). region/nation/
+               supplier/part and the three LLM tables verbatim. Every
+               TPC-H-shape / CDC / SCD2 / as-of / analytics entry must
+               hash-match DuckDB when join keys, dates, and amounts go
+               missing and PKs stop being unique.
+
 The strongest check for the two adversarial modes is ORACLE PARITY, not
 mere completion: build the fixture with ``build`` and point the parity
 gate at it — every oracle-backed entry must hash-match DuckDB on the
@@ -125,6 +147,9 @@ def build_fixture(spark, base: str, out: str, mode: str) -> None:
         return
     if mode == "nulldoc":
         _build_nulldoc(spark, base, out)
+        return
+    if mode == "nullfact":
+        _build_nullfact(spark, base, out)
         return
     for t, cols in PAYLOADS.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
@@ -302,6 +327,87 @@ def _build_nulldoc(spark, base: str, out: str) -> None:
        .parquet(f"{out}/embeddings.parquet"))
 
 
+def _build_nullfact(spark, base: str, out: str) -> None:
+    """Corrupted TPC-H facts (r12, the sixth standing gate): NULL join
+    keys / dates / amounts plus duplicate primary keys in orders,
+    lineitem and customer — the corrupted-warehouse-shard shape the
+    TPC-H battery, CDC/SCD2/MERGE, as-of joins and the analytics family
+    had never seen (their only prior adversarial exposure was via the
+    nullev/nulldoc SIDE tables). Moduli overlap deliberately
+    (1001-multiples lose custkey, date AND price; 91-multiples date and
+    price). region/nation/supplier/part verbatim via the dispatcher's
+    copy loop; events/documents/embeddings verbatim HERE — the finished
+    fixture carries ALL ten tables for a full-registry sweep."""
+    from pyspark.sql import functions as F
+
+    for t in ("events", "documents", "embeddings"):
+        (spark.read.parquet(f"{base}/{t}.parquet")
+         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+
+    o = spark.read.parquet(f"{base}/orders.parquet")
+    corrupted = (
+        o.withColumn("o_custkey", F.when(o.o_orderkey % 11 == 0,
+                                         F.lit(None).cast("bigint"))
+                                   .otherwise(o.o_custkey))
+         .withColumn("o_orderdate", F.when(o.o_orderkey % 13 == 0,
+                                           F.lit(None).cast("timestamp"))
+                                     .otherwise(o.o_orderdate))
+         .withColumn("o_totalprice", F.when(o.o_orderkey % 7 == 0,
+                                            F.lit(None).cast("double"))
+                                      .otherwise(o.o_totalprice)))
+    # verbatim PK duplicates: deterministic for both engines (every
+    # column equal), but o_orderkey stops being unique
+    dupes = corrupted.filter(F.col("o_orderkey") % 101 == 0)
+    (corrupted.unionByName(dupes).coalesce(2)
+     .write.mode("overwrite").parquet(f"{out}/orders.parquet"))
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    # l_linenumber is not unique — fold the orderkey in (the skewed
+    # fixture's rule) so corruption stays row-deterministic; pinned as a
+    # real column BEFORE l_orderkey itself is nulled (a bare expression
+    # would dangle once withColumn replaces the attribute it references)
+    rid = F.col("__rid")
+    (li.withColumn("__rid", li.l_orderkey * 8 + li.l_linenumber)
+       .withColumn("l_orderkey", F.when(rid % 17 == 0,
+                                        F.lit(None).cast("bigint"))
+                                  .otherwise(F.col("l_orderkey")))
+       .withColumn("l_suppkey", F.when(rid % 23 == 0,
+                                       F.lit(None).cast("bigint"))
+                                 .otherwise(F.col("l_suppkey")))
+       .withColumn("l_shipdate", F.when(rid % 13 == 0,
+                                        F.lit(None).cast("timestamp"))
+                                  .otherwise(F.col("l_shipdate")))
+       .withColumn("l_extendedprice", F.when(rid % 7 == 0,
+                                             F.lit(None).cast("double"))
+                                       .otherwise(F.col("l_extendedprice")))
+       .withColumn("l_quantity", F.when(rid % 19 == 0,
+                                        F.lit(None).cast("double"))
+                                  .otherwise(F.col("l_quantity")))
+       .drop("__rid")
+       .coalesce(4).write.mode("overwrite")
+       .parquet(f"{out}/lineitem.parquet"))
+
+    c = spark.read.parquet(f"{base}/customer.parquet")
+    ccor = (
+        c.withColumn("c_nationkey", F.when(c.c_custkey % 11 == 0,
+                                           F.lit(None).cast("int"))
+                                     .otherwise(c.c_nationkey))
+         .withColumn("c_acctbal", F.when(c.c_custkey % 7 == 0,
+                                         F.lit(None).cast("double"))
+                                   .otherwise(c.c_acctbal))
+         .withColumn("c_mktsegment", F.when(c.c_custkey % 5 == 0,
+                                            F.lit(None).cast("string"))
+                                      .otherwise(c.c_mktsegment)))
+    # same-key-DIFFERENT-payload duplicates: any keep-one/dropDuplicates
+    # logic without a total deterministic tie-break diverges here
+    cdup = (ccor.filter(F.col("c_custkey") % 37 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+            .withColumn("c_name", F.concat_ws("", F.col("c_name"),
+                                              F.lit("#dup"))))
+    (ccor.unionByName(cdup).coalesce(1)
+     .write.mode("overwrite").parquet(f"{out}/customer.parquet"))
+
+
 def _build_skewed(spark, base: str, out: str) -> None:
     """Remap grouping/join keys so one value holds ~95% of rows
     (id % 20 != 0), payloads untouched. Hot values are real existing
@@ -347,7 +453,7 @@ def classify(exc: BaseException) -> str:
 
 
 MODES = ("nullpayload", "mixednull", "poisoned", "dupflood", "skewed",
-         "nullev", "nulldoc")
+         "nullev", "nulldoc", "nullfact")
 
 
 def main() -> int:
