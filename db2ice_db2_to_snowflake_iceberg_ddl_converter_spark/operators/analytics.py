@@ -120,10 +120,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-partitioned window would sort a fifth of the table in one
     task at any scale — ranks now come from :func:`~.scale.grouped_ranks`
     (range shuffle + groups-sized offset join, no WindowExec), with the
-    per-group n as a groups-sized broadcast join."""
+    per-group n as a groups-sized broadcast join.
+
+    NULL-measure contract (r12, nullfact gate): a NULL amount has no
+    percentile rank — SQL's percentile family ignores NULL inputs, and
+    leaving NULLs in the order key diverges across engines anyway
+    (Spark ranks them NULLS FIRST, DuckDB NULLS LAST), so they are
+    excluded BEFORE ranking on both sides."""
     from .scale import grouped_ranks
 
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
     ranked = grouped_ranks(
         o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
         ["o_orderpriority"],
@@ -148,7 +155,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice, o_orderkey) AS rk,
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders)
+  FROM orders WHERE o_totalprice IS NOT NULL)
 SELECT o_orderpriority,
        MAX(n) AS n_rows,
        MIN(CASE WHEN rk >= CEIL(0.25 * n) THEN o_totalprice END) AS p25,
@@ -1574,10 +1581,17 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str
     32-row driver carry, never a single-partition window (lineitem is
     the biggest table; this is the canonical 100×-breaking shape).
     Everything integer until the output prices (exact decimals).
+
+    NULL-measure contract (r12, nullfact gate): a NULL price cannot be
+    ranked (and engines disagree on where NULLs sort) and a NULL
+    quantity carries no weight — both are excluded before the prefix,
+    mirrored in the oracle.
     """
     from .scale import global_prefix_window
 
     li = (ld(spark, sf_dir, "lineitem")
+          .filter(F.col("l_extendedprice").isNotNull()
+                  & F.col("l_quantity").isNotNull())
           .select("l_extendedprice", "l_quantity",
                   "l_orderkey", "l_linenumber")
           .withColumn("qty", F.col("l_quantity").cast("bigint")))
@@ -1605,7 +1619,8 @@ WITH cum AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cumw,
          SUM(CAST(l_quantity AS BIGINT)) OVER () AS w
-  FROM lineitem)
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
 SELECT COUNT(*) AS n_rows,
        CAST(MAX(w) AS BIGINT) AS total_units,
        MIN(CASE WHEN cumw >= (25 * w + 99) // 100
@@ -1650,8 +1665,14 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, a 1-row total broadcast. A cross-digit chi² total is
     deliberately NOT emitted: summing 9 doubles in group-by order is
     partition-order-dependent; the per-digit rows are the contract.
+
+    NULL-measure contract (r12, nullfact gate): a NULL amount has no
+    leading digit — excluded before the census on both sides (the old
+    form emitted a Spark-only NULL-digit group the oracle's inner join
+    on the digit table silently dropped).
     """
-    li = ld(spark, sf_dir, "lineitem")
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull())
     cents = (F.col("l_extendedprice").cast(DEC) * 100) \
         .cast("decimal(38,0)")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
@@ -1678,7 +1699,8 @@ WITH obs AS (
                              * 100 AS DECIMAL(38,0)) AS VARCHAR), 1, 1)
               AS INT) AS digit,
          COUNT(*) AS n_values
-  FROM lineitem GROUP BY digit),
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY digit),
 tot AS (SELECT CAST(SUM(n_values) AS BIGINT) AS total FROM obs),
 exp AS (
   SELECT * FROM (VALUES
@@ -1899,10 +1921,16 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale); FLOOR of identically-derived doubles cannot straddle —
     the rank arithmetic lands on the same integers. The emitted values
     are untouched decimals.
+
+    NULL-measure contract (r12, nullfact gate): a NULL amount has no
+    order statistic — excluded before ranking on both sides (Spark
+    ranks NULLS FIRST, DuckDB NULLS LAST, so leaving them in shifts
+    every rank differently per engine).
     """
     from .scale import global_ranks
 
-    o = ld(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    o = (ld(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+         .filter(F.col("o_totalprice").isNotNull()))
     ranked, n = global_ranks(
         o, [F.asc("o_totalprice"), F.asc("o_orderkey")],
         num_partitions=8)
@@ -1933,7 +1961,7 @@ WITH ranked AS (
   SELECT o_totalprice,
          ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
          COUNT(*) OVER () AS n
-  FROM orders),
+  FROM orders WHERE o_totalprice IS NOT NULL),
 stats AS (
   SELECT n, CAST(CEIL(n / 2.0) AS BIGINT) AS r_med,
          CAST(FLOOR((CAST(n AS DOUBLE)
@@ -2329,11 +2357,18 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
     rk = grouped_ranks(rk, [part_col],
                        [F.asc(y_col), F.asc(tie_break)],
                        rank_col="rny", num_partitions=num_partitions)
-    vx = (rk.groupBy(part_col, x_col)
+    # tie rollups join back on STRUCT-packed keys (r12, nullfact gate):
+    # a plain [part, value] equi-join silently drops a NULL group key,
+    # while struct equality compares NULL fields as equal — the same
+    # GROUP BY semantics the final rollup uses, so a NULL partition
+    # (e.g. corrupted c_nationkey) stays a real group end to end
+    rk = (rk.withColumn("__kx", F.struct(part_col, x_col))
+          .withColumn("__ky", F.struct(part_col, y_col)))
+    vx = (rk.groupBy("__kx")
           .agg(F.min("rnx").alias("mx"), F.count(F.lit(1)).alias("tx")))
-    vy = (rk.groupBy(part_col, y_col)
+    vy = (rk.groupBy("__ky")
           .agg(F.min("rny").alias("my"), F.count(F.lit(1)).alias("ty")))
-    dd = (rk.join(vx, [part_col, x_col]).join(vy, [part_col, y_col])
+    dd = (rk.join(vx, "__kx").join(vy, "__ky")
           .select(part_col,
                   (2 * F.col("mx") + F.col("tx") - 1).alias("dx"),
                   (2 * F.col("my") + F.col("ty") - 1).alias("dy")))
@@ -2369,7 +2404,8 @@ WITH spend AS (
 base AS (
   SELECT c_custkey, c_nationkey, c_acctbal,
          COALESCE(s.cents, 0) AS cents
-  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+  WHERE c_acctbal IS NOT NULL),
 rk AS (
   SELECT c_nationkey, c_acctbal, cents,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey

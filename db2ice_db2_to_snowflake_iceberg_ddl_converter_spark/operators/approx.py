@@ -69,7 +69,12 @@ def approx_quantiles_checked(spark, sf_dir,
     # join — without it the percentile_approx agg runs twice
     from .scale import pin
     base = pin(approx_quantiles(spark, sf_dir, accuracy=accuracy))
-    o = ld(spark, sf_dir, "orders").select("o_totalprice")
+    # n counts the sketch's ACTUAL input — percentile_approx ignores
+    # NULL amounts, so the band's target rank must too (r12, nullfact
+    # gate: the unfiltered count inflated n and pushed the target rank
+    # outside the ε-band on corrupted shards)
+    o = (ld(spark, sf_dir, "orders").select("o_totalprice")
+         .filter(F.col("o_totalprice").isNotNull()))
     n = o.agg(F.count(F.lit(1)).alias("n"))
     ranks = (o.crossJoin(F.broadcast(base.select("quantile",
                                                  "approx_value")))

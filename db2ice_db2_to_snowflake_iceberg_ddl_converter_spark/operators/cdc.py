@@ -66,27 +66,45 @@ def cdc_apply_customers(spark, sf_dir) -> DataFrame:
     and inserts (new keys past the snapshot's range). Oracle replays the
     identical batch in SQL, so the hash match proves MERGE semantics:
     delete wins, payload overwrite, insert materialization, and
-    untouched-row passthrough."""
+    untouched-row passthrough.
+
+    Duplicate-PK contract (r12, nullfact gate): the synthetic batch is
+    derived per KEY, not per snapshot row — a per-column MIN/MAX
+    reduction (identity while the PK is unique, i.e. on every clean
+    fixture) — so a corrupted snapshot carrying duplicate-key rows with
+    different payloads still yields exactly one change per (key, seq).
+    The old per-row derivation emitted two competing seq-2 updates for
+    a duplicated key, and ``max_by``'s tie-break between them is
+    engine-arbitrary. Duplicate TARGET rows are standard MERGE: every
+    matching row is updated/deleted (the oracle fans the update out
+    over the matching rows)."""
     snap = ld(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    deletes = (snap.filter(k % 10 == 0)
+
+    def per_key(df):
+        return (df.groupBy("c_custkey")
+                .agg(F.min("c_name").alias("c_name"),
+                     F.min("c_nationkey").alias("c_nationkey"),
+                     F.max("c_acctbal").alias("c_acctbal"),
+                     F.min("c_mktsegment").alias("c_mktsegment")))
+
+    deletes = (snap.filter(k % 10 == 0).select("c_custkey").distinct()
                .select(k.alias("c_custkey"), F.lit("D").alias("op"),
                        F.lit(1).alias("seq"),
                        F.lit(None).cast("string").alias("c_name"),
                        F.lit(None).cast("int").alias("c_nationkey"),
                        F.lit(None).cast("double").alias("c_acctbal"),
                        F.lit(None).cast("string").alias("c_mktsegment")))
-    upd1 = (snap.filter(k % 10 == 1)
-            .select("c_custkey", F.lit("U").alias("op"),
-                    F.lit(1).alias("seq"), "c_name", "c_nationkey",
-                    (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-                    "c_mktsegment"))
-    upd2 = (snap.filter(k % 10 == 1)
-            .select("c_custkey", F.lit("U").alias("op"),
-                    F.lit(2).alias("seq"), "c_name", "c_nationkey",
-                    (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
-                    "c_mktsegment"))
-    inserts = (snap.filter(k % 10 == 2)
+    dim1 = per_key(snap.filter(k % 10 == 1))
+    upd1 = (dim1.select("c_custkey", F.lit("U").alias("op"),
+                        F.lit(1).alias("seq"), "c_name", "c_nationkey",
+                        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                        "c_mktsegment"))
+    upd2 = (dim1.select("c_custkey", F.lit("U").alias("op"),
+                        F.lit(2).alias("seq"), "c_name", "c_nationkey",
+                        (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
+                        "c_mktsegment"))
+    inserts = (per_key(snap.filter(k % 10 == 2))
                .select((k + 1_000_000).alias("c_custkey"),
                        F.lit("I").alias("op"), F.lit(1).alias("seq"),
                        F.concat(F.lit("new-"), "c_name").alias("c_name"),
@@ -98,14 +116,20 @@ def cdc_apply_customers(spark, sf_dir) -> DataFrame:
 
 
 ORACLE_CDC_APPLY = """
-WITH upserts AS (
-  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0 AS c_acctbal,
-         c_mktsegment
-  FROM customer WHERE c_custkey % 10 = 1
+WITH dim1 AS (
+  SELECT c_custkey, MIN(c_name) AS c_name,
+         MIN(c_nationkey) AS c_nationkey,
+         MAX(c_acctbal) AS c_acctbal,
+         MIN(c_mktsegment) AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 1 GROUP BY c_custkey),
+upserts AS (
+  SELECT c.c_custkey, d.c_name, d.c_nationkey,
+         d.c_acctbal + 200.0 AS c_acctbal, d.c_mktsegment
+  FROM customer c JOIN dim1 d USING (c_custkey)
   UNION ALL
-  SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey, 0.0,
-         c_mktsegment
-  FROM customer WHERE c_custkey % 10 = 2)
+  SELECT c_custkey + 1000000, 'new-' || MIN(c_name),
+         MIN(c_nationkey), 0.0, MIN(c_mktsegment)
+  FROM customer WHERE c_custkey % 10 = 2 GROUP BY c_custkey)
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
   SELECT * FROM customer
   WHERE c_custkey % 10 NOT IN (0, 1)
@@ -168,18 +192,33 @@ def scd2_apply_customers(spark, sf_dir) -> DataFrame:
     untouched current row), and keys % 10 == 5 arrive shifted past the
     snapshot's key range (a brand-new key → dimension insert opening its
     first version). The oracle replays the same merge in SQL; the hash
-    match proves close/open/no-op/insert semantics and date handling."""
+    match proves close/open/no-op/insert semantics and date handling.
+
+    Duplicate-PK contract (r12, nullfact gate): the synthetic change
+    batch is reduced to ONE row per key (per-column MIN/MAX — identity
+    while the PK is unique, i.e. on every clean fixture); the old
+    per-snapshot-row derivation handed scd2_apply two change rows for a
+    duplicated key, and the current×changes join fanned every
+    duplicated current row out once per change row."""
     base = (ld(spark, sf_dir, "customer")
             .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
             .withColumn("valid_to", F.lit(None).cast("date")))
     k = F.col("c_custkey")
-    moved = (base.filter(k % 10 == 3)
+
+    def per_key(df):
+        return (df.groupBy("c_custkey")
+                .agg(F.min("c_name").alias("c_name"),
+                     F.min("c_nationkey").alias("c_nationkey"),
+                     F.max("c_acctbal").alias("c_acctbal"),
+                     F.min("c_mktsegment").alias("c_mktsegment")))
+
+    moved = (per_key(base.filter(k % 10 == 3))
              .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                      F.lit("MOVED").alias("c_mktsegment")))
-    noop = (base.filter(k % 10 == 4)
+    noop = (per_key(base.filter(k % 10 == 4))
             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                     "c_mktsegment"))
-    fresh = (base.filter(k % 10 == 5)
+    fresh = (per_key(base.filter(k % 10 == 5))
              .select((k + 1_000_000).alias("c_custkey"),
                      F.concat(F.lit("new-"), "c_name").alias("c_name"),
                      "c_nationkey", "c_acctbal",

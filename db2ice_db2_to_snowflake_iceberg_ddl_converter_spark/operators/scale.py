@@ -338,10 +338,18 @@ def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole table. This is the variant a 100 TB table would run; the
     oracle (same SQL as the global-window version) proves equivalence.
 
-    percent_rank = (rn-1)/(n-1) reproduces SQL PERCENT_RANK exactly here
-    because the order key (c_acctbal DESC, c_custkey) is a total order —
-    rank == row_number with no ties; both engines then divide the same
-    exact integers once.
+    percent_rank = (rank-1)/(n-1) with rank = the MINIMUM row_number
+    over each distinct order-key value — row_number alone equals rank
+    only while (c_acctbal DESC, c_custkey) is a total order, and the
+    r12 nullfact gate broke that premise (duplicate-PK customer rows
+    with NULL balances tie on both keys; SQL PERCENT_RANK gives ties
+    one shared rank). The tie collapse is one struct-keyed groupBy +
+    join on the data-scaled order key (struct packing so NULL balances
+    join as their own group) — a second all-to-all exchange in the
+    same cost class as the range shuffle, never a single-task window.
+    NTILE stays row_number-based (its SQL semantics): a tie straddling
+    a quartile boundary is engine-arbitrary in SQL itself, so no oracle
+    can pin it — the fixture's ties land inside one quartile.
     """
     from .relational import ld
 
@@ -349,7 +357,12 @@ def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.desc("c_acctbal"), F.asc("c_custkey")]
     ranked, n = global_ranks(c, order, num_partitions=8)
     rn = F.col("global_rn")
-    pct = ((rn - 1) / F.lit(n - 1)).cast("double") if n > 1 else F.lit(0.0)
+    key = F.struct("c_acctbal", "c_custkey")
+    ties = (ranked.groupBy(key.alias("__k"))
+            .agg(F.min("global_rn").alias("__rk")))
+    ranked = ranked.withColumn("__k", key).join(ties, "__k")
+    pct = ((F.col("__rk") - 1) / F.lit(n - 1)).cast("double") \
+        if n > 1 else F.lit(0.0)
     return (ranked.select("c_custkey",
                           ntile_expr(rn, n, 4).alias("balance_quartile"),
                           pct.alias("pct_rank"))
@@ -501,10 +514,18 @@ def scale_zorder_zvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one scan + integer codegen + TakeOrderedAndProject — the
     full-layout variant replaces the top-k with repartitionByRange(zv) +
     sortWithinPartitions + write (see ``repartition_for_write``).
+
+    NULL-key contract (r12, nullfact gate): a row with a NULL
+    clustering key has no Morton code (its zv would be NULL, which the
+    engines sort to opposite ends) — a real layout pass routes such
+    rows to a dedicated NULL bucket; here they are excluded on both
+    sides.
     """
     from .relational import ld
 
-    l = ld(spark, sf_dir, "lineitem", fanout=False)
+    l = (ld(spark, sf_dir, "lineitem", fanout=False)
+         .filter(F.col("l_orderkey").isNotNull()
+                 & F.col("l_partkey").isNotNull()))
     x = F.pmod(F.col("l_orderkey"), F.lit(65536))
     y = F.pmod(F.col("l_partkey"), F.lit(65536))
     return (l.select("l_orderkey", "l_partkey", "l_linenumber",
@@ -518,6 +539,7 @@ WITH spread AS (
   SELECT l_orderkey, l_partkey, l_linenumber,
          l_orderkey % 65536 AS x0, l_partkey % 65536 AS y0
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), s1 AS (
   SELECT *,
     ((x0 | (x0 << 8)) & 16711935) AS x1,
@@ -565,10 +587,16 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str,
 
     Oracle: the same NTILE over the same total order — DuckDB's window
     is the single-node formulation of the identical rank math.
+
+    NULL-measure contract (r12, nullfact gate): a NULL amount has no
+    rank (and engines disagree on where NULLs sort — Spark asc NULLS
+    FIRST, DuckDB NULLS LAST), so it joins no bucket; excluded before
+    ranking on both sides.
     """
     from .relational import DEC, ld
 
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
     ranked, n = global_ranks(
         o.select("o_orderkey", "o_totalprice"),
         [F.asc("o_totalprice"), F.asc("o_orderkey")],
@@ -589,7 +617,7 @@ ORACLE_HISTOGRAM_EQUI_DEPTH = """
 WITH ranked AS (
   SELECT o_totalprice,
          NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT bucket, COUNT(*) AS n_orders,
        CAST(MIN(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
@@ -732,10 +760,17 @@ def diag_layout_zonemap(spark: SparkSession, sf_dir: str,
     per-file min/max aggregation is O(rows) with map-side partials, and
     the overlap join runs on the 2F-row summary. All-integer output —
     no float protocol needed.
+
+    NULL-key contract (r12, nullfact gate): a row with a NULL
+    clustering key or NULL arrival id has no deterministic file slot
+    (parquet zone maps track nulls in a separate null_count, not in
+    min/max) — excluded from the layout audit on both sides.
     """
     from .relational import ld
 
     li = (ld(spark, sf_dir, "lineitem", fanout=False)
+          .filter(F.col("l_shipdate").isNotNull()
+                  & F.col("l_orderkey").isNotNull())
           .select(F.datediff(F.col("l_shipdate").cast("date"),
                              F.lit("1970-01-01")).alias("key"),
                   "l_orderkey", "l_linenumber"))
@@ -778,7 +813,8 @@ WITH base AS (
   SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
            AS key,
          l_orderkey, l_linenumber
-  FROM lineitem),
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL),
 n AS (SELECT COUNT(*) AS c FROM base),
 arr AS (
   SELECT key,

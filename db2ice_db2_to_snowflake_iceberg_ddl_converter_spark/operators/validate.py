@@ -165,18 +165,24 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SNAPSHOT_DIFF = """
 WITH new AS (
-  SELECT c_custkey,
+  SELECT c_custkey, c_name, c_nationkey,
          CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0
-              ELSE c_acctbal END AS c_acctbal
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
   FROM customer WHERE c_custkey % 10 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000, c_acctbal FROM customer
-  WHERE c_custkey % 10 = 2
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 2
 )
 SELECT status, COUNT(*) AS n_rows FROM (
   SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
               WHEN n.c_custkey IS NULL THEN 'deleted'
-              WHEN o.c_acctbal = n.c_acctbal THEN 'unchanged'
+              WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+               AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+               AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+               AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+                THEN 'unchanged'
               ELSE 'changed' END AS status
   FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 )
@@ -221,8 +227,10 @@ def migrate_reconcile_customers(spark: SparkSession,
 ORACLE_RECONCILE = """
 WITH h AS (
   SELECT md5(concat_ws('|',
-             CAST(c_custkey AS VARCHAR), c_name,
-             CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS hx
+             COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>'),
+             COALESCE(c_name, '<NULL>'),
+             COALESCE(CAST(c_nationkey AS VARCHAR), '<NULL>'),
+             COALESCE(c_mktsegment, '<NULL>'))) AS hx
   FROM customer
 )
 SELECT COUNT(*) AS n_rows,
@@ -441,13 +449,20 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str,
     li_after = li.join(o_doomed.select(F.col("o_orderkey")
                                        .alias("l_orderkey")),
                        "l_orderkey", "left_anti")
-    # residual orphans after the cascade (must be 0 for an auditable plan)
-    o_orphans = o_after.join(c_after.select(F.col("c_custkey")
-                                            .alias("o_custkey")),
-                             "o_custkey", "left_anti")
-    li_orphans = li_after.join(o_after.select(F.col("o_orderkey")
-                                              .alias("l_orderkey")),
-                               "l_orderkey", "left_anti")
+    # residual orphans after the cascade (must be 0 for an auditable
+    # plan). NULL-FK contract (r12, nullfact gate): a NULL foreign key
+    # references nothing and is exempt from referential checks (SQL FK
+    # semantics — constraints never fire on NULLs), so NULL-keyed
+    # survivors are NOT orphans; the anti-join alone would count them
+    # (a NULL key matches no parent).
+    o_orphans = (o_after.filter(F.col("o_custkey").isNotNull())
+                 .join(c_after.select(F.col("c_custkey")
+                                      .alias("o_custkey")),
+                       "o_custkey", "left_anti"))
+    li_orphans = (li_after.filter(F.col("l_orderkey").isNotNull())
+                  .join(o_after.select(F.col("o_orderkey")
+                                       .alias("l_orderkey")),
+                        "l_orderkey", "left_anti"))
 
     def row(name, doomed, after, orphans):
         return (doomed.agg(F.count(F.lit(1)).alias("n_delete"))
@@ -484,7 +499,8 @@ WITH victims AS (
          (SELECT COUNT(*) FROM o_doomed),
          (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM o_doomed),
          (SELECT COUNT(*) FROM orders o
-          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM victims)
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM victims)
             AND o.o_custkey NOT IN
                 (SELECT c_custkey FROM customer
                  WHERE c_custkey % 131 <> 0))
@@ -493,10 +509,12 @@ WITH victims AS (
          (SELECT COUNT(*) FROM li_doomed),
          (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM li_doomed),
          (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM o_doomed)
+          WHERE l.l_orderkey IS NOT NULL
+            AND l.l_orderkey NOT IN (SELECT o_orderkey FROM o_doomed)
             AND l.l_orderkey NOT IN
                 (SELECT o_orderkey FROM orders
-                 WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)))
+                 WHERE o_custkey IS NULL
+                    OR o_custkey NOT IN (SELECT c_custkey FROM victims)))
 )
 SELECT table_name, CAST(n_delete AS BIGINT) AS n_delete,
        CAST(n_keep AS BIGINT) AS n_keep,
