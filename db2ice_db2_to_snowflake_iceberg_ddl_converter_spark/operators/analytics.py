@@ -592,11 +592,19 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAY-LEVEL table — bounded by calendar span (a few thousand rows at
     any data scale), so the global window is dimension-sized, never
     fact-sized. Pure integer arithmetic throughout.
+
+    NULL-date contract (r12, nullfact gate): an order with a NULL order
+    date has no open point on the sweep line — excluded on both sides
+    (a NULL day would also anchor the running sum at opposite ends of
+    the two engines' sort orders). An order whose every line has a NULL
+    ship date keeps the existing clamp: close = open (both engines'
+    GREATEST ignores NULL operands).
     """
     from pyspark.sql import Window
 
-    o = ld(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("open_day"))
+    o = (ld(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate").isNotNull())
+         .select("o_orderkey", F.to_date("o_orderdate").alias("open_day")))
     l = ld(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.to_date("l_shipdate").alias("ship_day"))
     close = (l.groupBy("l_orderkey")
@@ -630,6 +638,7 @@ WITH close AS (
   SELECT CAST(o.o_orderdate AS DATE) AS open_day,
          GREATEST(c.close_day, CAST(o.o_orderdate AS DATE)) AS close_day
   FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+  WHERE o.o_orderdate IS NOT NULL
 ), deltas AS (
   SELECT open_day AS day, 1 AS delta FROM spans
   UNION ALL
@@ -920,10 +929,16 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one keyed month aggregation collapses any order volume to a
     calendar-sized table; the lag window then orders THAT table (global
     window over dimension-sized data — same stance as the ABC cumsum).
+
+    NULL-date contract (r12, nullfact gate): an order with a NULL date
+    belongs to no calendar month — excluded on both sides (a NULL month
+    group would sort first in Spark's lag order and last in DuckDB's,
+    shifting every month's prev).
     """
     from pyspark.sql import Window
 
-    o = ld(spark, sf_dir, "orders")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull())
     monthly = (o.groupBy(F.date_trunc("month", "o_orderdate")
                          .alias("month_start"))
                .agg(F.sum(F.col("o_totalprice").cast(DEC))
@@ -943,7 +958,7 @@ ORACLE_ORDERS_MONTHLY_GROWTH = """
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate) AS month_start,
          SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
-  FROM orders GROUP BY month_start
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month_start
 )
 SELECT strftime(month_start, '%Y-%m') AS month,
        CAST(rev AS DOUBLE) AS revenue,
@@ -1026,10 +1041,19 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str,
     Oracle coupling: the defaults ``min_support=2`` / ``k=50`` are baked
     into the oracle as constants (same trap as scale_zorder_zvalues) —
     non-default values are ad-hoc only, with no parity claim.
+
+    NULL-key contract (r12, nullfact gate): a line with a NULL order
+    key belongs to no basket (grouping would otherwise lump every such
+    line into one giant phantom basket that the oracle's NULL-rejecting
+    self-join never forms) and a NULL part is not an item — both
+    excluded on both sides.
     """
     from .scale import pin
 
-    l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l = (ld(spark, sf_dir, "lineitem")
+         .filter(F.col("l_orderkey").isNotNull()
+                 & F.col("l_partkey").isNotNull())
+         .select("l_orderkey", "l_partkey"))
     # pin: the fact-table distinct (a full shuffle) feeds THREE
     # consumers (order census, per-part totals, basket build) — without
     # it the scan+distinct executes three times (r11 tail plan audit)
@@ -1067,6 +1091,7 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str,
 ORACLE_BASKET_AFFINITY = """
 WITH lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
 pc AS (
   SELECT l_partkey, COUNT(*) AS n_part FROM lp GROUP BY l_partkey
@@ -1737,11 +1762,19 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
     so a month-keyed window still sorts a whole month in one task at
     100×; the range-shuffled ordinal scales both ways. O(months)
     output.
+
+    NULL contract (r12, nullfact gate): a NULL order date gives no
+    month and a NULL ship date no lag — such lines are excluded on both
+    sides (a NULL lag would rank NULLS FIRST in Spark and NULLS LAST in
+    DuckDB, dragging every percentile; the NULL month group would
+    survive the window formulation but not a plain equi-join).
     """
     from .scale import grouped_ranks
 
-    li = ld(spark, sf_dir, "lineitem")
-    o = ld(spark, sf_dir, "orders")
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull())
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull())
     j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
          .select(
              (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
@@ -1777,7 +1810,8 @@ WITH j AS (
          date_diff('day', CAST(o_orderdate AS DATE),
                    CAST(l_shipdate AS DATE)) AS ship_lag,
          l_orderkey, l_linenumber
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL),
 ranked AS (
   SELECT order_month, ship_lag,
          ROW_NUMBER() OVER (PARTITION BY order_month
@@ -2089,10 +2123,17 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     LTV-per-customer is ONE divide per emitted row. Shape: one
     first-order agg (customer-keyed), one join back, one (cohort,
     offset) rollup, the bounded window.
+
+    NULL-date contract (r12, nullfact gate): an undated order joins no
+    cohort and no months-since bucket (its NULL offset would cumulate
+    NULLS-FIRST in Spark and NULLS-LAST in DuckDB) — excluded on both
+    sides; a NULL amount still counts toward activity, just adds no
+    revenue (SUM semantics, identical in both engines).
     """
     from .relational import DEC
 
-    o = ld(spark, sf_dir, "orders").select(
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()).select(
         "o_custkey", "o_totalprice",
         (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
         .alias("mi"))
@@ -2125,7 +2166,7 @@ WITH o AS (
   SELECT o_custkey, o_totalprice,
          EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
          + (EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mi
-  FROM orders),
+  FROM orders WHERE o_orderdate IS NOT NULL),
 first AS (
   SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY o_custkey),
 grid AS (

@@ -102,7 +102,12 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     id space via disjoint offsets."""
     o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = ld(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # an edge with an unknown endpoint is no edge (r12, nullfact gate):
+    # a NULL actor id would otherwise become a phantom graph node that
+    # soaks up rank mass and breaks the node census
     pairs = (o.join(l, o["o_orderkey"] == l["l_orderkey"])
+             .filter(F.col("o_custkey").isNotNull()
+                     & F.col("l_suppkey").isNotNull())
              .select(F.col("o_custkey").alias("cust"),
                      F.col("l_suppkey").alias("supp"))
              .distinct())
@@ -190,6 +195,7 @@ ORACLE_PAGERANK_CHECKED = """
 WITH pairs AS (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 )
 SELECT CAST((SELECT COUNT(DISTINCT cust) FROM pairs)
             + (SELECT COUNT(DISTINCT supp) FROM pairs) AS BIGINT)
@@ -298,11 +304,15 @@ def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation.
     """
     c = ld(spark, sf_dir, "customer", fanout=False)
+    # the hierarchy is a function of the key SET: one node per distinct
+    # key (r12, nullfact gate — duplicate-PK snapshot rows would
+    # otherwise fan the doubling join out geometrically per round,
+    # while the oracle's per-seed recursion stays linear)
     parents = c.select(
         F.col("c_custkey").alias("node"),
         F.when(F.col("c_custkey") > 0,
                F.expr("c_custkey div 2")).otherwise(F.lit(0))
-        .alias("parent"))
+        .alias("parent")).distinct()
     # Tight doubling-round bound from data we can get in one scalar scan:
     # depth(k) = floor(log2 k) + 1 halvings to reach 0, so max depth =
     # floor(log2 max_key) + 1 and rounds = ceil(log2 depth). One bounded
@@ -325,7 +335,8 @@ def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HIERARCHY_DEPTHS = """
 WITH RECURSIVE walk AS (
-  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+  FROM (SELECT DISTINCT c_custkey FROM customer)
   UNION ALL
   SELECT node, anc // 2, depth + 1 FROM walk WHERE anc > 0
 )

@@ -9,10 +9,128 @@ remaining tasks are bench-side and recorded in BASELINE.md.
 """
 
 import json
+import os
 
 import duckdb
 import pytest
 from pyspark.sql import functions as F
+
+#: The 22 entries the first nullfact sweep (r12) found divergent — the
+#: TPC-H fact tables' first adversarial exposure. Divergence classes:
+#: NULL measures ranked NULLS-FIRST by Spark and NULLS-LAST by DuckDB
+#: (the whole percentile/NTILE/sweep-line family), NULL group keys
+#: dropped by plain equi-joins but kept by windows/GROUP BY (spearman,
+#: fulfillment), NULL FKs counted as orphans by anti-joins but ignored
+#: by NOT IN (gdpr), duplicate-PK snapshot rows making synthetic-batch
+#: max_by tie-breaks engine-arbitrary (cdc/scd2) and fanning pointer
+#: doubling out geometrically (hierarchy), a phantom NULL graph node
+#: soaking up PageRank mass, NULL-unsafe payload compares (snapshot
+#: diff), and a missing <NULL> sentinel in the reconcile oracle.
+NULLFACT_ENTRIES = [
+    "diag_layout_zonemap", "agg_weighted_percentiles",
+    "benford_price_audit", "cdc_apply_customers",
+    "scd2_apply_customers", "graph_pagerank_top",
+    "snapshot_diff_customers", "migrate_reconcile_customers",
+    "window_ntile_scalable", "orders_open_backlog_daily",
+    "orders_monthly_growth", "basket_part_affinity",
+    "graph_hierarchy_depths", "scale_zorder_zvalues",
+    "approx_quantiles", "agg_percentiles", "agg_histogram_equi_depth",
+    "gdpr_delete_cascade", "orders_fulfillment_latency",
+    "agg_median_ci", "orders_cohort_ltv", "stat_spearman_corr",
+]
+
+
+@pytest.fixture(scope="module")
+def nullfact_dir(spark, sf_dir, tmp_path_factory):
+    """Corrupted-facts fixture at sf0.001 via the probe tool's builder
+    (the same code path the standing gate uses)."""
+    import tools.degenerate_probe as dp
+
+    base = str(tmp_path_factory.mktemp("sf_nullfact_r12"))
+    dp.build_fixture(spark, sf_dir, base, "nullfact")
+    return base
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    res = con.sql(sql)
+    cols = list(res.columns)
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+class TestCorruptedFactsParity:
+    """Every formerly-divergent entry must hash-match its DuckDB oracle
+    on the corrupted-facts fixture (and stay green on clean data — the
+    full sf0.01 sweep covers that side)."""
+
+    @pytest.mark.parametrize("name", NULLFACT_ENTRIES)
+    def test_entry_matches_oracle_on_nullfact(self, spark, nullfact_dir,
+                                              name):
+        from __spark_entry__ import oracle_sql, queries
+
+        df = queries()[name](spark, nullfact_dir)
+        srows = [tuple(r) for r in df.collect()]
+        ocols, orows = _oracle_rows(oracle_sql()[name], nullfact_dir)
+        assert sorted(df.columns) == sorted(ocols), (df.columns, ocols)
+        assert _canon(df.columns, srows) == _canon(ocols, orows), \
+            f"{name}: value mismatch on corrupted-facts fixture"
+
+
+class TestNullfactSemanticsUnits:
+    """The sharpest individual r12 semantic decisions, on hand-built
+    frames — fast, local failure messages for the parity class above."""
+
+    def test_asc_null_ordering_diverges_between_engines(self, spark):
+        """The trap behind the whole percentile family: Spark ranks
+        ascending NULLS FIRST, DuckDB NULLS LAST — any rank over a
+        nullable measure diverges unless NULLs are excluded."""
+        rows = [r.x for r in
+                spark.createDataFrame([(2,), (None,), (1,)], "x int")
+                .orderBy(F.asc("x")).collect()]
+        assert rows == [None, 1, 2]            # Spark: NULLS FIRST
+        dd = [r[0] for r in duckdb.sql(
+            "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x"
+        ).fetchall()]
+        assert dd == [1, 2, None]              # DuckDB: NULLS LAST
+
+    def test_anti_join_keeps_null_keys_not_in_drops_them(self, spark):
+        """The gdpr orphan trap: a NULL FK survives a LEFT ANTI join
+        (counted as an orphan) but NOT IN maps it to NULL (dropped) —
+        the contract exempts NULL FKs from referential checks."""
+        child = spark.createDataFrame([(1,), (None,)], "fk int")
+        parent = spark.createDataFrame([(1,)], "fk int")
+        anti = child.join(parent, "fk", "left_anti").count()
+        assert anti == 1                        # NULL kept by anti-join
+        ni = duckdb.sql(
+            "SELECT COUNT(*) FROM (VALUES (1),(NULL)) c(fk) "
+            "WHERE fk NOT IN (SELECT 1)").fetchone()[0]
+        assert ni == 0                          # NULL dropped by NOT IN
+
+    def test_per_key_reduction_is_identity_on_unique_pk(self, spark):
+        """The cdc/scd2 fix derives synthetic change batches via
+        per-column MIN/MAX grouped by key: on unique-PK data that is the
+        row itself (clean-fixture outputs unchanged), on duplicate-PK
+        data it is deterministic where max_by's tie-break is not."""
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", None)], "k int, s string, v double")
+        red = (df.groupBy("k")
+               .agg(F.min("s").alias("s"), F.max("v").alias("v"))
+               .orderBy("k").collect())
+        assert [tuple(r) for r in red] == [(1, "a", 5.0), (2, "b", None)]
 
 
 class TestAdviceClosuresR12:
