@@ -60,20 +60,36 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iters):
-        contribs = (edges.join(ranks.withColumnRenamed("node", "src"), "src")
-                    .join(out_deg, "src")
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum(F.col("rank") / F.col("deg"))
-                         .alias("contrib")))
+        # ONE blocking pin job per round, moved from ranks to contribs
+        # (r12 tail profile): the round's expensive work — the
+        # edge-sized join + map-side-combined agg — materializes here,
+        # and contribs' two consumers (the dangling agg and the rank
+        # projection) read the pinned blocks. The per-round
+        # reliable-pin / lineage-truncation contract is unchanged
+        # (r9 seam; r10 measured alternate-round pins 4 s slower).
+        contribs = pin(
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib")))
         # dangling mass: rank held by nodes with no out-edges, spread
-        # evenly. Folded in as a broadcast 1-row cross join so the whole
-        # iteration stays ONE Spark job — a driver-side collect here would
-        # add a blocking scalar job per iteration (pure scheduling latency
-        # at scale; the r02 verdict flagged exactly that).
-        dangling = (ranks.join(out_deg,
-                               ranks["node"] == out_deg["src"], "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("dangling_mass")))
+        # evenly. DERIVED from the contribution total instead of the
+        # old per-round ranks×out_deg anti-join (r12 tail profile):
+        # every src forwards exactly its whole rank (deg × rank/deg),
+        # so Σcontrib = Σ rank over non-dangling nodes and dangling =
+        # 1 − Σcontrib (total mass is exactly 1 by the update rule:
+        # (1−d) + d·dangling + d·Σcontrib ≡ 1 — per-round mass
+        # conservation becomes exact by construction instead of
+        # drift-prone). The 1-row agg folds in as the same broadcast
+        # cross join — no driver-side collect per iteration (the r02
+        # verdict flagged exactly that).
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0)))
+            .alias("dangling_mass"))
+        # ranks stays LAZY: a narrow left join of two pinned frames
+        # (nodes, contribs) plus a 1-row broadcast — its single
+        # consumer is the next round's contribs build (or the caller),
+        # and truncation at the pinned parents keeps the plan bounded.
         ranks = (nodes.join(contribs, "node", "left")
                  .crossJoin(F.broadcast(dangling))
                  .select("node",
@@ -82,16 +98,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           + F.lit(damping)
                           * F.coalesce(F.col("contrib"), F.lit(0.0)))
                          .alias("rank")))
-        # reliable-pin seam (r9): with a session checkpoint dir the
-        # per-round truncation survives executor loss; else local.
-        # Deliberately pinned EVERY round, unlike transitive_roots'
-        # alternate-round pattern: a pagerank iteration's work is one
-        # edge-sized join + agg, so letting two rounds of lineage stack
-        # re-executes that join inside the next pin — measured r10 at
-        # sf0.1, alternate pins were ~4 s SLOWER (19.8 vs 15.8 s); the
-        # recompute costs more than the saved scheduling barrier.
-        ranks = pin(ranks)
-    return ranks
+    # pin the final projection once: callers fan out over ranks (top-k,
+    # totals, anti-join census) and would otherwise re-run the last
+    # join per consumer
+    return pin(ranks)
 
 
 def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
