@@ -939,10 +939,10 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
     collect()ed the table to the driver — the one scale-killer; the
     blocked scan is now the default.)
     """
-    from .relational import ld_vecs
+    from .relational import ld_vecs_dir
     from .similarity import all_pairs_cosine_blocked, cosine_expr, norm_expr
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     # emit_scores=False: only the pair ids are consumed here (the exact
     # verify recomputes cosine), and dropping an output column downstream
     # trips a Catalyst input-pruning hazard on the cogroup — see
@@ -1100,7 +1100,11 @@ ORACLE_DEDUP_EMBEDDING = """
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+WHERE a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+  AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+  AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+  AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 ORDER BY id1, id2
 """
 

@@ -139,6 +139,33 @@ def ld_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("embedding").isNotNull() & ~bad))
 
 
+#: DuckDB mirror of the :func:`ld_vecs_dir` zero-norm clause — appended
+#: to a cosine-scoring oracle's vector filter (alias the column as the
+#: oracle's scope requires).
+VEC_DIR_SQL = ("list_dot_product({e}::DOUBLE[], {e}::DOUBLE[]) > 0")
+
+
+def ld_vecs_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional variant of :func:`ld_vecs` for COSINE-scoring
+    consumers (brute-force/IVF rerank, cosine pair dedup, triplet
+    margins, the unit-vector PQ convention): additionally drops
+    ZERO-NORM vectors. A zero vector has no direction — cosine against
+    it is 0/0, which Spark/numpy propagate as NaN (poisoning desc sorts,
+    where Spark ranks NaN above every real score) while DuckDB's
+    ``list_cosine_similarity`` clamps — so the corrupted-shard contract
+    (r12, poisoned-fixture parity) is to exclude them from directional
+    scoring, exactly as NULL/non-finite vectors are excluded from all
+    vector math. L2/centroid consumers (k-means, covariance, PCA,
+    int8 quantize) keep plain :func:`ld_vecs`: a zero vector is a
+    legitimate point in THOSE spaces. The predicate is one Catalyst
+    ``aggregate`` over the array — no UDF; DuckDB mirror:
+    ``VEC_DIR_SQL``."""
+    nz = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0")
+    return ld_vecs(spark, sf_dir).filter(nz)
+
+
 def _dsum(expr) -> F.Column:
     """Exact, order-independent sum of a double money expression.
 

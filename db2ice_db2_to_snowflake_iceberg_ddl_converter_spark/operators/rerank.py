@@ -174,7 +174,9 @@ WITH shortlist AS (
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < 10
       AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
-      AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0)
+      AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+      AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+      AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
   WHERE nn_rank <= 20
 ), pairs AS (
   SELECT s.query_id, s.neighbor_id, s.ann_rank,

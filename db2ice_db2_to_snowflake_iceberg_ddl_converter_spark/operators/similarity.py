@@ -27,7 +27,7 @@ import pandas as pd  # module-top: pandas_udf type hints must resolve at def tim
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import ld, ld_vecs
+from .relational import ld, ld_vecs, ld_vecs_dir
 
 
 def dot_expr(a: str | F.Column, b: str | F.Column,
@@ -96,7 +96,7 @@ def ann_brute_force_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     The query side is tiny → broadcast; candidates stream through one scan.
     Ties broken by candidate id so LIMIT/rank is stable across engines.
     """
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
@@ -121,7 +121,9 @@ SELECT query_id, neighbor_id, cosine, nn_rank FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
     AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
     AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
 ) WHERE nn_rank <= 5
 """
 
@@ -194,7 +196,7 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     """
     bits_per_band = n_planes // n_bands
     mask = (1 << bits_per_band) - 1
-    e = sign_lsh_signatures(ld_vecs(spark, sf_dir),
+    e = sign_lsh_signatures(ld_vecs_dir(spark, sf_dir),
                             n_planes=n_planes)
     bands = e.select(
         "vec_id", "embedding",
@@ -215,7 +217,7 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     cands = (q.join(c, ["band_idx", "band_val"])
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id").distinct())
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     qe = e.select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qe"))
     ce = e.select(F.col("vec_id").alias("neighbor_id"),
@@ -406,7 +408,7 @@ def ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     """
     import numpy as np
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
     tagged = ivf_assign(e, C)
 
@@ -443,7 +445,7 @@ def ann_block_numpy_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     import numpy as np
     import pandas as pd
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     qrows = e.filter(F.col("vec_id") < n_queries).collect()
     qids = np.array([r.vec_id for r in qrows])
     qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
@@ -561,7 +563,7 @@ def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     books = pq_codebooks(e, m=m, n_cents=n_cents)
     coded = pq_assign_codes(e, books)
 
@@ -636,7 +638,7 @@ def pq_encode(spark, sf_dir, m: int = 8, n_cents: int = 16) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     B = pq_codebooks(e, m=m, n_cents=n_cents)
     sub = B.shape[2]
 
@@ -819,7 +821,8 @@ def ann_pq_encode_checked(spark, sf_dir, m: int = 8,
 
 ORACLE_PQ_ENCODE_CHECKED = """
 SELECT vec_id, TRUE AS code_in_range, TRUE AS err_in_range
-FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0 ORDER BY vec_id
+FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 ORDER BY vec_id
 """
 
 
@@ -972,7 +975,9 @@ WITH brute AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
     AND a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
     AND b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+    AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_in_band,
@@ -1047,7 +1052,8 @@ SELECT label, COUNT(*) AS n_anchors,
        TRUE AS cosines_in_range,
        TRUE AS margin_in_range
 FROM embeddings WHERE vec_id < 50
-  AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0 AND label IS NOT NULL
+  AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
+  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 AND label IS NOT NULL
 GROUP BY label ORDER BY label
 """
 
@@ -1084,7 +1090,7 @@ def ann_ivf_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    e = ld_vecs(spark, sf_dir)
+    e = ld_vecs_dir(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
     tagged = ivf_assign(e, C)                      # (vec_id, embedding, cell)
     books = pq_codebooks(e, m=m, n_cents=n_cents)
@@ -1354,7 +1360,7 @@ def embedding_triplet_margin(spark, sf_dir, n_anchors: int = 50
     comparison silently produced an all-NULL census row; as a candidate
     it fell in neither bucket, asymmetrically). Mirrored in the oracle.
     """
-    e = ld_vecs(spark, sf_dir).filter(F.col("label").isNotNull())
+    e = ld_vecs_dir(spark, sf_dir).filter(F.col("label").isNotNull())
     q = e.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -90,6 +90,77 @@ class TestCorruptedFactsParity:
             f"{name}: value mismatch on corrupted-facts fixture"
 
 
+#: The vector-consumer entries swept against the POISONED fixture
+#: (NaN / ±Inf / 1e30 / all-zero embedding components — r11 ADVICE 1
+#: closed at the oracle level in r12): the finite-vector clause
+#: (ld_vecs) and the zero-norm directional clause (ld_vecs_dir, cosine
+#: scorers only) are mirrored in every oracle, so the whole family
+#: hash-matches DuckDB on corrupted vector payloads. Scoped to the
+#: embedding family: the poisoned fixture also corrupts event VALUES
+#: with NaN/Inf, whose cross-engine float-formatting differences are a
+#: separate (unpinned) surface.
+POISONED_VEC_ENTRIES = [
+    "ann_brute_force_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivf_pq_topk", "ann_pq_encode",
+    "embedding_kmeans_clusters", "embedding_covariance",
+    "embedding_pca_project", "embedding_source_drift",
+    "embedding_triplet_margin", "dedup_semdedup",
+    "dedup_embedding_cosine", "dedup_embedding_blocked",
+    "rerank_ann_shortlist",
+]
+
+
+@pytest.fixture(scope="module")
+def poisoned_dir(spark, sf_dir, tmp_path_factory):
+    """Poisoned fixture at sf0.001 via the probe tool's builder."""
+    import tools.degenerate_probe as dp
+
+    base = str(tmp_path_factory.mktemp("sf_poisoned_r12"))
+    dp.build_fixture(spark, sf_dir, base, "poisoned")
+    return base
+
+
+class TestPoisonedVectorParity:
+    """Every vector-family entry must hash-match its DuckDB oracle on
+    the poisoned (non-finite / huge / zero-norm components) fixture —
+    the oracle-level closure of r11 ADVICE 1. The sharpest trap: a
+    ZERO-NORM vector is finite (survives the ld_vecs filter) but has no
+    direction — Spark/numpy propagate 0/0 cosine as NaN, which ranks
+    ABOVE every real score in a descending Spark sort, while DuckDB's
+    list_cosine_similarity clamps — so cosine scorers ride ld_vecs_dir
+    and their oracles carry the list_dot_product(e,e) > 0 mirror."""
+
+    @pytest.mark.parametrize("name", POISONED_VEC_ENTRIES)
+    def test_entry_matches_oracle_on_poisoned(self, spark, poisoned_dir,
+                                              name):
+        from __spark_entry__ import oracle_sql, queries
+
+        df = queries()[name](spark, poisoned_dir)
+        srows = [tuple(r) for r in df.collect()]
+        ocols, orows = _oracle_rows(oracle_sql()[name], poisoned_dir)
+        assert sorted(df.columns) == sorted(ocols), (df.columns, ocols)
+        assert _canon(df.columns, srows) == _canon(ocols, orows), \
+            f"{name}: value mismatch on poisoned fixture"
+
+    def test_zero_norm_vector_is_directionless(self, spark):
+        """ld_vecs_dir drops exactly the zero-norm rows ld_vecs keeps."""
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.relational import (  # noqa: E501
+            ld_vecs, ld_vecs_dir,
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0),
+                 (3, None, 0), (4, [float("nan"), 1.0], 0)],
+                "vec_id bigint, embedding array<float>, label int"
+            ).write.parquet(f"{td}/embeddings.parquet")
+            plain = {r.vec_id for r in ld_vecs(spark, td).collect()}
+            direc = {r.vec_id for r in ld_vecs_dir(spark, td).collect()}
+        assert plain == {1, 2}
+        assert direc == {2}
+
+
 class TestNullfactSemanticsUnits:
     """The sharpest individual r12 semantic decisions, on hand-built
     frames — fast, local failure messages for the parity class above."""
