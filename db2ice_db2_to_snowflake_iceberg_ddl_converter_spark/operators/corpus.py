@@ -425,11 +425,15 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str,
     non-default values are ad-hoc only, with no parity claim.
     """
     d = ld(spark, sf_dir, "documents")
+    # tokenize once per row (r12 optimization round): the old inline
+    # form re-ran split(text) four times per row (both zip_with sides
+    # and both size() bounds); same pair multiset
     bigrams = F.expr(
-        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-        "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "zip_with(slice(w, 1, size(w) - 1), "
+        "         slice(w, 2, size(w) - 1), "
         "         (a, b) -> concat(a, ' ', b))")
-    return (d.select(F.explode(bigrams).alias("bigram"))
+    return (d.withColumn("w", F.split("text", " "))
+            .select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= min_count)
@@ -868,10 +872,13 @@ def corpus_doc_lm_coverage(spark: SparkSession, sf_dir: str,
     Oracle coupling: ``min_count=20`` is baked into the oracle as a
     constant — non-default values are ad-hoc only, with no parity claim.
     """
-    d = ld(spark, sf_dir, "documents")
+    # tokenize once per row (r12 optimization round): the old inline
+    # form re-ran split(text) four times per row; same pair multiset
+    d = (ld(spark, sf_dir, "documents")
+         .withColumn("w", F.split("text", " ")))
     bigrams = F.expr(
-        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-        "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "zip_with(slice(w, 1, size(w) - 1), "
+        "         slice(w, 2, size(w) - 1), "
         "         (a, b) -> concat(a, ' ', b))")
     lm = (d.select(F.explode(bigrams).alias("bigram"))
           .groupBy("bigram").agg(F.count(F.lit(1)).alias("lm_n"))
@@ -1111,12 +1118,16 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str,
                 & (F.col("quality_score") >= 60.0)
                 & F.col("mix_keep")))
 
-    starts = F.expr(
-        f"sequence(1, greatest(size(split(text, ' ')), 1), {stride})")
+    # hoist the token COUNT once per row (r12 optimization round): the
+    # old inline form re-ran split(text) inside the aggregate lambda —
+    # once per CHUNK, O(len²/stride) per doc; identical arithmetic
+    survivors = survivors.withColumn(
+        "nw", F.greatest(F.size(F.split("text", " ")), F.lit(1)))
+    starts = F.expr(f"sequence(1, nw, {stride})")
     chunk_tokens = F.expr(
-        f"aggregate(sequence(1, greatest(size(split(text, ' ')), 1), "
+        f"aggregate(sequence(1, nw, "
         f"{stride}), 0, (acc, s) -> acc + least({size}, "
-        f"size(split(text, ' ')) - s + 1))")
+        f"nw - s + 1))")
     per_doc = survivors.select(
         F.pmod(_hex_bucket(F.col("h"), 4), F.lit(n_shards)).alias("shard"),
         "h",
@@ -1229,13 +1240,16 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str,
     """
     from .relational import ld_py
 
-    d = ld_py(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokenize once per row (r12 optimization round, same fix as
+    # dedup_substring_spans): the inline split in the transform lambda
+    # re-split the document per gram — O(len²); same gram sets
+    d = (ld_py(spark, sf_dir, "documents")
+         .withColumn("w", F.split("text", " ")))
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("w") >= n,
         F.expr(f"array_distinct(transform("
-               f"sequence(1, size(split(text, ' ')) - {n - 1}), "
-               f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))")
+               f"sequence(1, size(w) - {n - 1}), "
+               f"i -> array_join(slice(w, i, {n}), ' ')))")
     ).otherwise(F.array().cast("array<string>"))
 
     bench = (d.filter(F.col("doc_id") % bench_mod == 0)

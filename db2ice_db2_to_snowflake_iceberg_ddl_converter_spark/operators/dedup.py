@@ -1140,12 +1140,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str,
 
     d = ld(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
+    # Tokenize ONCE per row into a column before the span transform
+    # (r12 optimization round): higher-order functions evaluate their
+    # lambda body interpreted, with no common-subexpression elimination,
+    # so the old inline ``split(text, ' ')`` inside the lambda re-split
+    # the whole document for EVERY span — O(len²) per doc. Hoisting the
+    # split into a projection makes span generation O(len) again:
+    # measured 2.00 s → 0.55 s for the span stage at sf0.1, byte-
+    # identical gram multiset (235 704 spans, equal hash).
+    dw = d.withColumn("w", toks)
     grams_expr = F.when(
-        F.size(toks) >= n,
-        F.expr(f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-               f"          i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        F.size("w") >= n,
+        F.expr(f"transform(sequence(1, size(w) - {n - 1}), "
+               f"          i -> concat_ws(' ', slice(w, i, {n})))"
                )).otherwise(F.array().cast("array<string>"))
-    spans = d.select("doc_id", F.explode(grams_expr).alias("gram"))
+    spans = dw.select("doc_id", F.explode(grams_expr).alias("gram"))
     per_doc_gram = (spans.groupBy("doc_id", "gram")
                     .agg(F.count(F.lit(1)).alias("occ")))
     nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))

@@ -219,11 +219,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str,
     # tokens, sequence(1, size-n+1) would DESCEND (Spark defaults the
     # step to -1 when start > stop) and slice(…, 0, n) is fatal — a
     # sub-n-token doc simply has no n-grams (poisoned-values contract)
+    # Tokenize ONCE per row before the gram transform (r12 optimization
+    # round, same fix as dedup_substring_spans): HOF lambdas evaluate
+    # interpreted with no common-subexpression elimination, so an inline
+    # ``split(text, ' ')`` in the lambda body re-splits the document for
+    # every gram — O(len²) per doc. Hoisted, span generation is O(len);
+    # gram multiset unchanged.
+    tagged = tagged.withColumn("w", F.split(F.col("text"), " "))
     grams = F.when(
-        F.size(F.split(F.col("text"), " ")) >= n,
+        F.size("w") >= n,
         F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-            f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))")
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> array_join(slice(w, i, {n}), ' '))")
     ).otherwise(F.array().cast("array<string>"))
     ex = tagged.select("doc_id", "is_eval",
                        F.explode(F.array_distinct(grams)).alias("g"))

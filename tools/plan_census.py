@@ -49,6 +49,7 @@ def census(text: str) -> dict:
             r"PushedFilters: \[[^\]]", text)),
         "generate": len(re.findall(r"\bGenerate\b", text)),
         "aqe": ("AdaptiveSparkPlan" in text),
+        "plan_chars": len(text),
     }
     return c
 
