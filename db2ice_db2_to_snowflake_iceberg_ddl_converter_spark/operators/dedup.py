@@ -249,7 +249,8 @@ ORDER BY id1, id2
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(shingled: DataFrame,
-                       num_hashes: int = NUM_MINHASHES) -> DataFrame:
+                       num_hashes: int = NUM_MINHASHES,
+                       carry: tuple = ()) -> DataFrame:
     """k min-aggregations over each shingle set: one base xxhash64 per
     shingle string, then k derived hashes ``xxhash64(h, i)`` — the string
     is hashed once and the k family members are integer-only re-mixes
@@ -261,25 +262,34 @@ def minhash_signatures(shingled: DataFrame,
     signature row per doc before the (tiny) shuffle. Docs with an empty
     shingle set (< n words) drop out here; they can never reach a
     Jaccard ≥ threshold pair anyway (0/0 → null).
+
+    ``carry``: doc-level columns (functionally dependent on doc_id, e.g.
+    ``source``) to ride through the aggregation as extra group keys —
+    grouping is unchanged because each doc has exactly one value, and the
+    caller skips a whole doc-keyed join to re-attach them (r12
+    optimization round, guide §2.4).
     """
-    ex = (shingled.select("doc_id", F.explode("shingles").alias("s"))
-          .select("doc_id", F.xxhash64("s").alias("h")))
+    ex = (shingled.select("doc_id", *carry,
+                          F.explode("shingles").alias("s"))
+          .select("doc_id", *carry, F.xxhash64("s").alias("h")))
     sig_aggs = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy("doc_id").agg(*sig_aggs)
+    return ex.groupBy("doc_id", *carry).agg(*sig_aggs)
 
 
 def minhash_band_rows(signatures: DataFrame,
                       bands: int = LSH_BANDS,
-                      rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+                      rows_per_band: int = ROWS_PER_BAND,
+                      carry: tuple = ()) -> DataFrame:
     """(doc_id, band_idx, band_hash) rows — each band hash covers
     ``rows_per_band`` minhashes. Shared by the corpus self-join
     (``minhash_lsh_candidates``) and the incremental batch-vs-corpus
-    probe (``dedup_incremental_minhash``)."""
+    probe (``dedup_incremental_minhash``). ``carry`` columns (see
+    ``minhash_signatures``) ride through the explode unchanged."""
     return signatures.select(
-        "doc_id",
+        "doc_id", *carry,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
                      F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
@@ -287,7 +297,7 @@ def minhash_band_rows(signatures: DataFrame,
                      .alias("band_hash"))
             for b in range(bands)
         ])).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    ).select("doc_id", *carry, "band.band_idx", "band.band_hash")
 
 
 def minhash_lsh_candidates(signatures: DataFrame,
@@ -1578,9 +1588,21 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
           .select("doc_id", "source",
                   _shingle_udf(3)("text").alias("shingles"))
           .persist(StorageLevel.DISK_ONLY))
-    sigs = minhash_signatures(sh)
-    br = minhash_band_rows(sigs).join(
-        sh.select("doc_id", "source"), "doc_id")
+    # source rides the signature groupBy as a carry key (doc-functional,
+    # so grouping is unchanged) instead of a doc-keyed re-attach join;
+    # the band table is persisted because BOTH probe sides below consume
+    # it — without the persist the whole signature aggregation (explode +
+    # 64 hash mins over every shingle) executed once per side (two full
+    # subtrees in the r12 baseline plan, no exchange reuse across the
+    # differing source filters). DISK_ONLY like sh: pure deterministic
+    # lineage from the scan, so executor loss recomputes exactly. No
+    # eager materialization needed — concurrent consumers coordinate
+    # through BlockManager's per-block compute locks, and the
+    # aggregation's shuffle files are computed once and reused (r12
+    # optimization round, guide §2.4).
+    br = minhash_band_rows(minhash_signatures(sh, carry=("source",)),
+                           carry=("source",)) \
+        .persist(StorageLevel.DISK_ONLY)
     bband = (br.filter(F.col("source") == new_source)
              .select(F.col("doc_id").alias("new_doc"),
                      "band_idx", "band_hash"))

@@ -98,7 +98,15 @@ def uncached_plan(df: DataFrame) -> str:
 
     def _indent(line: str) -> int:
         m = re.search(r"[+:]-", line)
-        return m.start() if m else 0
+        if m:
+            return m.start()
+        # A materialized (isFinalPlan=true) cached relation prints AQE
+        # section lines with NO tree connector ("== Final Plan =="
+        # headers, bare "ResultQueryStage n" roots). Falling back to 0
+        # here used to END the skip early and leak the pin's (Python)
+        # build operators into the "downstream" text; leading-whitespace
+        # depth keeps those lines inside the stripped subtree (r12).
+        return len(line) - len(line.lstrip())
 
     lines = executed_plan(df).splitlines()
     out: list[str] = []

@@ -816,7 +816,12 @@ class TestDriverSideInventory:
             # pair graph — DISK_ONLY, released before return
             ("operators/dedup.py", "corpus_neardup_report"): 2,
             ("operators/dedup.py", "dedup_containment"): 1,
-            ("operators/dedup.py", "dedup_incremental_minhash"): 1,
+            # r12 optimization round: + the banded-signature table —
+            # docs×16 fixed-width rows (never corpus-payload-sized),
+            # DISK_ONLY, deterministic lineage from the persisted
+            # shingle frame; both probe sides consume it, which
+            # previously re-ran the whole signature aggregation per side
+            ("operators/dedup.py", "dedup_incremental_minhash"): 2,
             ("operators/dedup.py", "dedup_minhash_lsh"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard_pruned"): 1,
