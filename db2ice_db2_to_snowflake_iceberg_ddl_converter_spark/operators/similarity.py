@@ -97,14 +97,19 @@ def ann_brute_force_topk(spark, sf_dir, k: int = 5, n_queries: int = 10):
     Ties broken by candidate id so LIMIT/rank is stable across engines.
     """
     e = ld_vecs_dir(spark, sf_dir)
+    # per-row norm hoist — see embedding_triplet_margin (r12): bitwise
+    # unchanged, 3 interpreted folds per pair -> 1
     q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("ce"))
+                 F.col("embedding").alias("ce"),
+                 norm_expr("embedding").alias("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
-                    cosine_expr("qe", "ce").alias("cosine"))
+                    cosine_expr("qe", "ce", na=F.col("qn"),
+                                nb=F.col("cn")).alias("cosine"))
             .withColumn("nn_rank", F.row_number().over(w))
             .filter(F.col("nn_rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
@@ -218,15 +223,20 @@ def ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id").distinct())
     e = ld_vecs_dir(spark, sf_dir)
+    # per-row norm hoist — see embedding_triplet_margin (r12): bitwise
+    # unchanged, 3 interpreted folds per bucket hit -> 1
     qe = e.select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("qe"))
+                  F.col("embedding").alias("qe"),
+                  norm_expr("embedding").alias("qn"))
     ce = e.select(F.col("vec_id").alias("neighbor_id"),
-                  F.col("embedding").alias("ce"))
+                  F.col("embedding").alias("ce"),
+                  norm_expr("embedding").alias("cn"))
     scored = (cands.join(F.broadcast(qe), "query_id")
               .join(ce, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id",
-                          cosine_expr("qe", "ce").alias("cosine"))
+                          cosine_expr("qe", "ce", na=F.col("qn"),
+                                      nb=F.col("cn")).alias("cosine"))
             .withColumn("nn_rank", F.row_number().over(w))
             .filter(F.col("nn_rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "nn_rank"))
@@ -424,14 +434,20 @@ def ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
          for c in cells],
         "query_id long, cell int")
 
-    qe = spark.createDataFrame(
+    qe = (spark.createDataFrame(
         [(int(r.vec_id), list(map(float, r.embedding))) for r in qrows],
         "query_id long, qe array<double>")
-    scored = (tagged.join(F.broadcast(probes), "cell")
+        .select("query_id", "qe", norm_expr("qe").alias("qnrm")))
+    # per-row norm hoist — see embedding_triplet_margin (r12): bitwise
+    # unchanged; a candidate row probed by several queries folds its
+    # norm once, not once per query hit
+    scored = (tagged.withColumn("cnrm", norm_expr("embedding"))
+              .join(F.broadcast(probes), "cell")
               .filter(F.col("query_id") != F.col("vec_id"))
               .join(F.broadcast(qe), "query_id")
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      cosine_expr("qe", "embedding").alias("cosine")))
+                      cosine_expr("qe", "embedding", na=F.col("qnrm"),
+                                  nb=F.col("cnrm")).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("nn_rank", F.row_number().over(w))
             .filter(F.col("nn_rank") <= k)
@@ -1374,19 +1390,27 @@ def embedding_triplet_margin(spark, sf_dir, n_anchors: int = 50
     it fell in neither bucket, asymmetrically). Mirrored in the oracle.
     """
     e = ld_vecs_dir(spark, sf_dir).filter(F.col("label").isNotNull())
+    # norms hoisted to per-row columns (r12 optimization round, guide
+    # §1.2 step 2 / the dedup_embedding_cosine idiom): the interpreted
+    # HOF fold ran 3× per PAIR (dot + both norms); each side's norm is
+    # the identical left-fold expression evaluated once per ROW, so the
+    # cosine value is bitwise unchanged
     q = e.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("qe"))
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"))
     c = e.select(F.col("vec_id").alias("cand_id"),
                  F.col("label").alias("cand_label"),
-                 F.col("embedding").alias("ce"))
+                 F.col("embedding").alias("ce"),
+                 norm_expr("embedding").alias("cn"))
     same = F.col("anchor_label") == F.col("cand_label")
     per_anchor = (F.broadcast(q)
                   .join(c, F.col("anchor_id") != F.col("cand_id"))
                   .select("anchor_id", "anchor_label",
                           same.alias("same"),
-                          cosine_expr("qe", "ce").alias("cos"))
+                          cosine_expr("qe", "ce", na=F.col("qn"),
+                                      nb=F.col("cn")).alias("cos"))
                   .groupBy("anchor_id", "anchor_label")
                   .agg(F.max(F.when(F.col("same"), F.col("cos")))
                        .alias("best_same"),
