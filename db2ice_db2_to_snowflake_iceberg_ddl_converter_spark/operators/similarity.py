@@ -531,11 +531,17 @@ def pq_codebooks(e: DataFrame, m: int = 8, n_cents: int = 16,
     return books
 
 
-def pq_assign_codes(e: DataFrame, books) -> DataFrame:
+def pq_assign_codes(e: DataFrame, books, keep: tuple = ()) -> DataFrame:
     """vec_id → m PQ codes via one Arrow pass (a single numpy distance
     computation per batch; the codebook broadcast is m·k·sub doubles —
     kilobytes). Output carries ONLY (vec_id, codes): at 100 TB this is
-    the entire resident index — m bytes per vector instead of 4·dim."""
+    the entire resident index — m bytes per vector instead of 4·dim.
+
+    ``keep``: extra columns of ``e`` to ride through the projection (r12
+    optimization round) — lets a caller that also computes a per-vector
+    pandas-UDF column (e.g. the IVF cell) keep BOTH UDFs in one
+    ArrowEvalPython pass over one scan instead of re-attaching by a
+    corpus-wide vec_id join."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -555,7 +561,7 @@ def pq_assign_codes(e: DataFrame, books) -> DataFrame:
             out[:, b] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return e.select("vec_id", codes_udf("embedding").alias("codes"))
+    return e.select("vec_id", *keep, codes_udf("embedding").alias("codes"))
 
 
 def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
@@ -623,7 +629,11 @@ def ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
                   F.col("embedding").alias("ce"))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                 "neighbor_id")
-    return (shortlist.join(ce, "neighbor_id")
+    # broadcast the shortlist (shortlist_k × n_queries rows, bounded by
+    # PARAMETERS, not data) so the corpus float column streams through a
+    # broadcast hash join instead of being shuffled by vec_id to serve a
+    # few hundred re-rank rows (r12 optimization round, guide §3.1)
+    return (ce.join(F.broadcast(shortlist), "neighbor_id")
             .join(F.broadcast(qe), "query_id")
             .select("query_id", "neighbor_id",
                     cosine_expr("qe", "ce").alias("cosine"))
@@ -1108,10 +1118,13 @@ def ann_ivf_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
 
     e = ld_vecs_dir(spark, sf_dir)
     C = ivf_centroids(e, n_cells=n_cells)
-    tagged = ivf_assign(e, C)                      # (vec_id, embedding, cell)
     books = pq_codebooks(e, m=m, n_cents=n_cents)
-    coded = pq_assign_codes(e, books).join(
-        tagged.select("vec_id", "cell"), "vec_id")
+    # cell + codes in ONE ArrowEvalPython pass over ONE scan (r12
+    # optimization round, guide §2.4): both are per-vector pandas UDFs
+    # of the same embedding column, so the planner batches them into a
+    # single Python node — the old shape computed them as two separate
+    # corpus scans re-attached by a corpus-wide vec_id shuffle join
+    coded = pq_assign_codes(ivf_assign(e, C), books, keep=("cell",))
 
     qrows = (e.filter(F.col("vec_id") < n_queries)
              .select("vec_id", "embedding").collect())
@@ -1158,7 +1171,8 @@ def ann_ivf_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 10,
                   F.col("embedding").alias("ce"))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                 "neighbor_id")
-    return (shortlist.join(ce, "neighbor_id")
+    # broadcast the parameter-bounded shortlist — see ann_pq_topk (r12)
+    return (ce.join(F.broadcast(shortlist), "neighbor_id")
             .join(F.broadcast(qe), "query_id")
             .select("query_id", "neighbor_id",
                     cosine_expr("qe", "ce").alias("cosine"))
