@@ -931,20 +931,40 @@ def diag_curve_locality(spark: SparkSession, sf_dir: str,
         "2_zorder": zorder_value(F.col("x"), F.col("y")).alias("cv"),
         "3_hilbert": hv("x", "y").alias("cv"),
     }
-    files = None
-    for name, curve in layouts.items():
+
+    def layout_bboxes(name: str, curve: F.Column) -> DataFrame:
+        # num_partitions=None derives the range-shuffle width from the
+        # session (r12 optimization round): the old literal 8 serialized
+        # each 600k-row sort onto 8 tasks on local[32] and would equally
+        # under-split a cluster. Rank arithmetic is invariant to the
+        # partition count (offset + local), so results are unchanged.
         ranked, n = global_ranks(
             li.select("x", "y", curve, "l_orderkey", "l_linenumber"),
-            [F.asc("cv"), F.asc("l_orderkey"), F.asc("l_linenumber")],
-            num_partitions=8)
-        f = (ranked.select(
+            [F.asc("cv"), F.asc("l_orderkey"), F.asc("l_linenumber")])
+        return (ranked.select(
             F.lit(name).alias("layout"),
             F.expr(f"((global_rn - 1) * {n_files}) div {n}L").alias("f"),
             "x", "y")
             .groupBy("layout", "f")
             .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
                  F.min("y").alias("y0"), F.max("y").alias("y1")))
-        files = f if files is None else files.unionAll(f)
+
+    # The three layout rankings are INDEPENDENT jobs (each one range
+    # shuffle + pin + a partitions-row counts collect); built serially
+    # they idle most of the cluster during each other's driver
+    # round-trips. Overlap them from a small thread pool (guide §2.6 —
+    # job descriptions and scheduling are per-thread; FIFO back-fills
+    # the tail). Results are combined with the same unionAll in the
+    # same deterministic layout order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(layout_bboxes, name, curve)
+                for name, curve in layouts.items()]
+        frames = [f.result() for f in futs]
+    files = frames[0]
+    for f in frames[1:]:
+        files = files.unionAll(f)
     span = float(mask + 1)
     w = F.col("x1") - F.col("x0") + 1
     h = F.col("y1") - F.col("y0") + 1
