@@ -1756,12 +1756,18 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
     ``date_diff``); percentiles use the module's explicit "smallest
     value whose rank ≥ ceil(q·n)" rule (engine-native interpolation is
     not portable); means are exact integer sums over counts, one divide
-    each. Shape (rewritten round 7): one orderkey equi-join (AQE-sized);
-    ranks ride :func:`~.scale.grouped_ranks` — month CARDINALITY grows
-    with history, but each month's ROW COUNT grows with data density,
-    so a month-keyed window still sorts a whole month in one task at
-    100×; the range-shuffled ordinal scales both ways. O(months)
-    output.
+    each. Shape (rewritten round 7 on grouped_ranks; r12 optimization
+    round): the rank rule only ever asks "the smallest lag whose
+    CUMULATIVE count reaches ceil(q·n)" — per-line ranks never matter,
+    because rows with equal lag occupy a contiguous rank block whose
+    top is the cumulative count — so the per-line ranking (a full
+    range shuffle + pin of every joined row) is replaced by a
+    (month, lag) VALUE CENSUS (map-side-combined; the shuffle carries
+    one row per distinct month × lag) and a census-sized cumulative
+    sum via :func:`~.scale.global_prefix_window` ordered (month, lag),
+    de-offset per month. Identical output by the argument above; the
+    census is unbounded in principle, so the prefix still avoids any
+    single-partition window. O(months) output.
 
     NULL contract (r12, nullfact gate): a NULL order date gives no
     month and a NULL ship date no lag — such lines are excluded on both
@@ -1769,7 +1775,7 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
     DuckDB, dragging every percentile; the NULL month group would
     survive the window formulation but not a plain equi-join).
     """
-    from .scale import grouped_ranks
+    from .scale import global_prefix_window
 
     li = ld(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").isNotNull())
@@ -1781,25 +1787,36 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str
              .alias("order_month"),
              F.datediff(F.col("l_shipdate").cast("date"),
                         F.col("o_orderdate").cast("date"))
-             .alias("ship_lag"),
-             "l_orderkey", "l_linenumber"))
-    rk = grouped_ranks(j, ["order_month"],
-                       [F.asc("ship_lag"), F.asc("l_orderkey"),
-                        F.asc("l_linenumber")], rank_col="rk")
-    months_n = (rk.groupBy("order_month")
-                .agg(F.count(F.lit(1)).alias("n")))
-    ranked = rk.join(F.broadcast(months_n), "order_month")
-    return (ranked.groupBy("order_month")
-            .agg(F.max("n").alias("n_lines"),
-                 F.min(F.when(F.col("rk") >= F.ceil(0.50 * F.col("n")),
-                              F.col("ship_lag"))).alias("p50_ship_lag"),
-                 F.min(F.when(F.col("rk") >= F.ceil(0.95 * F.col("n")),
-                              F.col("ship_lag"))).alias("p95_ship_lag"),
-                 (F.sum("ship_lag").cast("double") / F.count(F.lit(1)))
-                 .alias("mean_ship_lag"),
-                 (F.sum((F.col("ship_lag") > 90).cast("long"))
-                  .cast("double") / F.count(F.lit(1)))
-                 .alias("late_share"))
+             .alias("ship_lag")))
+    census = (j.groupBy("order_month", "ship_lag")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    gp = global_prefix_window(census,
+                              [F.asc("order_month"), F.asc("ship_lag")],
+                              "cnt", how="sum", out_col="gcum")
+    # per-month stats + the month's global-prefix offset (its exclusive
+    # prefix at the first row — minimal because the inclusive prefix
+    # strictly increases in (month, lag) order)
+    m = (gp.groupBy("order_month")
+         .agg(F.min(F.col("gcum") - F.col("cnt")).alias("off"),
+              F.sum("cnt").alias("n"),
+              F.sum(F.col("ship_lag") * F.col("cnt")).alias("lag_sum"),
+              F.sum(F.when(F.col("ship_lag") > 90, F.col("cnt"))
+                    .otherwise(F.lit(0))).alias("n_late")))
+    ranked = (gp.join(F.broadcast(m), "order_month")
+              .withColumn("cum", F.col("gcum") - F.col("off")))
+    pct = (ranked.groupBy("order_month")
+           .agg(F.min(F.when(F.col("cum") >= F.ceil(0.50 * F.col("n")),
+                             F.col("ship_lag"))).alias("p50_ship_lag"),
+                F.min(F.when(F.col("cum") >= F.ceil(0.95 * F.col("n")),
+                             F.col("ship_lag"))).alias("p95_ship_lag")))
+    return (m.join(pct, "order_month")
+            .select("order_month",
+                    F.col("n").alias("n_lines"),
+                    "p50_ship_lag", "p95_ship_lag",
+                    (F.col("lag_sum").cast("double") / F.col("n"))
+                    .alias("mean_ship_lag"),
+                    (F.col("n_late").cast("double") / F.col("n"))
+                    .alias("late_share"))
             .orderBy("order_month"))
 
 
