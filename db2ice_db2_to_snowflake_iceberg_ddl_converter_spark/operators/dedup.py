@@ -1262,8 +1262,17 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
          .groupBy("rep_id", "source")
          .agg(F.count(F.lit(1)).alias("c"))
          .persist(StorageLevel.DISK_ONLY))
-    sz = c.groupBy("rep_id").agg(F.sum("c").alias("sz"))
-    cs = c.join(sz, "rep_id")
+    # ONE group-size aggregation carries both the full size and the
+    # non-NULL-source size (r12 optimization round, guide §2.4 — the
+    # old separate sz/szn aggregations shuffled the hub twice): szn is
+    # NULL for an all-NULL-source group, which downstream handles
+    # exactly as the old missing-row form did (inner joins on cn rows
+    # never see those groups; t's left joins fillna(0) either way).
+    g = c.groupBy("rep_id").agg(
+        F.sum("c").alias("sz"),
+        F.sum(F.when(F.col("source").isNotNull(), F.col("c")))
+        .alias("szn"))
+    cs = c.join(g.select("rep_id", "sz"), "rep_id")
     # Pair terms run on the NON-NULL-source counts only: in the pairwise
     # formulation (and the oracle) src1 = src2 / src1 <> src2 are NULL —
     # hence dropped — whenever either side's source is NULL, so a
@@ -1272,7 +1281,7 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     # path). szn is the per-group non-NULL member count the cross terms
     # must use as "the other side" (r9 self-review find).
     cn = c.filter(F.col("source").isNotNull())
-    szn = cn.groupBy("rep_id").agg(F.sum("c").alias("szn"))
+    szn = g.select("rep_id", "szn")
     csn = cn.join(szn, "rep_id")
     # rep-level pair graph: pair-sized over DISTINCT texts; two consumers
     # (term expansion + paired-degree), deterministic from the scan.
@@ -1309,16 +1318,23 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
         # a double division would lose exactness past 2^53
         F.sum(F.expr("c * (c - 1) DIV 2")).alias("w"),
         F.sum(F.col("c") * (F.col("szn") - F.col("c"))).alias("x")))
-    within = (in_group.select("source", F.col("w").alias("n_pairs_within"))
-              .unionByName(cross_group.select(
-                  "source", F.col("w").alias("n_pairs_within")))
-              .groupBy("source")
-              .agg(F.sum("n_pairs_within").alias("n_pairs_within")))
-    cross = (in_group.select("source", F.col("x").alias("n_pairs_cross"))
-             .unionByName(cross_group.select(
-                 "source", F.col("x").alias("n_pairs_cross")))
-             .groupBy("source")
-             .agg(F.sum("n_pairs_cross").alias("n_pairs_cross")))
+    # in-group and cross-group terms combine per source with ONE
+    # full-outer join (r12 optimization round): the old two
+    # union+re-aggregate chains re-shuffled the sources-sized frames
+    # four times to compute two sums of at-most-two terms each.
+    pair_tot = (in_group.select("source", F.col("w").alias("w_in"),
+                                F.col("x").alias("x_in"))
+                .join(cross_group.select("source",
+                                         F.col("w").alias("w_cr"),
+                                         F.col("x").alias("x_cr")),
+                      "source", "full")
+                .select("source",
+                        (F.coalesce("w_in", F.lit(0))
+                         + F.coalesce("w_cr", F.lit(0)))
+                        .alias("n_pairs_within"),
+                        (F.coalesce("x_in", F.lit(0))
+                         + F.coalesce("x_cr", F.lit(0)))
+                        .alias("n_pairs_cross")))
     # groups with any rep edge; sz >= 2 groups are paired by J = 1.0
     edged = (p.select(F.col("id1").alias("rep_id"))
              .union(p.select(F.col("id2").alias("rep_id"))).distinct())
@@ -1329,8 +1345,7 @@ def corpus_neardup_report(spark, sf_dir) -> "DataFrame":
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     out = (base
            .join(members, "source", "left")
-           .join(within, "source", "left")
-           .join(cross, "source", "left")
+           .join(pair_tot, "source", "left")
            .select("source", "n_docs",
                    F.coalesce("n_neardup_docs", F.lit(0))
                    .alias("n_neardup_docs"),
