@@ -398,22 +398,6 @@ def synth_pcm_from_text(text: str, samples_per_char: int = 16,
     return np.repeat(amps, samples_per_char).reshape(-1, 1)
 
 
-def attach_audio_payload(spark, sf_dir) -> DataFrame:
-    """documents → (doc_id, payload) with a REAL RIFF/WAVE byte payload
-    per doc (synthesized deterministically from the text). Arrow-batched:
-    one pandas UDF, no shuffle — the same single-scan shape an ingest of
-    actual recordings would use."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def to_wav(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: encode_wav_pcm16(synth_pcm_from_text(t)))
-
-    d = ld_docs(spark, sf_dir)   # NULL text: no asset to manufacture
-    return d.select("doc_id", to_wav("text").alias("payload"))
-
-
 def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
                             silence_rms: float = 1.0) -> DataFrame:
     """Per-asset audio energy profile over the binary WAV column: frame
@@ -422,25 +406,32 @@ def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
     before any expensive ASR/embedding step (drop silent/clipped files,
     route the rest).
 
-    Spark shape: decode + frame analysis run in ONE ``mapInPandas`` pass
-    (Arrow batches of real RIFF bytes → numpy frame matrix per asset) —
-    embarrassingly parallel, no shuffle until the final tiny sort. Every
-    per-asset number is a pure function of that asset's own bytes
-    computed in fixed numpy evaluation order, so results are bit-stable
-    across partitionings and re-runs (pytest pins a pure-python replay);
-    rows-only driver check (binary decode is not SQL-expressible).
+    Spark shape (r12): synth → REAL RIFF/WAVE encode → decode → frame
+    analysis all run in ONE ``mapInPandas`` pass — the fixture payload
+    is manufactured and consumed inside the same Python task, so the
+    WAV bytes cross the JVM↔Python boundary ZERO times instead of twice
+    (the old shape was a pandas-UDF synth node feeding a separate
+    analyze node), and the per-row decode work rides the ``ld_py``
+    fan-out instead of serializing on the fixture's single scan
+    partition. The codec round-trip itself is unchanged — every number
+    is still a pure function of the asset's real encoded bytes in fixed
+    numpy order, so results are bit-identical to the two-node shape
+    (pytest pins a pure-python replay); rows-only driver check (binary
+    decode is not SQL-expressible). On a real asset table the same
+    function body runs over an ingested payload column.
     """
     import numpy as np
 
-    assets = attach_audio_payload(spark, sf_dir)
+    docs = ld_docs(spark, sf_dir, py=True).select("doc_id", "text")
 
     def analyze(batches):
         for pdf in batches:
             out = {"doc_id": [], "n_samples": [], "sample_rate": [],
                    "n_frames": [], "silence_ratio": [], "peak_rms": [],
                    "n_active_segments": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                samples, rate = decode_wav_pcm16(bytes(payload))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = encode_wav_pcm16(synth_pcm_from_text(text))
+                samples, rate = decode_wav_pcm16(payload)
                 mono = samples[:, 0].astype(np.float64)
                 n = len(mono) - len(mono) % frame
                 frames = mono[:n].reshape(-1, frame)
@@ -458,7 +449,7 @@ def multimodal_audio_energy(spark, sf_dir, frame: int = 64,
                 out["n_active_segments"].append(segs)
             yield pd.DataFrame(out)
 
-    return (assets.mapInPandas(
+    return (docs.mapInPandas(
         analyze,
         schema="doc_id long, n_samples long, sample_rate int, "
                "n_frames long, silence_ratio double, peak_rms double, "
@@ -552,43 +543,34 @@ def synth_bmp_from_text(text: str, width: int = 16, height: int = 8):
     return img
 
 
-def attach_image_payload(spark, sf_dir) -> DataFrame:
-    """documents → (doc_id, payload) with a REAL 24-bit BMP byte payload
-    per doc. Same single-scan Arrow shape as the audio twin."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def to_bmp(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: encode_bmp(synth_bmp_from_text(t)))
-
-    d = ld_docs(spark, sf_dir)   # NULL text: no asset to manufacture
-    return d.select("doc_id", to_bmp("text").alias("payload"))
-
-
 def multimodal_image_stats(spark, sf_dir) -> DataFrame:
     """Per-asset image statistics over the binary BMP column: dimensions,
     per-channel means, global contrast (luma max − min) — the triage
     features an image-corpus curation pass computes before any model
     step (drop blank/low-contrast assets, balance by brightness).
 
-    One ``mapInPandas`` pass decodes REAL BMP bytes (``decode_bmp`` —
-    the honest-codec contract: uncompressed formats for real, compressed
-    formats via the pluggable decoder seam) and reduces each image with
-    fixed-order numpy ops, so every number is a bit-stable pure function
-    of the asset's bytes. Rows-only driver check; pytest replays the
-    synth+decode+stats chain in pure python/numpy.
+    Spark shape (r12, same fusion as the audio twin): synth → REAL
+    24-bit BMP encode → ``decode_bmp`` → fixed-order numpy stats in ONE
+    ``mapInPandas`` pass over the ``ld_py`` fan-out — the BMP bytes
+    never transit the JVM↔Python boundary (the old shape paid a
+    pandas-UDF synth node plus a separate analyze node on one scan
+    partition). The honest-codec contract is unchanged: every number
+    is a bit-stable pure function of the asset's real encoded bytes.
+    Rows-only driver check; pytest replays the synth+decode+stats chain
+    in pure python/numpy.
     """
     import numpy as np
 
-    assets = attach_image_payload(spark, sf_dir)
+    docs = ld_docs(spark, sf_dir, py=True).select("doc_id", "text")
 
     def analyze(batches):
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
                    "mean_r": [], "mean_g": [], "mean_b": [],
                    "contrast": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_bmp(bytes(payload)).astype(np.float64)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = encode_bmp(synth_bmp_from_text(text))
+                img = decode_bmp(payload).astype(np.float64)
                 luma = img.mean(axis=2)
                 out["doc_id"].append(doc_id)
                 out["height"].append(img.shape[0])
@@ -599,7 +581,7 @@ def multimodal_image_stats(spark, sf_dir) -> DataFrame:
                 out["contrast"].append(float(luma.max() - luma.min()))
             yield pd.DataFrame(out)
 
-    return (assets.mapInPandas(
+    return (docs.mapInPandas(
         analyze,
         schema="doc_id long, width int, height int, mean_r double, "
                "mean_g double, mean_b double, contrast double")
@@ -652,27 +634,31 @@ def multimodal_phash_neardup(spark, sf_dir,
     band — same pigeonhole as the SimHash entry) and exact
     ``bit_count(a ^ b)`` verification JVM-side.
 
-    Scale shape: ONE Arrow ``mapInPandas`` pass decodes the REAL BMP
-    bytes and hashes (the honest-codec contract); the candidate join is
-    band-bucketed (never all-pairs) and the verify is a codegen'd bit
-    op. Rows-only (hash bits are codec-derived); the pytest replays
-    phash64 in pure numpy, pins exact-duplicate collision, and
-    recounts the surviving pairs by brute force.
+    Scale shape: ONE Arrow ``mapInPandas`` pass synthesizes, encodes,
+    decodes (the REAL BMP codec round-trip — honest-codec contract) and
+    hashes, fused r12 so the BMP bytes never cross the JVM↔Python
+    boundary and the per-row decode+DCT work rides the ``ld_py``
+    fan-out; the candidate join is band-bucketed (never all-pairs) and
+    the verify is a codegen'd bit op. Rows-only (hash bits are
+    codec-derived); the pytest replays phash64 in pure numpy, pins
+    exact-duplicate collision, and recounts the surviving pairs by
+    brute force.
     """
     import numpy as np  # noqa: F401 — decode path uses it
 
-    assets = attach_image_payload(spark, sf_dir)
+    docs = ld_docs(spark, sf_dir, py=True).select("doc_id", "text")
 
     def hash_batch(batches):
         for pdf in batches:
             out = {"doc_id": [], "phash": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = encode_bmp(synth_bmp_from_text(text))
                 out["doc_id"].append(doc_id)
-                out["phash"].append(phash64(decode_bmp(bytes(payload))))
+                out["phash"].append(phash64(decode_bmp(payload)))
             yield pd.DataFrame(out)
 
-    hashed = (assets.mapInPandas(hash_batch,
-                                 "doc_id long, phash long")
+    hashed = (docs.mapInPandas(hash_batch,
+                               "doc_id long, phash long")
               .localCheckpoint())    # two consumers (bands a/b sides)
     bands = hashed.select(
         "doc_id", "phash",
