@@ -623,6 +623,70 @@ def _bpe_merge_fold(a: str, b: str) -> F.Column:
         .otherwise(F.concat(acc, F.array(s))))
 
 
+def _bpe_merge_fold_multi(rules: list) -> F.Column:
+    """Several MUTUALLY-DISJOINT merge rules applied in ONE left-to-right
+    fold (r12 optimization): the rule set rides a map literal
+    ``left → (right, merged)`` and each incoming symbol consults the map
+    through the accumulated last element — one pass over ``syms`` instead
+    of one stacked fold per rule, so a k-rule census batch costs one
+    plan/codegen unit and one array traversal instead of k.
+
+    Equivalence to sequentially applying each rule with
+    :func:`_bpe_merge_fold` (the proof the pytests pin):
+
+    * the rules come from one ``_bpe_safe_batch`` batch, so their symbol
+      sets {a, b} are mutually disjoint — one rule's merge substitutes
+      ``a b → ab`` and never creates, destroys, or re-adjacencies
+      another rule's ``(c, d)`` occurrences (a substitution replaces two
+      adjacent symbols with one new one; c and d can end up adjacent to
+      ``ab``, never to each other);
+    * merged symbols live only in the ACCUMULATOR (incoming symbols are
+      the original array), so the only cross-rule interaction is a
+      just-created ``m_i`` matching some rule's LEFT as the accumulated
+      last element. ``m_i`` can never equal a LATER-accepted rule's left
+      (the dirty set already contains ``a+b`` when later pairs are
+      vetted), and callers must split a batch whenever ``m_i`` equals an
+      EARLIER-accepted left (see the grouping in ``_bpe_train``) — with
+      that exclusion the map lookup can only ever fire the same merges
+      the sequential folds would.
+    """
+    if len(rules) == 1:
+        return _bpe_merge_fold(*rules[0])
+    m = F.create_map(*[part for a, b in rules
+                       for part in (F.lit(a),
+                                    F.struct(F.lit(b).alias("r"),
+                                             F.lit(a + b).alias("m")))])
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        rule = F.element_at(m, F.element_at(acc, -1))
+        return F.when(
+            (F.size(acc) > 0) & rule.isNotNull() & (s == rule["r"]),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(rule["m"]))
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate("syms", F.expr("CAST(array() AS array<string>)"),
+                       step)
+
+
+def _bpe_fold_groups(batch: list) -> list:
+    """Split one safe batch into maximal runs applicable as a single
+    combined fold: start a new group when a rule's merged string equals
+    an EARLIER group member's left symbol (the one in-pass hazard — a
+    just-created ``m_i`` would re-trigger that earlier rule, which the
+    sequential trainer, having already applied it, would not). The
+    converse collision (a left equal to an earlier merged string) cannot
+    occur inside a safe batch: the dirty set holds ``a+b`` when later
+    pairs are vetted."""
+    groups: list[list] = []
+    for a, b, _w in batch:
+        if groups and all(a + b != ga for ga, _gb in groups[-1]):
+            groups[-1].append((a, b))
+        else:
+            groups.append([(a, b)])
+    return groups
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str,
                      n_merges: int = 10) -> DataFrame:
     """Train ``n_merges`` BPE merge rules over the corpus — the real
@@ -696,8 +760,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
         batch = batch[:n_merges - len(merges)]
         for a, b, w in batch:
             merges.append((len(merges) + 1, a, b, a + b, w))
+        # r12: one combined fold per hazard-free group instead of one
+        # stacked fold per rule — k disjoint rules cost one plan/codegen
+        # unit and one array traversal (see _bpe_merge_fold_multi for
+        # the equivalence argument, _bpe_fold_groups for the split).
+        for group in _bpe_fold_groups(batch):
             vocab = vocab.select("tok",
-                                 _bpe_merge_fold(a, b).alias("syms"),
+                                 _bpe_merge_fold_multi(group).alias("syms"),
                                  "freq")
             folds_since_ckpt += 1
             # lineage cap: a checkpoint is a blocking job, so take one

@@ -206,6 +206,83 @@ class TestBpeEncodeStats:
         assert any(r["n_symbols"] < r["n_chars"] for r in rows)
 
 
+class TestBpeMultiFold:
+    """The r12 combined fold (``_bpe_merge_fold_multi``) must reproduce
+    sequential single-rule folds exactly — one Catalyst pass per safe
+    batch instead of one stacked fold per rule."""
+
+    @staticmethod
+    def _seq_merge(syms, rules):
+        """Pure-Python sequential greedy left-to-right non-overlapping
+        application of each rule in order (the reference semantics the
+        trainer pytests pin)."""
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_fold_groups_split_on_left_collision(self):
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.corpus import (
+            _bpe_fold_groups,
+        )
+
+        # rule 2's merged string "xy" equals rule 1's left: a combined
+        # pass would re-trigger rule 1 on just-created symbols, so the
+        # grouping must split them into two folds
+        assert _bpe_fold_groups([("xy", "z", 9), ("x", "y", 5)]) == \
+            [[("xy", "z")], [("x", "y")]]
+        # disjoint, collision-free rules combine into one group
+        assert _bpe_fold_groups([("a", "b", 9), ("c", "d", 5)]) == \
+            [[("a", "b"), ("c", "d")]]
+
+    def test_combined_fold_equals_sequential(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rules = [("a", "b"), ("c", "d"), ("e", "e")]
+        hand = [
+            ["a", "b"], ["a", "c", "d", "b"], ["c", "a", "b", "d"],
+            ["a", "a", "b", "b"], ["c", "c", "d", "d"], ["a"], [],
+            ["e", "e", "e"], ["e", "e", "e", "e"],
+            ["a", "b", "c", "d", "e", "e"],
+            ["b", "a", "d", "c"], ["a", "b", "a", "b", "a"],
+        ]
+        rng = random.Random(20260817)
+        alphabet = ["a", "b", "c", "d", "e", "f"]
+        cases = hand + [[rng.choice(alphabet)
+                         for _ in range(rng.randint(0, 12))]
+                        for _ in range(200)]
+        df = spark.createDataFrame(
+            [(i, arr) for i, arr in enumerate(cases)],
+            "id long, syms array<string>")
+        got = {r["id"]: r["out"] for r in
+               df.select("id", corpus._bpe_merge_fold_multi(rules)
+                         .alias("out")).collect()}
+        # vs pure-Python sequential reference AND vs the stacked
+        # single-rule Catalyst folds the combined pass replaces
+        stacked = df
+        for a, b in rules:
+            stacked = stacked.withColumn(
+                "syms", corpus._bpe_merge_fold(a, b))
+        got_stacked = {r["id"]: r["syms"] for r in stacked.collect()}
+        for i, arr in enumerate(cases):
+            want = self._seq_merge(list(arr), rules)
+            assert got[i] == want, (i, arr, got[i], want)
+            assert got_stacked[i] == want, (i, arr)
+
+
 class TestBpeSafeBatchProperty:
     """Spark-free property test of ``corpus._bpe_safe_batch``'s claim:
     batched census merging emits EXACTLY the sequence one-at-a-time
