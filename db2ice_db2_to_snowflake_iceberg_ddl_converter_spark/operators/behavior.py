@@ -487,8 +487,16 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
              .agg(F.count(F.lit(1)).alias("n")))
     obs = (e.groupBy(F.col("event_type").alias("src"))
            .agg(F.count(F.lit(1)).alias("n_obs")))
-    rows = trans.collect()                      # types² rows — bounded
-    obs_rows = obs.collect()
+    # ONE driver round-trip for both bounded tables (r12): the transition
+    # census and the per-type observation counts ride a tagged union —
+    # same two aggregation subtrees, one job instead of two blocking
+    # collects. dst is the tag: trans rows filtered it non-NULL, so a
+    # NULL dst can only be an obs row.
+    tagged = trans.unionByName(
+        obs.select("src", F.lit(None).cast("string").alias("dst"),
+                   F.col("n_obs").alias("n"))).collect()
+    rows = [r for r in tagged if r.dst is not None]  # types² — bounded
+    obs_rows = [r for r in tagged if r.dst is None]
     if not obs_rows:
         # stationary distribution of NO observations is no rows — an
         # empty events feed is reachable (empty partition/day), not an
@@ -509,8 +517,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str,
     for _ in range(n_iters):
         pi = pi @ P
         pi /= pi.sum()
-    n_total = sum(r.n_obs for r in obs_rows)
-    obs_share = {r.src: r.n_obs / n_total for r in obs_rows}
+    n_total = sum(r.n for r in obs_rows)
+    obs_share = {r.src: r.n / n_total for r in obs_rows}
     out = [(t, float(pi[ix[t]]), obs_share[t],
             float(pi[ix[t]] - obs_share[t])) for t in types]
     return spark.createDataFrame(
