@@ -809,7 +809,15 @@ class TestLowCardinalityWindowPurge:
         under a LOW-CARDINALITY partition key (5 event types, ~8
         sources, 5 priorities, ~84 months — keys that do NOT scale out
         with volume) now rides grouped_ranks / min_by aggregation; the
-        plans must carry no WindowExec at all."""
+        plans must carry no WindowExec under any DATA key. The one
+        sanctioned exception (r12): ``scale.global_prefix_window``'s
+        internal running sum is a Window PARTITION BY ``__pid`` — the
+        range-partition id, whose cardinality is the shuffle width and
+        scales with the cluster, not with any data key (the primitive
+        exists precisely to replace data-keyed windows); the
+        fulfillment-latency census rewrite routes through it."""
+        import re
+
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
             analytics, corpus, eventtime, traindata,
         )
@@ -824,7 +832,19 @@ class TestLowCardinalityWindowPurge:
                   analytics.orders_fulfillment_latency(spark, sf_dir),
                   traindata.quality_quantile_calibrate(spark, sf_dir),
                   corpus.corpus_distinctive_terms(spark, sf_dir)):
-            assert "Window" not in uncached_plan(q)
+            plan = uncached_plan(q)
+            # every windowspecdefinition must partition by __pid (first
+            # argument); a data-keyed or unpartitioned window fails
+            for args in re.findall(r"windowspecdefinition\(([^)]*)\)",
+                                   plan):
+                first = args.split(",")[0].strip()
+                assert first.startswith("__pid#"), (first, args)
+            # and any Window not expressible as a spec line still fails
+            # unless it is the __pid-partitioned prefix scan
+            for line in plan.splitlines():
+                if re.search(r"\bWindow\b", line) \
+                        and "windowspecdefinition" not in line:
+                    assert "__pid#" in line, line
 
 
 class TestDegenerateInputsReturnNull:
