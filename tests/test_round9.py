@@ -773,7 +773,9 @@ class TestDriverSideInventory:
     EXPECTED = {
         "collect": {
             ("operators/analytics.py", "orders_keyset_page"): 1,
-            ("operators/behavior.py", "events_markov_stationary"): 2,
+            # r12: transition + observation censuses ride one tagged
+            # union -> ONE bounded collect (was 2)
+            ("operators/behavior.py", "events_markov_stationary"): 1,
             ("operators/corpus.py", "_bpe_train"): 1,
             ("operators/corpus.py", "corpus_tfidf_top_terms"): 1,
             ("operators/corpus.py", "retrieval_bm25_topk"): 1,
