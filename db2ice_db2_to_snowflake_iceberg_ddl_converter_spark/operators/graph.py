@@ -23,9 +23,10 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .relational import ld
-from .scale import pin
+from .scale import pin, pin_counted
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
@@ -45,10 +46,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # out_deg (nodes-sized), which both contribs and the dangling-mass
     # anti-join read per round.
     edges = pin(edges.select("src", "dst"))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
+    nodes = (edges.select(F.explode(F.array("src", "dst")).alias("node"))
              .distinct().localCheckpoint())  # node-set-sized; re-read
     #                                          every power iteration
+    # (incidence explode, not a two-branch union — one scan of the
+    #  pinned edge blocks per materialization, r13 guide §2.3)
     n = nodes.count()
     if n == 0:
         # PageRank of the empty graph is the empty distribution — a
@@ -388,9 +390,16 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree census, and the edge count — without it the self-join census
     # re-executes once per consumer (the pre-r6 8 s, not 6 s, bench row).
     edges = supplier_coproduct_edges(spark, sf_dir).localCheckpoint()
-    deg = (edges.select(F.col("s1").alias("s"))
-           .unionAll(edges.select(F.col("s2").alias("s")))
-           .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
+    # Degree census from ONE incidence explode instead of a two-branch
+    # union (one scan of the pinned edge blocks feeding the same
+    # aggregation, half the map stages); persisted DISK_ONLY because TWO
+    # consumers read it — the orientation joins below and the wedge
+    # count — the minhash treatment (r13, guide §2.4: both probe sides
+    # read one materialization; lazy persist, no extra blocking job,
+    # concurrent consumers coordinate through BlockManager block locks).
+    deg = (edges.select(F.explode(F.array("s1", "s2")).alias("s"))
+           .groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+           .persist(StorageLevel.DISK_ONLY))
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     oriented = (edges.join(d1, "s1").join(d2, "s2")
@@ -403,19 +412,34 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             F.col("s1").alias("v")))
                         .alias("e"))
                 .select("e.u", "e.v"))
-    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
-    au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
+    # adj is persisted (DISK_ONLY), which also makes it the ONLY
+    # consumer of ``oriented`` — the triangle probe below re-derives
+    # each oriented edge (u, v) by EXPLODING the adjacency lists (the
+    # multiset of exploded (u, v) rows IS the oriented edge list by
+    # construction), so the edges⋈deg⋈deg orientation subtree runs once
+    # instead of three times (r12 baseline plan: 44 Exchange / 16 SMJ,
+    # the orientation joins duplicated under adj, au and the tri probe).
+    # The r12 broadcast-gate experiment that pinned these frames with
+    # EAGER localCheckpoints was refuted by measurement; the lazy
+    # persist shape measured 1.44× on the entry (r13 interleaved A/B,
+    # outputs asserted identical every rep).
+    adj = (oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+           .persist(StorageLevel.DISK_ONLY))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
-    # left joins: a sink node (no out-edges) has no adjacency row; AQE
+    # left join: a sink node (no out-edges) has no adjacency row; AQE
     # broadcasts adj when it is small and falls back to a shuffle join on
     # huge graphs — no forced broadcast, arrays stay O(√m) regardless.
-    # coalesce to 0 on an EMPTY edge list (sum over zero rows is NULL,
-    # but the triangle count of an empty graph is 0 — the oracle's
+    # The exploding side carries its own out-list (``nbrs`` = the old
+    # ``nu``, never NULL — every exploded u has an adjacency row by
+    # construction, which is also why the old au left join could never
+    # miss). coalesce to 0 on an EMPTY edge list (sum over zero rows is
+    # NULL, but the triangle count of an empty graph is 0 — the oracle's
     # COUNT(*) formulation says 0, and sf0.001's thresholded census IS
     # empty; found by the round-9 three-scale sweep)
-    tri = (oriented.join(au, "u", "left").join(av, "v", "left")
+    tri = (adj.select("nbrs", F.explode("nbrs").alias("v"))
+           .join(av, "v", "left")
            .select(F.size(F.array_intersect(
-               F.coalesce("nu", F.array()),
+               F.col("nbrs"),
                F.coalesce("nv", F.array()))).alias("c"))
            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
                 .alias("n_triangles")))
@@ -504,8 +528,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     contract from :func:`pagerank`/:func:`transitive_roots`: the loop
     re-references its own output, so without truncation the analyzed
     plan doubles each round); the frame is edge-census-sized, not
-    corpus-sized. One count per round drives the fixpoint exit — a
-    bounded scalar job, same tradeoff the hierarchy walk documents.
+    corpus-sized. The fixpoint-exit count rides the pin's own
+    materialization job (:func:`~.scale.pin_counted`, r13) — one
+    blocking job per round, not pin + count.
 
     Output: surviving (node, core_degree), integers, rows-only (the
     fixpoint loop has no SQL twin; pytest replays the peel in pure
@@ -529,15 +554,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
     # sitting far above any realistic peel depth; None removes the rail.
     rounds = 0
     while True:
-        deg = (edges.select(F.col("s1").alias("s"))
-               .unionAll(edges.select(F.col("s2").alias("s")))
+        # incidence explode, not a two-branch union: one scan of the
+        # round's pinned blocks per degree census (r13, guide §2.3)
+        deg = (edges.select(F.explode(F.array("s1", "s2")).alias("s"))
                .groupBy("s").agg(F.count(F.lit(1)).alias("d")))
         keep = deg.filter(F.col("d") >= k).select("s")
-        edges = pin(edges
-                    .join(keep.withColumnRenamed("s", "s1"), "s1", "semi")
-                    .join(keep.withColumnRenamed("s", "s2"), "s2", "semi")
-                    .select("s1", "s2"))   # reliable-pin seam (r9)
-        n = edges.count()
+        # pin_counted folds the round's fixpoint count into the pin's
+        # materialization job (one job per round, was pin + count = two;
+        # reliable-pin seam semantics unchanged — r13, guide §1.2)
+        edges, n = pin_counted(
+            edges
+            .join(keep.withColumnRenamed("s", "s1"), "s1", "semi")
+            .join(keep.withColumnRenamed("s", "s2"), "s2", "semi")
+            .select("s1", "s2"))
         if n == n_prev:
             break
         n_prev = n
@@ -545,8 +574,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str, k: int = 3,
         if max_rounds is not None and rounds >= max_rounds:
             raise RuntimeError(
                 f"k-core peel not at fixpoint after {max_rounds} rounds")
-    deg = (edges.select(F.col("s1").alias("node"))
-           .unionAll(edges.select(F.col("s2").alias("node")))
+    deg = (edges.select(F.explode(F.array("s1", "s2")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))
     return deg.orderBy("node")
 
@@ -568,8 +596,8 @@ def graph_kcore_checked(spark: SparkSession, sf_dir: str, k: int = 3,
                 .select("s1", "s2"))        # shared: peel + anchors
     core = graph_kcore(spark, sf_dir, k=k, max_rounds=max_rounds,
                        edges=edges)
-    nodes_census = (edges.select(F.col("s1").alias("s"))
-                    .union(edges.select(F.col("s2").alias("s")))
+    nodes_census = (edges.select(F.explode(F.array("s1", "s2"))
+                                 .alias("s"))
                     .distinct()
                     .agg(F.count(F.lit(1)).alias("n_nodes_census")))
     edges_census = edges.agg(F.count(F.lit(1)).alias("n_edges_census"))
@@ -665,10 +693,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str
     whether the graph is hub-dominated (heavy tail ⇒ salt the hub keys
     before any edge-keyed join/expansion) or flat, and the standard
     power-law readout. Rides the shared thresholded edge list
-    (:func:`supplier_coproduct_edges`), ``localCheckpoint``-pinned here
-    because BOTH endpoint projections consume it (without the pin the
-    lineitem self-join underneath runs twice — the multi-consumer
-    contract from the co-sourcing census).
+    (:func:`supplier_coproduct_edges`), consumed exactly once: the
+    degree census reads it through one incidence explode (r13 — the
+    old two-branch endpoint union made the frame multi-consumer and
+    forced an eager pin of the lineitem self-join underneath).
 
     The tail cumsum runs over the distinct-degree census ordered by
     degree DESC via :func:`~.scale.global_prefix_window` — distinct
@@ -678,9 +706,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str
     """
     from .scale import global_prefix_window
 
-    edges = supplier_coproduct_edges(spark, sf_dir).localCheckpoint()
-    deg = (edges.select(F.col("s1").alias("s"))
-           .unionAll(edges.select(F.col("s2").alias("s")))
+    # No edge pin here any more (r13): the incidence EXPLODE below makes
+    # the degree census the edge list's single consumer, so the
+    # co-sourcing build runs exactly once lazily — the old two-branch
+    # union was why the frame needed an eager localCheckpoint at all
+    # (guide §2.3/§1.2: one scan, one fewer blocking materialization).
+    edges = supplier_coproduct_edges(spark, sf_dir)
+    deg = (edges.select(F.explode(F.array("s1", "s2")).alias("s"))
            .groupBy("s").agg(F.count(F.lit(1)).alias("degree")))
     census = (deg.groupBy("degree")
               .agg(F.count(F.lit(1)).alias("n_nodes"))

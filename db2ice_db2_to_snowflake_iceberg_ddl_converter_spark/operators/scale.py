@@ -152,6 +152,33 @@ def pin_boundaries(df: DataFrame) -> DataFrame:
 pin = pin_boundaries
 
 
+def pin_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """Pin ``df`` (lineage truncation + materialization, same contract
+    as :func:`pin_boundaries`) and return ``(pinned, row_count)`` with
+    the count folded into the materialization where possible (r13,
+    guide §1.2: fewer passes — the iterative peel loops paid TWO
+    blocking jobs per round, an eager local checkpoint plus a count
+    over the just-written blocks).
+
+    Without a checkpoint dir the local checkpoint is taken LAZILY
+    (``localCheckpoint(eager=False)``) so the count action both
+    computes the blocks and checkpoints them — ONE job per round, same
+    truncated lineage. With a checkpoint dir configured the reliable
+    seam is byte-identical to :func:`pin_boundaries` (persist →
+    checkpoint → unpersist, recovery semantics unchanged) and the count
+    is a cheap scan of the checkpointed blocks."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except AttributeError:          # very old pyspark
+        ckpt_dir = None
+    if ckpt_dir:
+        out = pin_boundaries(df)
+    else:
+        out = df.localCheckpoint(eager=False)
+    return out, out.count()
+
+
 #: Widest per-partition offset table folded back as a LITERAL create_map
 #: expression; past this the fold becomes a broadcast equi-join on
 #: __pid instead — a 50k-entry literal map would blow up the analyzed

@@ -827,6 +827,14 @@ class TestDriverSideInventory:
             ("operators/dedup.py", "dedup_minhash_lsh"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard"): 1,
             ("operators/dedup.py", "dedup_ngram_jaccard_pruned"): 1,
+            # r13 optimization round: the degree census and the oriented
+            # adjacency table — node-sized and edge-sized respectively
+            # (never corpus-payload-sized), DISK_ONLY, each read by two
+            # consumers (deg: orientation joins + wedge count; adj: the
+            # exploded triangle probe + its av join side) — the minhash
+            # treatment that replaced the triple orientation-subtree
+            # recompute (r12 baseline: 44 Exchange / 16 SMJ)
+            ("operators/graph.py", "graph_triangle_stats"): 2,
             # transient persist inside the reliable-checkpoint branch:
             # unpersisted reliable checkpoints recompute the frame to
             # write the files; released in the finally (r9)
@@ -858,9 +866,14 @@ class TestDriverSideInventory:
         # truncations in connected_components / pagerank /
         # transitive_roots / kcore now route through the reliable
         # seam (scale.pin) — checkpoint-dir-aware, audited there
+        # graph.py 5 -> 4 (r13): graph_degree_distribution's edge pin is
+        # gone — the incidence explode made the degree census the edge
+        # list's single consumer. scale.py 2 -> 3 (r13): pin_counted's
+        # lazy localCheckpoint (the iterative loops' one-job-per-round
+        # pin+count fusion, checkpoint-dir-aware like pin_boundaries).
         "operators/dedup.py": 1, "operators/eventtime.py": 2,
-        "operators/graph.py": 5, "operators/multimodal.py": 1,
-        "operators/scale.py": 2, "operators/similarity.py": 1,
+        "operators/graph.py": 4, "operators/multimodal.py": 1,
+        "operators/scale.py": 3, "operators/similarity.py": 1,
         "streaming/events.py": 1,
     }
 
