@@ -194,6 +194,27 @@ HEADLINE = [
 ]
 N_R07_BASE = 135        # the r6 closing battery, frozen for comparisons
 
+#: Fixed-membership anchor for the truncated tail line (r13, the r12
+#: verdict's task 2): the tail line only fits ~13 per-query timings, and
+#: ranking them by THIS run's cost made the visible set self-evicting —
+#: any query that improved enough dropped off, so the driver's
+#: round-over-round geomean structurally retained regressions and
+#: discarded wins (r12: visible geomean 0.882 vs 1.12 over all
+#: comparable queries), while evicted entries were mislabeled
+#: "dropped_from_bench". These 13 names are the r12 driver run's visible
+#: set, FROZEN: they always ride the tail line first (so consecutive
+#: rounds compare identical membership), and any remaining budget fills
+#: with this run's most expensive non-anchor entries as before. The
+#: complete map still lands in BENCH_local.json.
+TAIL_ANCHOR = [
+    "graph_triangle_stats", "stat_spearman_corr", "graph_kcore",
+    "graph_degree_distribution", "diag_curve_locality",
+    "orders_fulfillment_latency", "dedup_simhash",
+    "agg_weighted_percentiles", "udtf_table_arg_sessionize",
+    "embedding_kmeans_clusters", "dedup_minhash_lsh",
+    "dedup_incremental_minhash", "bpe_encode_stats",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -337,6 +358,11 @@ def main() -> int:
         "sentinel_sec": sentinel,
         "runs_merged": runs_merged,
         "collapse_seam_build_sec": seam_build_sec,
+        # constant-membership scalar for the frozen anchor set (r13):
+        # trends round over round regardless of tail-line truncation
+        "anchor13_total":
+            round(sum(timings[n] for n in TAIL_ANCHOR if n in timings),
+                  3),
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_local.json")
@@ -442,23 +468,54 @@ def main() -> int:
         tail_payload["full_registry_n"] = len(payload["full_registry"])
     line = json.dumps(tail_payload)
     if len(line) > _TAIL_BUDGET:
-        slim = {**tail_payload, "queries": {}, "queries_truncated": True,
-                "queries_full": "BENCH_local.json"}
-        for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
-            slim["queries"][name] = secs
-            if len(json.dumps(slim)) > _TAIL_BUDGET:
-                del slim["queries"][name]
-                break
-        line = json.dumps(slim)
+        line = _slim_tail_line(tail_payload, timings)
     print(line)
     spark.stop()
     return 0
+
+
+def _slim_tail_line(tail_payload: dict, timings: dict) -> str:
+    """Shrink the final stdout line under ``_TAIL_BUDGET`` while keeping
+    the comparison signal stable (r13, the r12 verdict's task 2):
+
+    - A wide alarm sweep (a noisy host fires dozens of simultaneous
+      alarms — 95 in the r13 baseline) must not crowd the per-query
+      timings off the line entirely: the full list always lands in
+      BENCH_local.json, the line keeps the count plus as many names as
+      fit AFTER reserving room for the anchor queries.
+    - Frozen-anchor membership first: consecutive driver runs compare
+      the same 13 queries instead of a cost-ranked set that self-evicts
+      every improvement; leftover budget then fills with this run's most
+      expensive non-anchor entries as before."""
+    slim = {**tail_payload, "queries": {}, "queries_truncated": True,
+            "queries_full": "BENCH_local.json"}
+    alarms = slim.get("full_registry_alarms")
+    if alarms:
+        slim["full_registry_alarms_n"] = len(alarms)
+        while alarms and \
+                len(json.dumps(slim)) > _TAIL_BUDGET - _ANCHOR_RESERVE:
+            alarms = alarms[:-1]
+            slim["full_registry_alarms"] = alarms
+            slim["full_registry_alarms_truncated"] = True
+    ordered = [n for n in TAIL_ANCHOR if n in timings] + \
+        [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+         if n not in TAIL_ANCHOR]
+    for name in ordered:
+        slim["queries"][name] = timings[name]
+        if len(json.dumps(slim)) > _TAIL_BUDGET:
+            del slim["queries"][name]
+            break
+    return json.dumps(slim)
 
 
 #: Max length of the final stdout line: the driver keeps a ~2000-char
 #: stdout tail and json-parses it; BENCH_r05's 2.6 KB line came back
 #: "parsed": null. Margin for a trailing newline / stray warning.
 _TAIL_BUDGET = 1800
+
+#: Line budget reserved for the 13 frozen TAIL_ANCHOR timings before the
+#: alarm-name list may use the rest (~35 chars per "name": secs entry).
+_ANCHOR_RESERVE = 600
 
 
 if __name__ == "__main__":
