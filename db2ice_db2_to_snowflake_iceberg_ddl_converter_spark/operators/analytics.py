@@ -2351,14 +2351,14 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend distribution; the zero-spend customers form a genuine large
     tie group, exercising tie-averaged ranks for real).
 
-    Scale shape: every window is PARTITIONED by nation (per-group sorts
-    run in their own partitions, the agg_percentiles contract — no
-    global window anywhere). Doubled tie-averaged ranks
-    (2·min_rank + t − 1) are exact integers ≤ 2n; sufficient-statistic
-    sums run in scale-0 DECIMAL(38,0) (≤ 4n³ per group — 38-digit-safe
-    to n ~ 1e11 customers per nation) and the final rho is the
-    one-sqrt-of-a-product form agg_corr_regr pins (sqrt(a)·sqrt(b)
-    diverges from sqrt(a·b) in the last ulp between engines)."""
+    Scale shape: census-derived ranks (:func:`spearman_rho_from`, r13)
+    — no data-keyed window, no row-level rank pass. Doubled
+    tie-averaged ranks (2·min_rank + t − 1) are exact integers ≤ 2n;
+    sufficient-statistic sums run in scale-0 DECIMAL(38,0) (≤ 4n³ per
+    group — 38-digit-safe to n ~ 1e11 customers per nation) and the
+    final rho is the one-sqrt-of-a-product form agg_corr_regr pins
+    (sqrt(a)·sqrt(b) diverges from sqrt(a·b) in the last ulp between
+    engines)."""
     from .relational import DEC
 
     c = ld(spark, sf_dir, "customer")
@@ -2389,15 +2389,34 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
     (doubled tie-averaged ranks exact in DECIMAL(38,0), one-sqrt-of-a-
     product Pearson form). Returns (part_col, n_rows, spearman_rho).
 
-    Scale shape: per-group ranks are derived from TWO
-    :func:`~.scale.global_ranks` passes ordered (group, value, tie) —
-    within-group rank = global_rn − min(global_rn over the group) + 1,
-    a groups-sized offset join — so there is NO WindowExec anywhere
-    (plan-pinned): a group-PARTITIONed window would serialize each
-    group through one task, and group keys like nation (25 values)
-    don't scale out the way month keys do. Tie-averaging is a
-    (group, value)-level rollup joined back, all co-partitioned
-    aggregations.
+    Scale shape (r13 census rewrite, guide §1.2 step 1): the doubled
+    tie-averaged rank is a pure function of the per-(group, value)
+    CENSUS — for a value v in group g with t occurrences and c rows
+    strictly below it, the tie block occupies ranks c+1 … c+t, so
+    2·min_rank + t − 1 = 2(c+1) + t − 1 = 2c + t + 1. No row ever needs
+    an individual rank, so the two row-level
+    :func:`~.scale.global_ranks` passes (range shuffle + pin + counts
+    round-trip each, the second serialized on the first's output) are
+    gone. Both value censuses ride ONE
+    :func:`~.scale.global_prefix_window` pass: the x census (tagged 0)
+    and y census (tagged 1) union into one frame ordered
+    (tag, group, vx, vy) — the cross-tag carry-in the inclusive prefix
+    adds to tag-1 rows is constant per group and cancels in the
+    per-(tag, group) offset subtraction, so dx = 2·prefix − 2·offset −
+    t + 1 is EXACTLY the old doubled rank (integer identity, pinned by
+    the randomized-ties property test). The prefix scan's internal
+    window partitions by ``__pid`` — the range-partition id, shuffle-
+    width cardinality — never by a data key, the same sanctioned
+    primitive the fulfillment-latency census rides (r12). ``tie_break``
+    is retained for caller compatibility: tie-averaged ranks are
+    tie-order invariant by construction, so the census derivation needs
+    no row-level tie-break at all.
+
+    Census rows join back on STRUCT-packed keys (r12, nullfact gate): a
+    plain [part, value] equi-join silently drops a NULL group key,
+    while struct equality compares NULL fields as equal — the same
+    GROUP BY semantics the final rollup uses, so a NULL partition
+    (e.g. corrupted c_nationkey) stays a real group end to end.
 
     NULL ``x_col``/``y_col`` rows are excluded UP FRONT (mirroring
     ``stat_mann_whitney_u``'s isNotNull guard): rho over pairs is only
@@ -2405,31 +2424,56 @@ def spearman_rho_from(df: DataFrame, part_col: str, x_col: str,
     ``n_rows`` honest — previously NULL rows were ranked (inflating other
     rows' ranks by a constant offset rho cancels) but silently dropped
     from the tie rollup, underreporting n (round-7 ADVICE)."""
-    from .scale import grouped_ranks
+    from .scale import global_prefix_window, pin
 
     df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     d38 = "decimal(38,0)"
-    rk = grouped_ranks(df, [part_col],
-                       [F.asc(x_col), F.asc(tie_break)],
-                       rank_col="rnx", num_partitions=num_partitions)
-    rk = grouped_ranks(rk, [part_col],
-                       [F.asc(y_col), F.asc(tie_break)],
-                       rank_col="rny", num_partitions=num_partitions)
-    # tie rollups join back on STRUCT-packed keys (r12, nullfact gate):
-    # a plain [part, value] equi-join silently drops a NULL group key,
-    # while struct equality compares NULL fields as equal — the same
-    # GROUP BY semantics the final rollup uses, so a NULL partition
-    # (e.g. corrupted c_nationkey) stays a real group end to end
-    rk = (rk.withColumn("__kx", F.struct(part_col, x_col))
-          .withColumn("__ky", F.struct(part_col, y_col)))
-    vx = (rk.groupBy("__kx")
-          .agg(F.min("rnx").alias("mx"), F.count(F.lit(1)).alias("tx")))
-    vy = (rk.groupBy("__ky")
-          .agg(F.min("rny").alias("my"), F.count(F.lit(1)).alias("ty")))
-    dd = (rk.join(vx, "__kx").join(vy, "__ky")
-          .select(part_col,
-                  (2 * F.col("mx") + F.col("tx") - 1).alias("dx"),
-                  (2 * F.col("my") + F.col("ty") - 1).alias("dy")))
+    # three consumers (x census, y census, the dx/dy attach) — pin once
+    base = pin(df.select(part_col, x_col, y_col))
+    xtype = base.schema[x_col].dataType
+    ytype = base.schema[y_col].dataType
+    # the union needs one row shape across both value types: each tag
+    # keeps its own typed value column, NULL in the other — within a
+    # tag the live column alone orders the census (the dead one is
+    # constant NULL), so the (tag, group, vx, vy) order is total and
+    # exact per value type with no lossy common-type cast
+    cx = (base.groupBy(F.col(part_col).alias("__p"),
+                       F.col(x_col).alias("__vx"))
+          .agg(F.count(F.lit(1)).alias("__t"))
+          .select(F.lit(0).alias("__g"), "__p", "__vx",
+                  F.lit(None).cast(ytype).alias("__vy"), "__t"))
+    cy = (base.groupBy(F.col(part_col).alias("__p"),
+                       F.col(y_col).alias("__vy"))
+          .agg(F.count(F.lit(1)).alias("__t"))
+          .select(F.lit(1).alias("__g"), "__p",
+                  F.lit(None).cast(xtype).alias("__vx"), "__vy", "__t"))
+    # NB: the prefix column must not be spelled "__P" — Spark resolves
+    # column names case-insensitively and withColumn would REPLACE __p
+    pref = global_prefix_window(
+        cx.unionByName(cy),
+        [F.asc("__g"), F.asc("__p"), F.asc("__vx"), F.asc("__vy")],
+        "__t", out_col="__cum", num_partitions=num_partitions)
+    pref = pref.withColumn("__pk", F.struct("__p"))
+    # per-(tag, group) carry-in: the prefix just before the group's
+    # first census row — min over the group of (prefix − own count)
+    off = (pref.groupBy("__g", "__pk")
+           .agg(F.min(F.col("__cum") - F.col("__t")).alias("__off")))
+    dxy = (pref.join(F.broadcast(off), ["__g", "__pk"])
+           .withColumn("__d", 2 * F.col("__cum") - 2 * F.col("__off")
+                       - F.col("__t") + 1))
+    dxt = (dxy.filter(F.col("__g") == 0)
+           .select(F.struct(F.col("__p"), F.col("__vx")).alias("__kx"),
+                   F.col("__d").alias("dx")))
+    dyt = (dxy.filter(F.col("__g") == 1)
+           .select(F.struct(F.col("__p"), F.col("__vy")).alias("__ky"),
+                   F.col("__d").alias("dy")))
+    dd = (base
+          .withColumn("__kx", F.struct(F.col(part_col).alias("__p"),
+                                       F.col(x_col).alias("__vx")))
+          .withColumn("__ky", F.struct(F.col(part_col).alias("__p"),
+                                       F.col(y_col).alias("__vy")))
+          .join(dxt, "__kx").join(dyt, "__ky")
+          .select(part_col, "dx", "dy"))
     s = dd.groupBy(part_col).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col("dx").cast(d38)).cast("double").alias("sx"),

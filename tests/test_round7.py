@@ -750,11 +750,17 @@ class TestCusumMultiBatch:
 
 
 class TestSpearmanPlanShape:
-    def test_no_window_exec_anywhere(self, spark, sf_dir):
-        """The Spearman core derives per-group ranks from global_ranks
-        offset joins — a group-PARTITIONed window over a 25-value key
-        would serialize each nation through one task at scale. Zero
-        WindowExec in the plan, single-partition or otherwise."""
+    def test_no_data_keyed_window_exec(self, spark, sf_dir):
+        """The Spearman core derives per-group doubled ranks from the
+        (group, value) census — a group-PARTITIONed window over a
+        25-value key would serialize each nation through one task at
+        scale. Zero single-partition windows, and every window spec
+        must partition by ``__pid`` (the range-partition id inside
+        ``scale.global_prefix_window`` — shuffle-width cardinality, the
+        sanctioned primitive that exists to REPLACE data-keyed windows;
+        same allowance as TestLowCardinalityWindowPurge, r12/r13)."""
+        import re
+
         from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators.analytics import (
             stat_spearman_corr,
         )
@@ -764,7 +770,14 @@ class TestSpearmanPlanShape:
 
         q = stat_spearman_corr(spark, sf_dir)
         assert single_partition_windows(q) == 0
-        assert "Window" not in uncached_plan(q)
+        plan = uncached_plan(q)
+        for args in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = args.split(",")[0].strip()
+            assert first.startswith("__pid#"), (first, args)
+        for line in plan.splitlines():
+            if re.search(r"\bWindow\b", line) \
+                    and "windowspecdefinition" not in line:
+                assert "__pid#" in line, line
 
 
 class TestGroupedRanks:
