@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .relational import ld
-from .scale import pin, pin_counted
+from .scale import pin, pin_counted, pin_lazy
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
@@ -45,12 +45,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # graph_pagerank_top (r10, full-registry bench find). Same for
     # out_deg (nodes-sized), which both contribs and the dangling-mass
     # anti-join read per round.
-    edges = pin(edges.select("src", "dst"))
+    edges = pin_lazy(edges.select("src", "dst"))
+    # incidence explode, not a two-branch union — one scan of the
+    # pinned edge blocks per materialization (r13 guide §2.3); the
+    # node-set checkpoint is taken LAZILY so the count action both
+    # computes and checkpoints it — one job, not two (pin_counted's
+    # fusion, inlined here because the empty-graph early-return needs
+    # the frame even when n == 0)
     nodes = (edges.select(F.explode(F.array("src", "dst")).alias("node"))
-             .distinct().localCheckpoint())  # node-set-sized; re-read
-    #                                          every power iteration
-    # (incidence explode, not a two-branch union — one scan of the
-    #  pinned edge blocks per materialization, r13 guide §2.3)
+             .distinct().localCheckpoint(eager=False))
     n = nodes.count()
     if n == 0:
         # PageRank of the empty graph is the empty distribution — a
@@ -58,18 +61,25 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         # empty partition's subgraph), not an error; 1/n below would
         # ZeroDivisionError (found by the round-9 empty-fixture probe)
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    out_deg = pin_lazy(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iters):
-        # ONE blocking pin job per round, moved from ranks to contribs
-        # (r12 tail profile): the round's expensive work — the
-        # edge-sized join + map-side-combined agg — materializes here,
-        # and contribs' two consumers (the dangling agg and the rank
-        # projection) read the pinned blocks. The per-round
-        # reliable-pin / lineage-truncation contract is unchanged
-        # (r9 seam; r10 measured alternate-round pins 4 s slower).
-        contribs = pin(
+        # ONE pin per round, moved from ranks to contribs (r12 tail
+        # profile): the round's expensive work — the edge-sized join +
+        # map-side-combined agg — materializes here, and contribs' two
+        # consumers (the dangling agg and the rank projection) read the
+        # pinned blocks. The pin is LAZY (r13, scale.pin_lazy): the
+        # SQL-plan truncation is identical, but the round's result
+        # stage runs with its first consumer instead of a dedicated
+        # blocking job per round (measured ~8-10 % on the 10-round
+        # loop; AQE still materializes the round's shuffle stages at
+        # planning time). The per-round lineage-truncation contract is
+        # unchanged (r9 seam; r10 measured alternate-round pins 4 s
+        # slower), and with a checkpoint dir configured pin_lazy is
+        # the reliable eager pin.
+        contribs = pin_lazy(
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(out_deg, "src")
             .groupBy(F.col("dst").alias("node"))
@@ -102,8 +112,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                          .alias("rank")))
     # pin the final projection once: callers fan out over ranks (top-k,
     # totals, anti-join census) and would otherwise re-run the last
-    # join per consumer
-    return pin(ranks)
+    # join per consumer (lazy: the first consumer materializes, the
+    # rest read the cached blocks)
+    return pin_lazy(ranks)
 
 
 def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,16 +172,17 @@ def graph_pagerank_top_checked(spark: SparkSession, sf_dir: str,
     The raw (node, rank) core stays as :func:`graph_pagerank_top` for the
     numpy power-iteration pytest. All probes are bounded: 1-row aggs and
     a broadcast anti-join against the k selected nodes."""
-    from .scale import pin
+    from .scale import pin_lazy
 
     # pin the edge build here too: the census's n_edges count would
     # otherwise re-run the orders⋈lineitem distinct one more time
     # (pagerank pins its own copy for the iterations; re-pinning a
-    # pinned scan is one cheap pass) — r10 full-registry bench find
-    edges = pin(customer_supplier_edges(spark, sf_dir))
+    # pinned scan is one cheap pass) — r10 full-registry bench find.
+    # Lazy pins (r13): first consumer materializes, the rest read blocks
+    edges = pin_lazy(customer_supplier_edges(spark, sf_dir))
     ranks = pagerank(edges, damping=damping)
-    top = pin(ranks.orderBy(F.desc("rank"), "node")
-              .limit(k))                 # ≤k rows; read by 2 consumers
+    top = pin_lazy(ranks.orderBy(F.desc("rank"), "node")
+                   .limit(k))            # ≤k rows; read by 2 consumers
     totals = ranks.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("rank").alias("total_mass"),

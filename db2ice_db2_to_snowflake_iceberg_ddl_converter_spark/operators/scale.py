@@ -179,6 +179,29 @@ def pin_counted(df: DataFrame) -> tuple[DataFrame, int]:
     return out, out.count()
 
 
+def pin_lazy(df: DataFrame) -> DataFrame:
+    """:func:`pin_boundaries` with DEFERRED materialization (r13):
+    without a checkpoint dir the local checkpoint is marked lazily —
+    the SQL-plan truncation is identical (the returned frame is a
+    LogicalRDD either way, so iterative loops stay analysis-bounded),
+    but the blocks materialize with the first consumer job instead of
+    a dedicated blocking job per pin. AQE still materializes the
+    frame's shuffle stages at planning time, so the saving is the
+    result-stage round trip — measured ~8-10 % on pagerank's
+    10-round loop, whose every round paid one. With a checkpoint dir
+    configured this is exactly :func:`pin_boundaries` (the reliable
+    recovery seam must write files eagerly — a lazy reliable
+    checkpoint recomputes its frame to write them)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except AttributeError:          # very old pyspark
+        ckpt_dir = None
+    if ckpt_dir:
+        return pin_boundaries(df)
+    return df.localCheckpoint(eager=False)
+
+
 #: Widest per-partition offset table folded back as a LITERAL create_map
 #: expression; past this the fold becomes a broadcast equi-join on
 #: __pid instead — a 50k-entry literal map would blow up the analyzed

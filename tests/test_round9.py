@@ -870,10 +870,11 @@ class TestDriverSideInventory:
         # gone — the incidence explode made the degree census the edge
         # list's single consumer. scale.py 2 -> 3 (r13): pin_counted's
         # lazy localCheckpoint (the iterative loops' one-job-per-round
-        # pin+count fusion, checkpoint-dir-aware like pin_boundaries).
+        # pin+count fusion, checkpoint-dir-aware like pin_boundaries)
+        # then 3 -> 4: pin_lazy (deferred localCheckpoint, same seam).
         "operators/dedup.py": 1, "operators/eventtime.py": 2,
         "operators/graph.py": 4, "operators/multimodal.py": 1,
-        "operators/scale.py": 3, "operators/similarity.py": 1,
+        "operators/scale.py": 4, "operators/similarity.py": 1,
         "streaming/events.py": 1,
     }
 
