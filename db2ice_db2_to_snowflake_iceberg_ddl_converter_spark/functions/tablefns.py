@@ -312,9 +312,23 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str
     spark.udtf.register("sessionize_ptf", fn)
     from pyspark.sql import functions as F
 
-    (load_events(spark, sf_dir)
-     .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
-     .createOrReplaceTempView("events_ptf_v"))
+    from ..operators.scale import derived_partitions
+
+    ev = (load_events(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id"))
+    # Explicit session-width repartition on the PARTITION BY key (r13):
+    # it satisfies the PTF's required distribution (no second exchange —
+    # plan keeps one hash + one final-ORDER-BY range exchange) and,
+    # unlike the PTF's own implicit exchange, is NOT coalescible by AQE.
+    # AQE sizes partitions by BYTES, but the stage downstream of this
+    # exchange is per-ROW Python eval (guide §4) — at sf0.1 the ~3 MB
+    # input coalesced onto 2-3 tasks and serialized 100 k eval() calls
+    # on a 32-core session (measured: 2.7 s coalesced vs 1.3 s at full
+    # width; entry A/B 3.20 -> 2.27 s, outputs identical). The width is
+    # the session's shuffle parallelism (derived_partitions), never a
+    # local literal, so a cluster keeps its configured fan-out.
+    ev = ev.repartition(derived_partitions(ev, None), "user_id")
+    ev.createOrReplaceTempView("events_ptf_v")
     return spark.sql("""
         SELECT user_id, n_sessions, n_events
         FROM sessionize_ptf(TABLE(events_ptf_v)
