@@ -37,7 +37,7 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import ArrayType, StringType
 
 from .relational import ld, ld_docs, ld_py
-from .scale import pin
+from .scale import pin, pin_lazy
 
 NUM_MINHASHES = 64
 LSH_BANDS = 16
@@ -584,11 +584,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         neighbor_min = (sym.join(labels, sym.b == labels.node)
                         .groupBy(F.col("a").alias("node"))
                         .agg(F.min("label").alias("nbr_label")))
-        new_labels = pin(labels.join(neighbor_min, "node", "left")
-                         .select("node",
-                                 F.least("label",
-                                         F.coalesce("nbr_label", "label"))
-                                 .alias("label")))  # reliable-pin seam (r9)
+        # LAZY reliable-pin seam (r9 contract, r13 pin_lazy): identical
+        # lineage truncation, but the round's blocks materialize with
+        # the label-sum witness job right below — one blocking job per
+        # round instead of pin + agg (measured 1.14x on the collapse
+        # rail's CC with identical labels; with a checkpoint dir the
+        # eager reliable pin is unchanged)
+        new_labels = pin_lazy(labels.join(neighbor_min, "node", "left")
+                              .select("node",
+                                      F.least("label",
+                                              F.coalesce("nbr_label",
+                                                         "label"))
+                                      .alias("label")))
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
