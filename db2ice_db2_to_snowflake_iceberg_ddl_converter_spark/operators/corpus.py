@@ -658,7 +658,11 @@ def _bpe_merge_fold_multi(rules: list) -> F.Column:
                                              F.lit(a + b).alias("m")))])
 
     def step(acc: F.Column, s: F.Column) -> F.Column:
-        rule = F.element_at(m, F.element_at(acc, -1))
+        # try_element_at, not element_at (r13, ADVICE): the guard below
+        # relies on NULL-on-miss for keys absent from the rule map, and
+        # try_* makes that contract explicit and version-stable (ANSI
+        # element_at on a missing MAP key raised in older Sparks)
+        rule = F.try_element_at(m, F.element_at(acc, -1))
         return F.when(
             (F.size(acc) > 0) & rule.isNotNull() & (s == rule["r"]),
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),

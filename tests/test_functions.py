@@ -282,6 +282,60 @@ class TestBpeMultiFold:
             assert got[i] == want, (i, arr, got[i], want)
             assert got_stacked[i] == want, (i, arr)
 
+    def test_fold_groups_randomized_collision_batches(self, spark):
+        """r12 ADVICE closure: randomized rule BATCHES that include the
+        merged-equals-left collision (a composite left like "xy"
+        accepted BEFORE the rule ("x","y") whose merged string recreates
+        it — the one in-pass hazard ``_bpe_fold_groups`` exists to
+        split), driven end-to-end through _bpe_fold_groups +
+        _bpe_merge_fold_multi and compared against the pure-Python
+        sequential reference. (The converse order — a LEFT equal to an
+        earlier rule's merged string — cannot leave _bpe_safe_batch:
+        the dirty set already holds a+b when later pairs are vetted, so
+        batches here respect that precondition.)"""
+        import random
+
+        from db2ice_db2_to_snowflake_iceberg_ddl_converter_spark.operators import (
+            corpus,
+        )
+
+        rng = random.Random(20260818)
+        for trial in range(6):
+            # build a safe-batch-shaped rule list: mutually-disjoint
+            # symbol pairs, with 1-2 injected composite-left hazards
+            fresh = iter(f"s{trial}_{i}" for i in range(40))
+            batch = []
+            hazards = rng.randint(1, 2)
+            for _ in range(hazards):
+                x, y, z = next(fresh), next(fresh), next(fresh)
+                batch.append((x + y, z, 9))   # composite left first
+                # 0-2 disjoint rules between the hazard pair
+                for _ in range(rng.randint(0, 2)):
+                    p, q = next(fresh), next(fresh)
+                    batch.append((p, q, 5))
+                batch.append((x, y, 3))       # merged == earlier left
+            for _ in range(rng.randint(0, 3)):
+                p, q = next(fresh), next(fresh)
+                batch.append((p, q, 2))
+            rules = [(a, b) for a, b, _w in batch]
+            symbols = sorted({s for r in rules for s in r})
+            cases = [[rng.choice(symbols)
+                      for _ in range(rng.randint(0, 14))]
+                     for _ in range(60)]
+            df = spark.createDataFrame(
+                [(i, arr) for i, arr in enumerate(cases)],
+                "id long, syms array<string>")
+            groups = corpus._bpe_fold_groups(batch)
+            assert sum(len(g) for g in groups) == len(batch)
+            folded = df
+            for g in groups:
+                folded = folded.select(
+                    "id", corpus._bpe_merge_fold_multi(g).alias("syms"))
+            got = {r["id"]: r["syms"] for r in folded.collect()}
+            for i, arr in enumerate(cases):
+                want = self._seq_merge(list(arr), rules)
+                assert got[i] == want, (trial, i, arr, got[i], want)
+
 
 class TestBpeSafeBatchProperty:
     """Spark-free property test of ``corpus._bpe_safe_batch``'s claim:
