@@ -771,6 +771,8 @@ class TestSpearmanPlanShape:
         q = stat_spearman_corr(spark, sf_dir)
         assert single_partition_windows(q) == 0
         plan = uncached_plan(q)
+        # first-arg-only approximation, same note as
+        # TestLowCardinalityWindowPurge (r12 ADVICE)
         for args in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             first = args.split(",")[0].strip()
             assert first.startswith("__pid#"), (first, args)
@@ -847,7 +849,12 @@ class TestLowCardinalityWindowPurge:
                   corpus.corpus_distinctive_terms(spark, sf_dir)):
             plan = uncached_plan(q)
             # every windowspecdefinition must partition by __pid (first
-            # argument); a data-keyed or unpartitioned window fails
+            # argument); a data-keyed or unpartitioned window fails.
+            # NB (r12 ADVICE): the regex stops at the first nested ')'
+            # and only the FIRST argument is asserted — a first-arg-only
+            # approximation; global_prefix_window partitions by __pid
+            # alone, so any additional partition key would itself be a
+            # regression caught by the primitive's own tests.
             for args in re.findall(r"windowspecdefinition\(([^)]*)\)",
                                    plan):
                 first = args.split(",")[0].strip()
